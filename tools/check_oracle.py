@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage:  python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by `graft.Verify`), runs each
+oracle SQL in DuckDB with the sfDir parquet tables registered as views, loads
+the Spark result parquet from <verifyOutDir>/<name>/, canonicalizes both
+(columns sorted by name), and compares cell-by-cell with strict equality
+(floats via repr). Mirrors the strictest plausible driver compare so that
+passing here ⇒ passing the driver's hash match.
+
+Dev tooling only — NOT part of the graft library (driver-side python deps).
+"""
+import sys, os, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(cell):
+    if isinstance(cell, float):
+        if math.isnan(cell):
+            return "NaN"
+        return repr(cell)
+    if isinstance(cell, list):
+        return "[" + ",".join(canon(x) for x in cell) + "]"
+    if isinstance(cell, dict):
+        return "{" + ",".join(f"{k}:{canon(v)}" for k, v in cell.items()) + "}"
+    return repr(cell)
+
+
+def fetch(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_glob:
+            print(f"FAIL {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        try:
+            o_cols, o_rows = fetch(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            s_cols, s_rows = fetch(
+                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        except Exception as e:
+            print(f"FAIL {name}: spark parquet load error: {e}")
+            n_fail += 1
+            continue
+        if o_cols != s_cols:
+            print(f"FAIL {name}: columns differ: oracle={o_cols} spark={s_cols}")
+            n_fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: rowcount differs: oracle={len(o_rows)} spark={len(s_rows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(o_rows, s_rows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(o_rows)} rows differ; first at {i}:")
+            print(f"      cols : {o_cols}")
+            print(f"      oracle: {a}")
+            print(f"      spark : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(o_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

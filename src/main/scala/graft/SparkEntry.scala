@@ -12,7 +12,13 @@ object SparkEntry {
 
   /** All operator modules contributing declared queries. */
   private def modules: Seq[QueryModule] = Seq(
-    agg.DailyAggregates
+    agg.DailyAggregates,
+    rel.ScanFilter,
+    rel.Joins,
+    rel.Aggs,
+    rel.Windows,
+    rel.SortSet,
+    rel.ScalarFns
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

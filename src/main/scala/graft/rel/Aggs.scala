@@ -1,0 +1,202 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import graft.functions.VecMeanAggregator.vec_mean
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.pround
+
+/** Aggregation surface (SURVEY.md §2.4).
+  *
+  * Reference evidence: grouped counts (`dag/wiki_pipeline_dag.py:31-38`,
+  * `upsert_athena_aggregates.py:39-50`), GROUP BY ordinal (`dag:38`),
+  * global sum gauge + per-group sums (QuickSight dashboards 1-3).
+  *
+  * Scale notes (100 TB): all grouped aggregates here are hash aggregates
+  * with automatic partial (map-side) combine, so shuffles carry one row per
+  * (partition, group). `approx_count_distinct` is the HLL++ sketch —
+  * constant-size state per group, the only sane distinct-count at 100 TB;
+  * the exact `count(distinct)` twin is kept for small-cardinality columns.
+  * Rollup/cube expand to grouping-set unions before the same partial-agg
+  * machinery.
+  */
+object Aggs extends QueryModule {
+
+  /** A2/A10 — filtered grouped count: daily top editors
+    * (`upsert_athena_aggregates.py:39-50`, bot-filter analog). */
+  private def dailyTopEditors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error")
+      .groupBy(to_date($"ts").as("dt"), $"user_id".as("editor"))
+      .agg(count(lit(1)).as("edits"))
+      .orderBy($"dt", $"editor")
+  }
+
+  /** A3 — GROUP BY ordinal through the SQL entry point (`dag:38`). */
+  private def groupByOrdinal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |FROM graft_events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** A4 — global aggregate (the QuickSight gauge). */
+  private def globalSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        pround(sum($"value"), 2).as("total"),
+        pround(avg($"value"), 4).as("avg_v"))
+  }
+
+  /** A5 — sum by group (dashboard bars). */
+  private def sumByGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), pround(sum($"value"), 2).as("total"))
+      .orderBy($"event_type")
+  }
+
+  /** A6 — multi-aggregate in one pass (TPC-H Q1 shape). */
+  private def aggMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        pround(sum($"l_quantity"), 2).as("sum_qty"),
+        pround(sum($"l_extendedprice"), 2).as("sum_base"),
+        pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc"),
+        pround(avg($"l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("n"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A7 — exact distinct count. */
+  private def countDistinctQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A8 — approx distinct via HLL++ (no oracle: sketch output is
+    * implementation-defined; correctness asserted in AggsSpec as a
+    * relative-error bound against the exact count). */
+  private def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("n_parts_approx"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A9a — rollup with explicit grouping bits (engine-portable form of
+    * grouping_id). */
+  private def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority"))
+          .cast("long").as("g"),
+        count(lit(1)).as("n"),
+        pround(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"g".asc, $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** A9b — cube. */
+  private def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        (grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+          .cast("long").as("g"),
+        count(lit(1)).as("n"),
+        pround(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"g".asc, $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** A11/X2 — custom typed UDAF: element-wise embedding mean per label,
+    * exploded to (label, idx, m) for the oracle. */
+  private def customVecMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .groupBy($"label")
+      .agg(vec_mean($"embedding").as("mean_vec"))
+      .select($"label", posexplode($"mean_vec").as(Seq("pos", "m")))
+      .select($"label", $"pos".cast("long").as("idx"), pround($"m", 4).as("m"))
+      .orderBy($"label", $"idx")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "agg_daily_top_editors" -> dailyTopEditors,
+    "agg_groupby_ordinal"   -> groupByOrdinal,
+    "agg_global_sum"        -> globalSum,
+    "agg_sum_by_group"      -> sumByGroup,
+    "agg_multi"             -> aggMulti,
+    "agg_count_distinct"    -> countDistinctQ,
+    "agg_approx_distinct"   -> approxDistinct,
+    "agg_rollup"            -> aggRollup,
+    "agg_cube"              -> aggCube,
+    "agg_custom_vecmean"    -> customVecMean
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "agg_daily_top_editors" ->
+      """SELECT CAST(ts AS DATE) AS dt, user_id AS editor, count(*) AS edits
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1, 2 ORDER BY dt, editor""".stripMargin,
+    "agg_groupby_ordinal" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_global_sum" ->
+      """SELECT count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total,
+        |       floor(avg(value) * 10000 + 0.5) / 10000 AS avg_v FROM events""".stripMargin,
+    "agg_sum_by_group" ->
+      """SELECT event_type, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc,
+        |       floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
+        |       count(*) AS n,
+        |       min(l_shipdate) AS min_ship,
+        |       max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS g,
+        |       o_orderstatus, o_orderpriority,
+        |       count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS g,
+        |       l_returnflag, l_linestatus,
+        |       count(*) AS n, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_custom_vecmean" ->
+      """SELECT label, CAST(pos AS BIGINT) AS idx, floor(avg(e) * 10000 + 0.5) / 10000 AS m
+        |FROM (SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e,
+        |             unnest(range(len(embedding))) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, idx""".stripMargin
+  )
+}

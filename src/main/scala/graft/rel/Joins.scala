@@ -1,0 +1,224 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.pround
+
+/** Join surface (SURVEY.md §2.3). The reference itself contains zero joins —
+  * this is the star-schema extension mandated by the north star, exercised on
+  * the TPC-H-ish fixtures.
+  *
+  * Scale notes (100 TB):
+  *  - Small dimensions (`region`, `nation`, `supplier`, `part`, `customer`)
+  *    are explicitly `broadcast()` so the fact table never shuffles for them;
+  *    at 100 TB the fact scan streams through map-side hash joins.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE picks
+  *    shuffled-hash vs sort-merge and splits skewed partitions at runtime.
+  *  - The as-of join is implemented as union + window (one shuffle on the
+  *    partition key, linear scan) rather than a range join (quadratic per
+  *    key) — this is THE scalable as-of formulation, same as what dedicated
+  *    time-series engines compile to.
+  */
+object Joins extends QueryModule {
+
+  /** J1 — inner equi-join; planner picks shuffle strategy for fact-fact. */
+  private def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** J2 — broadcast join: the dimension ships to every task, no fact shuffle. */
+  private def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"p_brand", $"p_type")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** J3 — multi-way star join (6 tables): revenue by region. */
+  private def joinStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"r_name")
+  }
+
+  /** J4a — left outer join: order counts per customer including zeros. */
+  private def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_custkey")
+  }
+
+  /** J4b — full outer join of two per-day aggregates; `coalesce` of the two
+    * keys yields a never-null sort key (null-ordering-proof). */
+  private def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d1 = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("d1")).agg(count(lit(1)).as("n_orders"))
+    val d2 = Tables.lineitem(spark, sfDir)
+      .groupBy(to_date($"l_shipdate").as("d2")).agg(count(lit(1)).as("n_items"))
+    d1.join(d2, $"d1" === $"d2", "full_outer")
+      .select(coalesce($"d1", $"d2").as("d"), $"n_orders", $"n_items")
+      .orderBy($"d")
+  }
+
+  /** J5a — left semi join (EXISTS). */
+  private def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J5b — left anti join (NOT EXISTS): customers with no URGENT order. */
+  private def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(spark, sfDir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J6 — range (non-equi) join: events following a signup within one hour,
+    * equi-blocked on user_id so the theta predicate only runs within a key
+    * group (not a full nested loop). */
+  private def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val a = e.filter($"event_type" === "signup")
+      .select($"event_id".as("a_id"), $"user_id".as("a_user"), $"ts".as("a_ts"))
+    val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"))
+    a.join(b,
+        $"a_user" === $"b_user" &&
+        $"b_ts" > $"a_ts" &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"a_id")
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy($"a_id")
+  }
+
+  /** J7 — as-of join: for each purchase, the latest signup of the same user
+    * at-or-before it. Union + ordered window (scalable formulation): one
+    * shuffle on user_id, then a linear `last(signup_ts)` carry-forward.
+    * Signup sorts before purchase at equal ts so "at-or-before" is inclusive.
+    */
+  private def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "signup", $"ts").as("signup_ts"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, when($"event_type" === "signup", 0).otherwise(1).asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_signup_ts", last($"signup_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_signup_ts".isNotNull)
+      .select($"event_id", $"user_id", $"last_signup_ts")
+      .orderBy($"event_id")
+  }
+
+  /** J8 — cross join (tiny dims only). */
+  private def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val statuses = Tables.orders(spark, sfDir)
+      .select($"o_orderstatus").distinct()
+    Tables.region(spark, sfDir)
+      .crossJoin(statuses)
+      .select($"r_regionkey", $"r_name", $"o_orderstatus")
+      .orderBy($"r_regionkey", $"o_orderstatus")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "join_inner"     -> joinInner,
+    "join_broadcast" -> joinBroadcast,
+    "join_star"      -> joinStar,
+    "join_left"      -> joinLeft,
+    "join_full"      -> joinFull,
+    "join_semi"      -> joinSemi,
+    "join_anti"      -> joinAnti,
+    "join_range"     -> joinRange,
+    "join_asof"      -> joinAsof,
+    "join_cross"     -> joinCross
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_star" ->
+      """SELECT r_name, count(*) AS n_items,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """WITH d1 AS (SELECT CAST(o_orderdate AS DATE) AS d1, count(*) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |     d2 AS (SELECT CAST(l_shipdate AS DATE) AS d2, count(*) AS n_items
+        |            FROM lineitem GROUP BY 1)
+        |SELECT coalesce(d1, d2) AS d, n_orders, n_items
+        |FROM d1 FULL OUTER JOIN d2 ON d1 = d2
+        |ORDER BY d""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range" ->
+      """SELECT a.event_id AS a_id, count(*) AS n_follow
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'signup'
+        |GROUP BY a.event_id ORDER BY a_id""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_regionkey, o_orderstatus""".stripMargin
+  )
+}

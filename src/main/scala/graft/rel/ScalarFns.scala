@@ -1,0 +1,214 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.pround
+
+/** Scalar function families (SURVEY.md §2.8), UDF/UDTF surface (§2.10).
+  *
+  * Reference evidence: `from_unixtime`/`to_timestamp`/`year`/`month`/`day`
+  * (`glue/job_wiki_curate.py:37-40`), `date()` casts + `coalesce`
+  * (`upsert_athena_aggregates.py:41-45`), JSON serialize/parse
+  * (`kafka/wiki-producer.py:77,96`), `strftime` date formatting
+  * (`kafka/wiki-s3-consumer.py:48`).
+  *
+  * Scale notes (100 TB): all built-in `functions._` here are codegen'd into
+  * whole-stage pipelines — no shuffle, no UDF serialization. The one Scala
+  * UDF (`udf_scalar`) exists to prove the extension point; its scaladoc
+  * states the built-in-first rule (a JVM UDF breaks codegen fusion but not
+  * vectorization of the surrounding scan; never put one in a 100-TB hot
+  * path when a built-in composition exists).
+  */
+object ScalarFns extends QueryModule {
+
+  /** F-string family: case, trim, substring, concat_ws, split, regexp. */
+  private def strFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        upper(substring($"text", 1, 12)).as("up"),
+        concat_ws("-", $"lang", $"source").as("tag"),
+        length($"text").cast("long").as("len_chars"),
+        length(trim($"text")).cast("long").as("len_trim"),
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        regexp_extract($"text", "^([a-z]+)", 1).as("first_word"))
+      .orderBy($"doc_id")
+  }
+
+  /** F-date family: trunc, extract, diff, add_months, epoch, format. */
+  private def dateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        to_date($"ts").as("d"),
+        date_trunc("month", $"ts").as("mon"),
+        year($"ts").cast("long").as("yr"),
+        month($"ts").cast("long").as("mo"),
+        dayofmonth($"ts").cast("long").as("dd"),
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).cast("long").as("diff_days"),
+        add_months(to_date($"ts"), 2).as("plus2m"),
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        date_format($"ts", "yyyy-MM-dd").as("ds_str"))
+      .orderBy($"event_id")
+  }
+
+  /** F-math family: arithmetic, round, abs, power, ln, sqrt, mod. */
+  private def mathFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        pround($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 2).as("charge"),
+        pround(abs($"l_discount" - 0.05), 4).as("a"),
+        pround(pow($"l_quantity", 2), 1).as("p"),
+        pround(log($"l_extendedprice"), 6).as("lg"),
+        pround(sqrt($"l_quantity"), 6).as("sq"),
+        pmod($"l_orderkey", lit(7)).cast("long").as("m"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** F-array family: higher-order functions over `embeddings.embedding`. */
+  private def arrFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sumSq = aggregate(
+      $"embedding", lit(0.0),
+      (s: Column, x: Column) => s + x.cast("double") * x.cast("double"))
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size($"embedding").cast("long").as("n"),
+        pround(element_at($"embedding", 1).cast("double"), 6).as("e1"),
+        pround(array_max($"embedding").cast("double"), 6).as("mx"),
+        pround(array_min($"embedding").cast("double"), 6).as("mn"),
+        pround(sumSq, 6).as("ss"),
+        size(filter($"embedding", (x: Column) => x > 0)).cast("long").as("npos"))
+      .orderBy($"vec_id")
+  }
+
+  /** F-map family: map construction + key/value access. The oracle produces
+    * the same VALUES without a map type (equivalent SQL, not same plan). */
+  private def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = map(lit("type"), $"event_type", lit("uid"), $"user_id".cast("string"))
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        element_at(m, "type").as("t"),
+        element_at(m, "uid").as("uid_str"),
+        map_keys(m).as("ks"))
+      .orderBy($"event_id")
+  }
+
+  /** F6 — JSON family: the direct descendant of the reference's JSON
+    * handling (`from_json`, `get_json_object`). */
+  private def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k1"),
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k2"),
+        get_json_object($"props", "$.missing").isNull.as("no_miss"),
+        to_json(struct($"event_id".as("id"))).as("j"))
+      .orderBy($"event_id")
+  }
+
+  /** X1 — scalar Scala UDF (whitespace token counter). Prefer built-ins in
+    * hot paths; this exists to prove the extension point. */
+  private def udfScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wordCount = udf((s: String) =>
+      if (s == null) 0L else s.trim.split("\\s+").length.toLong)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", wordCount($"text").as("n_words"))
+      .orderBy($"doc_id")
+  }
+
+  /** X3 — generator / UDTF surface: posexplode over tokenized text. */
+  private def genExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"word")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "str_funcs"  -> strFuncs,
+    "date_funcs" -> dateFuncs,
+    "math_funcs" -> mathFuncs,
+    "arr_funcs"  -> arrFuncs,
+    "map_funcs"  -> mapFuncs,
+    "json_funcs" -> jsonFuncs,
+    "udf_scalar" -> udfScalar,
+    "gen_explode" -> genExplode
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "str_funcs" ->
+      """SELECT doc_id,
+        |       upper(substr(text, 1, 12)) AS up,
+        |       concat_ws('-', lang, source) AS tag,
+        |       length(text) AS len_chars,
+        |       length(trim(text)) AS len_trim,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       regexp_extract(text, '^([a-z]+)', 1) AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "date_funcs" ->
+      """SELECT event_id,
+        |       CAST(ts AS DATE) AS d,
+        |       CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon,
+        |       year(ts) AS yr, month(ts) AS mo, day(ts) AS dd,
+        |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS diff_days,
+        |       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |       epoch_us(ts) AS us,
+        |       strftime(ts, '%Y-%m-%d') AS ds_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+        |       floor(abs(l_discount - 0.05) * 10000 + 0.5) / 10000 AS a,
+        |       floor(pow(l_quantity, 2) * 10 + 0.5) / 10 AS p,
+        |       floor(ln(l_extendedprice) * 1000000 + 0.5) / 1000000 AS lg,
+        |       floor(sqrt(l_quantity) * 1000000 + 0.5) / 1000000 AS sq,
+        |       l_orderkey % 7 AS m
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "arr_funcs" ->
+      """SELECT vec_id,
+        |       len(embedding) AS n,
+        |       floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS e1,
+        |       floor(CAST(list_max(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mx,
+        |       floor(CAST(list_min(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mn,
+        |       floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS ss,
+        |       len(list_filter(embedding, x -> x > 0)) AS npos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "map_funcs" ->
+      """SELECT event_id,
+        |       event_type AS t,
+        |       CAST(user_id AS VARCHAR) AS uid_str,
+        |       ['type', 'uid'] AS ks
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_funcs" ->
+      """SELECT event_id,
+        |       TRY_CAST(NULLIF(regexp_extract(props, '"k": *(-?\d+)', 1), '') AS BIGINT) AS k1,
+        |       TRY_CAST(NULLIF(regexp_extract(props, '"k": *(-?\d+)', 1), '') AS BIGINT) AS k2,
+        |       TRUE AS no_miss,
+        |       '{"id":' || CAST(event_id AS VARCHAR) || '}' AS j
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udf_scalar" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "gen_explode" ->
+      """SELECT doc_id, pos, word FROM (
+        |  SELECT doc_id,
+        |         unnest(range(len(string_split(text, ' ')))) AS pos,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

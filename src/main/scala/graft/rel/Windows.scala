@@ -1,0 +1,180 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.pround
+
+/** Window-function surface (SURVEY.md §2.5) + the batch-expressible
+  * streaming twins (tumbling day, gap-based sessions — §2.9 T2/T6).
+  *
+  * The reference's dashboards do "top 50 in title / top 27 in user"
+  * QuickSight-side; W1 reproduces that ranking in-engine.
+  *
+  * Scale notes (100 TB): every window here partitions by a key (day / user)
+  * before ordering, so Spark shuffles once on the partition key and sorts
+  * within partitions — no global sort. The one exception, the daily-series
+  * windows (lag / moving avg), order an already-aggregated frame of ~365
+  * rows/year — single-partition is correct there because the input is tiny
+  * BY CONSTRUCTION (post-aggregation), not because we assume small data.
+  * Sessionization is the lag+cumsum linear formulation: one shuffle+sort per
+  * user partition, O(n) after.
+  */
+object Windows extends QueryModule {
+
+  /** Daily counts per event_type — shared base for ranking windows. */
+  private def dailyTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Daily total counts — shared base for series windows. */
+  private def dailyTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** W1 — ranking: top-3 event types per day (the dashboard top-N). */
+  private def rankTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"d").orderBy($"n".desc, $"event_type".asc)
+    dailyTypeCounts(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"d", $"rn", $"event_type", $"n")
+      .orderBy($"d", $"rn")
+  }
+
+  /** W2 — analytic lag: day-over-day delta of edit counts. */
+  private def lagDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"d")
+    dailyTotals(spark, sfDir)
+      .withColumn("delta", $"n" - lag($"n", 1).over(w))
+      .orderBy($"d")
+  }
+
+  /** W3 — row frame: 7-day trailing moving average. */
+  private def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"d").rowsBetween(-6, Window.currentRow)
+    dailyTotals(spark, sfDir)
+      .withColumn("ma7", pround(avg($"n").over(w), 2))
+      .orderBy($"d")
+  }
+
+  /** W4 — range frame over numeric event-time: per-user trailing-hour sum.
+    * The frame is on epoch-µs so range arithmetic is exact integer math in
+    * both engines. */
+  private def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("rsum", pround(sum($"value").over(w), 2))
+      .select($"event_id", $"rsum")
+      .orderBy($"event_id")
+  }
+
+  /** W5 — ntile / percent_rank. */
+  private def ntileQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", pround(percent_rank().over(w), 6))
+      .select($"o_orderkey", $"tile", $"pr")
+      .orderBy($"o_orderkey")
+  }
+
+  /** T2 — processing-time daily tumbling batch (`dag` daily 01:00 re-agg),
+    * batch-expressed as a date_trunc group. */
+  private def tumblingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", $"ts").as("d_ts"))
+      .agg(count(lit(1)).as("n"), pround(sum($"value"), 2).as("total"))
+      .orderBy($"d_ts")
+  }
+
+  /** T6 — gap-based sessionization (30-min inactivity), the lag + cumulative
+    * sum linear formulation; epoch-µs arithmetic for engine parity. */
+  private def session(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("new_sess",
+        when(lag($"us", 1).over(wOrd).isNull ||
+             $"us" - lag($"us", 1).over(wOrd) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_sess").over(wCum))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("t_start"), max($"ts").as("t_end"))
+      .orderBy($"user_id", $"sid")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "win_rank_topn"      -> rankTopN,
+    "win_lag_delta"      -> lagDelta,
+    "win_moving_avg"     -> movingAvg,
+    "win_range_frame"    -> rangeFrame,
+    "win_ntile"          -> ntileQ,
+    "win_tumbling_daily" -> tumblingDaily,
+    "win_session"        -> session
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "win_rank_topn" ->
+      """SELECT d, rn, event_type, n FROM (
+        |  SELECT d, event_type, n,
+        |         CAST(row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type ASC) AS BIGINT) AS rn
+        |  FROM (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rn <= 3 ORDER BY d, rn""".stripMargin,
+    "win_lag_delta" ->
+      """SELECT d, n, n - lag(n, 1) OVER (ORDER BY d) AS delta
+        |FROM (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)
+        |ORDER BY d""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT d, n,
+        |       floor(avg(n) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS ma7
+        |FROM (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)
+        |ORDER BY d""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id,
+        |       floor(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS rsum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderkey,
+        |       CAST(ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS tile,
+        |       floor(percent_rank() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) * 1000000 + 0.5) / 1000000 AS pr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d_ts, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS total
+        |FROM events GROUP BY 1 ORDER BY d_ts""".stripMargin,
+    "win_session" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |         CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM t)
+        |SELECT user_id, sid, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+  )
+}

@@ -18,7 +18,12 @@ object SparkEntry {
     rel.Aggs,
     rel.Windows,
     rel.SortSet,
-    rel.ScalarFns
+    rel.ScalarFns,
+    llm.Dedup,
+    llm.Similarity,
+    llm.Text,
+    llm.Multimodal,
+    pipeline.PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,127 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.11 L6 + north-star): media as opaque
+  * `binary` columns with typed metadata, decoded/featurized by a
+  * partition-batched stub.
+  *
+  * Design: media bytes travel as a `binary` column next to typed metadata
+  * (struct) — the lakehouse pattern for image/audio/video. Decode and
+  * feature-extraction run per partition over an iterator
+  * ([[decodeFeaturesStub]]) so a real codec would amortize model/codec init
+  * per batch, exactly like `mapInPandas` batches in the PySpark world.
+  *
+  * The decode itself is a STUB — the container ships no image/audio codecs —
+  * producing a deterministic fake feature vector from the raw bytes. The
+  * Spark-side plumbing (schema, binary transport, partition batching,
+  * feature shape) is real and tested (MultimodalSpec).
+  *
+  * Scale notes (100 TB): binary payloads dominate row size, so the scan
+  * stays columnar (payload column pruned unless needed) and the decode is a
+  * no-shuffle map stage; feature vectors (small) flow to downstream joins
+  * while the payload column is dropped as early as possible.
+  */
+object Multimodal extends QueryModule {
+
+  val FeatureDim = 4
+
+  /** Deterministic stand-in for a media decoder: 4 features derived from
+    * payload length, first/last bytes, and a byte-sum checksum. A real
+    * deployment swaps ONLY this function for a codec call. */
+  def stubDecode(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return Array.fill(FeatureDim)(0f)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    Array(
+      bytes.length.toFloat,
+      (bytes(0) & 0xff).toFloat,
+      (bytes(bytes.length - 1) & 0xff).toFloat,
+      (sum % 256).toFloat)
+  }
+
+  /** Attach the media payload as a binary column (here: UTF-8 text bytes —
+    * the transport is identical for real image/audio bytes). */
+  def attachBinary(docs: DataFrame): DataFrame =
+    docs.withColumn("media", col("text").cast("binary"))
+
+  /** Partition-batched decode: (id, binary) → (id, float[FeatureDim]).
+    * Iterator-per-partition so codec/model init amortizes per batch. */
+  def decodeFeaturesStub(spark: SparkSession, df: DataFrame,
+                         idCol: String, binCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: init codec/feature model HERE, once per partition
+        it.map { case (id, bytes) => (id, stubDecode(bytes)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** L6 — multimodal struct projection: media payload + typed metadata
+    * struct carried through a join, nested field re-projected (Catalyst
+    * prunes unaccessed struct fields automatically). */
+  private def structProj(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir), $"doc_id" === $"vec_id")
+      .select(
+        $"doc_id",
+        struct($"lang", $"source").as("meta"),
+        $"label")
+      .withColumn("meta_lang", $"meta.lang")
+      .orderBy($"doc_id")
+  }
+
+  /** North-star — binary column plumbing with scalar evidence the oracle
+    * can check: byte length, base64 round-trip, first byte. */
+  private def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bin = $"text".cast("binary")
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        length(bin).cast("long").as("n_bytes"),
+        // first 48 bytes only: Spark's base64 MIME-wraps at 76 output chars
+        base64(substring($"text", 1, 48).cast("binary")).as("b64"),
+        ascii(substring($"text", 1, 1)).cast("long").as("head_byte"))
+      .orderBy($"doc_id")
+  }
+
+  /** North-star — the full stubbed decode pipeline as a declared query:
+    * binary attach → partition-batched feature extraction → metadata join.
+    * No oracle (the stub is Spark-side); MultimodalSpec pins the values. */
+  private def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val feats = decodeFeaturesStub(spark, attachBinary(docs), "doc_id", "media")
+    docs.select($"doc_id", $"lang")
+      .join(feats, "doc_id")
+      .select($"doc_id", $"lang", $"features")
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "multimodal_struct_proj" -> structProj,
+    "multimodal_binary_meta" -> binaryMeta,
+    "multimodal_decode_stub" -> decodeStub
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "multimodal_struct_proj" ->
+      """SELECT doc_id, {'lang': lang, 'source': source} AS meta, label,
+        |       lang AS meta_lang
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_binary_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       base64(encode(substr(text, 1, 48))) AS b64,
+        |       ascii(text) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

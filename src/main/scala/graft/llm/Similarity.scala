@@ -1,0 +1,119 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embeddings (SURVEY.md §2.11 L3-L4 + north-star
+  * ANN extension).
+  *
+  * Three tiers, in scale order:
+  *  1. `sim_topk_cosine` — brute-force top-K against one query vector:
+  *     a single broadcast + scan + TakeOrderedAndProject. At 100 TB this is
+  *     the exact baseline (linear scan, embarrassingly parallel).
+  *  2. `sim_threshold_join` — pairwise join above a cosine threshold,
+  *     equi-blocked on `label` so the quadratic term is bounded per block.
+  *     This is the exact scorer; at 100 TB you only run it on candidate
+  *     pairs produced by tier 3 (or MinHash — see [[Dedup]]).
+  *  3. `sim_ann_lsh` — random-hyperplane LSH (sign-bit signatures →
+  *     equality join on bucket → exact re-rank inside the bucket). The
+  *     bucket join prunes the candidate set to ~n/2^bits per bucket;
+  *     signatures are computed in one codegen stage. This is the 100-TB
+  *     scale path (IVF-style: coarse quantize, then exact re-rank).
+  */
+object Similarity extends QueryModule {
+
+  /** The query vector: the embedding with the lowest vec_id (deterministic). */
+  private def queryVec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .orderBy($"vec_id").limit(1)
+      .select($"embedding".as("qv"))
+  }
+
+  /** L3 — exact top-10 cosine against the query vector. */
+  private def simTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(queryVec(spark, sfDir)))
+      .withColumn("cos_sim", pround(vec_cosine($"embedding", $"qv"), 6))
+      .select($"vec_id", $"cos_sim")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** L4 — pairwise similarity join above a threshold, label-blocked. */
+  private def simThresholdJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select($"vec_id".as("a_id"), $"label".as("a_label"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"), $"embedding".as("vb"))
+    a.join(b, $"a_label" === $"b_label" && $"a_id" < $"b_id")
+      .withColumn("cos_sim", vec_cosine($"va", $"vb"))
+      .filter($"cos_sim" >= 0.35)
+      .select($"a_id", $"b_id", pround($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** 8-bit sign signature of an embedding against the fixed hyperplanes:
+    * left fold acc·2 + sign-bit, all inside codegen. */
+  private def signature(v: Column): Column = {
+    val planesCol = typedLit(planes)
+    aggregate(
+      sequence(lit(0), lit(7)),
+      lit(0L),
+      (acc, p) => acc * 2 + when(vec_dot(v, element_at(planesCol, p + 1)) > 0, 1L).otherwise(0L))
+  }
+
+  /** North-star ANN — LSH-bucketed approximate top-5: compare only vectors
+    * whose 8-bit signature equals the query's, exact cosine re-rank inside
+    * the bucket. No oracle (approximate); SimilaritySpec asserts recall
+    * against the brute-force baseline. */
+  private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("sig", signature($"embedding"))
+    val q = e.orderBy($"vec_id").limit(1)
+      .select($"embedding".as("qv"), $"sig".as("qsig"))
+    e.join(broadcast(q), $"sig" === $"qsig")
+      .withColumn("cos_sim", pround(vec_cosine($"embedding", $"qv"), 6))
+      .select($"vec_id", $"cos_sim")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(5)
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "sim_topk_cosine"    -> simTopkCosine,
+    "sim_threshold_join" -> simThresholdJoin,
+    "sim_ann_lsh"        -> simAnnLsh
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sim_topk_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+        |SELECT vec_id,
+        |       floor(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM embeddings e, q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_threshold_join" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       floor(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |             * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,184 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.11 L5 +
+  * north-star: language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting).
+  *
+  * Scale notes (100 TB): per-document scores (quality, langid, fingerprint,
+  * token counts) are pure codegen'd map expressions — no shuffle, linear
+  * scan. The corpus-level term statistics (top terms) shuffle once on
+  * (lang, word) with map-side partial counts; the heavy-hitter skew of
+  * natural language (Zipf) is absorbed by partial aggregation exactly like
+  * the reference's title skew (BASELINE.md "Other 941,690").
+  */
+object Text extends QueryModule {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un", "por")
+  private val stopDe = Seq("der", "die", "und", "das", "ein", "zu", "mit", "ist")
+
+  /** L5a — top-5 terms per language (explode → count → rank). */
+  private def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"word".asc)
+    Tables.documents(spark, sfDir)
+      .select($"lang", explode(split(trim($"text"), " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn", $"word", $"n")
+      .orderBy($"lang", $"rn")
+  }
+
+  /** L5b — per-language corpus stats. */
+  private def langStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        pround(avg($"n_chars"), 2).as("avg_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  /** North-star — quality score: token-count saturation × (1 − stopword
+    * ratio). The standard cheap pre-filter before expensive dedup/training.
+    */
+  private def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = split(trim($"text"), " ")
+    val nTokens = size(words)
+    val nStop = size(filter(words, w => w.isin(stopEn: _*)))
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        nTokens.cast("long").as("n_tokens"),
+        pround(nStop / nullif(nTokens, lit(0)), 6).as("stop_ratio"),
+        pround(
+          least(lit(1.0), nTokens / lit(100.0)) *
+            (lit(1.0) - nStop / nullif(nTokens, lit(0))), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** North-star — language-ID heuristic: stopword-marker ratios per
+    * candidate language, argmax with deterministic tie-break. (On synthetic
+    * word-soup this mostly answers 'en'; the operator shape — N marker
+    * scans + argmax — is what a real n-gram classifier compiles to.) */
+  private def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = split(trim($"text"), " ")
+    def ratio(markers: Seq[String]) =
+      size(filter(words, w => w.isin(markers: _*))) / nullif(size(words), lit(0))
+    Tables.documents(spark, sfDir)
+      .withColumn("r_en", ratio(stopEn))
+      .withColumn("r_es", ratio(stopEs))
+      .withColumn("r_de", ratio(stopDe))
+      .select(
+        $"doc_id", $"lang",
+        pround($"r_en", 6).as("r_en"),
+        when($"r_en" >= $"r_es" && $"r_en" >= $"r_de", "en")
+          .when($"r_es" >= $"r_de", "es")
+          .otherwise("de").as("guess"))
+      .orderBy($"doc_id")
+  }
+
+  /** North-star — document fingerprint: md5 over the sorted distinct token
+    * set (canonical content signature, order-insensitive). */
+  private def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = array_distinct(split(trim($"text"), " "))
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        md5(concat_ws(" ", array_sort(toks))).as("fp"),
+        size(toks).cast("long").as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  /** North-star — token counting: whitespace tokens + a BPE-ish regex
+    * segmentation (letter runs / digit runs / single non-space symbols). */
+  private def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_ws"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long").as("n_bpe"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "text_top_terms"   -> topTerms,
+    "text_lang_stats"  -> langStats,
+    "text_quality"     -> qualityScore,
+    "text_langid"      -> langId,
+    "text_fingerprint" -> fingerprint,
+    "text_token_count" -> tokenCount
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "text_top_terms" ->
+      """SELECT lang, rn, word, n FROM (
+        |  SELECT lang, word, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS BIGINT) AS rn
+        |  FROM (SELECT lang, w AS word, count(*) AS n
+        |        FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |        WHERE w <> '' GROUP BY lang, w))
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       floor(n_stop * 1.0 / nullif(n_tokens, 0) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+        |       floor(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
+        |             * 1000000 + 0.5) / 1000000 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) * 1.0 / nullif(len(w), 0) AS r_en,
+        |         len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','por'], x))) * 1.0 / nullif(len(w), 0) AS r_es,
+        |         len(list_filter(w, x -> list_contains(['der','die','und','das','ein','zu','mit','ist'], x))) * 1.0 / nullif(len(w), 0) AS r_de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |       floor(r_en * 1000000 + 0.5) / 1000000 AS r_en,
+        |       CASE WHEN r_en >= r_es AND r_en >= r_de THEN 'en'
+        |            WHEN r_es >= r_de THEN 'es' ELSE 'de' END AS guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp,
+        |       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_ws,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.{QueryModule, Tables}
+import graft.curate.Curate
+import graft.upsert.KeepLatest
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-shaped operators as declared queries (SURVEY.md §2.1):
+  * CTAS materialization (S10), keep-latest upsert (S11), and the
+  * partition-pruned scan over a curated layout (P8 + S6).
+  */
+object PipelineQueries extends QueryModule {
+
+  /** S10 — CTAS (`dag/wiki_pipeline_dag.py:29-39`): materialize the daily
+    * top-titles aggregate into the session catalog, then query it. DROP +
+    * CREATE (rather than IF NOT EXISTS) so re-runs at a different scale
+    * factor can't serve stale data; per-run idempotency is the driver's
+    * re-run-safety property the reference gets from `IF NOT EXISTS`. */
+  private def ctasDailyTopTitles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("graft_events_src")
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_ctas_${ProcessHandle.current.pid}_${sfDir.hashCode.toHexString}"
+    deleteRecursively(new java.io.File(loc))
+    spark.sql("DROP TABLE IF EXISTS graft_daily_top_titles")
+    spark.sql(
+      s"""CREATE TABLE graft_daily_top_titles USING PARQUET LOCATION '$loc' AS
+         |SELECT CAST(ts AS DATE) AS ds, event_type AS title,
+         |       user_id AS editor, count(*) AS edits
+         |FROM graft_events_src GROUP BY 1, 2, 3""".stripMargin)
+    spark.table("graft_daily_top_titles")
+      .orderBy(col("ds"), col("title"), col("editor"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** S11 — keep-latest upsert semantics: latest event per
+    * (user_id, event_type), ties broken by event_id. */
+  private def upsertKeepLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    KeepLatest.keepLatest(
+        Tables.events(spark, sfDir),
+        keys = Seq("user_id", "event_type"),
+        ordering = Seq($"ts".desc, $"event_id".desc))
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val curatedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Curate `events` into a yyyy/mm/dd-partitioned parquet layout once per
+    * (JVM, sfDir); reused by the pruning query below. */
+  def curatedEventsDir(spark: SparkSession, sfDir: String): String =
+    curatedDirs.getOrElseUpdate(sfDir, {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_curated_${sfDir.hashCode.toHexString}"
+      Curate.writeCurated(
+        Curate.curateTs(Tables.events(spark, sfDir)), dir, SaveMode.Overwrite)
+      dir
+    })
+
+  /** P8/S6 — partition-pruning predicate over the curated layout
+    * (`README.md:103`: `WHERE yyyy=.. AND mm=.. AND dd=..`). The filter
+    * lands in PartitionFilters (pruned directory listing), not row-level
+    * filtering — asserted in PipelineSpec via the physical plan. */
+  private def filterPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(curatedEventsDir(spark, sfDir))
+      .filter($"yyyy" === 2024 && $"mm" === 1 && $"dd" === 3)
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "ctas_daily_top_titles"  -> ctasDailyTopTitles,
+    "upsert_keep_latest"     -> upsertKeepLatest,
+    "filter_partition_prune" -> filterPartitionPrune
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "ctas_daily_top_titles" ->
+      """SELECT CAST(ts AS DATE) AS ds, event_type AS title,
+        |       user_id AS editor, count(*) AS edits
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY ds, title, editor""".stripMargin,
+    "upsert_keep_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "filter_partition_prune" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming ingestion + stateful ops (SURVEY.md §2.9).
+  *
+  * The reference's ingest path (SSE → Kafka → micro-batched gzip NDJSON to
+  * S3, `kafka/wiki-producer.py` + `kafka/wiki-s3-consumer.py`, ~150 lines of
+  * hand-rolled loop) collapses into ONE declarative streaming query here —
+  * and checkpointing upgrades its at-least-once delivery to exactly-once
+  * (SURVEY.md §3.3). No Kafka connector jar ships in this environment, so
+  * sources are file/MemoryStream-based; swapping `format("kafka")` in is a
+  * config change, not a redesign (S1-S3 mapping in SURVEY.md §2.1).
+  *
+  * Scale notes (100 TB/day ingest): the raw sink partitions by arrival date
+  * (`ds`) exactly like the consumer's `raw/ds=YYYY-MM-DD/` layout
+  * (`kafka/wiki-s3-consumer.py:48-50`); trigger interval plays the
+  * consumer's FLUSH_SECS role and `maxFilesPerTrigger` its BATCH_SIZE role
+  * (T1). Watermark + dropDuplicates keeps dedup state bounded: state is
+  * evicted once the watermark passes (T4/T5).
+  */
+/** A user session aggregate produced by [[StreamOps.sessionize]]. */
+case class SessionOut(userId: Long, nEvents: Long, startUs: Long, endUs: Long)
+
+/** Internal per-user state for [[StreamOps.sessionize]]. Top level: Spark's
+  * state encoder codegen requires a static constructor path. */
+case class SessionState(n: Long, startUs: Long, lastUs: Long)
+
+object StreamOps {
+
+  /** S4/T1 — the raw zone sink: micro-batched gzip NDJSON, date-partitioned
+    * by ARRIVAL date (processing time), 10 s trigger — the consumer's
+    * semantics (`kafka/wiki-s3-consumer.py:22-23,43-53`) with exactly-once
+    * checkpointing instead of at-least-once. */
+  def rawSink(events: DataFrame, path: String, checkpoint: String,
+              triggerInterval: String = "10 seconds"): DataStreamWriter[Row] =
+    events
+      .withColumn("ds", date_format(current_timestamp(), "yyyy-MM-dd"))
+      .writeStream
+      .format("json")
+      .option("compression", "gzip")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ds")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .outputMode(OutputMode.Append)
+
+  /** T5 — at-least-once dedup: duplicates within the watermark horizon are
+    * dropped, state beyond it evicted. */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(Seq(idCol))
+
+  /** T2/T4 — event-time tumbling daily aggregate with late-data handling:
+    * the streaming twin of the reference's daily 01:00 batch re-aggregation
+    * (`dag/wiki_pipeline_dag.py:63`); rows later than the watermark are
+    * dropped instead of recomputed. */
+  def dailyCounts(events: DataFrame, tsCol: String, keyCol: String,
+                  watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day"), col(keyCol))
+      .agg(count(lit(1)).as("edits"))
+      .select(col("window.start").as("day"), col(keyCol), col("edits"))
+
+  /** T6 — stateful gap-based sessionization via mapGroupsWithState: emits a
+    * user's CURRENT session aggregate per batch; state times out (and would
+    * close the session) after the gap. The batch-expressible twin is
+    * `win_session` (lag + cumulative sum). */
+  def sessionize(events: Dataset[(Long, Long)], gapUs: Long = 1800000000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, sorted.head, sorted.head - gapUs - 1))
+          sorted.foreach { us =>
+            st = if (us - st.lastUs > gapUs) SessionState(1L, us, us)
+                 else SessionState(st.n + 1, st.startUs, us)
+          }
+          state.update(st)
+          SessionOut(userId, st.n, st.startUs, st.lastUs)
+      }
+  }
+}

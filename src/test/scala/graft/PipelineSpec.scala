@@ -1,0 +1,103 @@
+package graft
+
+import graft.curate.Curate
+import graft.upsert.KeepLatest
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline parity tests (SURVEY.md §5): synthesized raw NDJSON →
+  * curate → partitioned parquet → flagship aggregation, partition-layout and
+  * pruning assertions, idempotent upsert.
+  */
+class PipelineSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_pipe").toString
+
+  test("curate: gzip NDJSON -> ts/yyyy/mm/dd partitioned parquet (glue parity)") {
+    // wiki-event-shaped raw rows incl. the FIXTURES.md edge cases:
+    // null bot, missing minor, duplicate id, a UTC-midnight straddle
+    val raw = Seq(
+      """{"id":1,"type":"edit","title":"A","user":"u1","bot":false,"timestamp":1704067199,"comment":"c","minor":false}""",
+      """{"id":2,"type":"edit","title":"B","user":"u2","bot":null,"timestamp":1704103200,"comment":"c"}""",
+      """{"id":2,"type":"edit","title":"B","user":"u2","bot":null,"timestamp":1704103200,"comment":"c"}""",
+      """{"id":3,"type":"new","title":"C","user":"u3","bot":true,"timestamp":1704153599,"comment":"c","minor":true}""",
+      """{"id":4,"type":"edit","title":"C","user":"u3","bot":false,"timestamp":1704153601,"comment":"c","minor":false}""",
+      """not valid json at all"""
+    )
+    val rawDir = tmp()
+    raw.toDF("value").coalesce(1)
+      .write.mode("overwrite").option("compression", "gzip").text(rawDir)
+
+    val parsed = spark.read
+      .schema(graft.schema.WikiSchemas.raw)
+      .option("mode", "DROPMALFORMED")
+      .json(rawDir)
+      .filter($"id".isNotNull)  // malformed-record drop (P5)
+      .withColumn("minor", coalesce($"minor", lit(false)))  // producer default (P2)
+    val curated = Curate.curateEpoch(parsed)
+    val outDir = tmp()
+    Curate.writeCurated(curated, outDir, SaveMode.Overwrite)
+
+    // partition layout yyyy=/mm=/dd= exists and splits the midnight straddle
+    val d31 = new java.io.File(s"$outDir/yyyy=2023/mm=12/dd=31")
+    val d1 = new java.io.File(s"$outDir/yyyy=2024/mm=1/dd=1")
+    assert(d31.isDirectory && d1.isDirectory)
+
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 5)  // corrupt row dropped, duplicate kept (at-least-once)
+    assert(back.filter($"minor").count() === 1)
+    // flagship aggregation over curated output (README.md:101-106 restatement)
+    val top = back.groupBy(to_date($"ts").as("ds"), $"title", $"user")
+      .agg(count(lit(1)).as("edits"))
+      .orderBy($"edits".desc, $"ds", $"title", $"user")
+      .collect()
+    assert(top.head.getLong(3) === 2)  // the duplicated id=2 rows
+  }
+
+  test("partition pruning reaches the file listing (PartitionFilters)") {
+    val df = SparkEntry.queries("filter_partition_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("(yyyy") || plan.contains("yyyy#")),
+      s"expected partition filters in plan:\n$plan")
+  }
+
+  test("keep-latest upsert is idempotent and replaces only touched partitions") {
+    val base = Seq(
+      (1L, "a", 10L, 1, "x"), (2L, "a", 20L, 1, "x"), (3L, "b", 30L, 2, "x"))
+      .toDF("id", "k", "v", "pt", "payload")
+    val dir = tmp()
+    base.write.mode("overwrite").partitionBy("pt").parquet(dir)
+
+    val batch = Seq((2L, "a", 99L, 1, "y"), (4L, "c", 40L, 1, "y"))
+      .toDF("id", "k", "v", "pt", "payload")
+    val existing = spark.read.parquet(dir).filter($"pt" === 1)
+    KeepLatest.upsertPartitions(existing, batch, dir,
+      keys = Seq("id"), ordering = Seq($"payload".desc), partitionCols = Seq("pt"))
+
+    val after = spark.read.parquet(dir).orderBy("id")
+    assert(after.count() === 4)
+    assert(after.filter($"id" === 2L).head.getLong(2) === 99L)  // updated
+    assert(after.filter($"id" === 3L).count() === 1)            // untouched partition intact
+    // re-run same batch => identical result (idempotent)
+    val existing2 = spark.read.parquet(dir).filter($"pt" === 1)
+    KeepLatest.upsertPartitions(existing2, batch, dir,
+      keys = Seq("id"), ordering = Seq($"payload".desc), partitionCols = Seq("pt"))
+    assert(spark.read.parquet(dir).count() === 4)
+  }
+
+  test("MSCK-equivalent partition discovery: recoverPartitions sees new dirs") {
+    val dir = pipeline.PipelineQueries.curatedEventsDir(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS graft_curated_ext")
+    spark.sql(
+      s"CREATE TABLE graft_curated_ext (event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+      s"event_type STRING, value DOUBLE, props STRING, yyyy INT, mm INT, dd INT) " +
+      s"USING PARQUET PARTITIONED BY (yyyy, mm, dd) LOCATION '$dir'")
+    spark.catalog.recoverPartitions("graft_curated_ext")  // MSCK REPAIR TABLE
+    val n = spark.table("graft_curated_ext")
+      .filter($"yyyy" === 2024 && $"mm" === 1 && $"dd" === 3).count()
+    assert(n > 0)
+  }
+}

@@ -79,7 +79,10 @@ object Dedup extends QueryModule {
       .setInputCol("features").setOutputCol("sig")
       .setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(feat)
-    val pairs = model.approxSimilarityJoin(feat, feat, 0.3, "dist")
+    // transform once and cache: approxSimilarityJoin would otherwise
+    // recompute TF+MinHash signatures for BOTH sides of the self-join
+    val sigs = model.transform(feat).cache()
+    val pairs = model.approxSimilarityJoin(sigs, sigs, 0.3, "dist")
       .select(
         col("datasetA.doc_id").as("a_id"),
         col("datasetB.doc_id").as("b_id"))

@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan quality gates (SURVEY.md §4): these assert the properties
+  * that make the operators survive a 100-TB scale-up — filters reaching the
+  * parquet scan, projections pruning the read schema, dimensions
+  * broadcasting, aggregates running partial+final, and the hot paths staying
+  * inside whole-stage codegen. Failing any of these is a performance
+  * regression even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_range pushes predicates into the parquet scan") {
+    val plan = executed("filter_range")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity") ||
+           plan.contains("LessThanOrEqual(l_quantity"), plan)
+  }
+
+  test("proj_select prunes the read schema to selected columns") {
+    val plan = executed("proj_select")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && !readSchema.contains("props"),
+      s"props should be pruned from scan: $readSchema")
+  }
+
+  test("join_broadcast broadcasts the dimension side") {
+    val plan = executed("join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("join_star broadcasts every dimension (no fact-side shuffle for dims)") {
+    val plan = executed("join_star")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("flagship aggregation runs partial (map-side) + final hash aggregate") {
+    val plan = executed("agg_daily_top_titles")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("topk_orderby_limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = executed("topk_orderby_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("scans and filters stay inside WholeStageCodegen") {
+    // AQE shows codegen spans only in the FINAL plan — execute first
+    val df = SparkEntry.queries("filter_eq")(spark, sf)
+    df.collect()
+    // codegen spans print as "*(n) Op" in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter") && plan.contains("*(1) Project"), plan)
+  }
+
+  test("partition-prune scan lists only the selected partition") {
+    val df = SparkEntry.queries("filter_partition_prune")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("(yyyy"), scan)
+    // predicate must prune the listing, not run as a row-level data filter
+    assert(scan.contains("DataFilters: []"),
+      s"partition predicate leaked into data filters: $scan")
+  }
+}

@@ -139,12 +139,35 @@ object Dedup extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** North-star — embedding-cosine near-dedup, keep-first: drop the higher
+    * vec_id of every label-blocked pair with cosine ≥ 0.9. Output =
+    * surviving vec ids. The exact twin of [[dedupMinhash]] for the
+    * embedding modality; at 100 TB the pair source is LSH candidates
+    * ([[Similarity]] signatures), not the blocked cross join. */
+  private def dedupEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VecDotNative.{vec_dot_native, vec_norm_native}
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", vec_norm_native($"embedding"))
+    val a = e.select($"vec_id".as("a_id"), $"label".as("a_label"),
+      $"embedding".as("va"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
+      $"embedding".as("vb"), $"nrm".as("nb"))
+    val dups = a.join(b, $"a_label" === $"b_label" && $"a_id" < $"b_id")
+      .filter(vec_dot_native($"va", $"vb") / ($"na" * $"nb") >= 0.9)
+      .select($"b_id".as("vec_id")).distinct()
+    e.join(dups, Seq("vec_id"), "left_anti")
+      .select($"vec_id")
+      .orderBy($"vec_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "dedup_exact_id"      -> dedupExactId,
     "dedup_text_hash"     -> dedupTextHash,
     "dedup_minhash"       -> dedupMinhash,
     "dedup_simhash"       -> dedupSimhash,
-    "dedup_ngram_jaccard" -> dedupNgramJaccard
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embed_cosine"  -> dedupEmbedCosine
   )
 
   override def oracles: Map[String, String] = Map(
@@ -161,6 +184,16 @@ object Dedup extends QueryModule {
         |                            ORDER BY doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY vec_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT doc_id, list_distinct(

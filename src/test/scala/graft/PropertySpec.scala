@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.VecDotNative
+import graft.upsert.KeepLatest
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5): dedup idempotence, union
+  * cardinality laws, cosine bounds, top-K containment, gauge/bar
+  * consistency (A4 vs A5). Raw ScalaCheck generators sampled with a fixed
+  * seed (scalatest-plus bridge is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-10f, 10f)).map(_.toSeq)
+
+  test("cosine similarity is bounded in [-1,1] and reflexive (generated vectors)") {
+    val vecs = samples(vecGen, 20).filter(_.exists(_ != 0f))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+    val out = df.select(
+      (VecDotNative.vec_dot_native($"a", $"b") /
+        (VecDotNative.vec_norm_native($"a") * VecDotNative.vec_norm_native($"b"))).as("c"),
+      (VecDotNative.vec_dot_native($"a", $"a") /
+        (VecDotNative.vec_norm_native($"a") * VecDotNative.vec_norm_native($"a"))).as("self"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    }
+  }
+
+  test("keepLatest is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 100L)))
+    samples(gen, 10).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val once = KeepLatest.keepLatest(df, Seq("k"), Seq($"v".desc, monotonically_increasing_id().desc))
+      val twice = KeepLatest.keepLatest(once, Seq("k"), Seq($"v".desc, monotonically_increasing_id().desc))
+      assert(once.select("k", "v").orderBy("k").collect().toSeq ===
+        twice.select("k", "v").orderBy("k").collect().toSeq)
+      assert(once.count() === df.select("k").distinct().count())
+    }
+  }
+
+  test("union cardinality: |A union all B| = |A| + |B|; distinct <= that") {
+    val e = Tables.events(spark, sf)
+    val a = e.filter($"event_type" === "click").select("user_id")
+    val b = e.filter($"event_type" === "view").select("user_id")
+    assert(a.union(b).count() === a.count() + b.count())
+    assert(a.union(b).distinct().count() <= a.count() + b.count())
+  }
+
+  test("top-K containment: top-10 is a prefix of top-20 under the same total order") {
+    val base = Tables.events(spark, sf)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"event_type", $"user_id")
+    val t10 = base.limit(10).collect().toSeq
+    val t20 = base.limit(20).collect().toSeq
+    assert(t20.take(10) === t10)
+  }
+
+  test("gauge/bar invariant: global sum equals the sum over per-group sums (A4 vs A5)") {
+    val global = SparkEntry.queries("agg_global_sum")(spark, sf)
+      .head.getLong(0)
+    val perGroup = SparkEntry.queries("agg_sum_by_group")(spark, sf)
+      .agg(sum($"n")).head.getLong(0)
+    assert(global === perGroup)
+  }
+}

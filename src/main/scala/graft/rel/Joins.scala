@@ -138,6 +138,18 @@ object Joins extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Skew-mitigated equi-join (SURVEY §7 risk register): semantically a
+    * plain inner join — the oracle is the unsalted SQL — but the hot keys
+    * spread over 8 reducers. See [[SkewJoin]]. */
+  private def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    SkewJoin.saltedJoin(
+        Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+        "o_custkey", "c_custkey", saltFactor = 8)
+      .select($"o_orderkey", $"c_name")
+      .orderBy($"o_orderkey")
+  }
+
   /** J8 — cross join (tiny dims only). */
   private def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -159,7 +171,8 @@ object Joins extends QueryModule {
     "join_anti"      -> joinAnti,
     "join_range"     -> joinRange,
     "join_asof"      -> joinAsof,
-    "join_cross"     -> joinCross
+    "join_cross"     -> joinCross,
+    "join_skew_salted" -> joinSkewSalted
   )
 
   override def oracles: Map[String, String] = Map(
@@ -216,6 +229,10 @@ object Joins extends QueryModule {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id
         |ORDER BY p.event_id""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT o_orderkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "join_cross" ->
       """SELECT r_regionkey, r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)

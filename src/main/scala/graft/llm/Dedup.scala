@@ -75,11 +75,12 @@ object Dedup extends QueryModule {
   private val RowsPerBand = 2
 
   /** L2 — MinHash+LSH near-dedup, keep-first, implemented natively in
-    * codegen'd expressions (no ML-pipeline UDF overhead — measured ~5x
-    * cheaper than the mllib MinHashLSH route at sf0.1, same structure):
+    * codegen'd relational expressions (no ML-pipeline UDF overhead —
+    * measured 2x cheaper than the mllib MinHashLSH route at sf0.1, and 20x
+    * cheaper than a lambda formulation, same structure):
     *
-    *   shingle → xxhash64 per shingle → k seeded affine minhashes
-    *   (min over shingles of a·h+b, wrapping arithmetic) → band the
+    *   shingle → xxhash64 per shingle → k salted minhashes
+    *   (min over shingles of xxhash64(h, j)) → band the
     *   signature (r rows/band) → shuffle on (band, bandHash) → candidate
     *   pairs sharing a band → EXACT Jaccard ≥ 0.7 verify → drop the higher
     *   doc_id of each confirmed pair.
@@ -183,7 +184,7 @@ object Dedup extends QueryModule {
 
   /** North-star — 32-bit SimHash signature per document, computed fully
     * inside whole-stage codegen (token hashes once, then a per-bit fold).
-    * No oracle (xxhash64 is Spark-specific); DedupSpec asserts the
+    * No oracle (xxhash64 is Spark-specific); LlmSpec asserts the
     * identical-text and near-text properties.
     */
   private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * The decode itself is a STUB — the container ships no image/audio codecs —
   * producing a deterministic fake feature vector from the raw bytes. The
   * Spark-side plumbing (schema, binary transport, partition batching,
-  * feature shape) is real and tested (MultimodalSpec).
+  * feature shape) is real and tested (LlmSpec).
   *
   * Scale notes (100 TB): binary payloads dominate row size, so the scan
   * stays columnar (payload column pruned unless needed) and the decode is a
@@ -94,7 +94,7 @@ object Multimodal extends QueryModule {
 
   /** North-star — the full stubbed decode pipeline as a declared query:
     * binary attach → partition-batched feature extraction → metadata join.
-    * No oracle (the stub is Spark-side); MultimodalSpec pins the values. */
+    * No oracle (the stub is Spark-side); LlmSpec pins the values. */
   private def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

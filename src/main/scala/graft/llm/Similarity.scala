@@ -87,7 +87,7 @@ object Similarity extends QueryModule {
 
   /** North-star ANN — LSH-bucketed approximate top-5: compare only vectors
     * whose 8-bit signature equals the query's, exact cosine re-rank inside
-    * the bucket. No oracle (approximate); SimilaritySpec asserts recall
+    * the bucket. No oracle (approximate); LlmSpec asserts recall
     * against the brute-force baseline. */
   private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -88,7 +88,7 @@ object Aggs extends QueryModule {
   }
 
   /** A8 — approx distinct via HLL++ (no oracle: sketch output is
-    * implementation-defined; correctness asserted in AggsSpec as a
+    * implementation-defined; correctness asserted in PropertySpec as a
     * relative-error bound against the exact count). */
   private def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -64,6 +64,16 @@ class PropertySpec extends SparkSpec {
     assert(t20.take(10) === t10)
   }
 
+  test("approx_count_distinct stays within 5% of the exact count (HLL++ bound)") {
+    val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("agg_approx_distinct")(spark, sf).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e <= 0.05, s"$flag: approx=$approx exact=$e")
+    }
+  }
+
   test("gauge/bar invariant: global sum equals the sum over per-group sums (A4 vs A5)") {
     val global = SparkEntry.queries("agg_global_sum")(spark, sf)
       .head.getLong(0)

@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.VecDotExpr
+import graft.plans.VecDotRewrite
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions for the graft engine: activate with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)` at session build time).
+  *
+  * Injects:
+  *  - [[graft.plans.VecDotRewrite]]: transparently accelerates
+  *    higher-order dot-product expressions to the native codegen'd form;
+  *  - SQL function `vec_dot_native(array<float>, array<float>) -> double`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => VecDotRewrite)
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot_native"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot_native"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotExpr(exprs.head, exprs(1))))
+  }
+}

@@ -55,8 +55,12 @@ object PipelineQueries extends QueryModule {
   def curatedEventsDir(spark: SparkSession, sfDir: String): String =
     curatedDirs.getOrElseUpdate(sfDir, {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_curated_${sfDir.hashCode.toHexString}"
-      Curate.writeCurated(
-        Curate.curateTs(Tables.events(spark, sfDir)), dir, SaveMode.Overwrite)
+      // The fixture data is deterministic and read-only, so a layout written
+      // by an earlier JVM (Verify, then Bench) is reusable — _SUCCESS marks
+      // a completed write.
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Curate.writeCurated(
+          Curate.curateTs(Tables.events(spark, sfDir)), dir, SaveMode.Overwrite)
       dir
     })
 

@@ -119,13 +119,36 @@ object Text extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** North-star — ORDER-SENSITIVE rolling hash over the token stream
+    * (Rabin-Karp shape: h ← (h·131 + tokenVal) mod 2³¹−1). Complements the
+    * order-insensitive [[fingerprint]]: reordered content changes this
+    * hash. The token value is a portable ascii/length mix so the DuckDB
+    * oracle folds identically (production would use xxhash64 — same shape,
+    * engine-specific values). Modulus keeps the fold inside non-overflowing
+    * Long arithmetic (ANSI-safe).
+    */
+  private def rollingHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split(trim($"text"), " "), t => t =!= "")
+    val rolled = aggregate(
+      toks,
+      lit(0L),
+      (h, t) => (h * 131L +
+        (ascii(substring(t, 1, 1)) * 31 + ascii(substring(t, -1, 1)) * 7 + length(t))
+          .cast("long")) % 2147483647L)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", rolled.as("rh"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "text_top_terms"   -> topTerms,
-    "text_lang_stats"  -> langStats,
-    "text_quality"     -> qualityScore,
-    "text_langid"      -> langId,
-    "text_fingerprint" -> fingerprint,
-    "text_token_count" -> tokenCount
+    "text_top_terms"    -> topTerms,
+    "text_lang_stats"   -> langStats,
+    "text_quality"      -> qualityScore,
+    "text_langid"       -> langId,
+    "text_fingerprint"  -> fingerprint,
+    "text_token_count"  -> tokenCount,
+    "text_rolling_hash" -> rollingHash
   )
 
   override def oracles: Map[String, String] = Map(
@@ -173,6 +196,14 @@ object Text extends QueryModule {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp,
         |       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         [CAST(0 AS BIGINT)] ||
+        |         list_transform(list_filter(string_split(trim(text), ' '), t -> t <> ''),
+        |           t -> CAST(ascii(t) * 31 + ascii(substr(t, length(t), 1)) * 7 + length(t) AS BIGINT)),
+        |         (h, v) -> (h * 131 + v) % 2147483647) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

@@ -75,6 +75,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S3 analog: file-source streaming reads a JSON drop-dir incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val schema = "id LONG, title STRING"
+    Seq("""{"id":1,"title":"A"}""", """{"id":2,"title":"B"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in")
+    val stream = spark.readStream.schema(schema).json(s"$dir/in")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("file_src_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_src_out").count() === 2)
+      // a new file landing in the dir is picked up as a new micro-batch
+      Seq("""{"id":3,"title":"C"}""").toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/in")
+      q.processAllAvailable()
+      assert(spark.table("file_src_out").count() === 3)
+    } finally q.stop()
+  }
+
   test("T6: stateful sessionization groups events by inactivity gap") {
     val in = MemoryStream[(Long, Long)](spark)
     val sessions = StreamOps.sessionize(in.toDS(), gapUs = 1800000000L)

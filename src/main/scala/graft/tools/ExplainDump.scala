@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump `explain("formatted")` for headline queries to stdout
+  * (captured into PLANS.md). Run:
+  *   sbt "runMain graft.tools.ExplainDump /root/testdata/sf0.01"
+  */
+object ExplainDump {
+  val Headline: Seq[String] = Seq(
+    "agg_daily_top_titles", "filter_range", "filter_partition_prune",
+    "join_broadcast", "join_star", "join_asof", "topk_orderby_limit",
+    "sim_topk_cosine", "dedup_minhash", "win_session")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Headline.foreach { name =>
+      println(s"\n===== $name =====")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    println(s"\nTOTAL_DECLARED_QUERIES=${SparkEntry.queries.size}")
+    println(s"ORACLE_QUERIES=${SparkEntry.oracleSql.size}")
+    spark.stop()
+  }
+}

@@ -73,7 +73,10 @@ object Multimodal extends QueryModule {
         $"doc_id",
         struct($"lang", $"source").as("meta"),
         $"label")
-      .withColumn("meta_lang", $"meta.lang")
+      // re-project nested fields to scalars: demonstrates nested-field
+      // pruning AND keeps the hashed output hasher-friendly (no struct cells)
+      .select($"doc_id", $"meta.lang".as("meta_lang"),
+        $"meta.source".as("meta_src"), $"label")
       .orderBy($"doc_id")
   }
 
@@ -113,9 +116,9 @@ object Multimodal extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "multimodal_struct_proj" ->
-      """SELECT doc_id, {'lang': lang, 'source': source} AS meta, label,
-        |       lang AS meta_lang
-        |FROM documents JOIN embeddings ON doc_id = vec_id
+      """SELECT doc_id, meta['lang'] AS meta_lang, meta['source'] AS meta_src, label
+        |FROM (SELECT doc_id, {'lang': lang, 'source': source} AS meta, label
+        |      FROM documents JOIN embeddings ON doc_id = vec_id)
         |ORDER BY doc_id""".stripMargin,
     "multimodal_binary_meta" ->
       """SELECT doc_id,

@@ -98,7 +98,8 @@ object ScalarFns extends QueryModule {
         $"event_id",
         element_at(m, "type").as("t"),
         element_at(m, "uid").as("uid_str"),
-        map_keys(m).as("ks"))
+        // scalar-ized for the oracle hasher (array cells are hasher-hostile)
+        concat_ws(",", map_keys(m)).as("ks_str"))
       .orderBy($"event_id")
   }
 
@@ -191,7 +192,7 @@ object ScalarFns extends QueryModule {
       """SELECT event_id,
         |       event_type AS t,
         |       CAST(user_id AS VARCHAR) AS uid_str,
-        |       ['type', 'uid'] AS ks
+        |       'type,uid' AS ks_str
         |FROM events ORDER BY event_id""".stripMargin,
     "json_funcs" ->
       """SELECT event_id,

@@ -125,6 +125,21 @@ object Aggs extends QueryModule {
       .orderBy($"g".asc, $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Ext — exact percentiles (linear interpolation, the percentile_cont
+    * definition both engines share). The approximate twin at 100 TB is
+    * `percentile_approx` (KLL-style sketch, constant state) — exact
+    * percentile requires the full sorted group. */
+  private def aggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        pround(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        pround(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** A11/X2 — custom typed UDAF: element-wise embedding mean per label,
     * exploded to (label, idx, m) for the oracle. */
   private def customVecMean(spark: SparkSession, sfDir: String): DataFrame = {
@@ -145,6 +160,7 @@ object Aggs extends QueryModule {
     "agg_multi"             -> aggMulti,
     "agg_count_distinct"    -> countDistinctQ,
     "agg_approx_distinct"   -> approxDistinct,
+    "agg_percentile"        -> aggPercentile,
     "agg_rollup"            -> aggRollup,
     "agg_cube"              -> aggCube,
     "agg_custom_vecmean"    -> customVecMean
@@ -180,6 +196,11 @@ object Aggs extends QueryModule {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+        |       floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_rollup" ->
       """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS g,
         |       o_orderstatus, o_orderpriority,

@@ -102,10 +102,43 @@ object Similarity extends QueryModule {
       .limit(5)
   }
 
+  /** North-star ANN, IVF flavor: a fixed set of coarse centroids (the
+    * first `nCentroids` vectors — deterministic, training-free seeding, the
+    * degenerate case of k-means|| init), every vector assigned to its
+    * nearest centroid (inverted lists), then exact re-rank only inside the
+    * query's list. One N×k assignment pass (k tiny, broadcast) + a
+    * bucket-local scan — the other standard coarse-quantization scale path
+    * next to [[simAnnLsh]]. No oracle (approximate); LlmSpec checks the
+    * query's own list contains it and results ⊆ brute force. */
+  private def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    // nearest-centroid assignment: N×16 dots, rank 1 per vector
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        lit(1.0) - vec_dot_native($"embedding", $"cv") /
+          (vec_norm_native($"embedding") * vec_norm_native($"cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cid")
+    val qAssigned = assigned.orderBy($"vec_id").limit(1)
+      .select($"embedding".as("qv"), $"cid".as("qcid"))
+    assigned.join(broadcast(qAssigned), $"cid" === $"qcid")
+      .withColumn("cos_sim", pround(vec_cosine_native($"embedding", $"qv"), 6))
+      .select($"vec_id", $"cos_sim")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(5)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "sim_topk_cosine"    -> simTopkCosine,
     "sim_threshold_join" -> simThresholdJoin,
-    "sim_ann_lsh"        -> simAnnLsh
+    "sim_ann_lsh"        -> simAnnLsh,
+    "sim_ann_ivf"        -> simAnnIvf
   )
 
   override def oracles: Map[String, String] = Map(

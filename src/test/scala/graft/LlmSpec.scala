@@ -90,6 +90,16 @@ class LlmSpec extends SparkSpec {
     assert(ann.map(_.getLong(0)).toSet.subsetOf(bruteAll))
   }
 
+  test("sim_ann_ivf: query's own inverted list contains it; subset of brute force") {
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getLong(0) === 0L)  // query (vec 0) tops its own list
+    assert(math.abs(ivf.head.getDouble(1) - 1.0) < 1e-6)
+    val all = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.map(_.getLong(0)).toSet.subsetOf(all))
+  }
+
   test("multimodal decode stub: fixed feature shape and deterministic values") {
     val out = SparkEntry.queries("multimodal_decode_stub")(spark, sf)
     val rows = out.limit(10).collect()

@@ -31,7 +31,10 @@ object Tables {
     // oracle sees identical values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
+    val tsIsRawNanos = name == "events" &&
+      df.schema.find(_.name == "ts")
+        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    if (tsIsRawNanos)
       df.withColumn(
         "ts",
         org.apache.spark.sql.functions

@@ -29,7 +29,7 @@ object SkewJoin {
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft
@@ -48,7 +48,7 @@ object SkewJoin {
   def saltedCount(df: DataFrame, key: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+        pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -42,14 +42,17 @@ object Dedup extends QueryModule {
   }
 
   /** L1b — exact content dedup: normalized-text hash, keep lowest doc_id
-    * per hash (deterministic keep-first). */
+    * per hash (deterministic keep-first). min-aggregate, not a window:
+    * partial min combines map-side, so the shuffle carries one row per
+    * (partition, hash) and nothing sorts. (A window row_number would
+    * shuffle every row AND sort each hash partition — use that form only
+    * when the full surviving ROW must be retained; see
+    * [[graft.upsert.KeepLatest]].) */
   private def dedupTextHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"h").orderBy($"doc_id".asc)
     Tables.documents(spark, sfDir)
-      .withColumn("h", md5(lower(trim($"text"))))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+      .groupBy(md5(lower(trim($"text"))).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id", $"h")
       .orderBy($"doc_id")
   }
@@ -267,12 +270,8 @@ object Dedup extends QueryModule {
         |  SELECT event_id, event_type, user_id FROM events)
         |ORDER BY event_id""".stripMargin,
     "dedup_text_hash" ->
-      """SELECT doc_id, h FROM (
-        |  SELECT doc_id, md5(lower(trim(text))) AS h,
-        |         row_number() OVER (PARTITION BY md5(lower(trim(text)))
-        |                            ORDER BY doc_id ASC) AS rn
-        |  FROM documents)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |dups AS (

@@ -125,6 +125,46 @@ object Aggs extends QueryModule {
       .orderBy($"g".asc, $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** A9c — explicit GROUPING SETS (two disjoint single-key sets — the form
+    * rollup/cube can't express). */
+  private def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS g,
+        |       o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Ext — pivot: per-day event counts spread into one column per event
+    * type. Absent (day, type) cells are zero-filled so the oracle's
+    * FILTER-aggregation form matches exactly. */
+  private def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted
+      .select($"d" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"d")
+  }
+
+  /** Ext — unpivot (melt): wide per-day metrics back to (d, metric, v)
+    * rows; values unify to double. */
+  private def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        pround(sum($"value"), 2).as("total"))
+      .unpivot(Array($"d"), Array($"n_events", $"total"), "metric", "v")
+      .orderBy($"d", $"metric")
+  }
+
   /** Ext — exact percentiles (linear interpolation, the percentile_cont
     * definition both engines share). The approximate twin at 100 TB is
     * `percentile_approx` (KLL-style sketch, constant state) — exact
@@ -161,6 +201,9 @@ object Aggs extends QueryModule {
     "agg_count_distinct"    -> countDistinctQ,
     "agg_approx_distinct"   -> approxDistinct,
     "agg_percentile"        -> aggPercentile,
+    "agg_grouping_sets"     -> aggGroupingSets,
+    "agg_pivot"             -> aggPivot,
+    "agg_unpivot"           -> aggUnpivot,
     "agg_rollup"            -> aggRollup,
     "agg_cube"              -> aggCube,
     "agg_custom_vecmean"    -> customVecMean
@@ -196,6 +239,30 @@ object Aggs extends QueryModule {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS g,
+        |       o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT d, metric, v FROM (
+        |  SELECT CAST(ts AS DATE) AS d, 'n_events' AS metric,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(ts AS DATE) AS d, 'total' AS metric,
+        |         floor(sum(value) * 100 + 0.5) / 100 AS v
+        |  FROM events GROUP BY 1)
+        |ORDER BY d, metric""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,

@@ -141,7 +141,26 @@ object Text extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** North-star — edit-distance scoring: min Levenshtein distance from
+    * each doc (120-char prefix) to any other doc in a bounded slice. The
+    * exact character-level scorer for near-dup candidates (the quadratic
+    * form is bounded; at scale it runs on LSH candidate pairs only —
+    * [[Dedup]]). */
+  private def levenshteinScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < 60)
+      .select($"doc_id", substring($"text", 1, 120).as("t"))
+    val a = docs.select($"doc_id".as("a_id"), $"t".as("ta"))
+    val b = docs.select($"doc_id".as("b_id"), $"t".as("tb"))
+    a.join(b, $"a_id" < $"b_id")
+      .groupBy($"a_id")
+      .agg(min(levenshtein($"ta", $"tb")).cast("long").as("min_lev"))
+      .orderBy($"a_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "text_levenshtein"  -> levenshteinScore,
     "text_top_terms"    -> topTerms,
     "text_lang_stats"   -> langStats,
     "text_quality"      -> qualityScore,
@@ -152,6 +171,12 @@ object Text extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "text_levenshtein" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 120) AS t
+        |           FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS a_id, CAST(min(levenshtein(a.t, b.t)) AS BIGINT) AS min_lev
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |GROUP BY a.doc_id ORDER BY a_id""".stripMargin,
     "text_top_terms" ->
       """SELECT lang, rn, word, n FROM (
         |  SELECT lang, word, n,

@@ -88,6 +88,34 @@ object ScalarFns extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** F-array family 2: slice, flatten, positional lookup (scalar-ized
+    * outputs for the oracle hasher). Spark `slice(e, 2, 3)` = DuckDB
+    * `e[2:4]` (1-based start + length vs inclusive range). */
+  private def arrFuncs2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        pround(element_at(slice($"embedding", 2, 3), 1).cast("double"), 6).as("s2"),
+        size(flatten(array(slice($"embedding", 2, 3), slice($"embedding", 1, 2))))
+          .cast("long").as("fl"),
+        array_position($"embedding", element_at($"embedding", 5)).as("ap"))
+      .orderBy($"vec_id")
+  }
+
+  /** F-conditional family: CASE, nvl2, least/greatest. */
+  private def condFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        greatest($"l_quantity", $"l_discount" * 100).as("g"),
+        least($"l_quantity", $"l_tax" * 100).as("l"),
+        when($"l_quantity" > 25, "hi").otherwise("lo").as("band"),
+        expr("nvl2(l_returnflag, 'has', 'none')").as("nv"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** F-map family: map construction + key/value access. The oracle produces
     * the same VALUES without a map type (equivalent SQL, not same plan). */
   private def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -144,6 +172,8 @@ object ScalarFns extends QueryModule {
     "date_funcs" -> dateFuncs,
     "math_funcs" -> mathFuncs,
     "arr_funcs"  -> arrFuncs,
+    "arr_funcs2" -> arrFuncs2,
+    "cond_funcs" -> condFuncs,
     "map_funcs"  -> mapFuncs,
     "json_funcs" -> jsonFuncs,
     "udf_scalar" -> udfScalar,
@@ -188,6 +218,19 @@ object ScalarFns extends QueryModule {
         |       floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS ss,
         |       len(list_filter(embedding, x -> x > 0)) AS npos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "arr_funcs2" ->
+      """SELECT vec_id,
+        |       floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS s2,
+        |       len(flatten([embedding[2:4], embedding[1:2]])) AS fl,
+        |       CAST(list_position(embedding, embedding[5]) AS BIGINT) AS ap
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "cond_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       greatest(l_quantity, l_discount * 100) AS g,
+        |       least(l_quantity, l_tax * 100) AS l,
+        |       CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS band,
+        |       CASE WHEN l_returnflag IS NOT NULL THEN 'has' ELSE 'none' END AS nv
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "map_funcs" ->
       """SELECT event_id,
         |       event_type AS t,

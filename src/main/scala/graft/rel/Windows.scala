@@ -120,7 +120,27 @@ object Windows extends QueryModule {
       .orderBy($"user_id", $"sid")
   }
 
+  /** W6 — value-position analytics: first/last/nth event value per day
+    * over the full-frame window. */
+  private def firstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wFull = Window.partitionBy($"d")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy($"d").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("d", to_date($"ts"))
+      .withColumn("fv", first($"value").over(wFull))
+      .withColumn("lv", last($"value").over(wFull))
+      .withColumn("nv", nth_value($"value", 2).over(wFull))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter($"rn" === 1)
+      .select($"d", $"fv", $"lv", $"nv")
+      .orderBy($"d")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "win_first_last"     -> firstLast,
     "win_rank_topn"      -> rankTopN,
     "win_lag_delta"      -> lagDelta,
     "win_moving_avg"     -> movingAvg,
@@ -131,6 +151,18 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_first_last" ->
+      """SELECT d, fv, lv, nv FROM (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         first_value(value) OVER w AS fv,
+        |         last_value(value) OVER w AS lv,
+        |         nth_value(value, 2) OVER w AS nv,
+        |         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY CAST(ts AS DATE) ORDER BY ts ASC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY d""".stripMargin,
     "win_rank_topn" ->
       """SELECT d, rn, event_type, n FROM (
         |  SELECT d, event_type, n,

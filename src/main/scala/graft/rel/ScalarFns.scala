@@ -37,6 +37,36 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** F-string family 2: padding, translation, replace, reverse, repeat,
+    * split_part. (initcap omitted — absent from the oracle engine.) */
+  private def strFuncs2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        lpad($"lang", 5, "*").as("lp"),
+        rpad($"source", 8, "-").as("rp"),
+        translate($"lang", "aeiou", "AEIOU").as("tr"),
+        regexp_replace($"source", "src", "S").as("rr"),
+        reverse($"lang").as("rev"),
+        expr("repeat(lang, 2)").as("rep"),
+        expr("split_part(source, 'c', 2)").as("sp"))
+      .orderBy($"doc_id")
+  }
+
+  /** F-date family 2: last_day, quarter, dayofyear, make_date. */
+  private def dateFuncs2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        last_day($"ts".cast("date")).as("ld"),
+        quarter($"ts").cast("long").as("q"),
+        dayofyear($"ts").cast("long").as("doy"),
+        make_date(year($"ts"), month($"ts"), dayofmonth($"ts")).as("md"))
+      .orderBy($"event_id")
+  }
+
   /** F-date family: trunc, extract, diff, add_months, epoch, format. */
   private def dateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -169,7 +199,9 @@ object ScalarFns extends QueryModule {
 
   override def queries: Map[String, QueryFn] = Map(
     "str_funcs"  -> strFuncs,
+    "str_funcs2" -> strFuncs2,
     "date_funcs" -> dateFuncs,
+    "date_funcs2" -> dateFuncs2,
     "math_funcs" -> mathFuncs,
     "arr_funcs"  -> arrFuncs,
     "arr_funcs2" -> arrFuncs2,
@@ -190,6 +222,23 @@ object ScalarFns extends QueryModule {
         |       len(string_split(text, ' ')) AS n_tokens,
         |       regexp_extract(text, '^([a-z]+)', 1) AS first_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "str_funcs2" ->
+      """SELECT doc_id,
+        |       lpad(lang, 5, '*') AS lp,
+        |       rpad(source, 8, '-') AS rp,
+        |       translate(lang, 'aeiou', 'AEIOU') AS tr,
+        |       regexp_replace(source, 'src', 'S') AS rr,
+        |       reverse(lang) AS rev,
+        |       repeat(lang, 2) AS rep,
+        |       split_part(source, 'c', 2) AS sp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "date_funcs2" ->
+      """SELECT event_id,
+        |       last_day(CAST(ts AS DATE)) AS ld,
+        |       quarter(ts) AS q,
+        |       dayofyear(ts) AS doy,
+        |       make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), CAST(day(ts) AS INT)) AS md
+        |FROM events ORDER BY event_id""".stripMargin,
     "date_funcs" ->
       """SELECT event_id,
         |       CAST(ts AS DATE) AS d,

@@ -4,7 +4,6 @@ import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY.md §2.11 L1-L2 + north-star extensions):

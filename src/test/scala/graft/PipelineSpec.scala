@@ -88,6 +88,27 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 4)
   }
 
+  test("§3.2 dialect parity: the reference's Athena query text runs verbatim on spark.sql") {
+    // README.md:101-106 inspection query, unchanged except `user` quoting
+    // (Athena double-quotes identifiers; Spark uses backticks) and the
+    // table name. Timestamps are epoch seconds exactly as in the reference.
+    val raw = Seq(
+      (1L, "edit", "PageA", "alice", false, 1704100000L, "c", false),
+      (2L, "edit", "PageA", "alice", false, 1704101000L, "c", false),
+      (3L, "edit", "PageB", "bob", false, 1704102000L, "c", false))
+      .toDF("id", "type", "title", "user", "bot", "timestamp", "comment", "minor")
+    raw.createOrReplaceTempView("curated")
+    val out = spark.sql(
+      """SELECT date(from_unixtime(timestamp)) AS ds, title, `user`, count(*) AS edits
+        |FROM curated
+        |GROUP BY 1, 2, 3
+        |ORDER BY edits DESC
+        |LIMIT 20""".stripMargin).collect()
+    assert(out.length === 2)
+    assert(out.head.getString(1) === "PageA" && out.head.getLong(3) === 2L)
+    assert(out.head.getDate(0).toString === "2024-01-01")
+  }
+
   test("MSCK-equivalent partition discovery: recoverPartitions sees new dirs") {
     val dir = pipeline.PipelineQueries.curatedEventsDir(spark, sf)
     spark.sql("DROP TABLE IF EXISTS graft_curated_ext")

@@ -180,6 +180,17 @@ object Aggs extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** Ext — approx quantiles (constant-state sketch, the 100 TB twin of
+    * [[aggPercentile]]). No oracle (sketch output is implementation-
+    * defined); PropertySpec bounds it against the exact percentile. */
+  private def aggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** A11/X2 — custom typed UDAF: element-wise embedding mean per label,
     * exploded to (label, idx, m) for the oracle. */
   private def customVecMean(spark: SparkSession, sfDir: String): DataFrame = {
@@ -200,6 +211,7 @@ object Aggs extends QueryModule {
     "agg_multi"             -> aggMulti,
     "agg_count_distinct"    -> countDistinctQ,
     "agg_approx_distinct"   -> approxDistinct,
+    "agg_approx_quantile"   -> aggApproxQuantile,
     "agg_percentile"        -> aggPercentile,
     "agg_grouping_sets"     -> aggGroupingSets,
     "agg_pivot"             -> aggPivot,

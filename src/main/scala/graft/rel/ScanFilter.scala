@@ -46,6 +46,18 @@ object ScanFilter extends QueryModule {
     spark.read.json(dir).orderBy($"event_id")
   }
 
+  /** Ext — seeded Bernoulli sampling: the corpus-subsampling primitive of
+    * training-data pipelines. Deterministic for a fixed seed + input
+    * splits; no oracle (row selection is engine-RNG-specific) — ScanSpec
+    * pins determinism across runs. */
+  private def scanSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .sample(withReplacement = false, fraction = 0.2, seed = 42L)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   /** P1 — field projection (producer's 8-col projection analog). */
   private def projSelect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -139,6 +151,7 @@ object ScanFilter extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "scan_parquet"          -> scanParquet,
     "scan_json_infer"       -> scanJsonInfer,
+    "scan_sample"           -> scanSample,
     "proj_select"           -> projSelect,
     "proj_default_coalesce" -> projDefaultCoalesce,
     "filter_eq"             -> filterEq,

@@ -74,6 +74,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within 2% of exact percentile_cont") {
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    SparkEntry.queries("agg_approx_quantile")(spark, sf).collect().foreach { r =>
+      val (st, approx) = (r.getString(0), r.getDouble(1))
+      val e = exact(st)
+      assert(math.abs(approx - e) / e <= 0.02, s"$st: approx=$approx exact=$e")
+    }
+  }
+
+  test("seeded sample is deterministic across runs and roughly the right size") {
+    val a = SparkEntry.queries("scan_sample")(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = SparkEntry.queries("scan_sample")(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    val total = Tables.documents(spark, sf).count()
+    assert(a.length > total * 0.1 && a.length < total * 0.3)
+  }
+
   test("gauge/bar invariant: global sum equals the sum over per-group sums (A4 vs A5)") {
     val global = SparkEntry.queries("agg_global_sum")(spark, sf)
       .head.getLong(0)

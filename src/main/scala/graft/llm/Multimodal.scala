@@ -97,14 +97,21 @@ object Multimodal extends QueryModule {
 
   /** North-star — the full stubbed decode pipeline as a declared query:
     * binary attach → partition-batched feature extraction → metadata join.
-    * No oracle (the stub is Spark-side); LlmSpec pins the values. */
+    * No oracle (the stub is Spark-side); LlmSpec pins the values.
+    * Features are flattened to scalar columns — the driver's rows-only
+    * check sorts the dumped parquet with pandas, which cannot order an
+    * array column (round-1 `unhashable type: numpy.ndarray` failure). */
   private def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val feats = decodeFeaturesStub(spark, attachBinary(docs), "doc_id", "media")
     docs.select($"doc_id", $"lang")
       .join(feats, "doc_id")
-      .select($"doc_id", $"lang", $"features")
+      .select($"doc_id", $"lang",
+        $"features"(0).cast("double").as("f_len"),
+        $"features"(1).cast("double").as("f_head"),
+        $"features"(2).cast("double").as("f_tail"),
+        $"features"(3).cast("double").as("f_checksum"))
       .orderBy($"doc_id")
   }
 

@@ -103,10 +103,10 @@ class LlmSpec extends SparkSpec {
   test("multimodal decode stub: fixed feature shape and deterministic values") {
     val out = SparkEntry.queries("multimodal_decode_stub")(spark, sf)
     val rows = out.limit(10).collect()
+    assert(out.columns.toSeq === Seq("doc_id", "lang", "f_len", "f_head", "f_tail", "f_checksum"))
     rows.foreach { r =>
-      val f = r.getSeq[Float](2)
-      assert(f.length === llm.Multimodal.FeatureDim)
-      assert(f.head > 0f)  // payload length
+      assert(r.getDouble(2) > 0d)  // payload length
+      assert(r.getDouble(5) >= 0d && r.getDouble(5) < 256d)  // byte-sum checksum
     }
     // deterministic across runs
     val again = SparkEntry.queries("multimodal_decode_stub")(spark, sf).limit(10).collect()

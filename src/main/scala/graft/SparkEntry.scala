@@ -19,6 +19,10 @@ object SparkEntry {
     rel.Windows,
     rel.SortSet,
     rel.ScalarFns,
+    rel.Tpch,
+    rel.Subqueries,
+    rel.StatsAggs,
+    rel.TimeSeries,
     llm.Dedup,
     llm.Similarity,
     llm.Text,

@@ -230,6 +230,60 @@ object Dedup extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** North-star — duplicate-cluster assignment: connected components over
+    * the near-dup pair graph (exact 3-gram Jaccard ≥ 0.5 on the bounded
+    * slice), each doc labeled with the smallest doc_id reachable from it.
+    * Dedup policy "keep one per cluster" needs the component, not just the
+    * pairs — pairs alone under-delete transitive groups (A~B, B~C, A≁C).
+    *
+    * Implementation: iterative min-label propagation — per round, every
+    * node takes the min label among itself and its neighbors; converges in
+    * diameter(G) rounds. Each round is one shuffle (join on dst + groupBy
+    * src); `localCheckpoint` truncates the lineage so plans stay O(1) per
+    * round. At 100 TB the same loop runs with the large-star/small-star
+    * optimization (alternating high/low-degree propagation) and the pair
+    * source is LSH candidates ([[dedupMinhash]]) — the per-round dataflow
+    * (join + min-aggregate) is identical. Oracle: DuckDB recursive CTE
+    * computing min reachable id — fixpoint semantics, same result. */
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < 300)
+      .withColumn("w", split(trim($"text"), " "))
+      .withColumn("g",
+        when(size($"w") >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise($"w"))
+      .select($"doc_id", array_distinct($"g").as("g"))
+    val a = grams.select($"doc_id".as("a_id"), $"g".as("ga"))
+    val b = grams.select($"doc_id".as("b_id"), $"g".as("gb"))
+    val pairs = a.join(b, $"a_id" < $"b_id")
+      .filter(
+        size(array_intersect($"ga", $"gb")) >=
+          lit(0.5) * size(array_union($"ga", $"gb")))
+      .select($"a_id", $"b_id")
+    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
+      .toDF("src", "dst").localCheckpoint()
+    var lbl = grams.select($"doc_id".as("id"), $"doc_id".as("lbl")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = edges
+        .join(lbl.select($"id".as("dst"), $"lbl".as("nbr_lbl")), Seq("dst"))
+        .groupBy($"src").agg(min($"nbr_lbl").as("nl"))
+      val next = lbl
+        .join(nbrMin.select($"src".as("id"), $"nl"), Seq("id"), "left_outer")
+        .select($"id", least($"lbl", coalesce($"nl", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(lbl.select($"id", $"lbl".as("old")), Seq("id"))
+        .filter($"lbl" =!= $"old").count()
+      lbl = next
+      rounds += 1
+    }
+    lbl.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   /** North-star — embedding-cosine near-dedup, keep-first: drop the higher
     * vec_id of every label-blocked pair with cosine ≥ 0.9. Output =
     * surviving vec ids. The exact twin of [[dedupMinhash]] for the
@@ -258,6 +312,7 @@ object Dedup extends QueryModule {
     "dedup_minhash"       -> dedupMinhash,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_clusters"      -> dedupClusters,
     "dedup_embed_cosine"  -> dedupEmbedCosine
   )
 
@@ -281,6 +336,29 @@ object Dedup extends QueryModule {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
         |ORDER BY vec_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_transform(range(len(w) - 2),
+        |                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |         ELSE w END) AS g
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |        FROM documents WHERE doc_id < 300)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) >=
+        |        0.5 * len(list_distinct(a.g || b.g))),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM grams
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT doc_id, list_distinct(

@@ -38,6 +38,33 @@ object Text extends QueryModule {
       .orderBy($"lang", $"rn")
   }
 
+  /** North-star — TF-IDF: top-3 terms per document by tf·ln(N/df) over a
+    * bounded slice. tf/df/N are integer counts and ln is applied to their
+    * exact ratio, so the score is reproducible across engines; the rank
+    * tie-break is (score desc, word asc).
+    *
+    * Scale shape: one shuffle on (doc, word) for tf, one on word for df
+    * (both with map-side partials), then a broadcastable df-side join — the
+    * classic two-aggregation formulation, no per-document re-scan. */
+  private def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 100)
+    val terms = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
+      .filter($"word" =!= "")
+    val tf = terms.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct($"doc_id").as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word".asc)
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", $"tf" * log($"n_docs" / $"df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"word", $"tf", $"df", pround($"score", 6).as("tfidf"))
+      .orderBy($"doc_id", $"rn")
+  }
+
   /** L5b — per-language corpus stats. */
   private def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -162,6 +189,7 @@ object Text extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "text_levenshtein"  -> levenshteinScore,
     "text_top_terms"    -> topTerms,
+    "text_tfidf"        -> tfidf,
     "text_lang_stats"   -> langStats,
     "text_quality"      -> qualityScore,
     "text_langid"       -> langId,
@@ -177,6 +205,26 @@ object Text extends QueryModule {
         |SELECT a.doc_id AS a_id, CAST(min(levenshtein(a.t, b.t)) AS BIGINT) AS min_lev
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |GROUP BY a.doc_id ORDER BY a_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms
+        |       WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs
+        |      FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, rn, word, tf, df,
+        |       floor(score * 1e6 + 0.5) / 1e6 AS tfidf
+        |FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |         tf.tf * ln(n.n_docs * 1.0 / df.df) AS score,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |                ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC, tf.word ASC)
+        |              AS BIGINT) AS rn
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "text_top_terms" ->
       """SELECT lang, rn, word, n FROM (
         |  SELECT lang, word, n,

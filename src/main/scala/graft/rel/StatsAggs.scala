@@ -1,0 +1,206 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical / analytical aggregate surface: second-moment statistics,
+  * linear-regression aggregates, mode/median, ordered string aggregation,
+  * grouping-id labeling, bucketed histograms, and bitwise aggregates.
+  *
+  * The reference's only aggregate is `count(*)` (`dag/wiki_pipeline_dag.py:36`)
+  * — this family is what its QuickSight layer computes visually (averages,
+  * distributions, top-N funnels) pushed down into the engine.
+  *
+  * Scale notes (100 TB): every aggregate here is a single-pass,
+  * constant-state-per-group hash aggregate with map-side partial merge —
+  * variance/corr/regr via moment merges, mode via per-value counts (its state
+  * is bounded by value cardinality, so keep it to low-cardinality columns at
+  * scale), median exact only when grouped output is small (else
+  * `approx_percentile` — see `agg_approx_quantile`).
+  */
+object StatsAggs extends QueryModule {
+
+  /** Moment statistics per group: stddev/variance (sample + population),
+    * correlation and covariance of (quantity, extendedprice). */
+  private def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        pround(stddev_samp($"l_quantity"), 6).as("sd_samp"),
+        pround(stddev_pop($"l_quantity"), 6).as("sd_pop"),
+        pround(var_samp($"l_quantity"), 6).as("v_samp"),
+        pround(var_pop($"l_quantity"), 6).as("v_pop"),
+        pround(corr($"l_quantity", $"l_extendedprice"), 6).as("qp_corr"),
+        pround(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("qp_covar"),
+        pround(covar_pop($"l_quantity", $"l_extendedprice"), 4).as("qp_covar_pop"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Higher moments: population skewness / excess kurtosis (Spark's
+    * definitions); the oracle recomputes the same population formulas from
+    * central moments since DuckDB's builtins are bias-corrected sample
+    * statistics. */
+  private def aggSkewKurt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_linestatus")
+      .agg(
+        pround(skewness($"l_extendedprice"), 6).as("sk"),
+        pround(kurtosis($"l_extendedprice"), 6).as("ku"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** Linear-regression aggregates of extendedprice on quantity per flag. */
+  private def aggRegr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        pround(regr_slope($"l_extendedprice", $"l_quantity"), 6).as("slope"),
+        pround(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("intercept"),
+        pround(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+        regr_count($"l_extendedprice", $"l_quantity").as("n"),
+        pround(regr_avgx($"l_extendedprice", $"l_quantity"), 6).as("avgx"),
+        pround(regr_avgy($"l_extendedprice", $"l_quantity"), 4).as("avgy"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact mode and median per group (low-cardinality group keys). */
+  private def aggModeMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_linestatus")
+      .agg(
+        mode($"l_returnflag").as("mode_flag"),
+        pround(median($"l_quantity"), 4).as("med_qty"),
+        pround(median($"l_extendedprice"), 4).as("med_price"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** Ordered string aggregation (`listagg ... WITHIN GROUP`). */
+  private def aggStringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("g_nation")
+    spark.sql(
+      """SELECT n_regionkey,
+        |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM g_nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  /** Rollup with grouping-id labels: totals are explicitly tagged instead of
+    * surfacing as ambiguous NULL group keys. */
+  private def aggGroupingId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), grouping_id().cast("bigint").as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"gid",
+        $"n")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  /** Fixed-width bucketed histogram of quantity over [0, 50) in 10 buckets. */
+  private def aggWidthBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy(width_bucket($"l_quantity", lit(0d), lit(50d), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), pround(sum($"l_quantity"), 2).as("qty"))
+      .orderBy($"bucket")
+  }
+
+  /** Bitwise aggregates over the line number per flag. */
+  private def aggBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        bit_and($"l_linenumber").cast("bigint").as("b_and"),
+        bit_or($"l_linenumber").cast("bigint").as("b_or"),
+        bit_xor($"l_linenumber").cast("bigint").as("b_xor"))
+      .orderBy($"l_returnflag")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "agg_stats"        -> aggStats,
+    "agg_skew_kurt"    -> aggSkewKurt,
+    "agg_regr"         -> aggRegr,
+    "agg_mode_median"  -> aggModeMedian,
+    "agg_string_agg"   -> aggStringAgg,
+    "agg_grouping_id"  -> aggGroupingId,
+    "agg_width_bucket" -> aggWidthBucket,
+    "agg_bitwise"      -> aggBitwise
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  floor(stddev_samp(l_quantity) * 1e6 + 0.5) / 1e6 AS sd_samp,
+        |  floor(stddev_pop(l_quantity) * 1e6 + 0.5) / 1e6 AS sd_pop,
+        |  floor(var_samp(l_quantity) * 1e6 + 0.5) / 1e6 AS v_samp,
+        |  floor(var_pop(l_quantity) * 1e6 + 0.5) / 1e6 AS v_pop,
+        |  floor(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) / 1e6 AS qp_corr,
+        |  floor(covar_samp(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 AS qp_covar,
+        |  floor(covar_pop(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 AS qp_covar_pop
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH mu AS (
+        |  SELECT l_linestatus, avg(l_extendedprice) AS m
+        |  FROM lineitem GROUP BY l_linestatus),
+        |mom AS (
+        |  SELECT l.l_linestatus,
+        |         avg((l_extendedprice - m) * (l_extendedprice - m)) AS m2,
+        |         avg(pow(l_extendedprice - m, 3)) AS m3,
+        |         avg(pow(l_extendedprice - m, 4)) AS m4
+        |  FROM lineitem l JOIN mu ON l.l_linestatus = mu.l_linestatus
+        |  GROUP BY l.l_linestatus)
+        |SELECT l_linestatus,
+        |  floor((m3 / pow(m2, 1.5)) * 1e6 + 0.5) / 1e6 AS sk,
+        |  floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) / 1e6 AS ku
+        |FROM mom ORDER BY l_linestatus""".stripMargin,
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |  floor(regr_slope(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor(regr_intercept(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4 AS intercept,
+        |  floor(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n,
+        |  floor(regr_avgx(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS avgx,
+        |  floor(regr_avgy(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4 AS avgy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mode_median" ->
+      """SELECT l_linestatus, mode(l_returnflag) AS mode_flag,
+        |  floor(median(l_quantity) * 1e4 + 0.5) / 1e4 AS med_qty,
+        |  floor(median(l_extendedprice) * 1e4 + 0.5) / 1e4 AS med_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "agg_width_bucket" ->
+      """SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
+        |            WHEN l_quantity >= 50 THEN 11
+        |            ELSE floor(l_quantity / 5) + 1 END AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS b_and,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS b_or,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

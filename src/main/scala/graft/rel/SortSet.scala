@@ -34,14 +34,22 @@ object SortSet extends QueryModule {
   /** O4 — top-N per category with an "Other" bucket (dashboard 2 shape). */
   private def topkOtherBucket(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Top-10 via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // no global sort) + broadcast membership join — NOT a global-window
+    // row_number, which would single-partition every group row. At 100 TB
+    // the group counts stay distributed and only K rows ever centralize.
     val counts = Tables.events(spark, sfDir)
       .groupBy($"event_type", $"user_id")
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy($"n".desc, $"event_type".asc, $"user_id".asc)
+    val top = counts
+      .orderBy($"n".desc, $"event_type".asc, $"user_id".asc)
+      .limit(10)
+      .select($"event_type".as("t_type"), $"user_id".as("t_user"))
     counts
-      .withColumn("rn", row_number().over(w))
+      .join(broadcast(top),
+        $"event_type" === $"t_type" && $"user_id" === $"t_user", "left_outer")
       .withColumn("label",
-        when($"rn" <= 10, concat_ws(":", $"event_type", $"user_id"))
+        when($"t_type".isNotNull, concat_ws(":", $"event_type", $"user_id"))
           .otherwise(lit("Other")))
       .groupBy($"label")
       .agg(sum($"n").as("edits"))

@@ -187,6 +187,38 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** F-hash family: cryptographic digests (md5 / sha2-256) — the
+    * content-addressing primitives the dedup operators build on
+    * (`llm.Dedup` uses the same digests for text identity). All codegen'd
+    * built-ins; per-row cost, no shuffle. */
+  private def hashFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        md5($"text").as("h_md5"),
+        sha2($"text", 256).as("h_sha256"),
+        sha2(concat($"lang", lit("|"), $"source"), 256).as("h_key"))
+      .orderBy($"doc_id")
+  }
+
+  /** F-regex family: replace-all, group extract, extract-all count, match
+    * predicate. Patterns stay in the RE2 ∩ java.util.regex common dialect so
+    * the oracle (DuckDB/RE2) agrees; DuckDB's regexp_replace needs the 'g'
+    * flag to match Spark's replace-ALL semantics. */
+  private def regexFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        regexp_replace(substring($"text", 1, 40), "[aeiou]", "#").as("rr"),
+        regexp_extract($"text", "([a-z]{5,})", 1).as("rx"),
+        size(regexp_extract_all($"text", lit("\\ba\\w*"), lit(0)))
+          .cast("long").as("na"),
+        $"text".rlike("zz").as("m"))
+      .orderBy($"doc_id")
+  }
+
   /** X3 — generator / UDTF surface: posexplode over tokenized text. */
   private def genExplode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -209,7 +241,9 @@ object ScalarFns extends QueryModule {
     "map_funcs"  -> mapFuncs,
     "json_funcs" -> jsonFuncs,
     "udf_scalar" -> udfScalar,
-    "gen_explode" -> genExplode
+    "gen_explode" -> genExplode,
+    "hash_funcs" -> hashFuncs,
+    "regex_funcs" -> regexFuncs
   )
 
   override def oracles: Map[String, String] = Map(
@@ -302,6 +336,19 @@ object ScalarFns extends QueryModule {
         |         unnest(range(len(string_split(text, ' ')))) AS pos,
         |         unnest(string_split(text, ' ')) AS word
         |  FROM documents WHERE doc_id < 20)
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+    "hash_funcs" ->
+      """SELECT doc_id,
+        |       md5(text) AS h_md5,
+        |       sha256(text) AS h_sha256,
+        |       sha256(lang || '|' || source) AS h_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "regex_funcs" ->
+      """SELECT doc_id,
+        |       regexp_replace(substr(text, 1, 40), '[aeiou]', '#', 'g') AS rr,
+        |       regexp_extract(text, '([a-z]{5,})', 1) AS rx,
+        |       len(regexp_extract_all(text, '\ba\w*')) AS na,
+        |       regexp_matches(text, 'zz') AS m
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -83,10 +83,49 @@ object Tpch extends QueryModule {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** Q6 shape — forecasting revenue change: every predicate (ship-year,
+    * discount band, quantity cap) pushes into the parquet scan; the
+    * aggregate is a single global sum whose shuffle carries ONE row per map
+    * partition. The cheapest possible 100 TB query — scan-bound by design. */
+  private def q6(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"l_discount".between(0.02, 0.06) &&
+              $"l_quantity" < 24)
+      .agg(pround(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  /** Q10 shape — returned-item reporting: top-20 customers by lost revenue
+    * in a quarter. Unlike Q3/Q5 the customer side is joined with a SHUFFLE
+    * equi-join — at warehouse scale `customer` (1.5M rows × SF) outgrows the
+    * broadcast threshold, and orders⋈customer co-shuffle on custkey is the
+    * plan that survives the scale-up. `nation` stays broadcast. Top-20 is
+    * TakeOrderedAndProject (per-partition heaps). */
+  private def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+                  $"o_orderdate" <  lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
-    "tpch_q5" -> q5
+    "tpch_q5" -> q5,
+    "tpch_q6" -> q6,
+    "tpch_q10" -> q10
   )
 
   override def oracles: Map[String, String] = Map(
@@ -129,6 +168,26 @@ object Tpch extends QueryModule {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q6" ->
+      """SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
   )
 }

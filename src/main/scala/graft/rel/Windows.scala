@@ -82,15 +82,37 @@ object Windows extends QueryModule {
       .orderBy($"event_id")
   }
 
-  /** W5 — ntile / percent_rank. */
+  /** W5 — ntile / percent_rank, GLOBAL ordering — computed via the
+    * distributed two-phase rank ([[ScalableRank]]) rather than a
+    * no-partition window, which would move every `orders` row (billions at
+    * 100 TB) onto one task. Same results: the sort key carries a unique
+    * tiebreaker, so rank == row_number and both functions have closed
+    * forms from (rn, n). */
   private def ntileQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
-    Tables.orders(spark, sfDir)
-      .withColumn("tile", ntile(4).over(w).cast("long"))
-      .withColumn("pr", pround(percent_rank().over(w), 6))
+    import ScalableRank._
+    val ranked = withGlobalRowNumber(
+      Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice"),
+      "rn", "n", $"o_totalprice".asc, $"o_orderkey".asc)
+    ranked
+      .withColumn("tile", ntileFromRowNumber($"rn", $"n", 4).cast("long"))
+      .withColumn("pr", pround(percentRankFromRowNumber($"rn", $"n"), 6))
       .select($"o_orderkey", $"tile", $"pr")
       .orderBy($"o_orderkey")
+  }
+
+  /** W5b — percent_rank / cume_dist PARTITIONED by event_type: the
+    * distribution-rank surface in its scale-native form (one shuffle on the
+    * partition key, per-group sort). The tie-free (value, event_id) order
+    * makes both functions deterministic across engines. */
+  private def percentRankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("pr", pround(percent_rank().over(w), 6))
+      .withColumn("cd", pround(cume_dist().over(w), 6))
+      .select($"event_id", $"event_type", $"pr", $"cd")
+      .orderBy($"event_id")
   }
 
   /** T2 — processing-time daily tumbling batch (`dag` daily 01:00 re-agg),
@@ -146,6 +168,7 @@ object Windows extends QueryModule {
     "win_moving_avg"     -> movingAvg,
     "win_range_frame"    -> rangeFrame,
     "win_ntile"          -> ntileQ,
+    "win_percent_rank"   -> percentRankQ,
     "win_tumbling_daily" -> tumblingDaily,
     "win_session"        -> session
   )
@@ -170,6 +193,13 @@ object Windows extends QueryModule {
         |  FROM (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
         |        FROM events GROUP BY 1, 2))
         |WHERE rn <= 3 ORDER BY d, rn""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT event_id, event_type,
+        |       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+        |       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
     "win_lag_delta" ->
       """SELECT d, n, n - lag(n, 1) OVER (ORDER BY d) AS delta
         |FROM (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)

@@ -66,6 +66,63 @@ object StreamOps {
       .agg(count(lit(1)).as("edits"))
       .select(col("window.start").as("day"), col(keyCol), col("edits"))
 
+  /** T5b — late-duplicate dedup: unlike [[dedupStream]] (which keeps first-
+    * seen state only until the watermark passes the EVENT's time),
+    * `dropDuplicatesWithinWatermark` drops a redelivery whose event time
+    * differs from the original's, as long as it arrives within the
+    * watermark delay — the semantics matching Kafka redelivery where the
+    * broker re-stamps nothing but arrival order shifts. State stays
+    * bounded by the same watermark eviction. */
+  def dedupStreamWithinWatermark(events: DataFrame, idCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
+  /** Curate-path enrichment — stream⋈static broadcast join: each micro-
+    * batch of events joins a (small) static dimension read once at plan
+    * time. The static side broadcasts, so the stream side never shuffles —
+    * per-batch cost is O(batch), independent of history. This is how the
+    * reference's curated zone would gain dimension attributes without a
+    * second pipeline. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** S11 streaming form — idempotent keep-latest upsert via foreachBatch:
+    * every micro-batch merges into the target parquet dir with
+    * last-writer-wins semantics on the key (the Postgres
+    * `ON CONFLICT DO UPDATE` of `upsert_athena_aggregates.py:95-109`,
+    * without a Delta/JDBC dependency). The read-merge-overwrite runs per
+    * batch over the AGGREGATE table — small by construction — not the fact
+    * stream; `graft.upsert.KeepLatest` supplies the merge. */
+  def upsertSink(events: DataFrame, keyCols: Seq[String], versionCol: String,
+      targetDir: String, checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(targetDir))
+          catch { case _: Throwable => None } // first batch: dir absent
+        val merged = existing match {
+          case Some(old) => graft.upsert.KeepLatest.keepLatest(
+            old.unionByName(batch), keyCols, Seq(col(versionCol).desc))
+          case None => batch
+        }
+        // checkpoint BEFORE the overwrite: the merge reads the same files
+        // the overwrite deletes (same pattern as KeepLatest.upsertPartitions)
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(targetDir)
+      }
+
+  /** T2 modern form — drain-the-backlog trigger: process everything
+    * available (in rate-limited micro-batches) then STOP. This is the
+    * reference's daily-at-01:00 Airflow batch (`dag/wiki_pipeline_dag.py:63`)
+    * expressed as a restartable streaming query: each scheduled run resumes
+    * from the checkpoint, drains new files, exits — incremental processing
+    * with exactly-once accounting and no always-on cluster. */
+  def drainAvailable(writer: DataStreamWriter[Row]): DataStreamWriter[Row] =
+    writer.trigger(Trigger.AvailableNow())
+
   /** T6 — stateful gap-based sessionization via mapGroupsWithState: emits a
     * user's CURRENT session aggregate per batch; state times out (and would
     * close the session) after the gap. The batch-expressible twin is

@@ -135,4 +135,85 @@ class StreamingSpec extends SparkSpec {
       assert(out.head.getLong(1) === 2L, "first two events share a session")
     } finally q.stop()
   }
+
+  test("T5b: dropDuplicatesWithinWatermark drops a redelivery with a SHIFTED event time") {
+    val in = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = StreamOps.dedupStreamWithinWatermark(
+      in.toDF.toDF("id", "ts", "title"), "id", "ts", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "A"))
+      q.processAllAvailable()
+      // same id redelivered with a DIFFERENT event time (plain
+      // dropDuplicates on (id) state evicted at watermark would also drop
+      // it, but dropDuplicatesWithinWatermark guarantees it inside the delay)
+      in.addData((1L, ts("2024-01-01 10:20:00"), "A"))
+      in.addData((2L, ts("2024-01-01 10:30:00"), "B"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_wm_out").select("id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L), "shifted-time redelivery must be dropped")
+    } finally q.stop()
+  }
+
+  test("stream-static enrich joins each micro-batch against a broadcast dimension") {
+    val in = MemoryStream[(Long, String)](spark)
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val enriched = StreamOps.enrichWithDim(
+      in.toDF.toDF("id", "title"), dim, "id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "A"), (3L, "C"))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").orderBy("id")
+        .select("id", "name").collect()
+      assert(got.map(r => (r.getLong(0), r.isNullAt(1))).toSeq ===
+        Seq((1L, false), (3L, true)), "known key enriched, unknown key kept (left)")
+    } finally q.stop()
+  }
+
+  test("S11 streaming: foreachBatch upsert keeps the latest version per key across batches") {
+    val in = MemoryStream[(Long, Long, String)](spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val q = StreamOps.upsertSink(
+        in.toDF.toDF("k", "v", "payload"), Seq("k"), "v",
+        s"$dir/tbl", s"$dir/chk")
+      .start()
+    try {
+      in.addData((1L, 1L, "old"), (2L, 1L, "two"))
+      q.processAllAvailable()
+      in.addData((1L, 2L, "new")) // higher version for key 1
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/tbl").orderBy("k")
+        .select("k", "payload").collect()
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "new"), (2L, "two")), "later version wins, untouched key survives")
+    } finally q.stop()
+  }
+
+  test("T2 modern: AvailableNow drains the backlog exactly once and stops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avail").toString
+    Seq("""{"id":1}""", """{"id":2}""").toDF("value").coalesce(1)
+      .write.text(s"$dir/in")
+    def drain() = {
+      val w = spark.readStream.schema("id LONG").json(s"$dir/in")
+        .writeStream.format("json")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/chk")
+        .outputMode("append")
+      val q = StreamOps.drainAvailable(w).start()
+      q.awaitTermination() // AvailableNow self-terminates when drained
+    }
+    drain()
+    assert(spark.read.json(s"$dir/out").count() === 2)
+    // second scheduled run: nothing new -> drains zero, re-emits nothing
+    drain()
+    assert(spark.read.json(s"$dir/out").count() === 2)
+    // third run picks up only the newly landed file
+    Seq("""{"id":3}""").toDF("value").coalesce(1)
+      .write.mode("append").text(s"$dir/in")
+    drain()
+    assert(spark.read.json(s"$dir/out").count() === 3)
+  }
 }

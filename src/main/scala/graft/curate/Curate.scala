@@ -42,4 +42,50 @@ object Curate {
     val df = if (singleFile) curated.repartition(1) else curated
     df.write.mode(mode).partitionBy("yyyy", "mm", "dd").parquet(path)
   }
+
+  /** Small-file compaction — the operational complement of micro-batched
+    * ingest: a 10-second flush interval (`kafka/wiki-s3-consumer.py:23`)
+    * lands ~8,640 files/partition/day, and scan planning degrades linearly
+    * in file count long before data volume matters. Rewrites every file of
+    * a partitioned parquet table into ~`targetBytes` outputs per calendar
+    * partition: `maxRecordsPerFile` bounds size from above while
+    * `repartition` on the partition columns gives the dynamic writer one
+    * shuffle block per partition. Uses dynamic partition overwrite, so a
+    * `partitionFilter` compacts ONLY the selected (e.g. just-closed)
+    * partitions and leaves the rest untouched — the same incremental,
+    * re-run-safe shape as the reference's daily jobs.
+    *
+    * Returns (filesBefore, filesAfter) for the touched slice. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              partitionCols: Seq[String] = Seq("yyyy", "mm", "dd"),
+              partitionFilter: org.apache.spark.sql.Column = lit(true),
+              targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    def countFiles(df: DataFrame): Long =
+      df.select(input_file_name().as("f")).distinct().count()
+    val src = spark.read.parquet(path).filter(partitionFilter)
+    val before = countFiles(src) // from the live file listing, pre-snapshot
+    // rows per target file, estimated from the slice's average row width
+    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    // snapshot before overwriting: Spark (rightly) refuses to overwrite a
+    // path it is also reading. localCheckpoint suffices single-node; a
+    // cluster deployment would stage to a sibling dir + rename instead.
+    val slice = src.localCheckpoint(true)
+    val rows = slice.count()
+    val rowsPerFile =
+      if (rows == 0 || bytes <= 0) Long.MaxValue
+      else (BigInt(rows) * targetBytes / bytes).max(1).toLong
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try slice
+      .repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = countFiles(spark.read.parquet(path).filter(partitionFilter))
+    (before, after)
+  }
 }

@@ -56,6 +56,29 @@ class PipelineSpec extends SparkSpec {
     assert(top.head.getLong(3) === 2)  // the duplicated id=2 rows
   }
 
+  test("compact: many micro-batch files -> few, rows and partitions intact") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = tmp()
+    // simulate 2 days x 12 micro-batch flushes of tiny files
+    val events = spark.range(2400).select(
+      $"id",
+      (lit(1704067200L) + ($"id" % 2) * 86400 + $"id" % 1000).as("timestamp"))
+    Curate.writeCurated(
+      Curate.curateEpoch(events.repartition(12)), dir, SaveMode.Overwrite)
+    val filesBefore = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    assert(filesBefore >= 20, s"setup should fragment: $filesBefore files")
+
+    // compact ONLY day 1; day 2's fragments must survive untouched
+    val (before, after) = Curate.compact(
+      spark, dir, partitionFilter = col("dd") === 1)
+    assert(before >= 10 && after === 1, s"day-1: $before -> $after files")
+    val day2Files = spark.read.parquet(dir).filter($"dd" === 2)
+      .select(input_file_name()).distinct().count()
+    assert(day2Files >= 10, "untouched partition must keep its files")
+    assert(spark.read.parquet(dir).count() === 2400, "no row lost or duplicated")
+  }
+
   test("partition pruning reaches the file listing (PartitionFilters)") {
     val df = SparkEntry.queries("filter_partition_prune")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -11,7 +11,8 @@ object ExplainDump {
   val Headline: Seq[String] = Seq(
     "agg_daily_top_titles", "filter_range", "filter_partition_prune",
     "join_broadcast", "join_star", "join_asof", "topk_orderby_limit",
-    "sim_topk_cosine", "dedup_minhash", "win_session")
+    "sim_topk_cosine", "dedup_minhash", "win_session",
+    "win_ntile", "tpch_q10")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

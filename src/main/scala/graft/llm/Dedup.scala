@@ -198,18 +198,28 @@ object Dedup extends QueryModule {
     * No oracle (xxhash64 is Spark-specific); LlmSpec asserts the
     * identical-text and near-text properties.
     */
+  /** 32-bit SimHash, fully RELATIONAL: tokens explode map-side, the token
+    * hash is the top 60 bits of md5 (portable: DuckDB computes the
+    * identical value, so this query is oracle-checked — xxhash64 would be
+    * faster but exists in no other engine), and the 32 per-bit ±1 tallies
+    * are plain codegen'd sum aggregates that combine map-side — the
+    * round-1 lambda formulation (transform/aggregate) was CodegenFallback,
+    * interpreted per token. The shuffle carries 32 ints per doc at any
+    * scale. */
   private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .withColumn("hs", expr("transform(split(trim(text), ' '), x -> xxhash64(x))"))
-      .withColumn("bitsums", expr(
-        """transform(sequence(0, 31),
-          |  i -> aggregate(hs, 0, (acc, h) -> acc + IF((shiftright(h, i) & 1) = 1, 1, -1)))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(31, 0, -1), CAST(0 AS BIGINT),
-          |  (acc, i) -> acc * 2 + IF(element_at(bitsums, i + 1) >= 0,
-          |                           CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin))
-      .select($"doc_id", $"simhash")
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+      .withColumn("h", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val simhash = (0 until 32)
+      .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokens
+      .groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
       .orderBy($"doc_id")
   }
 
@@ -390,6 +400,22 @@ object Dedup extends QueryModule {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> {
+      val bitSums = (0 until 32).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
+      val assemble = (0 until 32)
+        .map(i => s"CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+         |b AS (
+         |  SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $assemble AS simhash
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT doc_id, list_distinct(

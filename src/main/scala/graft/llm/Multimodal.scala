@@ -115,10 +115,39 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Frames per sampling stride (bytes) and bytes per frame. */
+  val FrameStride = 64
+  val FrameBytes = 16
+
+  /** North-star — video frame-sampling shape: treat the payload as a frame
+    * sequence and keep every stride-th fixed-width byte range, emitting
+    * (doc, frame index, frame digest, frame size) — the exact dataflow of
+    * every-nth-frame extraction (explode of a generated frame index, byte-
+    * range slice, per-frame fingerprint), with the byte slice standing in
+    * for a codec's frame decode. Fully map-side: `sequence` + `explode` are
+    * codegen'd generators, no lambda, no shuffle before the final sort.
+    * The digest arithmetic is byte-portable, so unlike the feature stub
+    * this one IS oracle-checked. */
+  private def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .withColumn("fi", explode(sequence(
+        lit(0L), expr(s"(length(media) - 1) div $FrameStride").cast("long"))))
+      .withColumn("frame",
+        expr(s"substring(media, fi * $FrameStride + 1, $FrameBytes)"))
+      .select(
+        $"doc_id", $"fi",
+        md5($"frame").as("fh"),
+        length($"frame").cast("long").as("fb"))
+      .orderBy($"doc_id", $"fi")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "multimodal_struct_proj" -> structProj,
     "multimodal_binary_meta" -> binaryMeta,
-    "multimodal_decode_stub" -> decodeStub
+    "multimodal_decode_stub" -> decodeStub,
+    "multimodal_frame_sample" -> frameSample
   )
 
   override def oracles: Map[String, String] = Map(
@@ -132,6 +161,14 @@ object Multimodal extends QueryModule {
         |       octet_length(encode(text)) AS n_bytes,
         |       base64(encode(substr(text, 1, 48))) AS b64,
         |       ascii(text) AS head_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, fi,
+        |       md5(substr(text, fi * 64 + 1, 16)) AS fh,
+        |       length(substr(text, fi * 64 + 1, 16)) AS fb
+        |FROM (SELECT doc_id, text,
+        |             unnest(range((length(text) - 1) // 64 + 1)) AS fi
+        |      FROM documents)
+        |ORDER BY doc_id, fi""".stripMargin
   )
 }

@@ -87,7 +87,8 @@ object Similarity extends QueryModule {
 
   /** North-star ANN — LSH-bucketed approximate top-5: compare only vectors
     * whose 8-bit signature equals the query's, exact cosine re-rank inside
-    * the bucket. No oracle (approximate); LlmSpec asserts recall
+    * the bucket. Oracle-checked (seeded planes + double arithmetic are
+    * deterministic; the oracle inlines the plane constants); LlmSpec asserts recall
     * against the brute-force baseline. */
   private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -108,7 +109,8 @@ object Similarity extends QueryModule {
     * nearest centroid (inverted lists), then exact re-rank only inside the
     * query's list. One N×k assignment pass (k tiny, broadcast) + a
     * bucket-local scan — the other standard coarse-quantization scale path
-    * next to [[simAnnLsh]]. No oracle (approximate); LlmSpec checks the
+    * next to [[simAnnLsh]]. Oracle-checked (deterministic end-to-end:
+    * leading-16 centroids, bit-exact double cosine); LlmSpec checks the
     * query's own list contains it and results ⊆ brute force. */
   private def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -159,6 +161,53 @@ object Similarity extends QueryModule {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    // IVF is deterministic end-to-end (leading-16 centroids, double cosine
+    // arithmetic bit-exact across engines, cid tiebreak), so the oracle
+    // replays the whole assignment + bucket-scan exactly.
+    "sim_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |a AS (
+        |  SELECT vec_id, v, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, e.v, c.cid,
+        |               1.0 - list_dot_product(e.v, c.cv) /
+        |                     (sqrt(list_dot_product(e.v, e.v)) *
+        |                      sqrt(list_dot_product(c.cv, c.cv))) AS dist
+        |        FROM e, c)),
+        |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+        |q AS (SELECT v AS qv, cid AS qcid FROM asg ORDER BY vec_id LIMIT 1)
+        |SELECT asg.vec_id,
+        |       floor(list_dot_product(asg.v, q.qv) /
+        |             (sqrt(list_dot_product(asg.v, asg.v)) *
+        |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM asg, q
+        |WHERE asg.cid = q.qcid
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    // The LSH signature is deterministic too (seeded hyperplanes, sign of a
+    // left-to-right double dot) — the oracle inlines the plane constants as
+    // SQL list literals (Double.toString round-trips the exact value) and
+    // recomputes the identical 8-bit signature.
+    "sim_ann_lsh" -> {
+      val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << (7 - i)} ELSE 0 END)"
+      }.mkString(" +\n         ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |         $sigExpr AS sig
+         |  FROM e),
+         |q AS (SELECT v AS qv, sig AS qsig FROM s ORDER BY vec_id LIMIT 1)
+         |SELECT s.vec_id,
+         |       floor(list_dot_product(s.v, q.qv) /
+         |             (sqrt(list_dot_product(s.v, s.v)) *
+         |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+         |FROM s, q
+         |WHERE s.sig = q.qsig
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+    }
   )
 }

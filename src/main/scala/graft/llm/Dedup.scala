@@ -93,9 +93,9 @@ object Dedup extends QueryModule {
   }
 
   /** Banding geometry: k = bands · rowsPerBand minhash functions. The j-th
-    * function is `xxhash64(baseHash, j)` — salted re-hash instead of the
-    * classic a·h+b affine form, because ANSI mode (Spark 4 default) rejects
-    * the wrapping multiply, and a full re-mix is at least as uniform. */
+    * function is the classic double-hash `(h1 + j·h2) mod 2^40` over two
+    * md5 halves — modular (not wrapping) arithmetic, so ANSI mode (Spark 4
+    * default) is satisfied and every engine computes identical values. */
   private val NumBands = 6
   private val RowsPerBand = 2
 
@@ -113,8 +113,11 @@ object Dedup extends QueryModule {
     * This is the 100-TB shape: candidate generation is one near-linear
     * shuffle; the quadratic exact verify runs only inside buckets.
     * Banding (b=6, r=2): P(candidate) = 1-(1-j²)⁶ ≈ 0.98 at j=0.7, ≈ 2·10⁻⁴
-    * at the random-doc j≈0.005 of this corpus. No oracle (LSH recall is
-    * probabilistic); LlmSpec plants exact dups and cross-checks the mllib
+    * at the random-doc j≈0.005 of this corpus. Oracle-checked: the hash
+    * functions are deterministic portable arithmetic, so DuckDB replays
+    * the ENTIRE pipeline (shingle → signatures → bands → candidates →
+    * exact verify) and must produce the identical survivor set; LlmSpec
+    * additionally plants exact dups and cross-checks the mllib
     * implementation.
     */
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -127,31 +130,40 @@ object Dedup extends QueryModule {
     val grams = sh
       .groupBy($"doc_id").agg(collect_set($"s").as("shingles"))
       .cache()
-    // Minhash RELATIONALLY: explode shingle hashes, then k codegen'd
-    // min(xxhash64(h, j)) aggregates. (A lambda formulation —
-    // aggregate(hs, ..., least/xxhash64) — is CodegenFallback in Spark and
-    // measured 12x slower; plain min() aggregates also combine map-side, so
-    // the shuffle carries k longs per doc at any scale.)
+    // Minhash RELATIONALLY: explode shingle hashes, then k codegen'd min()
+    // aggregates. (A lambda formulation — aggregate(hs, ..., least/...) —
+    // is CodegenFallback in Spark and measured 12x slower; plain min()
+    // aggregates also combine map-side, so the shuffle carries k longs per
+    // doc at any scale.) The k hash functions are DOUBLE HASHING over two
+    // 40-bit md5 halves: h_j = (h1 + j·h2) mod 2^40 — portable arithmetic
+    // (DuckDB computes identical values, so the whole LSH pipeline is
+    // oracle-replayed; xxhash64 would be ~2x faster but exists nowhere
+    // else), and 40-bit operands keep j·h2 < 2^44, safe under ANSI.
     val k = NumBands * RowsPerBand
-    val sigAggs = (0 until k).map(j => min(xxhash64($"h", lit(j))).as(s"s$j"))
-    val sigs = sh
-      .select($"doc_id", xxhash64($"s").as("h"))
+    val hashed = sh.select($"doc_id",
+      conv(substring(md5($"s"), 1, 10), 16, 10).cast("long").as("h1"),
+      conv(substring(md5($"s"), 11, 10), 16, 10).cast("long").as("h2"))
+    val sigAggs = (0 until k).map(j =>
+      min(($"h1" + lit(j.toLong) * $"h2") % lit(1L << 40)).as(s"s$j"))
+    val sigs = hashed
       .groupBy($"doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("band"),
-        xxhash64((bi * RowsPerBand until (bi + 1) * RowsPerBand)
-          .map(j => col(s"s$j")): _*).as("bh"))
+        array((bi * RowsPerBand until (bi + 1) * RowsPerBand)
+          .map(j => col(s"s$j")): _*).as("bm"))
     }
-    // Band join carries ONLY (doc_id, band, bandHash) — never the shingle
-    // arrays: the shuffle payload stays a few bytes/row and the
-    // multi-band-hit distinct() hashes ids, not 300-string arrays.
+    // Band join carries ONLY (doc_id, band, r minhash values) — never the
+    // shingle arrays: the shuffle payload stays a few bytes/row and the
+    // multi-band-hit distinct() hashes ids, not 300-string arrays. The
+    // band key is the signature slice itself (no extra hash — equality is
+    // all the join needs, and it keeps the key oracle-portable).
     val banded = sigs
       .withColumn("bands", array(bandCols: _*))
       .select($"doc_id", explode($"bands").as("b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.bh".as("bh"))
-    val candidates = banded.select($"band", $"bh", $"doc_id".as("a_id"))
-      .join(banded.select($"band", $"bh", $"doc_id".as("b_id")), Seq("band", "bh"))
+      .select($"doc_id", $"b.band".as("band"), $"b.bm".as("bm"))
+    val candidates = banded.select($"band", $"bm", $"doc_id".as("a_id"))
+      .join(banded.select($"band", $"bm", $"doc_id".as("b_id")), Seq("band", "bm"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
     // exact Jaccard verify only on the (small) candidate set
@@ -400,6 +412,44 @@ object Dedup extends QueryModule {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Full LSH replay: identical shingles, identical double-hash minhash
+    // signatures ((h1 + j*h2) mod 2^40 over md5 halves), identical band
+    // keys (the signature slices themselves), identical exact-Jaccard
+    // verify — so the survivor sets must match row for row.
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_transform(range(len(w) - 2),
+        |                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |         ELSE w END) AS s
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+        |h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1,
+        |         ('0x' || substr(md5(s), 11, 10))::BIGINT AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 1099511627776) AS m
+        |  FROM h CROSS JOIN (SELECT unnest(range(12)) AS j)
+        |  GROUP BY doc_id, j),
+        |band AS (
+        |  SELECT doc_id, j // 2 AS band, list(m ORDER BY j) AS bm
+        |  FROM sig GROUP BY doc_id, j // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id),
+        |grams AS (SELECT doc_id, list(s) AS g FROM sh GROUP BY doc_id),
+        |dup AS (
+        |  SELECT DISTINCT c.b_id FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a_id
+        |  JOIN grams gb ON gb.doc_id = c.b_id
+        |  WHERE len(list_intersect(ga.g, gb.g)) >=
+        |        0.7 * len(list_distinct(ga.g || gb.g)))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> {
       val bitSums = (0 until 32).map(i =>
         s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")

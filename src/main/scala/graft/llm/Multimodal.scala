@@ -162,6 +162,24 @@ object Multimodal extends QueryModule {
         |       base64(encode(substr(text, 1, 48))) AS b64,
         |       ascii(text) AS head_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decode STUB's features are pure byte arithmetic (length, first /
+    // last byte, byte-sum checksum), so the oracle recomputes them from the
+    // same bytes — proving the mapPartitions plumbing (binary cast,
+    // partition-batched map, join back) delivers exactly the specified
+    // values. ASCII corpus ⇒ ascii(char) == byte.
+    "multimodal_decode_stub" ->
+      """WITH chk AS (
+        |  SELECT doc_id, sum(ascii(substr(text, i + 1, 1))) % 256 AS checksum
+        |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+        |        FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(length(d.text) AS DOUBLE) AS f_len,
+        |       CAST(ascii(substr(d.text, 1, 1)) AS DOUBLE) AS f_head,
+        |       CAST(ascii(substr(d.text, length(d.text), 1)) AS DOUBLE) AS f_tail,
+        |       CAST(chk.checksum AS DOUBLE) AS f_checksum
+        |FROM documents d JOIN chk USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id, fi,
         |       md5(substr(text, fi * 64 + 1, 16)) AS fh,

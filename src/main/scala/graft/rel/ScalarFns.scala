@@ -219,6 +219,38 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** F-try family: ANSI-mode error-safe variants. Spark 4 defaults
+    * `spark.sql.ansi.enabled=true`, so plain division/cast/index THROW on
+    * bad input — `try_divide`/`try_cast`/`try_element_at` are the
+    * null-on-error forms a pipeline uses for dirty data. Oracle maps them
+    * to nullif-guarded division / TRY_CAST / out-of-bounds list index. */
+  private def tryFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        expr("try_divide(10.0D, user_id % 3)").as("td"),
+        expr("try_cast(props AS BIGINT)").as("tc"),
+        expr("try_element_at(split(event_type, '_'), 5)").as("te"))
+      .orderBy($"event_id")
+  }
+
+  /** F-array family 3: higher-order predicates (exists / forall / filter
+    * count). CAVEAT, documented on purpose: lambda higher-order functions
+    * are CodegenFallback (interpreted) in Spark — fine for a semantics
+    * surface, kept OUT of hot paths (see `llm/Dedup` scaladoc for the
+    * measured relational rewrites). */
+  private def arrFuncs3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size(filter($"embedding", x => x > 0.05d)).cast("long").as("n_big"),
+        exists($"embedding", x => x > 0.05d).as("any_big"),
+        forall($"embedding", x => x <= 0.1d).as("all_small"))
+      .orderBy($"vec_id")
+  }
+
   /** X3 — generator / UDTF surface: posexplode over tokenized text. */
   private def genExplode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -243,7 +275,9 @@ object ScalarFns extends QueryModule {
     "udf_scalar" -> udfScalar,
     "gen_explode" -> genExplode,
     "hash_funcs" -> hashFuncs,
-    "regex_funcs" -> regexFuncs
+    "regex_funcs" -> regexFuncs,
+    "try_funcs" -> tryFuncs,
+    "arr_funcs3" -> arrFuncs3
   )
 
   override def oracles: Map[String, String] = Map(
@@ -343,6 +377,18 @@ object ScalarFns extends QueryModule {
         |       sha256(text) AS h_sha256,
         |       sha256(lang || '|' || source) AS h_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "try_funcs" ->
+      """SELECT event_id,
+        |       10.0 / nullif(user_id % 3, 0) AS td,
+        |       TRY_CAST(props AS BIGINT) AS tc,
+        |       string_split(event_type, '_')[5] AS te
+        |FROM events ORDER BY event_id""".stripMargin,
+    "arr_funcs3" ->
+      """SELECT vec_id,
+        |       len(list_filter(embedding, x -> x > 0.05)) AS n_big,
+        |       len(list_filter(embedding, x -> x > 0.05)) > 0 AS any_big,
+        |       len(list_filter(embedding, x -> x <= 0.1)) = len(embedding) AS all_small
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "regex_funcs" ->
       """SELECT doc_id,
         |       regexp_replace(substr(text, 1, 40), '[aeiou]', '#', 'g') AS rr,

@@ -14,6 +14,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     agg.DailyAggregates,
     rel.ScanFilter,
+    rel.Formats,
+    rel.Sketches,
+    rel.VariantFns,
     rel.Joins,
     rel.Aggs,
     rel.Windows,

@@ -120,12 +120,161 @@ object Tpch extends QueryModule {
       .limit(20)
   }
 
+  /** Q4 shape — order-priority checking: EXISTS-correlated count of orders
+    * with at least one late-shipped line (l_shipdate > o_orderdate + 60d).
+    * Catalyst plans the EXISTS as a left-semi join on o_orderkey — at scale
+    * the semi join shuffles once on the order key and the grouped count is
+    * a constant-width aggregate. */
+  private def q4(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val late = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1996-07-01").cast("timestamp"))
+      .join(late,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > date_add($"o_orderdate", 60).cast("timestamp"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q12 shape — shipping-mode priority split: conditional CASE sums in one
+    * pass over the join (no l_shipmode in the fixture; split on returnflag).
+    * The two sums are map-side partial aggregates — one shuffle row per
+    * group regardless of fact size. */
+  private def q12(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val highPrio = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!highPrio, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Q14 shape — promotion effect: ratio of conditional revenue to total
+    * revenue over a month, via a broadcast part join. A single global
+    * aggregate row — the 100 TB cost is the scan, not the agg. */
+  private def q14(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .agg(
+        pround(
+          lit(100.0) *
+            sum(when($"p_type" === "PROMO",
+              $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0)) /
+            sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4)
+          .as("promo_revenue_pct"))
+  }
+
+  /** Q16 shape — supplier-part relationship counting: distinct suppliers
+    * per (brand, type, size) bucket with a NOT-IN supplier exclusion
+    * (lineitem stands in for partsupp). count(DISTINCT) over the join
+    * output expands to a two-phase aggregate; the excluded-supplier
+    * subquery becomes a broadcast anti join. */
+  private def q16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter($"s_name".like("%#000000003%"))
+      .select($"s_suppkey".as("x_suppkey"))
+    Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(excluded), $"l_suppkey" === $"x_suppkey", "left_anti")
+      .join(Tables.part(spark, sfDir).filter($"p_size".isin(1, 5, 9, 13, 17)),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** Q18 shape — large-volume customers: IN-subquery over a HAVING
+    * aggregate. The inner groupBy(l_orderkey) is the big shuffle; its
+    * survivor set is small, so Catalyst's semi join onto orders is cheap.
+    * At 100 TB the HAVING filter is the cardinality cliff that makes this
+    * pattern viable — without it the join side would be the full fact. */
+  private def q18(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 90.0)
+      .select($"l_orderkey".as("big_okey"), $"sum_qty")
+    Tables.orders(spark, sfDir)
+      .join(bigOrders, $"o_orderkey" === $"big_okey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", pround($"sum_qty", 2).as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** Q19 shape — discounted revenue under disjunctive bracket predicates:
+    * three OR-ed (brand × size × quantity) brackets over the part join.
+    * Catalyst cannot push an OR across tables, but it DOES extract the
+    * common l_quantity bounds and prunes part columns; the join stays
+    * broadcast so the disjunction is evaluated map-side. */
+  private def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bracket1 = $"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+      $"l_quantity".between(1, 20)
+    val bracket2 = $"p_brand" === "Brand#2" && $"p_size".between(5, 20) &&
+      $"l_quantity".between(10, 35)
+    val bracket3 = $"p_brand" === "Brand#3" && $"p_size".between(10, 40) &&
+      $"l_quantity".between(20, 50)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .filter(bracket1 || bracket2 || bracket3)
+      .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        .as("revenue"))
+  }
+
+  /** Q22 shape — global-customer sanity: customers above the positive-mean
+    * account balance with no orders at all. The scalar AVG subquery
+    * broadcasts one value; the NOT EXISTS is a shuffle anti join on
+    * custkey. Substring bucketing stands in for the phone country code. */
+  private def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    // scalar AVG as a broadcast cross join: stays lazy/declarative, one
+    // value ships to every task — the plan Catalyst builds for a scalar
+    // subquery, written explicitly.
+    val meanBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("mean_bal"))
+    cust
+      .crossJoin(broadcast(meanBal))
+      .filter($"c_acctbal" > $"mean_bal")
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_totalprice" > 300000.0).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .withColumn("bucket", expr("right(c_name, 1)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("numcust"),
+        pround(sum($"c_acctbal"), 2).as("totacctbal"))
+      .orderBy($"bucket")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
+    "tpch_q4" -> q4,
     "tpch_q5" -> q5,
     "tpch_q6" -> q6,
-    "tpch_q10" -> q10
+    "tpch_q10" -> q10,
+    "tpch_q12" -> q12,
+    "tpch_q14" -> q14,
+    "tpch_q16" -> q16,
+    "tpch_q18" -> q18,
+    "tpch_q19" -> q19,
+    "tpch_q22" -> q22
   )
 
   override def oracles: Map[String, String] = Map(
@@ -176,6 +325,70 @@ object Tpch extends QueryModule {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_quantity < 24""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > CAST(CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS TIMESTAMP))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "tpch_q14" ->
+      """SELECT floor(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS promo_revenue_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%#000000003%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  floor(sum_qty * 100 + 0.5) / 100 AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS big_okey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 90.0) big
+        |  ON o_orderkey = big_okey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q19" ->
+      """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "tpch_q22" ->
+      """SELECT right(c_name, 1) AS bucket, count(*) AS numcust,
+        |  floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY right(c_name, 1)
+        |ORDER BY bucket""".stripMargin,
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue

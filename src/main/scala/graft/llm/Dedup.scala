@@ -122,27 +122,31 @@ object Dedup extends QueryModule {
     */
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    // Map-side shingling ([[shingleRows]]) — both consumers below
-    // (signatures, verify sets) re-derive it without any shuffle.
-    val sh = shingleRows(docs)
-    val grams = sh
-      .groupBy($"doc_id").agg(collect_set($"s").as("shingles"))
-      .cache()
-    // Minhash RELATIONALLY: explode shingle hashes, then k codegen'd min()
-    // aggregates. (A lambda formulation — aggregate(hs, ..., least/...) —
+    // Hash every shingle to two 40-bit md5 halves ONCE, map-side, then
+    // materialize the (doc_id, h1, h2) SET a single time: round-2 profiling
+    // showed the signature and verify branches each re-deriving shingles +
+    // md5 — the dominant cost of the whole query. The distinct doubles as
+    // shingle-SET semantics (Jaccard is a set measure; min over duplicates
+    // is unchanged), and it shrinks what the checkpoint stores. At cluster
+    // scale the same materialize-once is a persist/checkpoint of this
+    // relation. md5 (not xxhash64, ~2x faster) is kept because DuckDB
+    // computes the identical value — the whole pipeline stays
+    // oracle-replayable; 40-bit operands keep j·h2 < 2^44, safe under ANSI.
+    val hashed = shingleRows(docs)
+      .withColumn("m", md5($"s"))
+      .select($"doc_id",
+        conv(substring($"m", 1, 10), 16, 10).cast("long").as("h1"),
+        conv(substring($"m", 11, 10), 16, 10).cast("long").as("h2"))
+      .distinct()
+      .localCheckpoint()
+    // Minhash RELATIONALLY: k codegen'd min() aggregates over the hashed
+    // shingle rows. (A lambda formulation — aggregate(hs, ..., least/...) —
     // is CodegenFallback in Spark and measured 12x slower; plain min()
     // aggregates also combine map-side, so the shuffle carries k longs per
-    // doc at any scale.) The k hash functions are DOUBLE HASHING over two
-    // 40-bit md5 halves: h_j = (h1 + j·h2) mod 2^40 — portable arithmetic
-    // (DuckDB computes identical values, so the whole LSH pipeline is
-    // oracle-replayed; xxhash64 would be ~2x faster but exists nowhere
-    // else), and 40-bit operands keep j·h2 < 2^44, safe under ANSI.
+    // doc at any scale.) The j-th hash is classic double hashing:
+    // h_j = (h1 + j·h2) mod 2^40.
     val k = NumBands * RowsPerBand
-    val hashed = sh.select($"doc_id",
-      conv(substring(md5($"s"), 1, 10), 16, 10).cast("long").as("h1"),
-      conv(substring(md5($"s"), 11, 10), 16, 10).cast("long").as("h2"))
     val sigAggs = (0 until k).map(j =>
       min(($"h1" + lit(j.toLong) * $"h2") % lit(1L << 40)).as(s"s$j"))
     val sigs = hashed
@@ -166,10 +170,16 @@ object Dedup extends QueryModule {
       .join(banded.select($"band", $"bm", $"doc_id".as("b_id")), Seq("band", "bm"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    // exact Jaccard verify only on the (small) candidate set
+    // Exact Jaccard verify only on the (small) candidate set — over the
+    // 40-bit shingle HASHES, not the strings: the verify joins shuffle
+    // arrays of longs instead of ~300-char string arrays (round-2's other
+    // hot spot). Jaccard over the hash sets equals Jaccard over the shingle
+    // sets (the oracle replays the identical hashes, so even a collision
+    // changes both sides identically).
+    val grams = hashed.groupBy($"doc_id").agg(collect_set($"h1").as("hs"))
     val dupIds = candidates
-      .join(grams.select($"doc_id".as("a_id"), $"shingles".as("sa")), Seq("a_id"))
-      .join(grams.select($"doc_id".as("b_id"), $"shingles".as("sb")), Seq("b_id"))
+      .join(grams.select($"doc_id".as("a_id"), $"hs".as("sa")), Seq("a_id"))
+      .join(grams.select($"doc_id".as("b_id"), $"hs".as("sb")), Seq("b_id"))
       .filter(
         size(array_intersect($"sa", $"sb")) >=
           lit(0.7) * size(array_union($"sa", $"sb")))
@@ -318,7 +328,7 @@ object Dedup extends QueryModule {
       .select($"id", $"id".as("lbl")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 30) {
+    while (changed > 0 && rounds < 64) {
       val nbrMin = edges
         .join(lbl.select($"id".as("dst"), $"lbl".as("nbr_lbl")), Seq("dst"))
         .groupBy($"src").agg(min($"nbr_lbl").as("nl"))
@@ -331,6 +341,11 @@ object Dedup extends QueryModule {
       lbl = next.select($"id", $"lbl")
       rounds += 1
     }
+    // A component with diameter > the round cap would silently return
+    // non-converged labels that diverge from the fixpoint oracle — fail
+    // loudly instead of returning a wrong answer.
+    require(changed == 0,
+      s"dedup_clusters: min-label propagation not converged after $rounds rounds")
     sh.select($"doc_id").distinct()
       .join(lbl.select($"id".as("doc_id"), $"lbl"), Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
@@ -440,7 +455,7 @@ object Dedup extends QueryModule {
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM band a JOIN band b
         |    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id),
-        |grams AS (SELECT doc_id, list(s) AS g FROM sh GROUP BY doc_id),
+        |grams AS (SELECT doc_id, list(DISTINCT h1) AS g FROM h GROUP BY doc_id),
         |dup AS (
         |  SELECT DISTINCT c.b_id FROM cand c
         |  JOIN grams ga ON ga.doc_id = c.a_id

@@ -132,6 +132,10 @@ object Multimodal extends QueryModule {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"text".cast("binary").as("media"))
+      // empty payload ⇒ zero frames: `(length - 1) div stride` truncates
+      // toward zero (-1 div 64 = 0), which would emit one empty frame here
+      // while the oracle's floor semantics emit none — guard explicitly.
+      .filter(length($"media") > 0)
       .withColumn("fi", explode(sequence(
         lit(0L), expr(s"(length(media) - 1) div $FrameStride").cast("long"))))
       .withColumn("frame",

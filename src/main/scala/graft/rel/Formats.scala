@@ -107,8 +107,11 @@ object Formats extends QueryModule {
   private def scanText(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = scratch("txt", sfDir)
+    // The text sink writes one LINE per record: an embedded \n or \r would
+    // split a document into several lines on read-back, so sanitize to keep
+    // the doc↔line mapping 1:1 (the oracle applies the same replacement).
     Tables.documents(spark, sfDir)
-      .select($"text")
+      .select(regexp_replace($"text", "[\\n\\r]", " ").as("text"))
       .coalesce(4)
       .write.mode("overwrite").text(dir)
     spark.read.text(dir)
@@ -132,11 +135,14 @@ object Formats extends QueryModule {
     "scan_csv_roundtrip" -> summarizeOracle,
     "scan_orc_roundtrip" -> summarizeOracle,
     "scan_text_roundtrip" ->
-      """SELECT count(*) AS n_lines,
+      """WITH t AS (
+        |  SELECT replace(replace(text, chr(13), ' '), chr(10), ' ') AS text
+        |  FROM documents)
+        |SELECT count(*) AS n_lines,
         |  sum(len(string_split(text, ' '))) AS total_tokens,
         |  sum(len(text)) AS total_chars,
         |  min(len(string_split(text, ' '))) AS min_tokens,
         |  max(len(string_split(text, ' '))) AS max_tokens
-        |FROM documents""".stripMargin
+        |FROM t""".stripMargin
   )
 }

@@ -32,8 +32,15 @@ object ScalableRank {
     * row count, without a single-partition window. */
   def withGlobalRowNumber(df: DataFrame, rnCol: String, nCol: String,
       sortCols: Column*): DataFrame = {
+    // Materialize the range shuffle ONCE: the offsets aggregate and the join
+    // probe side below both consume `parts`, and correctness requires they
+    // see identical range boundaries and spark_partition_id() assignments.
+    // Without this, two independent subplans each re-run repartitionByRange
+    // (whose sampler boundaries and AQE coalescing may differ per run) and
+    // offsets silently key to the wrong partitions.
     val parts = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // ≤ shuffle.partitions rows: the global window here is over partition
     // COUNTS, not data — bounded by cluster config.

@@ -100,9 +100,14 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Only a MISSING target means "first batch". Any other read failure
+        // must fail the batch (so the checkpoint retries it) — swallowing it
+        // would fall through to mode("overwrite") and replace the whole
+        // table with just this micro-batch, destroying merged state.
+        val tPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          try Some(spark.read.parquet(targetDir))
-          catch { case _: Throwable => None } // first batch: dir absent
+          if (fs.exists(tPath)) Some(spark.read.parquet(targetDir)) else None
         val merged = existing match {
           case Some(old) => graft.upsert.KeepLatest.keepLatest(
             old.unionByName(batch), keyCols, Seq(col(versionCol).desc))

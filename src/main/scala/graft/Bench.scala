@@ -66,10 +66,23 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     val warmupSec = (System.nanoTime() - tw) / 1e9
+    // Noise control (round-2 lesson: single-shot timings are ±1-2 s noisy
+    // under GC/bench-order effects — a 30-row post-agg window once measured
+    // 2.96 s): any query whose first shot exceeds the threshold gets two
+    // more runs and reports the MEDIAN, so genuine plan cost is
+    // distinguishable from a one-off GC pause. Sub-threshold queries stay
+    // single-shot to bound total bench time.
+    val noiseThresholdSec = 0.5
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once()
+      val t = if (t1 > noiseThresholdSec) Seq(t1, once(), once()).sorted.apply(1)
+              else t1
+      name -> t
     }
     def r3(v: Double): String = f"$v%.3f"
     val full = results.toSeq.sortBy(_._1)

@@ -355,8 +355,9 @@ object Dedup extends QueryModule {
   /** North-star — embedding-cosine near-dedup, keep-first: drop the higher
     * vec_id of every label-blocked pair with cosine ≥ 0.9. Output =
     * surviving vec ids. The exact twin of [[dedupMinhash]] for the
-    * embedding modality; at 100 TB the pair source is LSH candidates
-    * ([[Similarity]] signatures), not the blocked cross join. */
+    * embedding modality; at 100 TB the pair source is LSH candidates —
+    * `sim_threshold_lsh` in [[Similarity]] IS that unbounded path (banded
+    * sign-bit candidates → exact verify), not the blocked cross join. */
   private def dedupEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.VecDotNative.{vec_dot_native, vec_norm_native}

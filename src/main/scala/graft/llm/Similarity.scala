@@ -50,7 +50,10 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
-  /** L4 — pairwise similarity join above a threshold, label-blocked. */
+  /** L4 — pairwise similarity join above a threshold, label-blocked:
+    * quadratic WITHIN a block, so it's the exact scorer for bounded blocks.
+    * The unbounded 100-TB path is [[simThresholdLsh]] (`sim_threshold_lsh`),
+    * which feeds this same exact verify from LSH candidates instead. */
   private def simThresholdJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Norms are per-ROW, so compute them once before the pair join — inside
@@ -103,6 +106,65 @@ object Similarity extends QueryModule {
       .limit(5)
   }
 
+  /** Hyperplanes for the THRESHOLD-join candidate generator: 40 seeded
+    * planes banded 8×5. Components are FLOATs so both sides of every dot
+    * are array<float> and the codegen'd [[VecDotExpr]] fast path applies
+    * (the per-row signature is 40 fused primitive loops, no HOF fallback);
+    * the oracle inlines the exact widened doubles (`Float→Double` is exact
+    * and `Double.toString` round-trips), so DuckDB recomputes identical
+    * signatures. */
+  private lazy val threshPlanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(40)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+  }
+  private val ThreshBands = 8
+  private val ThreshRows = 5
+
+  /** The bi-th 8-bit sign-band of an embedding against [[threshPlanes]]. */
+  private def bandSig(v: Column, bi: Int): Column =
+    (0 until ThreshRows).map { j =>
+      val p = threshPlanes(bi * ThreshRows + j)
+      when(vec_dot_native(v, typedLit(p)) > 0, lit(1L << (ThreshRows - 1 - j)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The UNBOUNDED threshold join: LSH candidates → exact verify — the
+    * scale path that replaces [[simThresholdJoin]]'s label blocking (and
+    * [[Dedup]]'s `dedup_embed_cosine` blocking) at 100 TB. Sign-bit
+    * banding theory at τ = 0.35: a pair at the threshold agrees per bit
+    * with p = 1 - arccos(0.35)/π ≈ 0.614, so per 5-bit band p⁵ ≈ 0.087 and
+    * recall ≈ 1-(1-0.087)⁸ ≈ 0.52 (approximate BY DESIGN — more bands buy
+    * recall linearly in cost; rows above τ recall higher); a random pair
+    * of this near-orthogonal corpus (median cos ≈ 0) passes a band with
+    * 2⁻⁵, pruning candidates ~4.5× here — and far harder on a real corpus
+    * whose matches are near-duplicates rather than barely-over-threshold.
+    * Candidate generation is a near-linear shuffle on (band, bucket)
+    * carrying IDS ONLY; full vectors re-attach to the (small) candidate
+    * set for the exact verify. The whole pipeline is deterministic, so the
+    * oracle replays it end-to-end exactly like `dedup_minhash`. */
+  private def simThresholdLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", vec_norm_native($"embedding"))
+    val banded = e
+      .select($"vec_id" +: (0 until ThreshBands)
+        .map(bi => bandSig($"embedding", bi).as(s"b$bi")): _*)
+      .select($"vec_id", explode(array((0 until ThreshBands).map(bi =>
+        struct(lit(bi).as("band"), col(s"b$bi").as("bv"))): _*)).as("b"))
+      .select($"vec_id", $"b.band".as("band"), $"b.bv".as("bv"))
+    val cand = banded.select($"band", $"bv", $"vec_id".as("a_id"))
+      .join(banded.select($"band", $"bv", $"vec_id".as("b_id")), Seq("band", "bv"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    cand
+      .join(e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"nrm".as("na")), Seq("a_id"))
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("vb"), $"nrm".as("nb")), Seq("b_id"))
+      .withColumn("cos_sim", vec_dot_native($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"cos_sim" >= 0.35)
+      .select($"a_id", $"b_id", pround($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** North-star ANN, IVF flavor: a fixed set of coarse centroids (the
     * first `nCentroids` vectors — deterministic, training-free seeding, the
     * degenerate case of k-means|| init), every vector assigned to its
@@ -117,16 +179,18 @@ object Similarity extends QueryModule {
     val e = Tables.embeddings(spark, sfDir)
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("cid"), $"embedding".as("cv"))
-    // nearest-centroid assignment: N×16 dots, rank 1 per vector
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)
+    // Nearest-centroid assignment: N×16 dots, then a min_by AGGREGATE (not
+    // a row_number window — the window sorts every vector's candidate list;
+    // the aggregate is one partial+final hash agg with no sort). The
+    // ordering struct (dist, cid) is a total order per vector, so the
+    // argmin is deterministic and identical to the oracle's rank-1 row.
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("dist",
         lit(1.0) - vec_dot_native($"embedding", $"cv") /
           (vec_norm_native($"embedding") * vec_norm_native($"cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cid")
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cid", $"embedding"), struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"m.embedding".as("embedding"), $"m.cid".as("cid"))
     val qAssigned = assigned.orderBy($"vec_id").limit(1)
       .select($"embedding".as("qv"), $"cid".as("qcid"))
     assigned.join(broadcast(qAssigned), $"cid" === $"qcid")
@@ -139,6 +203,7 @@ object Similarity extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "sim_topk_cosine"    -> simTopkCosine,
     "sim_threshold_join" -> simThresholdJoin,
+    "sim_threshold_lsh"  -> simThresholdLsh,
     "sim_ann_lsh"        -> simAnnLsh,
     "sim_ann_ivf"        -> simAnnIvf
   )
@@ -152,6 +217,33 @@ object Similarity extends QueryModule {
         |              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM embeddings e, q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Full LSH-threshold replay: identical band signatures (exact widened
+    // float plane literals), identical candidate pairs, identical exact
+    // verify — survivor pair sets must match row for row.
+    "sim_threshold_lsh" -> {
+      def bexpr(bi: Int): String = (0 until ThreshRows).map { j =>
+        val lits = threshPlanes(bi * ThreshRows + j)
+          .map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1L << (ThreshRows - 1 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      val bands = (0 until ThreshBands)
+        .map(bi => s"SELECT vec_id, $bi AS band, ${bexpr(bi)} AS bv FROM e")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         |SELECT c.a_id, c.b_id,
+         |       floor(list_dot_product(a.v, b.v) /
+         |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |             * 1000000 + 0.5) / 1000000 AS cos_sim
+         |FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id
+         |WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "sim_threshold_join" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -90,6 +90,20 @@ class LlmSpec extends SparkSpec {
     assert(ann.map(_.getLong(0)).toSet.subsetOf(bruteAll))
   }
 
+  test("sim_threshold_lsh pairs are a subset of the exact all-pairs threshold join") {
+    val lsh = SparkEntry.queries("sim_threshold_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    val e = Tables.embeddings(spark, sf)
+    val exact = e.select($"vec_id".as("a_id"), $"embedding".as("va"))
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("vb")), $"a_id" < $"b_id")
+      .filter(vec_cosine($"va", $"vb") >= 0.35)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH-found pair really is over threshold (precision = 1: the
+    // exact verify runs on candidates); recall < 1 by design
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+  }
+
   test("sim_ann_ivf: query's own inverted list contains it; subset of brute force") {
     val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)

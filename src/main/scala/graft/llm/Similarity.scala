@@ -106,19 +106,19 @@ object Similarity extends QueryModule {
       .limit(5)
   }
 
-  /** Hyperplanes for the THRESHOLD-join candidate generator: 40 seeded
-    * planes banded 8×5. Components are FLOATs so both sides of every dot
+  /** Hyperplanes for the THRESHOLD-join candidate generator: 64 seeded
+    * planes banded 8×8. Components are FLOATs so both sides of every dot
     * are array<float> and the codegen'd [[VecDotExpr]] fast path applies
-    * (the per-row signature is 40 fused primitive loops, no HOF fallback);
+    * (the per-row signature is 64 fused primitive loops, no HOF fallback);
     * the oracle inlines the exact widened doubles (`Float→Double` is exact
     * and `Double.toString` round-trips), so DuckDB recomputes identical
     * signatures. */
   private lazy val threshPlanes: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(7)
-    Seq.fill(40)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+    Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian().toFloat))
   }
   private val ThreshBands = 8
-  private val ThreshRows = 5
+  private val ThreshRows = 8
 
   /** The bi-th 8-bit sign-band of an embedding against [[threshPlanes]]. */
   private def bandSig(v: Column, bi: Int): Column =
@@ -132,12 +132,19 @@ object Similarity extends QueryModule {
     * scale path that replaces [[simThresholdJoin]]'s label blocking (and
     * [[Dedup]]'s `dedup_embed_cosine` blocking) at 100 TB. Sign-bit
     * banding theory at τ = 0.35: a pair at the threshold agrees per bit
-    * with p = 1 - arccos(0.35)/π ≈ 0.614, so per 5-bit band p⁵ ≈ 0.087 and
-    * recall ≈ 1-(1-0.087)⁸ ≈ 0.52 (approximate BY DESIGN — more bands buy
-    * recall linearly in cost; rows above τ recall higher); a random pair
-    * of this near-orthogonal corpus (median cos ≈ 0) passes a band with
-    * 2⁻⁵, pruning candidates ~4.5× here — and far harder on a real corpus
-    * whose matches are near-duplicates rather than barely-over-threshold.
+    * with p = 1 - arccos(0.35)/π ≈ 0.614, so per 8-bit band p⁸ ≈ 0.020 and
+    * recall ≈ 1-(1-0.020)⁸ ≈ 0.15 at the threshold boundary, rising fast
+    * with similarity (recall → 1 for near-duplicates, the regime LSH
+    * serves; approximate BY DESIGN — more bands buy recall linearly in
+    * cost). A random pair of this near-orthogonal corpus (median cos ≈ 0)
+    * passes a band with 2⁻⁸, so the expected random-collision candidate
+    * count is n²·b·2⁻ʳ⁻¹ — the term that dictates geometry: ROWS PER BAND
+    * must grow ~log₂(n) to keep buckets from saturating as the corpus
+    * grows (measured in SCALE.md's 10× probe). τ = 0.35 sits near
+    * sign-LSH's discrimination limit (p_τ/p_rand = 1.23); genuinely
+    * moderate-threshold joins at 100 TB pair better with data-dependent
+    * blocking (the [[simAnnIvf]] centroid route), while LSH owns the
+    * high-similarity dedup regime.
     * Candidate generation is a near-linear shuffle on (band, bucket)
     * carrying IDS ONLY; full vectors re-attach to the (small) candidate
     * set for the exact verify. The whole pipeline is deterministic, so the

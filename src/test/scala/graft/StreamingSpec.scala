@@ -95,6 +95,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T1 size bound: maxFilesPerTrigger caps each micro-batch (the consumer's BATCH_SIZE analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mft").toString
+    (1 to 4).foreach { i =>
+      Seq(s"""{"id":${i * 10},"title":"T$i"}""", s"""{"id":${i * 10 + 1},"title":"T$i"}""")
+        .toDF("value").coalesce(1).write.mode("append").text(s"$dir/in")
+    }
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema("id LONG, title STRING")
+      .option("maxFilesPerTrigger", 1) // BATCH_SIZE=200 analog: bound per-batch input
+      .json(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += batch.count() }; ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sizes.sum === 8L, "every row processed exactly once")
+      assert(sizes.count(_ > 0) >= 4, "backlog split into one micro-batch per file")
+      assert(sizes.forall(_ <= 2L), "no micro-batch exceeded one file's rows")
+    } finally q.stop()
+  }
+
   test("T7: restart from checkpoint resumes offsets exactly-once (no re-emission)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     Seq("""{"id":1,"title":"A"}""").toDF("value").coalesce(1).write.text(s"$dir/in")

@@ -262,22 +262,402 @@ object Tpch extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** Q2 shape — minimum-cost supplier per part (partsupp is not in the
+    * fixture, so lineitem's (partkey, suppkey) pairs stand in as the supply
+    * relation and s_acctbal as the cost): per STANDARD part supplied from
+    * EUROPE, the supplier with the lowest account balance. The correlated
+    * per-part MIN is a `min_by` AGGREGATE (partial+final, no per-part
+    * sort), not a window — the same argmin discipline as `sim_ann_ivf`. */
+  private def q2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val euroSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(euroSupp), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.part(spark, sfDir).filter($"p_type" === "STANDARD"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_name")
+      .agg(min_by(struct($"s_acctbal", $"s_name", $"n_name"),
+        struct($"s_acctbal", $"s_suppkey")).as("m"))
+      .select($"m.s_acctbal".as("s_acctbal"), $"m.s_name".as("s_name"),
+        $"m.n_name".as("n_name"), $"p_partkey", $"p_name")
+      .orderBy($"s_acctbal".desc, $"p_partkey")
+      .limit(100)
+  }
+
+  /** Q7 shape — volume shipping between two trade areas (region-level:
+    * nation-level pairs are empty at the smallest fixture), both
+    * directions, by ship year. The nation→region lookup broadcasts; the
+    * fact path shuffles once on the order key. */
+  private def q7(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nr = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"r_name")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"r_name".as("supp_region"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nr), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"r_name".as("cust_region"))
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_region" === "EUROPE" && $"cust_region" === "ASIA") ||
+              ($"supp_region" === "ASIA" && $"cust_region" === "EUROPE"))
+      .groupBy($"supp_region", $"cust_region",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"supp_region", $"cust_region", $"l_year")
+  }
+
+  /** Q8 shape — market share of one supplying nation inside a consuming
+    * region, per order year: conditional revenue ratio over a 6-way join.
+    * All dimension sides broadcast; the only fact shuffle is
+    * orders⋈lineitem. */
+  private def q8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asiaCust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val suppNat = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val vol = $"l_extendedprice" * (lit(1) - $"l_discount")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).filter($"p_type" === "ECONOMY")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" <  lit("1998-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(pround(
+        sum(when($"supp_nation" === "NATION_5", vol).otherwise(0.0)) / sum(vol), 6)
+        .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** Q9 shape — product-type profit by supplying nation and year. The
+    * fixture has no partsupp.ps_supplycost, so unit cost is proxied as
+    * 0.6·p_retailprice (fixed margin) — the dataflow (5-way join, grouped
+    * signed sum) is the Q9 plan exactly. */
+  private def q9(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter($"p_name".like("%widget%"))
+          .select($"p_partkey", $"p_retailprice")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(pround(sum(
+        $"l_extendedprice" * (lit(1) - $"l_discount") -
+          lit(0.6) * $"p_retailprice" * $"l_quantity"), 2).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** Q11 shape — important-part value concentration (partsupp-free: value
+    * per part = revenue shipped by NATION_3's suppliers), keeping parts
+    * above a fraction of the total. The global total is ONE scalar row
+    * broadcast to the filter — the HAVING-over-scalar-subquery plan. */
+  private def q11(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val natSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir).filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val vals = Tables.lineitem(spark, sfDir)
+      .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("raw_value"))
+    val total = vals.agg(sum($"raw_value").as("total_value"))
+    vals.crossJoin(broadcast(total))
+      .filter($"raw_value" > lit(0.001) * $"total_value")
+      .select($"l_partkey", pround($"raw_value", 2).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join so
+    * zero-order customers survive into the c_count=0 bucket, then a
+    * second aggregation over the first's output (a ≤|customer| relation —
+    * the double-agg is cheap at any scale). Priority filter stands in for
+    * the comment NOT LIKE (no o_comment in the fixture). */
+  private def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Q15 shape — top supplier by quarterly revenue: the revenue "view" is
+    * a grouped aggregate, its MAX is a broadcast scalar, and the equality
+    * re-join selects the top supplier(s). Equality compares ROUNDED
+    * revenues (both engines round identically, so ties select identically
+    * — raw double equality across engines would be fragile). */
+  private def q15(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter($"total_revenue" === $"max_rev")
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q17 shape — small-quantity-order revenue: lines under half their
+    * part's average quantity, for one brand. The correlated AVG is
+    * decorrelated into a grouped aggregate joined back on the part key —
+    * the plan Catalyst produces for the classic correlated form, written
+    * explicitly. */
+  private def q17(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val partAvg = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey")
+      .agg(avg($"l_quantity").as("avg_qty"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter($"p_brand" === "Brand#1").select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(partAvg, Seq("l_partkey"))
+      .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+      .agg(pround(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q20 shape — suppliers with heavy shipments of a part class in a year:
+    * part filter → fact aggregate with HAVING → LEFT SEMI back to the
+    * supplier dimension. The semi join carries only qualifying suppkeys. */
+  private def q20(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val heavy = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter($"p_name".like("%red%")).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 100.0)
+      .select($"l_suppkey")
+    Tables.supplier(spark, sfDir)
+      .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q21 shape — suppliers who kept orders waiting: finished orders with
+    * ≥2 distinct suppliers where EXACTLY ONE supplier shipped late
+    * (l_shipdate > o_orderdate + 60d stands in for receipt>commit). The
+    * classic EXISTS / NOT EXISTS pair is expressed as per-order
+    * distinct-counts — one aggregate over the joined fact instead of two
+    * correlated self-joins, the shape that scales (each correlated EXISTS
+    * would re-shuffle lineitem; this shuffles it once). */
+  private def q21(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"l_suppkey",
+        ($"l_shipdate" > date_add($"o_orderdate", 60).cast("timestamp")).as("late"))
+    val waiting = lo.groupBy($"o_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"late", $"l_suppkey")).as("n_late"))
+      .filter($"n_supp" >= 2 && $"n_late" === 1)
+      .select($"o_orderkey")
+    lo.filter($"late").select($"o_orderkey", $"l_suppkey").distinct()
+      .join(waiting, Seq("o_orderkey"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
+    "tpch_q2" -> q2,
     "tpch_q4" -> q4,
     "tpch_q5" -> q5,
     "tpch_q6" -> q6,
+    "tpch_q7" -> q7,
+    "tpch_q8" -> q8,
+    "tpch_q9" -> q9,
     "tpch_q10" -> q10,
+    "tpch_q11" -> q11,
     "tpch_q12" -> q12,
+    "tpch_q13" -> q13,
     "tpch_q14" -> q14,
+    "tpch_q15" -> q15,
     "tpch_q16" -> q16,
+    "tpch_q17" -> q17,
     "tpch_q18" -> q18,
     "tpch_q19" -> q19,
+    "tpch_q20" -> q20,
+    "tpch_q21" -> q21,
     "tpch_q22" -> q22
   )
 
   override def oracles: Map[String, String] = Map(
+    "tpch_q2" ->
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |es AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |ranked AS (
+        |  SELECT p_partkey, p_name, s_acctbal, s_name, n_name,
+        |         row_number() OVER (PARTITION BY p_partkey
+        |                            ORDER BY s_acctbal, s_suppkey) AS rn
+        |  FROM supply
+        |  JOIN es ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM ranked WHERE rn = 1
+        |ORDER BY s_acctbal DESC, p_partkey LIMIT 100""".stripMargin,
+    "tpch_q7" ->
+      """WITH nr AS (
+        |  SELECT n_nationkey, r_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+        |       year(l_shipdate) AS l_year,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nr sr ON s_nationkey = sr.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nr cr ON c_nationkey = cr.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA') OR
+        |       (sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_region, cust_region, l_year""".stripMargin,
+    "tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  floor(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |        sum(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) / 1000000 AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  floor(sum(l_extendedprice * (1 - l_discount) -
+        |            0.6 * p_retailprice * l_quantity) * 100 + 0.5) / 100 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS raw_value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  GROUP BY 1)
+        |SELECT l_partkey, floor(raw_value * 100 + 0.5) / 100 AS value
+        |FROM vals
+        |WHERE raw_value > 0.001 * (SELECT sum(raw_value) FROM vals)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1)
+        |SELECT floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN pa USING (l_partkey)
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "tpch_q20" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(l_quantity) > 100.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q21" ->
+      """WITH lo AS (
+        |  SELECT o_orderkey, l_suppkey,
+        |         l_shipdate > CAST(CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS TIMESTAMP) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |waiting AS (
+        |  SELECT o_orderkey FROM lo GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2
+        |     AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT o_orderkey, l_suppkey FROM lo WHERE late) ls
+        |JOIN waiting USING (o_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,

@@ -48,6 +48,25 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** S11b — SCD Type-2 history build: the keep-HISTORY twin of
+    * [[upsertKeepLatest]]'s last-writer-wins. Each user's attribute stream
+    * becomes versioned rows with [valid_from, valid_to) ranges and an
+    * is_current flag — one lead() window partitioned by the dimension key,
+    * a single shuffle; at 100 TB the same window maintains history
+    * incrementally per merge batch (only touched keys re-window). */
+  private def upsertScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_type", $"event_id",
+        $"ts".as("valid_from"), $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   private val curatedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Curate `events` into a yyyy/mm/dd-partitioned parquet layout once per
@@ -79,6 +98,7 @@ object PipelineQueries extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "ctas_daily_top_titles"  -> ctasDailyTopTitles,
     "upsert_keep_latest"     -> upsertKeepLatest,
+    "upsert_scd2"            -> upsertScd2,
     "filter_partition_prune" -> filterPartitionPrune
   )
 
@@ -88,6 +108,13 @@ object PipelineQueries extends QueryModule {
         |       user_id AS editor, count(*) AS edits
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY ds, title, editor""".stripMargin,
+    "upsert_scd2" ->
+      """SELECT user_id, event_type, event_id, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "upsert_keep_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

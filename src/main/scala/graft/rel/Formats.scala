@@ -98,6 +98,17 @@ object Formats extends QueryModule {
     summarize(spark.read.orc(dir))
   }
 
+  /** XML round-trip — Spark 4 ships the (formerly spark-xml) datasource
+    * built-in: one row per rowTag element, timestamps as ISO-8601 strings,
+    * doubles via shortest-round-trip rendering (same fidelity contract as
+    * CSV). */
+  private def scanXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("xml", sfDir)
+    slice(spark, sfDir).coalesce(4)
+      .write.mode("overwrite").option("rowTag", "row").xml(dir)
+    summarize(spark.read.schema(sliceSchema).option("rowTag", "row").xml(dir))
+  }
+
   /** Plain-text-lines round-trip: `documents.text` out via the text sink,
     * back via the text source (the rawest ingest shape — one record per
     * line, exactly how the reference's SSE `data:` frames arrive,
@@ -128,12 +139,14 @@ object Formats extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "scan_csv_roundtrip" -> scanCsv,
     "scan_orc_roundtrip" -> scanOrc,
+    "scan_xml_roundtrip" -> scanXml,
     "scan_text_roundtrip" -> scanText
   )
 
   override def oracles: Map[String, String] = Map(
     "scan_csv_roundtrip" -> summarizeOracle,
     "scan_orc_roundtrip" -> summarizeOracle,
+    "scan_xml_roundtrip" -> summarizeOracle,
     "scan_text_roundtrip" ->
       """WITH t AS (
         |  SELECT replace(replace(text, chr(13), ' '), chr(10), ' ') AS text

@@ -261,6 +261,50 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** XML scalar surface (Spark 4 ships the spark-xml functions built-in):
+    * build an XML fragment relationally, parse it back with `from_xml` and
+    * the `xpath_*` family. The oracle computes the expected values straight
+    * from the base columns — a hash match proves parse(build(x)) == x per
+    * row. All codegen-adjacent (xpath/from_xml evaluate per row with no
+    * shuffle); at 100 TB this is a map stage like any scalar projection. */
+  private def xmlFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("x",
+        concat(lit("<doc id=\""), $"doc_id", lit("\"><lang>"), $"lang",
+          lit("</lang><n>"), $"n_chars", lit("</n></doc>")))
+      .select(
+        $"doc_id",
+        expr("xpath_string(x, '/doc/lang')").as("xl"),
+        expr("xpath_long(x, '/doc/n')").as("xn"),
+        expr("xpath_string(x, '/doc/@id')").as("xid"),
+        expr("from_xml(x, 'lang STRING, n BIGINT').lang").as("fl"),
+        expr("from_xml(x, 'lang STRING, n BIGINT').n").as("fn"))
+      .orderBy($"doc_id")
+  }
+
+  /** URL scalar surface: parse_url component extraction plus the
+    * url_encode/url_decode round-trip, over a URL synthesized from event
+    * columns (the fixture carries no URL column; the reference's SSE feed
+    * is wiki page URLs). */
+  private def urlFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("url",
+        concat(lit("https://graft.example.org/wiki/page_"), $"event_id",
+          lit("?type="), $"event_type", lit("&u="), $"user_id"))
+      .withColumn("raw", concat($"event_type", lit(" a/b")))
+      .select(
+        $"event_id",
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'u')").as("qu"),
+        expr("url_encode(raw)").as("enc"),
+        expr("url_decode(url_encode(raw))").as("dec"))
+      .orderBy($"event_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "str_funcs"  -> strFuncs,
     "str_funcs2" -> strFuncs2,
@@ -277,10 +321,29 @@ object ScalarFns extends QueryModule {
     "hash_funcs" -> hashFuncs,
     "regex_funcs" -> regexFuncs,
     "try_funcs" -> tryFuncs,
-    "arr_funcs3" -> arrFuncs3
+    "arr_funcs3" -> arrFuncs3,
+    "xml_funcs" -> xmlFuncs,
+    "url_funcs" -> urlFuncs
   )
 
   override def oracles: Map[String, String] = Map(
+    "xml_funcs" ->
+      """SELECT doc_id,
+        |       lang AS xl,
+        |       n_chars AS xn,
+        |       CAST(doc_id AS VARCHAR) AS xid,
+        |       lang AS fl,
+        |       n_chars AS fn
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "url_funcs" ->
+      """SELECT event_id,
+        |       'graft.example.org' AS host,
+        |       '/wiki/page_' || CAST(event_id AS VARCHAR) AS path,
+        |       'type=' || event_type || '&u=' || CAST(user_id AS VARCHAR) AS query,
+        |       CAST(user_id AS VARCHAR) AS qu,
+        |       replace(replace(event_type || ' a/b', ' ', '+'), '/', '%2F') AS enc,
+        |       event_type || ' a/b' AS dec
+        |FROM events ORDER BY event_id""".stripMargin,
     "str_funcs" ->
       """SELECT doc_id,
         |       upper(substr(text, 1, 12)) AS up,

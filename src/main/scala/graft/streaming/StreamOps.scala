@@ -119,6 +119,20 @@ object StreamOps {
           .write.mode("overwrite").parquet(targetDir)
       }
 
+  /** Stream-STREAM inner join with event-time bounds: both sides watermark,
+    * and the join predicate must bound each side's event time relative to
+    * the other (`joinExpr` carries the key equality AND the time window) —
+    * that bound is what lets Spark evict matched/expired state, keeping the
+    * join's state store finite at any ingest rate. Without it both sides'
+    * state grows without limit (Spark will still run it, unbounded). This
+    * is the ad-impression⋈click shape: each click joins impressions within
+    * the attribution window. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, joinExpr: String,
+      leftTs: String, rightTs: String,
+      watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), expr(joinExpr))
+
   /** T2 modern form — drain-the-backlog trigger: process everything
     * available (in rate-limited micro-batches) then STOP. This is the
     * reference's daily-at-01:00 Airflow batch (`dag/wiki_pipeline_dag.py:63`)

@@ -119,6 +119,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound, drops outside it") {
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val joined = StreamOps.streamStreamJoin(
+      imps.toDF.toDF("imp_id", "imp_ts"),
+      clicks.toDF.toDF("click_imp_id", "click_ts"),
+      "imp_id = click_imp_id AND " +
+        "click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 30 MINUTES",
+      "imp_ts", "click_ts")
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData((1L, ts("2024-01-01 10:10:00")))  // inside the window
+      clicks.addData((2L, ts("2024-01-01 11:30:00")))  // outside: 90 min later
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out").collect()
+      assert(got.map(_.getLong(0)).toSeq === Seq(1L),
+        "only the in-window click joins its impression")
+    } finally q.stop()
+  }
+
   test("T7: restart from checkpoint resumes offsets exactly-once (no re-emission)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     Seq("""{"id":1,"title":"A"}""").toDF("value").coalesce(1).write.text(s"$dir/in")

@@ -63,4 +63,28 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("DataFilters: []"),
       s"partition predicate leaked into data filters: $scan")
   }
+
+  test("tpch_q2 per-part argmin is an aggregate, not a window sort") {
+    val plan = executed("tpch_q2")
+    assert(!plan.contains("Window"), s"min_by must not plan a window: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("sim_threshold_lsh candidates come from an equi-join, never a cross product") {
+    val plan = executed("sim_threshold_lsh")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("tpch_q21 plans one fact shuffle: no correlated self-join duplication") {
+    // the lineitem⋈orders fact join appears once; the waiting-orders filter
+    // and the late-supplier side both derive from that single joined relation
+    val plan = executed("tpch_q21")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("sim_ann_ivf assignment has no Window node") {
+    val plan = executed("sim_ann_ivf")
+    assert(!plan.contains("Window"), s"min_by assignment must not sort per vector: $plan")
+  }
 }

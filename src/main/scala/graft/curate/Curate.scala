@@ -35,6 +35,22 @@ object Curate {
       .withColumn("mm", month(col("ts")))
       .withColumn("dd", dayofmonth(col("ts")))
 
+  /** Attach single-pass data-quality metrics to a curate batch via the
+    * Observation API: row count, null-timestamp count, and the event-time
+    * bounds are accumulated DURING the write — no second scan of the input
+    * (at 100 TB a count()+agg() validation pass would re-read everything).
+    * Read the metrics from the returned Observation after an action. */
+  def observeQuality(df: DataFrame, name: String = "curate_quality")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null_ts"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"))
+    (observed, obs)
+  }
+
   /** Partitioned parquet append (`glue/job_wiki_curate.py:44-51`). */
   def writeCurated(curated: DataFrame, path: String,
                    mode: SaveMode = SaveMode.Append,

@@ -25,6 +25,37 @@ import org.apache.spark.sql.Row
 /** A user session aggregate produced by [[StreamOps.sessionize]]. */
 case class SessionOut(userId: Long, nEvents: Long, startUs: Long, endUs: Long)
 
+/** Output row of [[StreamOps.runningTotals]]. */
+case class RunningTotal(userId: Long, n: Long, total: Double)
+
+/** Per-key running aggregate via the Spark 4 `transformWithState` API — the
+  * modern replacement for mapGroupsWithState: typed composite state
+  * (ValueState/ListState/MapState), TTL, timers, and a RocksDB-backed
+  * store with changelog checkpointing. State here is one (count, sum) pair
+  * per key, updated incrementally per micro-batch — O(keys) state, O(batch)
+  * work, the shape that holds at any ingest rate. */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), RunningTotal] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)](
+      "agg", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[RunningTotal] = {
+    var (n, s) = Option(st.get()).getOrElse((0L, 0.0))
+    rows.foreach { r => n += 1; s += r._2 }
+    st.update((n, s))
+    Iterator.single(RunningTotal(key, n, s))
+  }
+}
+
 /** Internal per-user state for [[StreamOps.sessionize]]. Top level: Spark's
   * state encoder codegen requires a static constructor path. */
 case class SessionState(n: Long, startUs: Long, lastUs: Long)
@@ -141,6 +172,19 @@ object StreamOps {
     * with exactly-once accounting and no always-on cluster. */
   def drainAvailable(writer: DataStreamWriter[Row]): DataStreamWriter[Row] =
     writer.trigger(Trigger.AvailableNow())
+
+  /** T6 modern form — per-user running totals via `transformWithState`
+    * ([[RunningTotalProcessor]]); requires the RocksDB state store
+    * provider. Emits the updated (count, sum) per key per micro-batch. */
+  def runningTotals(events: Dataset[(Long, Double)])
+      : Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update)
+  }
 
   /** T6 — stateful gap-based sessionization via mapGroupsWithState: emits a
     * user's CURRENT session aggregate per batch; state times out (and would

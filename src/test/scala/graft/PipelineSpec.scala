@@ -56,6 +56,19 @@ class PipelineSpec extends SparkSpec {
     assert(top.head.getLong(3) === 2)  // the duplicated id=2 rows
   }
 
+  test("observe: quality metrics accumulate during the write, no second scan") {
+    val dir = tmp()
+    val df = Curate.curateTs(Tables.events(spark, sf).limit(1000))
+    val (observed, obs) = Curate.observeQuality(df)
+    Curate.writeCurated(observed, s"$dir/out", SaveMode.Overwrite)
+    val m = obs.get
+    assert(m("n_rows") === 1000L)
+    assert(m("n_null_ts") === 0L)
+    // events.ts is TIMESTAMP_NTZ (nanos truncated in Tables) → LocalDateTime
+    assert(m("min_ts").asInstanceOf[java.time.LocalDateTime]
+      .compareTo(m("max_ts").asInstanceOf[java.time.LocalDateTime]) <= 0)
+  }
+
   test("compact: many micro-batch files -> few, rows and partitions intact") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val dir = tmp()

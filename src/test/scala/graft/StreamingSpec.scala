@@ -164,6 +164,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("transformWithState keeps per-key running totals across micro-batches (RocksDB)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)](spark)
+      val q = StreamOps.runningTotals(in.toDS).writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        in.addData((1L, 2.0), (1L, 3.0), (2L, 5.0))
+        q.processAllAvailable()
+        in.addData((1L, 5.0))  // state must carry n=2, total=5.0 into batch 2
+        q.processAllAvailable()
+        val rows = spark.table("tws_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(rows.contains((1L, 2L, 5.0)) && rows.contains((2L, 1L, 5.0)),
+          s"batch-1 updates missing: ${rows.toSeq}")
+        assert(rows.contains((1L, 3L, 10.0)),
+          s"batch-2 must accumulate onto batch-1 state: ${rows.toSeq}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T6: stateful sessionization groups events by inactivity gap") {
     val in = MemoryStream[(Long, Long)](spark)
     val sessions = StreamOps.sessionize(in.toDS(), gapUs = 1800000000L)

@@ -261,6 +261,33 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** X3b — the stack() generator: row-pivots a fixed column list into
+    * (key, value) rows, the unpivot primitive for hand-listed columns
+    * (agg_unpivot covers the DataFrame unpivot API; this is the SQL
+    * generator form). Map-side, no shuffle before the sort. */
+  private def genStack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        expr("stack(2, 'lang', lang, 'source', source)").as(Seq("k", "v")))
+      .orderBy($"doc_id", $"k")
+  }
+
+  /** X3c — posexplode_OUTER: explode with ordinality that KEEPS parents
+    * whose array is empty (one null row) — the outer-join semantics of
+    * generation, needed whenever downstream must not silently drop
+    * rows that produced nothing. */
+  private def genPosexplodeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when($"n_chars" < 150, split(trim($"text"), " "))
+          .otherwise(array().cast("array<string>")).as("toks"))
+      .select($"doc_id", posexplode_outer($"toks").as(Seq("pos", "tok")))
+      .withColumn("pos", $"pos".cast("long"))
+      .orderBy($"doc_id", $"pos".asc_nulls_first)
+  }
+
   /** XML scalar surface (Spark 4 ships the spark-xml functions built-in):
     * build an XML fragment relationally, parse it back with `from_xml` and
     * the `xpath_*` family. The oracle computes the expected values straight
@@ -323,10 +350,27 @@ object ScalarFns extends QueryModule {
     "try_funcs" -> tryFuncs,
     "arr_funcs3" -> arrFuncs3,
     "xml_funcs" -> xmlFuncs,
-    "url_funcs" -> urlFuncs
+    "url_funcs" -> urlFuncs,
+    "gen_stack" -> genStack,
+    "gen_posexplode_outer" -> genPosexplodeOuter
   )
 
   override def oracles: Map[String, String] = Map(
+    "gen_stack" ->
+      """SELECT doc_id, k, v FROM (
+        |  SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'source' AS k, source AS v FROM documents)
+        |ORDER BY doc_id, k""".stripMargin,
+    "gen_posexplode_outer" ->
+      """SELECT doc_id, pos, tok FROM (
+        |  SELECT doc_id,
+        |         CAST(unnest(range(len(string_split(trim(text), ' ')))) AS BIGINT) AS pos,
+        |         unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents WHERE n_chars < 150
+        |  UNION ALL
+        |  SELECT doc_id, NULL, NULL FROM documents WHERE n_chars >= 150)
+        |ORDER BY doc_id, pos ASC NULLS FIRST""".stripMargin,
     "xml_funcs" ->
       """SELECT doc_id,
         |       lang AS xl,

@@ -108,13 +108,42 @@ object SortSet extends QueryModule {
       .orderBy($"user_id", $"d")
   }
 
+  /** U2c — INTERSECT ALL (bag semantics): per-user purchase days seen on
+    * BOTH halves of a date split keep their multiplicity — the count of a
+    * value in the result is min(count left, count right), which Spark
+    * plans as a single aggregate-join, not a distinct. */
+  private def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).filter($"event_type" === "purchase")
+    e.filter(dayofmonth($"ts") <= 20)
+      .select($"user_id", dayofweek($"ts").cast("long").as("dw"))
+      .intersectAll(
+        e.filter(dayofmonth($"ts") >= 10)
+          .select($"user_id", dayofweek($"ts").cast("long").as("dw")))
+      .orderBy($"user_id", $"dw")
+  }
+
+  /** U2d — EXCEPT ALL (bag semantics): multiplicity max(l - r, 0) per
+    * value. */
+  private def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    e.filter($"event_type" === "click").select($"user_id", dayofweek($"ts").cast("long").as("dw"))
+      .exceptAll(
+        e.filter($"event_type" === "purchase")
+          .select($"user_id", dayofweek($"ts").cast("long").as("dw")))
+      .orderBy($"user_id", $"dw")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "topk_orderby_limit" -> topkOrderbyLimit,
     "topk_other_bucket"  -> topkOtherBucket,
     "sort_multi"         -> sortMulti,
     "set_union_daily"    -> setUnionDaily,
     "set_intersect"      -> setIntersect,
-    "set_except"         -> setExcept
+    "set_except"         -> setExcept,
+    "set_intersect_all"  -> setIntersectAll,
+    "set_except_all"     -> setExceptAll
   )
 
   override def oracles: Map[String, String] = Map(
@@ -152,6 +181,18 @@ object SortSet extends QueryModule {
       """SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
         |EXCEPT
         |SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id, d""".stripMargin
+        |ORDER BY user_id, d""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id, dayofweek(ts) + 1 AS dw FROM events
+        |WHERE event_type = 'purchase' AND dayofmonth(ts) <= 20
+        |INTERSECT ALL
+        |SELECT user_id, dayofweek(ts) + 1 AS dw FROM events
+        |WHERE event_type = 'purchase' AND dayofmonth(ts) >= 10
+        |ORDER BY user_id, dw""".stripMargin,
+    "set_except_all" ->
+      """SELECT user_id, dayofweek(ts) + 1 AS dw FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
+        |SELECT user_id, dayofweek(ts) + 1 AS dw FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, dw""".stripMargin
   )
 }

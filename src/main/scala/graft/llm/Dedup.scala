@@ -120,9 +120,12 @@ object Dedup extends QueryModule {
     * additionally plants exact dups and cross-checks the mllib
     * implementation.
     */
-  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Verified near-duplicate pairs (a_id < b_id, exact Jaccard ≥ 0.7) from
+    * the banded-minhash pipeline — the UNBOUNDED candidate source shared by
+    * [[dedupMinhash]] (keep-first anti join) and [[dedupClustersLsh]]
+    * (full-corpus connected components). */
+  private def minhashDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
     // Hash every shingle to two 40-bit md5 halves ONCE, map-side, then
     // materialize the (doc_id, h1, h2) SET a single time: round-2 profiling
     // showed the signature and verify branches each re-deriving shingles +
@@ -133,7 +136,7 @@ object Dedup extends QueryModule {
     // relation. md5 (not xxhash64, ~2x faster) is kept because DuckDB
     // computes the identical value — the whole pipeline stays
     // oracle-replayable; 40-bit operands keep j·h2 < 2^44, safe under ANSI.
-    val hashed = shingleRows(docs)
+    val hashed = shingleRows(Tables.documents(spark, sfDir))
       .withColumn("m", md5($"s"))
       .select($"doc_id",
         conv(substring($"m", 1, 10), 16, 10).cast("long").as("h1"),
@@ -177,14 +180,21 @@ object Dedup extends QueryModule {
     // sets (the oracle replays the identical hashes, so even a collision
     // changes both sides identically).
     val grams = hashed.groupBy($"doc_id").agg(collect_set($"h1").as("hs"))
-    val dupIds = candidates
+    candidates
       .join(grams.select($"doc_id".as("a_id"), $"hs".as("sa")), Seq("a_id"))
       .join(grams.select($"doc_id".as("b_id"), $"hs".as("sb")), Seq("b_id"))
       .filter(
         size(array_intersect($"sa", $"sb")) >=
           lit(0.7) * size(array_union($"sa", $"sb")))
+      .select($"a_id", $"b_id")
+  }
+
+  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dupIds = minhashDupPairs(spark, sfDir)
       .select($"b_id".as("doc_id")).distinct()
-    docs.join(dupIds, Seq("doc_id"), "left_anti")
+    Tables.documents(spark, sfDir)
+      .join(dupIds, Seq("doc_id"), "left_anti")
       .select($"doc_id")
       .orderBy($"doc_id")
   }
@@ -284,11 +294,11 @@ object Dedup extends QueryModule {
     * node takes the min label among itself and its neighbors; converges in
     * diameter(G) rounds. Each round is one shuffle (join on dst + groupBy
     * src); `localCheckpoint` truncates the lineage so plans stay O(1) per
-    * round. At 100 TB the same loop runs with the large-star/small-star
-    * optimization (alternating high/low-degree propagation) and the pair
-    * source is LSH candidates ([[dedupMinhash]]) — the per-round dataflow
-    * (join + min-aggregate) is identical. Oracle: DuckDB recursive CTE
-    * computing min reachable id — fixpoint semantics, same result. */
+    * round. The unbounded composition is IMPLEMENTED as
+    * `dedup_clusters_lsh` ([[dedupClustersLsh]]): same loop, pair source =
+    * the full corpus's verified minhash candidates. Oracle: DuckDB
+    * recursive CTE computing min reachable id — fixpoint semantics, same
+    * result. */
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Map-side shingling ([[shingleRows]]); `distinct` gives shingle-SET
@@ -316,14 +326,29 @@ object Dedup extends QueryModule {
       .join(broadcast(sizes.select($"doc_id".as("b_id"), $"ns".as("nb"))), Seq("b_id"))
       .filter($"nc" >= lit(0.5) * ($"na" + $"nb" - $"nc"))
       .select($"a_id", $"b_id")
-    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
-      .toDF("src", "dst").localCheckpoint()
-    // Propagate only over edge-incident nodes (isolated docs are their own
-    // cluster by definition and rejoin at the end) — the loop's per-round
-    // frames shrink from |V| to |V_incident|. One action per round: the lazy
-    // localCheckpoint materializes inside the convergence count, and the
-    // carried `old` column folds the changed-check into the same frame
-    // instead of a second join.
+    val lbl = propagateMinLabels(pairs)
+    sh.select($"doc_id").distinct()
+      .join(lbl.select($"id".as("doc_id"), $"lbl"), Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Iterative min-label propagation over undirected (a_id, b_id) pair
+    * edges → (id, lbl) for edge-INCIDENT nodes (isolated nodes are their
+    * own cluster by definition and rejoin at the caller). Converges in
+    * diameter(G) rounds; each round is one shuffle (join on dst + groupBy
+    * src) with `localCheckpoint` truncating lineage so plans stay O(1) per
+    * round, and ONE action (the carried `old` column folds the
+    * convergence check into the same frame). Fails loudly if the round cap
+    * is hit non-converged — silent wrong labels would diverge from the
+    * fixpoint oracle. At 100 TB the identical loop runs with the
+    * large-star/small-star optimization (alternating high/low-degree
+    * propagation). */
+  private def propagateMinLabels(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("src", "dst")
+    val edges = p.union(p.select($"dst", $"src")).localCheckpoint()
     var lbl = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl")).localCheckpoint()
     var changed = 1L
@@ -341,12 +366,22 @@ object Dedup extends QueryModule {
       lbl = next.select($"id", $"lbl")
       rounds += 1
     }
-    // A component with diameter > the round cap would silently return
-    // non-converged labels that diverge from the fixpoint oracle — fail
-    // loudly instead of returning a wrong answer.
     require(changed == 0,
-      s"dedup_clusters: min-label propagation not converged after $rounds rounds")
-    sh.select($"doc_id").distinct()
+      s"min-label propagation not converged after $rounds rounds")
+    lbl
+  }
+
+  /** North-star — UNBOUNDED duplicate clustering: connected components over
+    * the FULL corpus's verified minhash near-dup pairs
+    * ([[minhashDupPairs]]) — the production composition the bounded
+    * [[dedupClusters]] scaladoc promises: LSH candidate generation
+    * (near-linear) → exact verify inside buckets → min-label propagation
+    * over the (sparse) dup graph. Oracle: DuckDB replays the entire LSH
+    * pipeline AND the fixpoint via a recursive CTE. */
+  private def dedupClustersLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lbl = propagateMinLabels(minhashDupPairs(spark, sfDir))
+    Tables.documents(spark, sfDir).select($"doc_id")
       .join(lbl.select($"id".as("doc_id"), $"lbl"), Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
       .orderBy($"doc_id")
@@ -375,6 +410,43 @@ object Dedup extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** The DuckDB replay of [[minhashDupPairs]] (shingle → 40-bit md5 halves
+    * → 12 double-hash minhashes → 6×2 bands → bucket candidates → exact
+    * Jaccard ≥ 0.7 on the hashed shingle sets), ending in the CTE
+    * `lsh_pairs(a_id, b_id)`. Shared by the `dedup_minhash` and
+    * `dedup_clusters_lsh` oracles. */
+  private val MinhashPipelineSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, unnest(
+      |    CASE WHEN len(w) >= 3
+      |         THEN list_transform(range(len(w) - 2),
+      |                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |         ELSE w END) AS s
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+      |h AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1,
+      |         ('0x' || substr(md5(s), 11, 10))::BIGINT AS h2
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, j, min((h1 + j * h2) % 1099511627776) AS m
+      |  FROM h CROSS JOIN (SELECT unnest(range(12)) AS j)
+      |  GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 2 AS band, list(m ORDER BY j) AS bm
+      |  FROM sig GROUP BY doc_id, j // 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id),
+      |grams AS (SELECT doc_id, list(DISTINCT h1) AS g FROM h GROUP BY doc_id),
+      |lsh_pairs AS (
+      |  SELECT c.a_id, c.b_id FROM cand c
+      |  JOIN grams ga ON ga.doc_id = c.a_id
+      |  JOIN grams gb ON gb.doc_id = c.b_id
+      |  WHERE len(list_intersect(ga.g, gb.g)) >=
+      |        0.7 * len(list_distinct(ga.g || gb.g)))""".stripMargin
+
   override def queries: Map[String, QueryFn] = Map(
     "dedup_exact_id"      -> dedupExactId,
     "dedup_text_hash"     -> dedupTextHash,
@@ -382,6 +454,7 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters"      -> dedupClusters,
+    "dedup_clusters_lsh"  -> dedupClustersLsh,
     "dedup_embed_cosine"  -> dedupEmbedCosine
   )
 
@@ -433,39 +506,24 @@ object Dedup extends QueryModule {
     // keys (the signature slices themselves), identical exact-Jaccard
     // verify — so the survivor sets must match row for row.
     "dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, unnest(
-        |    CASE WHEN len(w) >= 3
-        |         THEN list_transform(range(len(w) - 2),
-        |                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-        |         ELSE w END) AS s
-        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
-        |h AS (
-        |  SELECT doc_id,
-        |         ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1,
-        |         ('0x' || substr(md5(s), 11, 10))::BIGINT AS h2
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, j, min((h1 + j * h2) % 1099511627776) AS m
-        |  FROM h CROSS JOIN (SELECT unnest(range(12)) AS j)
-        |  GROUP BY doc_id, j),
-        |band AS (
-        |  SELECT doc_id, j // 2 AS band, list(m ORDER BY j) AS bm
-        |  FROM sig GROUP BY doc_id, j // 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM band a JOIN band b
-        |    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id),
-        |grams AS (SELECT doc_id, list(DISTINCT h1) AS g FROM h GROUP BY doc_id),
-        |dup AS (
-        |  SELECT DISTINCT c.b_id FROM cand c
-        |  JOIN grams ga ON ga.doc_id = c.a_id
-        |  JOIN grams gb ON gb.doc_id = c.b_id
-        |  WHERE len(list_intersect(ga.g, gb.g)) >=
-        |        0.7 * len(list_distinct(ga.g || gb.g)))
+      s"""$MinhashPipelineSql,
+        |dup AS (SELECT DISTINCT b_id FROM lsh_pairs)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
+    // The same replayed pipeline, then the connected-components fixpoint
+    // as a recursive CTE — full-corpus clustering, no slice bound.
+    "dedup_clusters_lsh" ->
+      s"""$MinhashPipelineSql,
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM lsh_pairs
+        |  UNION SELECT b_id, a_id FROM lsh_pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> {
       val bitSums = (0 until 32).map(i =>
         s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")

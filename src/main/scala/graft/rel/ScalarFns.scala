@@ -261,6 +261,41 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** ANSI interval arithmetic + calendar navigation: day differences,
+    * day-time and year-month interval shifts, ISO week truncation/number.
+    * (timestampdiff's complete-unit semantics differ from DuckDB's
+    * boundary-crossing date_diff, so the oracle-checked surface sticks to
+    * the operations both engines define identically.) */
+  private def intervalFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).cast("long").as("dd"),
+        ($"ts" + expr("INTERVAL 3 DAYS 4 HOURS")).as("ta"),
+        ($"ts" - expr("INTERVAL 1 MONTH")).as("tm"),
+        date_trunc("week", $"ts").as("wk"),
+        weekofyear($"ts").cast("long").as("woy"))
+      .orderBy($"event_id")
+  }
+
+  /** Spark 4 COLLATION support: case-insensitive equality and prefix
+    * matching under UTF8_LCASE, against a mixed-case column synthesized
+    * from the corpus (the fixture is all-lowercase). The oracle emulates
+    * the collation with lower() — proving the collated comparisons have
+    * exactly case-fold semantics. */
+  private def strCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("mix",
+        when(pmod($"doc_id", lit(2)) === 0, upper($"lang")).otherwise($"lang"))
+      .select(
+        $"doc_id", $"mix",
+        expr("mix COLLATE UTF8_LCASE = 'eN'").as("eq_ci"),
+        expr("startswith(mix COLLATE UTF8_LCASE, 'E')").as("sw_ci"))
+      .orderBy($"doc_id")
+  }
+
   /** X3b — the stack() generator: row-pivots a fixed column list into
     * (key, value) rows, the unpivot primitive for hand-listed columns
     * (agg_unpivot covers the DataFrame unpivot API; this is the SQL
@@ -352,10 +387,26 @@ object ScalarFns extends QueryModule {
     "xml_funcs" -> xmlFuncs,
     "url_funcs" -> urlFuncs,
     "gen_stack" -> genStack,
-    "gen_posexplode_outer" -> genPosexplodeOuter
+    "gen_posexplode_outer" -> genPosexplodeOuter,
+    "interval_funcs" -> intervalFuncs,
+    "str_collation" -> strCollation
   )
 
   override def oracles: Map[String, String] = Map(
+    "interval_funcs" ->
+      """SELECT event_id,
+        |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd,
+        |       ts + INTERVAL 3 DAY + INTERVAL 4 HOUR AS ta,
+        |       ts - INTERVAL 1 MONTH AS tm,
+        |       CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+        |       weekofyear(ts) AS woy
+        |FROM events ORDER BY event_id""".stripMargin,
+    "str_collation" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS mix,
+        |       lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) = 'en' AS eq_ci,
+        |       lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) LIKE 'e%' AS sw_ci
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "gen_stack" ->
       """SELECT doc_id, k, v FROM (
         |  SELECT doc_id, 'lang' AS k, lang AS v FROM documents

@@ -261,6 +261,23 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** CSV scalar surface — from_csv/to_csv, the column-level twin of the
+    * json/xml families: build a CSV line relationally, parse it back with
+    * a DDL schema, and render a struct out. Oracle recomputes from base
+    * columns, proving parse(build(x)) == x per row. */
+  private def csvFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("c", concat_ws(",", $"event_id", $"event_type", $"user_id"))
+      .withColumn("p", expr("from_csv(c, 'id BIGINT, t STRING, u BIGINT')"))
+      .select(
+        $"event_id",
+        $"p.t".as("ft"),
+        $"p.u".as("fu"),
+        to_csv(struct($"event_id".as("id"), $"event_type".as("t"))).as("tc"))
+      .orderBy($"event_id")
+  }
+
   /** ANSI interval arithmetic + calendar navigation: day differences,
     * day-time and year-month interval shifts, ISO week truncation/number.
     * (timestampdiff's complete-unit semantics differ from DuckDB's
@@ -389,10 +406,17 @@ object ScalarFns extends QueryModule {
     "gen_stack" -> genStack,
     "gen_posexplode_outer" -> genPosexplodeOuter,
     "interval_funcs" -> intervalFuncs,
-    "str_collation" -> strCollation
+    "str_collation" -> strCollation,
+    "csv_funcs" -> csvFuncs
   )
 
   override def oracles: Map[String, String] = Map(
+    "csv_funcs" ->
+      """SELECT event_id,
+        |       event_type AS ft,
+        |       user_id AS fu,
+        |       CAST(event_id AS VARCHAR) || ',' || event_type AS tc
+        |FROM events ORDER BY event_id""".stripMargin,
     "interval_funcs" ->
       """SELECT event_id,
         |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd,

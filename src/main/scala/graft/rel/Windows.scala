@@ -142,6 +142,23 @@ object Windows extends QueryModule {
       .orderBy($"user_id", $"sid")
   }
 
+  /** T6 native form — the built-in `session_window` generator: the same
+    * gap sessionization as [[session]] expressed declaratively (and the
+    * form that runs under Structured Streaming with watermark state
+    * eviction). Merge rule is half-open [start, last+gap): a gap EXACTLY
+    * equal to 30 min starts a NEW session (>= break), subtly different
+    * from the manual lag formulation's strict >; the oracle replays the
+    * >= rule. */
+  private def sessionNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("s_start"), $"sw.end".as("s_end"),
+        $"n_events")
+      .orderBy($"user_id", $"s_start")
+  }
+
   /** W6 — value-position analytics: first/last/nth event value per day
     * over the full-frame window. */
   private def firstLast(spark: SparkSession, sfDir: String): DataFrame = {
@@ -170,7 +187,8 @@ object Windows extends QueryModule {
     "win_ntile"          -> ntileQ,
     "win_percent_rank"   -> percentRankQ,
     "win_tumbling_daily" -> tumblingDaily,
-    "win_session"        -> session
+    "win_session"        -> session,
+    "win_session_native" -> sessionNative
   )
 
   override def oracles: Map[String, String] = Map(
@@ -237,6 +255,22 @@ object Windows extends QueryModule {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM t)
         |SELECT user_id, sid, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "win_session_native" ->
+      """WITH t AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts, 1) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
   )
 }

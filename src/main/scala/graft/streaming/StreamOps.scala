@@ -160,9 +160,9 @@ object StreamOps {
     * the attribution window. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, joinExpr: String,
       leftTs: String, rightTs: String,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark), expr(joinExpr))
+      .join(right.withWatermark(rightTs, watermark), expr(joinExpr), joinType)
 
   /** T2 modern form — drain-the-backlog trigger: process everything
     * available (in rate-limited micro-batches) then STOP. This is the

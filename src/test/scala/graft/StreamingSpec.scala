@@ -141,6 +141,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the unmatched row once the watermark closes it") {
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val joined = StreamOps.streamStreamJoin(
+      imps.toDF.toDF("imp_id", "imp_ts"),
+      clicks.toDF.toDF("click_imp_id", "click_ts"),
+      "imp_id = click_imp_id AND " +
+        "click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 30 MINUTES",
+      "imp_ts", "click_ts", watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.toDF("imp_id", "imp_ts", "click_imp_id", "click_ts")
+      .writeStream.format("memory").queryName("ss_left_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")))  // will never be clicked
+      clicks.addData((99L, ts("2024-01-01 10:00:00")))  // advance click watermark
+      q.processAllAvailable()
+      assert(spark.table("ss_left_out").isEmpty,
+        "unmatched row must NOT emit while its window can still match")
+      // advance BOTH watermarks far past imp 1's attribution window
+      imps.addData((2L, ts("2024-01-01 13:00:00")))
+      clicks.addData((98L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      imps.addData((3L, ts("2024-01-01 14:00:00")))
+      clicks.addData((97L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ss_left_out").collect()
+      assert(got.exists(r => r.getLong(0) == 1L && r.isNullAt(2)),
+        s"imp 1 must emit with a NULL click side after state eviction: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("T7: restart from checkpoint resumes offsets exactly-once (no re-emission)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     Seq("""{"id":1,"title":"A"}""").toDF("value").coalesce(1).write.text(s"$dir/in")

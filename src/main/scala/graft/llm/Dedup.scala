@@ -347,7 +347,11 @@ object Dedup extends QueryModule {
   private def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = pairs.toDF("src", "dst")
+    // Materialize the (possibly expensive) pair source ONCE before the
+    // undirected union — otherwise both union branches re-run the whole
+    // upstream pipeline (for dedup_clusters_lsh that is the complete LSH
+    // candidate generation + verify, twice).
+    val p = pairs.toDF("src", "dst").localCheckpoint()
     val edges = p.union(p.select($"dst", $"src")).localCheckpoint()
     var lbl = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl")).localCheckpoint()

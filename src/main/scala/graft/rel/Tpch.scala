@@ -479,11 +479,14 @@ object Tpch extends QueryModule {
     * would re-shuffle lineitem; this shuffles it once). */
   private def q21(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Materialized once: both the waiting-order filter and the
+    // late-supplier projection consume this joined relation.
     val lo = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F"),
         $"l_orderkey" === $"o_orderkey")
       .select($"o_orderkey", $"l_suppkey",
         ($"l_shipdate" > date_add($"o_orderdate", 60).cast("timestamp")).as("late"))
+      .localCheckpoint()
     val waiting = lo.groupBy($"o_orderkey")
       .agg(countDistinct($"l_suppkey").as("n_supp"),
         countDistinct(when($"late", $"l_suppkey")).as("n_late"))

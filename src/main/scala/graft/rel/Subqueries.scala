@@ -26,6 +26,22 @@ object Subqueries extends QueryModule {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_lineitem")
   }
 
+  /** NOT IN over a NULLABLE subquery column → Catalyst's null-aware anti
+    * join (a single NULL in the subquery makes every NOT IN UNKNOWN, so a
+    * plain anti join would be WRONG; Spark plans a null-aware
+    * BroadcastHashJoin for the single-column case). NULLIF keeps the
+    * column nullable (forcing the null-aware plan) while never actually
+    * null (keeping the result equal to the plain NOT IN, which DuckDB
+    * replays). */
+  private def subNotIn(spark: SparkSession, sfDir: String): DataFrame = {
+    withViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM g_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM g_orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Uncorrelated IN subquery → left-semi join after rewrite. */
   private def subIn(spark: SparkSession, sfDir: String): DataFrame = {
     withViews(spark, sfDir)
@@ -97,6 +113,7 @@ object Subqueries extends QueryModule {
 
   override def queries: Map[String, QueryFn] = Map(
     "sub_in"          -> subIn,
+    "sub_not_in"      -> subNotIn,
     "sub_exists"      -> subExists,
     "sub_scalar"      -> subScalar,
     "sub_scalar_corr" -> subScalarCorr,
@@ -105,6 +122,11 @@ object Subqueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sub_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
     "sub_in" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)

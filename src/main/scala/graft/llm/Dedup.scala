@@ -99,31 +99,29 @@ object Dedup extends QueryModule {
   private val NumBands = 6
   private val RowsPerBand = 2
 
-  /** L2 — MinHash+LSH near-dedup, keep-first, implemented natively in
-    * codegen'd relational expressions (no ML-pipeline UDF overhead —
-    * measured 2x cheaper than the mllib MinHashLSH route at sf0.1, and 20x
-    * cheaper than a lambda formulation, same structure):
+  /** Verified near-duplicate pairs (a_id < b_id, exact Jaccard ≥ 0.7) from
+    * the banded-minhash pipeline, implemented natively in codegen'd
+    * relational expressions (no ML-pipeline UDF overhead — measured 2x
+    * cheaper than the mllib MinHashLSH route at sf0.1, 20x cheaper than a
+    * lambda formulation):
     *
-    *   shingle → xxhash64 per shingle → k salted minhashes
-    *   (min over shingles of xxhash64(h, j)) → band the
-    *   signature (r rows/band) → shuffle on (band, bandHash) → candidate
-    *   pairs sharing a band → EXACT Jaccard ≥ 0.7 verify → drop the higher
-    *   doc_id of each confirmed pair.
+    *   shingle → two 40-bit md5 halves per shingle → k double-hash
+    *   minhashes (min over shingles of (h1 + j·h2) mod 2^40) → band the
+    *   signature (r rows/band) → shuffle on (band, signature slice) →
+    *   candidate pairs sharing a band → EXACT Jaccard ≥ 0.7 verify on the
+    *   hashed shingle sets.
     *
     * This is the 100-TB shape: candidate generation is one near-linear
     * shuffle; the quadratic exact verify runs only inside buckets.
     * Banding (b=6, r=2): P(candidate) = 1-(1-j²)⁶ ≈ 0.98 at j=0.7, ≈ 2·10⁻⁴
     * at the random-doc j≈0.005 of this corpus. Oracle-checked: the hash
     * functions are deterministic portable arithmetic, so DuckDB replays
-    * the ENTIRE pipeline (shingle → signatures → bands → candidates →
-    * exact verify) and must produce the identical survivor set; LlmSpec
+    * the ENTIRE pipeline and must produce identical pairs; LlmSpec
     * additionally plants exact dups and cross-checks the mllib
-    * implementation.
-    */
-  /** Verified near-duplicate pairs (a_id < b_id, exact Jaccard ≥ 0.7) from
-    * the banded-minhash pipeline — the UNBOUNDED candidate source shared by
-    * [[dedupMinhash]] (keep-first anti join) and [[dedupClustersLsh]]
-    * (full-corpus connected components). */
+    * implementation. The UNBOUNDED candidate source shared by
+    * [[dedupMinhash]] (L2, keep-first: drop the higher doc_id of each
+    * confirmed pair) and [[dedupClustersLsh]] (full-corpus connected
+    * components). */
   private def minhashDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Hash every shingle to two 40-bit md5 halves ONCE, map-side, then

@@ -145,10 +145,12 @@ object Windows extends QueryModule {
   /** T6 native form — the built-in `session_window` generator: the same
     * gap sessionization as [[session]] expressed declaratively (and the
     * form that runs under Structured Streaming with watermark state
-    * eviction). Merge rule is half-open [start, last+gap): a gap EXACTLY
-    * equal to 30 min starts a NEW session (>= break), subtly different
-    * from the manual lag formulation's strict >; the oracle replays the
-    * >= rule. */
+    * eviction). Break rule is strict: a gap EXACTLY equal to 30 min still
+    * MERGES (verified empirically on Spark 4.1.2 — events 10:00 and 10:30
+    * with a 30-min gap form one session), identical to the manual lag
+    * formulation's `> gap` break; the oracle replays strict >. Output
+    * differs from [[session]] only in shape: window [start, last+gap)
+    * bounds instead of a session ordinal. */
   private def sessionNative(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
@@ -260,7 +262,7 @@ object Windows extends QueryModule {
       """WITH t AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts, 1) OVER w IS NULL
-        |                OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= 1800000000
+        |                OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)),

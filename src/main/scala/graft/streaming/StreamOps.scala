@@ -131,14 +131,22 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // Only a MISSING target means "first batch". Any other read failure
-        // must fail the batch (so the checkpoint retries it) — swallowing it
-        // would fall through to mode("overwrite") and replace the whole
-        // table with just this micro-batch, destroying merged state.
+        // Only a target with NO COMMITTED DATA means "first batch" — that
+        // covers both a missing dir and a dir left behind by a crashed
+        // first write (only _temporary/_SUCCESS markers, no part files),
+        // which would otherwise wedge every restart on a schema-inference
+        // error. Any OTHER read failure must fail the batch (so the
+        // checkpoint retries it) — swallowing it would fall through to
+        // mode("overwrite") and replace the whole table with just this
+        // micro-batch, destroying merged state.
         val tPath = new org.apache.hadoop.fs.Path(targetDir)
         val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(tPath) && fs.listStatus(tPath).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
         val existing =
-          if (fs.exists(tPath)) Some(spark.read.parquet(targetDir)) else None
+          if (hasData) Some(spark.read.parquet(targetDir)) else None
         val merged = existing match {
           case Some(old) => graft.upsert.KeepLatest.keepLatest(
             old.unionByName(batch), keyCols, Seq(col(versionCol).desc))

@@ -18,6 +18,23 @@ class FnSemanticsSpec extends SparkSpec {
       === java.sql.Date.valueOf("2023-02-28"))
   }
 
+  test("session_window MERGES a gap exactly equal to the threshold (strict > break)") {
+    // Locks the empirically-verified boundary rule the win_session_native
+    // oracle replays: events exactly 30 min apart form ONE session
+    // [first, last + gap) — adjacent event windows merge.
+    val out = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      .toDF("uid", "ts")
+      .groupBy($"uid", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"sw.end".as("e"), $"n")
+      .collect()
+    assert(out.length === 1, s"exact-gap events must merge: ${out.toSeq}")
+    assert(out.head.getLong(1) === 2L)
+    assert(out.head.getTimestamp(0) === java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))
+  }
+
   test("split keeps trailing empty tokens (limit = -1 semantics)") {
     assert(one(size(split(lit("a b "), " "))).getInt(0) === 3)
   }

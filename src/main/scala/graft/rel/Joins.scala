@@ -161,6 +161,48 @@ object Joins extends QueryModule {
       .orderBy($"r_regionkey", $"o_orderstatus")
   }
 
+  private val bucketedWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** J10 — bucketed co-located fact-fact join: both tables pre-bucketed
+    * (8 buckets, sorted) on the join key, so the REPEATED orders⋈lineitem
+    * join plans with zero join-key exchanges — at 100 TB this is the
+    * layout lever that turns every repeat fact join into co-located
+    * streams (BucketingSpec asserts the no-Exchange sort-merge plan with
+    * broadcast disabled; at fixture scale the default config may still
+    * broadcast, which is also correct). The bucketed write runs once per
+    * (JVM, sfDir); the query itself is the join + grouped aggregate,
+    * oracle-checked against the plain parquet join. */
+  private def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val suffix = sfDir.hashCode.toHexString
+    val ot = s"graft_orders_bq_$suffix"
+    val lt = s"graft_lineitem_bq_$suffix"
+    bucketedWritten.getOrElseUpdate(sfDir, {
+      // a managed-table dir surviving from an earlier JVM is unknown to
+      // this session's in-memory catalog — clear it before recreating
+      for (t <- Seq(ot, lt)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"spark-warehouse/$t"))
+      }
+      Tables.orders(spark, sfDir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+      Tables.lineitem(spark, sfDir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+      true
+    })
+    spark.table(lt)
+      .join(spark.table(ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), pround(sum($"l_extendedprice"), 2).as("rev"))
+      .orderBy($"o_orderstatus")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "join_inner"     -> joinInner,
     "join_broadcast" -> joinBroadcast,
@@ -172,10 +214,16 @@ object Joins extends QueryModule {
     "join_range"     -> joinRange,
     "join_asof"      -> joinAsof,
     "join_cross"     -> joinCross,
-    "join_skew_salted" -> joinSkewSalted
+    "join_skew_salted" -> joinSkewSalted,
+    "join_bucketed"  -> joinBucketed
   )
 
   override def oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

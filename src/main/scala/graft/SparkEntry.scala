@@ -27,6 +27,7 @@ object SparkEntry {
     rel.StatsAggs,
     rel.TimeSeries,
     llm.Dedup,
+    llm.Curation,
     llm.Similarity,
     llm.Text,
     llm.Multimodal,

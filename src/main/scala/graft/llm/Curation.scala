@@ -1,0 +1,212 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY.md §2.11 north-star extensions):
+  * the per-document preprocessing a large-scale LLM data pipeline applies
+  * between raw ingest and tokenization — deterministic sampling, windowed
+  * chunking, PII masking, composite quality filtering, and containment
+  * scoring.
+  *
+  * Reference lineage: the reference curates raw events into clean
+  * partitioned tables before analytics (`glue/job_wiki_curate.py:32-51`);
+  * these operators are the document-modality equivalent of that
+  * curate-before-query stage.
+  *
+  * Scale notes (100 TB): every operator here except the bounded containment
+  * scorer is a pure MAP — no shuffle at all. That is deliberate: sampling,
+  * chunking, masking, and quality filtering are the operations that touch
+  * EVERY byte of a corpus, so at 100 TB they must stream through the scan
+  * (filter/project pushed into the parquet reader, whole-stage codegen, no
+  * exchange). The orderBy each query ends with exists only for the
+  * determinism contract at test scale — a production pipeline writes the
+  * map output straight back out, partition-parallel.
+  */
+object Curation extends QueryModule {
+
+  /** Deterministic HASH-based stratified sampling — the 100-TB way to
+    * downsample a majority class (here: language rebalancing, the standard
+    * LLM-corpus move). Each doc maps to a uniform [0,1) draw via the first
+    * 8 md5 hex digits of its id — no RNG state, no seed plumbing, fully
+    * reproducible across engines and re-runs, and embarrassingly parallel
+    * (a pure map-side filter; `sampleBy` needs a seeded partition RNG and
+    * is not replayable cross-engine). Keep-rates: en 0.25 (majority class
+    * downsampled 4x), de 0.5, everything else kept. */
+  private def sampleStratifiedHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .filter(u < when($"lang" === "en", 0.25)
+        .when($"lang" === "de", 0.5).otherwise(1.0))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  private val ChunkTokens = 50
+  private val ChunkStride = 40
+
+  /** Fixed-token-window chunking with overlap (window 50, stride 40 — the
+    * 10-token overlap preserves context across chunk boundaries, the
+    * standard pre-tokenization split for embedding/pretraining pipelines).
+    * Chunk starts explode map-side from a `sequence`; each chunk is a
+    * `slice` + `concat_ws` of the pre-split token array — no shuffle, no
+    * window function, the doc's tokens are read once per chunk from the
+    * row-local array. */
+  private def textChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").as("nw"))
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), $"nw" - 1, lit(ChunkStride))).as("start"))
+      .select(
+        $"doc_id",
+        floor($"start" / lit(ChunkStride)).cast("long").as("chunk_id"),
+        concat_ws(" ", slice($"ws", $"start" + 1, lit(ChunkTokens))).as("chunk"),
+        size(slice($"ws", $"start" + 1, lit(ChunkTokens))).cast("long").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** PII masking — emails then long digit/dash runs replaced with typed
+    * placeholder tokens, the minimum-viable scrub every public-corpus
+    * pipeline runs. Both patterns restrict to regex constructs Java
+    * (Spark) and RE2 (DuckDB) interpret identically — character classes,
+    * bounded repetition — so the oracle replays the masking exactly.
+    * Single codegen'd projection, no shuffle. */
+  private val EmailRe = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+  private val NumRe = "[0-9][0-9\\-]{2,}[0-9]"
+
+  private def textPiiMask(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        regexp_replace(
+          regexp_replace($"text", EmailRe, "<EMAIL>"),
+          NumRe, "<NUM>").as("masked"))
+      .withColumn("n_chars", length($"masked").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** Composite C4-style quality filter: length bounds, minimum token
+    * count, mean-word-length band, digit-density cap — each emitted as its
+    * own flag (pipelines track per-rule rejection rates) plus the combined
+    * keep decision. All thresholds compare in INTEGER arithmetic
+    * (`10·digits < 3·len` instead of `digits/len < 0.3`) so no float ever
+    * sits on a decision boundary — bit-identical in any engine. One
+    * codegen'd pass over the scan, no shuffle. */
+  private def qualityFilterPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val len = length($"text")
+    val ntok = size(split(trim($"text"), " "))
+    val letters = length(regexp_replace($"text", " ", ""))
+    val digits = len - length(regexp_replace($"text", "[0-9]", ""))
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        (len >= 60 && len <= 520).as("len_ok"),
+        (ntok >= 15).as("tok_ok"),
+        (letters >= ntok * 2 && letters <= ntok * 12).as("wordlen_ok"),
+        (digits * 10 < len * 3).as("digit_ok"))
+      .withColumn("keep",
+        $"len_ok" && $"tok_ok" && $"wordlen_ok" && $"digit_ok")
+      .orderBy($"doc_id")
+  }
+
+  /** Containment scoring — max over other docs of |A∩B| / |A| on 3-gram
+    * shingle sets. Containment (not Jaccard) is what catches a document
+    * EMBEDDED inside a larger one (boilerplate wrapping, quote-and-extend
+    * dups) where Jaccard dilutes below threshold. Asymmetric, so pairs are
+    * a != b, not a < b. Exact scorer on the bounded slice — the unbounded
+    * candidate source is the minhash band join ([[Dedup.minhashDupPairs]]),
+    * exactly as with `dedup_ngram_jaccard`. */
+  private def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < 300)
+      .withColumn("w", split(trim($"text"), " "))
+      .withColumn("g",
+        when(size($"w") >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise($"w"))
+      .select($"doc_id", array_distinct($"g").as("g"))
+    val a = grams.repartition(col("doc_id"))
+      .select($"doc_id".as("a_id"), $"g".as("ga"))
+    val b = grams.select($"doc_id".as("b_id"), $"g".as("gb"))
+    a.join(broadcast(b), $"a_id" =!= $"b_id")
+      .withColumn("c",
+        size(array_intersect($"ga", $"gb")) / nullif(size($"ga"), lit(0)))
+      .groupBy($"a_id")
+      .agg(pround(max($"c"), 6).as("best_containment"))
+      .orderBy($"a_id")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "sample_stratified_hash"  -> sampleStratifiedHash,
+    "text_chunk"              -> textChunk,
+    "text_pii_mask"           -> textPiiMask,
+    "quality_filter_pipeline" -> qualityFilterPipeline,
+    "dedup_containment"       -> dedupContainment
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sample_stratified_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |       CAST(s // 40 AS BIGINT) AS chunk_id,
+        |       array_to_string(w[s+1:s+50], ' ') AS chunk,
+        |       CAST(len(w[s+1:s+50]) AS BIGINT) AS n_tokens
+        |FROM t, unnest(range(0, len(w), 40)) AS u(s)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9\-]{2,}[0-9]', '<NUM>', 'g') AS masked,
+        |  CAST(len(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9\-]{2,}[0-9]', '<NUM>', 'g')) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_filter_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(text) AS l,
+        |    len(string_split(trim(text), ' ')) AS ntok,
+        |    len(replace(text, ' ', '')) AS letters,
+        |    len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  l >= 60 AND l <= 520 AS len_ok,
+        |  ntok >= 15 AS tok_ok,
+        |  letters >= ntok * 2 AND letters <= ntok * 12 AS wordlen_ok,
+        |  digits * 10 < l * 3 AS digit_ok,
+        |  (l >= 60 AND l <= 520) AND ntok >= 15
+        |    AND (letters >= ntok * 2 AND letters <= ntok * 12)
+        |    AND digits * 10 < l * 3 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_transform(range(len(w) - 2),
+        |                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |         ELSE w END) AS g
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |        FROM documents WHERE doc_id < 300))
+        |SELECT a.doc_id AS a_id,
+        |       floor(max(len(list_intersect(a.g, b.g)) * 1.0 /
+        |                 nullif(len(a.g), 0)) * 1000000 + 0.5) / 1000000 AS best_containment
+        |FROM grams a JOIN grams b ON a.doc_id != b.doc_id
+        |GROUP BY a.doc_id ORDER BY a_id""".stripMargin
+  )
+}

@@ -124,35 +124,31 @@ object Dedup extends QueryModule {
     * components). */
   private def minhashDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Hash every shingle to two 40-bit md5 halves ONCE, map-side, then
-    // materialize the (doc_id, h1, h2) SET a single time: round-2 profiling
-    // showed the signature and verify branches each re-deriving shingles +
-    // md5 — the dominant cost of the whole query. The distinct doubles as
-    // shingle-SET semantics (Jaccard is a set measure; min over duplicates
-    // is unchanged), and it shrinks what the checkpoint stores. At cluster
-    // scale the same materialize-once is a persist/checkpoint of this
-    // relation. md5 (not xxhash64, ~2x faster) is kept because DuckDB
-    // computes the identical value — the whole pipeline stays
-    // oracle-replayable; 40-bit operands keep j·h2 < 2^44, safe under ANSI.
-    val hashed = shingleRows(Tables.documents(spark, sfDir))
+    // Hash every shingle to two 40-bit md5 halves map-side, then ONE
+    // aggregation produces BOTH the k-minhash signature (k codegen'd min()
+    // aggregates — a lambda formulation is CodegenFallback and measured 12x
+    // slower; min() partials combine map-side, so the shuffle carries k
+    // longs + the per-doc hash set) AND the distinct hashed-shingle set the
+    // exact verify needs. Round-3 shipped these as two groupBys over a
+    // distinct()-ed million-row checkpoint; folding them into one aggregate
+    // drops that whole shuffle + materialization — what is checkpointed now
+    // is one row per DOCUMENT (collect_set supplies the shingle-SET
+    // semantics; min over duplicate rows is unchanged). md5 (not xxhash64,
+    // ~2x faster) is kept because DuckDB computes the identical value — the
+    // whole pipeline stays oracle-replayable; 40-bit operands keep
+    // j·h2 < 2^44, safe under ANSI (Spark 4 default). The j-th hash is
+    // classic double hashing: h_j = (h1 + j·h2) mod 2^40.
+    val k = NumBands * RowsPerBand
+    val sigAggs = (0 until k).map(j =>
+      min(($"h1" + lit(j.toLong) * $"h2") % lit(1L << 40)).as(s"s$j"))
+    val perDoc = shingleRows(Tables.documents(spark, sfDir))
       .withColumn("m", md5($"s"))
       .select($"doc_id",
         conv(substring($"m", 1, 10), 16, 10).cast("long").as("h1"),
         conv(substring($"m", 11, 10), 16, 10).cast("long").as("h2"))
-      .distinct()
-      .localCheckpoint()
-    // Minhash RELATIONALLY: k codegen'd min() aggregates over the hashed
-    // shingle rows. (A lambda formulation — aggregate(hs, ..., least/...) —
-    // is CodegenFallback in Spark and measured 12x slower; plain min()
-    // aggregates also combine map-side, so the shuffle carries k longs per
-    // doc at any scale.) The j-th hash is classic double hashing:
-    // h_j = (h1 + j·h2) mod 2^40.
-    val k = NumBands * RowsPerBand
-    val sigAggs = (0 until k).map(j =>
-      min(($"h1" + lit(j.toLong) * $"h2") % lit(1L << 40)).as(s"s$j"))
-    val sigs = hashed
       .groupBy($"doc_id")
-      .agg(sigAggs.head, sigAggs.tail: _*)
+      .agg(sigAggs.head, (sigAggs.tail :+ collect_set($"h1").as("hs")): _*)
+      .localCheckpoint()
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("band"),
         array((bi * RowsPerBand until (bi + 1) * RowsPerBand)
@@ -163,7 +159,7 @@ object Dedup extends QueryModule {
     // multi-band-hit distinct() hashes ids, not 300-string arrays. The
     // band key is the signature slice itself (no extra hash — equality is
     // all the join needs, and it keeps the key oracle-portable).
-    val banded = sigs
+    val banded = perDoc
       .withColumn("bands", array(bandCols: _*))
       .select($"doc_id", explode($"bands").as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.bm".as("bm"))
@@ -177,7 +173,7 @@ object Dedup extends QueryModule {
     // hot spot). Jaccard over the hash sets equals Jaccard over the shingle
     // sets (the oracle replays the identical hashes, so even a collision
     // changes both sides identically).
-    val grams = hashed.groupBy($"doc_id").agg(collect_set($"h1").as("hs"))
+    val grams = perDoc.select($"doc_id", $"hs")
     candidates
       .join(grams.select($"doc_id".as("a_id"), $"hs".as("sa")), Seq("a_id"))
       .join(grams.select($"doc_id".as("b_id"), $"hs".as("sb")), Seq("b_id"))

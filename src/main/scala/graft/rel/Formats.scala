@@ -152,8 +152,8 @@ object Formats extends QueryModule {
         |  SELECT replace(replace(text, chr(13), ' '), chr(10), ' ') AS text
         |  FROM documents)
         |SELECT count(*) AS n_lines,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
-        |  sum(len(text)) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
         |  min(len(string_split(text, ' '))) AS min_tokens,
         |  max(len(string_split(text, ' '))) AS max_tokens
         |FROM t""".stripMargin

@@ -77,12 +77,118 @@ case class VecDotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-LSH band signatures of a vector in ONE compact expression:
+  * output[b] = Σ_j (dot(v, plane[b·rows+j]) > 0 ? 2^(rows-1-j) : 0), the
+  * banded random-hyperplane signature.
+  *
+  * Why one expression instead of bands·rows `VecDotExpr` columns: a
+  * 64-dot projection generates a single Janino method past HotSpot's
+  * huge-method bytecode threshold, so the whole signature pass ran as
+  * INTERPRETED bytecode — measured ~10 µs per 64-float dot vs the ~0.1 µs
+  * the same loop costs JIT-compiled (tools/ProfLsh). This expression is
+  * one small nested loop (JIT-friendly), reads the vector once with full
+  * locality, and emits every band value in a single pass.
+  *
+  * Numerics: per-dot left-to-right double summation, `> 0` strict — bit
+  * for bit the computation the per-column formulation did, so oracle
+  * replays are unchanged.
+  *
+  * `planes` is the flattened bands·rows·dim literal; each plane has the
+  * vector's dimensionality (`dim = planes.numElements / (bands·rows)`).
+  */
+case class VecSignBandsExpr(left: Expression, right: Expression,
+    bands: Int, rowsPerBand: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sign_bands expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_sign_bands"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[ArrayData]
+    val dim = p.numElements() / (bands * rowsPerBand)
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](bands)
+    var bi = 0
+    while (bi < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val base = (bi * rowsPerBand + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += v.getFloat(i).toDouble * p.getFloat(base + i).toDouble
+          i += 1
+        }
+        if (s > 0) acc += 1L << (rowsPerBand - 1 - j)
+        j += 1
+      }
+      out(bi) = acc
+      bi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val dim = ctx.freshName("dim")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val bi = ctx.freshName("bi")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $dim = $p.numElements() / ${bands * rowsPerBand};
+         |int $n = Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$bands];
+         |for (int $bi = 0; $bi < $bands; $bi++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+         |    int $base = ($bi * $rowsPerBand + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += (double) $v.getFloat($i) * (double) $p.getFloat($base + $i);
+         |    }
+         |    if ($s > 0) $acc += 1L << ($rowsPerBand - 1 - $j);
+         |  }
+         |  $out[$bi] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSignBandsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-world + SQL-world entry points for the native vector ops. */
 object VecDotNative {
 
   def vec_dot_native(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDotExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** All `bands` sign-LSH band values of `v` against the flattened
+    * `planes` literal in one JIT-friendly pass — see [[VecSignBandsExpr]]. */
+  def vec_sign_bands(v: Column, planes: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.column(
+      VecSignBandsExpr(GraftSqlBridge.expression(v),
+        GraftSqlBridge.expression(planes), bands, rowsPerBand))
 
   def vec_norm_native(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot_native(a, a))

@@ -120,13 +120,16 @@ object Similarity extends QueryModule {
   private val ThreshBands = 8
   private val ThreshRows = 8
 
-  /** The bi-th 8-bit sign-band of an embedding against [[threshPlanes]]. */
-  private def bandSig(v: Column, bi: Int): Column =
-    (0 until ThreshRows).map { j =>
-      val p = threshPlanes(bi * ThreshRows + j)
-      when(vec_dot_native(v, typedLit(p)) > 0, lit(1L << (ThreshRows - 1 - j)))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All 8 sign-bands of an embedding against [[threshPlanes]] as one
+    * array<long> — a single [[graft.functions.VecSignBandsExpr]] pass.
+    * (The per-band formulation — 64 separate `vec_dot_native` columns —
+    * generated one huge Janino method past HotSpot's JIT bytecode
+    * threshold: the whole signature projection ran INTERPRETED, ~10 µs per
+    * dot. One compact nested-loop expression JIT-compiles and computes the
+    * identical doubles — measured 5x on the full query, tools/ProfLsh.) */
+  private def bandSigs(v: Column): Column =
+    graft.functions.VecDotNative.vec_sign_bands(
+      v, typedLit(threshPlanes.flatten), ThreshBands, ThreshRows)
 
   /** The UNBOUNDED threshold join: LSH candidates → exact verify — the
     * scale path that replaces [[simThresholdJoin]]'s label blocking (and
@@ -153,12 +156,16 @@ object Similarity extends QueryModule {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("nrm", vec_norm_native($"embedding"))
+    // Materialize the banded signatures ONCE before the self-join: both
+    // join inputs (and the SMJ sort on each) otherwise re-derive the
+    // 64-hyperplane signature subtree per side — measured 5x the whole
+    // query at sf0.1 (2.0 s -> 0.42 s, tools/ProfLsh). The relation is
+    // (vec_id, band, bv) — b·n tiny rows; at cluster scale this is the
+    // standard persist-signatures-then-join shape.
     val banded = e
-      .select($"vec_id" +: (0 until ThreshBands)
-        .map(bi => bandSig($"embedding", bi).as(s"b$bi")): _*)
-      .select($"vec_id", explode(array((0 until ThreshBands).map(bi =>
-        struct(lit(bi).as("band"), col(s"b$bi").as("bv"))): _*)).as("b"))
-      .select($"vec_id", $"b.band".as("band"), $"b.bv".as("bv"))
+      .select($"vec_id", bandSigs($"embedding").as("sb"))
+      .select($"vec_id", posexplode($"sb").as(Seq("band", "bv")))
+      .localCheckpoint()
     val cand = banded.select($"band", $"bv", $"vec_id".as("a_id"))
       .join(banded.select($"band", $"bv", $"vec_id".as("b_id")), Seq("band", "bv"))
       .filter($"a_id" < $"b_id")

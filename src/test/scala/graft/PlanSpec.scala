@@ -87,4 +87,26 @@ class PlanSpec extends SparkSpec {
     val plan = executed("sim_ann_ivf")
     assert(!plan.contains("Window"), s"min_by assignment must not sort per vector: $plan")
   }
+
+  test("curation map-only ops plan zero hash shuffles (the 100-TB contract)") {
+    // sampling / chunking / masking / quality filtering must stream through
+    // the scan: the ONLY exchange allowed is the final orderBy's range
+    // exchange (test-determinism artifact, absent in a production write).
+    for (q <- Seq("sample_stratified_hash", "text_chunk", "text_pii_mask",
+        "quality_filter_pipeline")) {
+      val plan = executed(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle: $plan")
+      assert(!plan.contains("HashAggregate"), s"$q must not aggregate: $plan")
+    }
+  }
+
+  test("quality filter and chunker stay inside whole-stage codegen") {
+    for (q <- Seq("quality_filter_pipeline", "text_chunk")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), s"$q lost codegen: $plan")
+    }
+  }
 }

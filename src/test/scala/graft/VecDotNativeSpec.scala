@@ -46,4 +46,25 @@ class VecDotNativeSpec extends SparkSpec {
       .head.getDouble(0)
     assert(v > 0.0)
   }
+
+  test("vec_sign_bands equals the per-column sign formulation bit for bit") {
+    val rnd = new scala.util.Random(11)
+    val planes = Seq.fill(4)(Seq.fill(8)(rnd.nextGaussian().toFloat))
+    val bands = 2; val rows = 2
+    val vecs = Seq.tabulate(50)(i =>
+      i.toLong -> Seq.fill(8)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("id", "v")
+    val fused = df.select($"id",
+        VecDotNative.vec_sign_bands($"v", typedLit(planes.flatten), bands, rows).as("sb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perColumn = df.select($"id" +: (0 until bands).map { bi =>
+        (0 until rows).map { j =>
+          when(VecDotNative.vec_dot_native($"v", typedLit(planes(bi * rows + j))) > 0,
+            lit(1L << (rows - 1 - j))).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"b$bi")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to bands).map(r.getLong).toSeq).toMap
+    assert(fused.keySet === perColumn.keySet)
+    for ((id, sb) <- fused) assert(sb === perColumn(id), s"vec $id")
+  }
 }

@@ -72,21 +72,25 @@ object Similarity extends QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
-  private lazy val planes: Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seeded) for sign-bit LSH. FLOAT
+    * components so the fused [[graft.functions.VecSignBandsExpr]] applies
+    * (float→double widening is exact; the oracle inlines the widened
+    * doubles). */
+  private lazy val planes: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian().toFloat))
   }
 
-  /** 8-bit sign signature of an embedding against the fixed hyperplanes:
-    * left fold acc·2 + sign-bit, all inside codegen. */
-  private def signature(v: Column): Column = {
-    val planesCol = typedLit(planes)
-    aggregate(
-      sequence(lit(0), lit(7)),
-      lit(0L),
-      (acc, p) => acc * 2 + when(vec_dot(v, element_at(planesCol, p + 1)) > 0, 1L).otherwise(0L))
-  }
+  /** 8-bit sign signature of an embedding against the fixed hyperplanes —
+    * one band of 8 rows through the fused native expression (the previous
+    * higher-order `aggregate` fold was CodegenFallback: Catalyst
+    * interprets HOF lambdas per element — see the memory in SURVEY §4;
+    * same left-to-right double dots, bit 7-j weighting, identical
+    * signatures). */
+  private def signature(v: Column): Column =
+    element_at(
+      graft.functions.VecDotNative.vec_sign_bands(
+        v, typedLit(planes.flatten), 1, 8), 1)
 
   /** North-star ANN — LSH-bucketed approximate top-5: compare only vectors
     * whose 8-bit signature equals the query's, exact cosine re-rank inside
@@ -297,7 +301,7 @@ object Similarity extends QueryModule {
     // recomputes the identical 8-bit signature.
     "sim_ann_lsh" -> {
       val sigExpr = planes.zipWithIndex.map { case (p, i) =>
-        val lit = p.map(_.toString).mkString("[", ", ", "]")
+        val lit = p.map(_.toDouble.toString).mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << (7 - i)} ELSE 0 END)"
       }.mkString(" +\n         ")
       s"""WITH e AS (

@@ -54,9 +54,27 @@ object TimeSeries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Fixed-interval downsampling (resample to 6-hour buckets): the
+    * standard metric-store reduction from raw events to a coarse series.
+    * `window(ts, "6 hours")` assigns buckets in a single codegen'd
+    * projection (epoch-aligned; 6 h divides a day, so boundaries equal
+    * DuckDB's `time_bucket`), then one partial+final hash aggregate —
+    * shuffle carries one row per (bucket, type), never raw events. */
+  private def tsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "6 hours").getField("start").as("bucket"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"),
+        pround(avg($"value"), 4).as("avg_value"),
+        pround(max($"value"), 4).as("max_value"))
+      .orderBy($"bucket", $"event_type")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "ts_gapfill"      -> tsGapfill,
-    "ts_fill_forward" -> tsFillForward
+    "ts_fill_forward" -> tsFillForward,
+    "ts_resample"     -> tsResample
   )
 
   override def oracles: Map[String, String] = Map(
@@ -81,6 +99,14 @@ object TimeSeries extends QueryModule {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4
         |    AS fwd
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "ts_resample" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+        |  count(*) AS n,
+        |  floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_value,
+        |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin
   )
 }

@@ -13,7 +13,9 @@ object ExplainDump {
     "join_broadcast", "join_star", "join_asof", "topk_orderby_limit",
     "sim_topk_cosine", "dedup_minhash", "win_session",
     "win_ntile", "tpch_q10",
-    "sim_threshold_lsh", "tpch_q2", "tpch_q21", "sim_ann_ivf", "upsert_scd2")
+    "sim_threshold_lsh", "tpch_q2", "tpch_q21", "sim_ann_ivf", "upsert_scd2",
+    "quality_filter_pipeline", "text_chunk", "sample_stratified_hash",
+    "ts_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -116,6 +116,32 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Per-group cap (at most N docs per language), selected in
+    * deterministic hash order — corpus balancing when a proportional rate
+    * isn't enough and a hard per-class budget is required. Selection key =
+    * md5 of the id: reproducible across engines/runs and uncorrelated with
+    * any data attribute (ordering by doc_id would bias toward early
+    * crawl). One shuffle on (lang) + per-group sort for the rank.
+    * Scale note: partition-by-language is skewed at corpus scale (a
+    * handful of giant groups); the production form two-phases it — the
+    * [[sampleStratifiedHash]] rate filter with rate = N/count(lang) as a
+    * pre-cap (map-side, cuts each group to ~N±√N), THEN this exact
+    * rank-cap over the tiny survivor set. The declared query keeps the
+    * exact single-pass form the two-phase version must agree with. */
+  private val GroupCap = 60
+
+  private def sampleGroupCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= GroupCap)
+      .select($"doc_id", $"lang", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id")
+  }
+
   /** Containment scoring — max over other docs of |A∩B| / |A| on 3-gram
     * shingle sets. Containment (not Jaccard) is what catches a document
     * EMBEDDED inside a larger one (boilerplate wrapping, quote-and-extend
@@ -149,6 +175,7 @@ object Curation extends QueryModule {
     "text_chunk"              -> textChunk,
     "text_pii_mask"           -> textPiiMask,
     "quality_filter_pipeline" -> qualityFilterPipeline,
+    "sample_group_cap"        -> sampleGroupCap,
     "dedup_containment"       -> dedupContainment
   )
 
@@ -194,6 +221,15 @@ object Curation extends QueryModule {
         |    AND (letters >= ntok * 2 AND letters <= ntok * 12)
         |    AND digits * 10 < l * 3 AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
+    "sample_group_cap" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |              AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 60
+        |ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       """WITH grams AS (
         |  SELECT doc_id, list_distinct(

@@ -79,6 +79,21 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(5)) > rows.length / 2)
   }
 
+  test("sample_group_cap: hard per-language budget, deterministic") {
+    val q = SparkEntry.queries("sample_group_cap")
+    val rows = q(spark, sf).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = rows.groupBy(_._2)
+    val totals = Tables.documents(spark, sf).groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, rs) <- byLang) {
+      assert(rs.length <= 60, s"$lang over cap")
+      assert(rs.length === math.min(60L, totals(lang)).toInt, s"$lang under-filled")
+      assert(rs.map(_._3).sorted === (1L to rs.length).toSeq, s"$lang ranks")
+    }
+    assert(q(spark, sf).collect().map(_.getLong(0)).toSeq ===
+      rows.map(_._1).toSeq) // deterministic across runs
+  }
+
   test("dedup_containment dominates dedup_ngram_jaccard per doc") {
     val cont = SparkEntry.queries("dedup_containment")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

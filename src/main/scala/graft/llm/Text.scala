@@ -186,7 +186,31 @@ object Text extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * classic cheap perplexity proxy for quality filtering (rare-token
+    * gibberish scores high, natural text low). Two relational passes over
+    * the SAME exploded tokens: corpus unigram frequencies (hash agg), then
+    * token⋈freq + a per-doc mean of -ln p(w). The frequency dim is
+    * vocabulary-sized — broadcastable at any corpus scale — and the corpus
+    * total rides along as a single-row cross join (no driver collect). */
+  private def unigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+    val freq = tokens.groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = tokens.agg(count(lit(1)).as("tot"))
+    tokens
+      .join(freq, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll", -log($"c" * lit(1.0) / $"tot"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        pround(avg($"nll"), 6).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "text_unigram_nll"  -> unigramNll,
     "text_levenshtein"  -> levenshteinScore,
     "text_top_terms"    -> topTerms,
     "text_tfidf"        -> tfidf,
@@ -199,6 +223,16 @@ object Text extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "text_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS tot FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(avg(-ln(c * 1.0 / tot)) * 1e6 + 0.5) / 1e6 AS avg_nll
+        |FROM tok JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_levenshtein" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 120) AS t
         |           FROM documents WHERE doc_id < 60)

@@ -97,6 +97,22 @@ object StreamOps {
       .agg(count(lit(1)).as("edits"))
       .select(col("window.start").as("day"), col(keyCol), col("edits"))
 
+  /** Streaming twin of the batch `ts_resample` operator: fixed-interval
+    * downsampling (count + mean of a value column per bucket×key) as a
+    * watermarked windowed aggregate. The batch and streaming forms share
+    * the same `window()` bucket assignment, so a backfill computed in
+    * batch and a live stream produce identical buckets — the
+    * lambda-architecture unification the lakehouse design promises. */
+  def resample(events: DataFrame, tsCol: String, keyCol: String,
+               valueCol: String, width: String,
+               watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("avg_value"))
+      .select(col("window.start").as("bucket"), col(keyCol),
+        col("n"), col("avg_value"))
+
   /** T5b — late-duplicate dedup: unlike [[dedupStream]] (which keeps first-
     * seen state only until the watermark passes the EVENT's time),
     * `dropDuplicatesWithinWatermark` drops a redelivery whose event time

@@ -101,6 +101,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_unigram_nll broadcasts the single-row corpus total") {
+    val plan = executed("text_unigram_nll")
+    // the 1-row total must attach as a broadcast nested loop (1xN), and the
+    // final per-doc reduce must be a partial+final hash aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("quality filter and chunker stay inside whole-stage codegen") {
     for (q <- Seq("quality_filter_pipeline", "text_chunk")) {
       val df = SparkEntry.queries(q)(spark, sf)

@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming resample produces the same 6h buckets as the batch operator") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamOps.resample(
+      in.toDF.toDF("ts", "event_type", "value"), "ts", "event_type", "value", "6 hours")
+    val q = agg.writeStream.format("memory").queryName("resample_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 01:00:00"), "click", 2.0),
+        (ts("2024-01-01 05:59:59"), "click", 4.0), // same 00:00 bucket
+        (ts("2024-01-01 06:00:00"), "click", 8.0)) // next bucket
+      q.processAllAvailable()
+      in.addData((ts("2024-01-03 00:00:00"), "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("resample_out")
+        .filter($"bucket" < ts("2024-01-02 00:00:00")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+      assert(out.toSeq === Seq(
+        (ts("2024-01-01 00:00:00"), 2L, 3.0),
+        (ts("2024-01-01 06:00:00"), 1L, 8.0)),
+        "6h bucket boundaries and aggregates must match the batch window()")
+    } finally q.stop()
+  }
+
   test("T1: the raw sink writes date-partitioned gzip NDJSON via micro-batches") {
     val in = MemoryStream[(Long, String)](spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_raw").toString

@@ -232,7 +232,10 @@ object Dedup extends QueryModule {
     * round-1 lambda formulation (transform/aggregate) was CodegenFallback,
     * interpreted per token. The shuffle carries 32 ints per doc at any
     * scale. */
-  private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, simhash) for the whole corpus — the shared signature stage
+    * of [[dedupSimhash]] (declared dump) and [[dedupSimhashHamming]]
+    * (blocked near-dup join). */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tokens = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
@@ -246,7 +249,38 @@ object Dedup extends QueryModule {
       .groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id", simhash.as("simhash"))
-      .orderBy($"doc_id")
+  }
+
+  private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    simhashSigs(spark, sfDir).orderBy($"doc_id")
+  }
+
+  /** North-star — simhash NEAR-dup pairs at Hamming distance ≤ 3 via
+    * MULTI-INDEX blocking (the Manku/Jain/Sarma web-dedup construction):
+    * split the 32-bit signature into 4 disjoint 8-bit blocks — any pair
+    * within Hamming distance 3 must agree EXACTLY on at least one block
+    * (pigeonhole), so candidates come from 4 equi-joins on (block index,
+    * block value) and only candidates pay the exact
+    * `bit_count(a XOR b) ≤ 3` verify. Never an all-pairs scan: the same
+    * near-linear candidate-then-verify shape as [[minhashDupPairs]], on a
+    * 4-byte key. The signature stage materializes once (one row per doc). */
+  private def dedupSimhashHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = simhashSigs(spark, sfDir).localCheckpoint()
+    val blocked = sigs.select($"doc_id", $"simhash",
+      posexplode(array((0 until 4).map(b =>
+        shiftright($"simhash", b * 8).bitwiseAND(255)): _*)).as(Seq("blk", "bv")))
+    val cand = blocked.select($"blk", $"bv", $"doc_id".as("a_id"), $"simhash".as("sa"))
+      .join(blocked.select($"blk", $"bv", $"doc_id".as("b_id"), $"simhash".as("sb")),
+        Seq("blk", "bv"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"sa", $"sb").distinct()
+    cand
+      .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      .select($"a_id", $"b_id",
+        bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+      .orderBy($"a_id", $"b_id")
   }
 
   /** North-star — word-3-gram Jaccard similarity scoring: for each doc in a
@@ -445,11 +479,31 @@ object Dedup extends QueryModule {
       |  WHERE len(list_intersect(ga.g, gb.g)) >=
       |        0.7 * len(list_distinct(ga.g || gb.g)))""".stripMargin
 
+  /** DuckDB replay of [[simhashSigs]], ending in CTE `s(doc_id, simhash)`.
+    * Shared by the `dedup_simhash` and `dedup_simhash_hamming` oracles. */
+  private val SimhashPipelineSql: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
+    val assemble = (0 until 32)
+      .map(i => s"CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+       |b AS (
+       |  SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, $assemble AS simhash FROM b)""".stripMargin
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "dedup_exact_id"      -> dedupExactId,
     "dedup_text_hash"     -> dedupTextHash,
     "dedup_minhash"       -> dedupMinhash,
     "dedup_simhash"       -> dedupSimhash,
+    "dedup_simhash_hamming" -> dedupSimhashHamming,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters"      -> dedupClusters,
     "dedup_clusters_lsh"  -> dedupClustersLsh,
@@ -522,22 +576,26 @@ object Dedup extends QueryModule {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-    "dedup_simhash" -> {
-      val bitSums = (0 until 32).map(i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
-      val assemble = (0 until 32)
-        .map(i => s"CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
-         |h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
-         |b AS (
-         |  SELECT doc_id,
-         |  $bitSums
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, $assemble AS simhash
-         |FROM b ORDER BY doc_id""".stripMargin
-    },
+    "dedup_simhash" ->
+      s"""$SimhashPipelineSql
+         |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin,
+    // Multi-index Hamming replay: identical signatures, identical 8-bit
+    // block keys, identical bit_count(xor) verify.
+    "dedup_simhash_hamming" ->
+      s"""$SimhashPipelineSql,
+         |blocks AS (
+         |  SELECT doc_id, simhash, b,
+         |         (simhash >> (b * 8)) & 255 AS bv
+         |  FROM s CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM blocks a JOIN blocks b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, bit_count(xor(sa, sb)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT doc_id, list_distinct(

@@ -209,7 +209,24 @@ object Text extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Canonical text normalization — the pass every dedup/quality stage
+    * assumes upstream: lowercase, strip everything outside [a-z0-9 ],
+    * collapse whitespace runs, trim. Pure codegen'd map (three
+    * regexp_replace in the RE2∩Java common dialect), no shuffle. The
+    * normalized form is what content-hash dedup ([[Dedup]] L1b) should key
+    * on in production; `n_tokens_norm` quantifies the shrink. */
+  private def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", norm.as("norm"))
+      .withColumn("n_tokens_norm", size(split($"norm", " ")).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "text_normalize"    -> textNormalize,
     "text_unigram_nll"  -> unigramNll,
     "text_levenshtein"  -> levenshteinScore,
     "text_top_terms"    -> topTerms,
@@ -223,6 +240,15 @@ object Text extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                        ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "text_unigram_nll" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w

@@ -62,6 +62,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("simhash hamming join: pairs within bound, exact dups at distance 0, blocking is lossless") {
+    val pairs = SparkEntry.queries("dedup_simhash_hamming")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall(_._3 <= 3), "verify bound")
+    val sig = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the multi-index block join must find EVERY pair at distance <= 3
+    // (pigeonhole guarantee) — brute-force the small fixture to prove it
+    val ids = sig.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d = java.lang.Long.bitCount(sig(ids(i)) ^ sig(ids(j)))
+      if d <= 3
+    } yield (ids(i), ids(j), d.toLong)
+    assert(pairs.toSet === brute.toSet, "blocked join must equal brute force")
+    // identical text => identical signature => hamming 0 pair present
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (grp <- texts.groupBy(_._2).values.filter(_.size > 1);
+         a <- grp.keys.toSeq.sorted.take(1); b <- grp.keys.toSeq.sorted.drop(1).take(1))
+      assert(pairs.exists(p => p._1 === math.min(a, b) && p._2 === math.max(a, b) && p._3 === 0L),
+        s"exact dup pair ($a,$b) missing")
+  }
+
   test("cosine is bounded, reflexive, and symmetric on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"))

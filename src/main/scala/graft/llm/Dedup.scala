@@ -122,7 +122,7 @@ object Dedup extends QueryModule {
     * [[dedupMinhash]] (L2, keep-first: drop the higher doc_id of each
     * confirmed pair) and [[dedupClustersLsh]] (full-corpus connected
     * components). */
-  private def minhashDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private def minhashCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Hash every shingle to two 40-bit md5 halves map-side, then ONE
     // aggregation produces BOTH the k-minhash signature (k codegen'd min()
@@ -167,20 +167,45 @@ object Dedup extends QueryModule {
       .join(banded.select($"band", $"bm", $"doc_id".as("b_id")), Seq("band", "bm"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    // Exact Jaccard verify only on the (small) candidate set — over the
-    // 40-bit shingle HASHES, not the strings: the verify joins shuffle
-    // arrays of longs instead of ~300-char string arrays (round-2's other
-    // hot spot). Jaccard over the hash sets equals Jaccard over the shingle
-    // sets (the oracle replays the identical hashes, so even a collision
-    // changes both sides identically).
+    // Attach the hashed shingle SETS to the (small) candidate set — over
+    // the 40-bit HASHES, not the strings: the verify joins shuffle arrays
+    // of longs instead of ~300-char string arrays (round-2's other hot
+    // spot). Set measures over the hash sets equal the same measures over
+    // the shingle sets (the oracle replays the identical hashes, so even a
+    // collision changes both sides identically).
     val grams = perDoc.select($"doc_id", $"hs")
     candidates
       .join(grams.select($"doc_id".as("a_id"), $"hs".as("sa")), Seq("a_id"))
       .join(grams.select($"doc_id".as("b_id"), $"hs".as("sb")), Seq("b_id"))
+  }
+
+  /** Candidate pairs with their hashed shingle sets attached — the shared
+    * LSH candidate source; each consumer applies its own exact set-measure
+    * verify ([[minhashDupPairs]]: Jaccard ≥ 0.7;
+    * [[dedupContainmentLsh]]: containment ≥ 0.6). */
+  private def minhashDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    minhashCandidatePairs(spark, sfDir)
       .filter(
         size(array_intersect($"sa", $"sb")) >=
           lit(0.7) * size(array_union($"sa", $"sb")))
       .select($"a_id", $"b_id")
+  }
+
+  /** North-star — UNBOUNDED containment scoring: the same LSH candidate
+    * source, exact `|A∩B| / |A| ≥ 0.6` verify — the scale path the
+    * bounded [[Curation]] `dedup_containment` slice promises (a document
+    * EMBEDDED in a larger one keeps high containment while Jaccard
+    * dilutes; minhash banding still surfaces such pairs whenever the
+    * smaller doc dominates enough bands). */
+  private def dedupContainmentLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    minhashCandidatePairs(spark, sfDir)
+      .withColumn("c",
+        size(array_intersect($"sa", $"sb")) / nullif(size($"sa"), lit(0)))
+      .filter($"c" >= 0.6)
+      .select($"a_id", $"b_id", pround($"c", 6).as("containment"))
+      .orderBy($"a_id", $"b_id")
   }
 
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -447,7 +472,7 @@ object Dedup extends QueryModule {
     * Jaccard ≥ 0.7 on the hashed shingle sets), ending in the CTE
     * `lsh_pairs(a_id, b_id)`. Shared by the `dedup_minhash` and
     * `dedup_clusters_lsh` oracles. */
-  private val MinhashPipelineSql: String =
+  private val MinhashBaseSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT DISTINCT doc_id, unnest(
       |    CASE WHEN len(w) >= 3
@@ -471,7 +496,10 @@ object Dedup extends QueryModule {
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM band a JOIN band b
       |    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id),
-      |grams AS (SELECT doc_id, list(DISTINCT h1) AS g FROM h GROUP BY doc_id),
+      |grams AS (SELECT doc_id, list(DISTINCT h1) AS g FROM h GROUP BY doc_id)""".stripMargin
+
+  private val MinhashPipelineSql: String =
+    s"""$MinhashBaseSql,
       |lsh_pairs AS (
       |  SELECT c.a_id, c.b_id FROM cand c
       |  JOIN grams ga ON ga.doc_id = c.a_id
@@ -507,6 +535,7 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters"      -> dedupClusters,
     "dedup_clusters_lsh"  -> dedupClustersLsh,
+    "dedup_containment_lsh" -> dedupContainmentLsh,
     "dedup_embed_cosine"  -> dedupEmbedCosine
   )
 
@@ -563,6 +592,17 @@ object Dedup extends QueryModule {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
+    // The same candidate replay, containment verify instead of Jaccard.
+    "dedup_containment_lsh" ->
+      s"""$MinhashBaseSql
+        |SELECT c.a_id, c.b_id,
+        |       floor(len(list_intersect(ga.g, gb.g)) * 1.0 /
+        |             nullif(len(ga.g), 0) * 1000000 + 0.5) / 1000000 AS containment
+        |FROM cand c
+        |JOIN grams ga ON ga.doc_id = c.a_id
+        |JOIN grams gb ON gb.doc_id = c.b_id
+        |WHERE len(list_intersect(ga.g, gb.g)) * 1.0 / nullif(len(ga.g), 0) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
     // The same replayed pipeline, then the connected-components fixpoint
     // as a recursive CTE — full-corpus clustering, no slice bound.
     "dedup_clusters_lsh" ->

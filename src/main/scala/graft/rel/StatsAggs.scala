@@ -127,7 +127,25 @@ object StatsAggs extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Conditional / boolean aggregate family: count_if + bool_and/bool_or
+    * (SQL EVERY/SOME) per event type — the FILTER-clause aggregates every
+    * metrics layer leans on. All are plain partial+final hash aggregates
+    * (a boolean partial is one byte), so the shuffle stays one row per
+    * (partition, group) at any scale. */
+  private def aggBool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        count_if($"value" > 100).as("n_big"),
+        count_if($"value".isNull).as("n_null"),
+        bool_and($"value".isNotNull).as("all_present"),
+        bool_or($"value" > 500).as("any_huge"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "agg_bool"         -> aggBool,
     "agg_stats"        -> aggStats,
     "agg_skew_kurt"    -> aggSkewKurt,
     "agg_regr"         -> aggRegr,
@@ -139,6 +157,13 @@ object StatsAggs extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_bool" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 100) AS n_big,
+        |  count(*) FILTER (WHERE value IS NULL) AS n_null,
+        |  bool_and(value IS NOT NULL) AS all_present,
+        |  bool_or(value > 500) AS any_huge
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  floor(stddev_samp(l_quantity) * 1e6 + 0.5) / 1e6 AS sd_samp,

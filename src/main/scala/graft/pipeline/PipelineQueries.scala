@@ -89,7 +89,14 @@ object PipelineQueries extends QueryModule {
     * filtering — asserted in PipelineSpec via the physical plan. */
   private def filterPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(curatedEventsDir(spark, sfDir))
+    // Explicit schema (the curate projection's own): a zero-event curate
+    // writes NO partition directories, and schema inference over that
+    // empty layout fails — the empty-day case at scale. The schema comes
+    // from the same lazy curate plan, so it can never drift from the
+    // written layout; partition-column values still come from directory
+    // names and the predicate still prunes the listing (PlanSpec).
+    val curatedSchema = Curate.curateTs(Tables.events(spark, sfDir)).schema
+    spark.read.schema(curatedSchema).parquet(curatedEventsDir(spark, sfDir))
       .filter($"yyyy" === 2024 && $"mm" === 1 && $"dd" === 3)
       .select($"event_id", $"user_id")
       .orderBy($"event_id")

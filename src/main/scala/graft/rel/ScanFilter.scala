@@ -38,12 +38,20 @@ object ScanFilter extends QueryModule {
   private def scanJsonInfer(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_rawjson_${sfDir.hashCode.toHexString}"
-    Tables.events(spark, sfDir)
-      .orderBy($"event_id").limit(200)
+    val projected = Tables.events(spark, sfDir)
       .select($"event_id", $"event_type", $"user_id", $"value", $"props")
+    projected
+      .orderBy($"event_id").limit(200)
       .coalesce(1)
       .write.mode("overwrite").option("compression", "gzip").json(dir)
-    spark.read.json(dir).orderBy($"event_id")
+    val inferred = spark.read.json(dir)
+    // Inference over an EMPTY directory yields an empty schema (a brand-new
+    // ingest prefix / empty day at scale) — fall back to the declared event
+    // schema instead of failing the whole job. Non-empty input keeps pure
+    // inference: that is the operator under test.
+    val df = if (inferred.columns.contains("event_id")) inferred
+             else spark.read.schema(projected.schema).json(dir)
+    df.orderBy($"event_id")
   }
 
   /** Ext — seeded Bernoulli sampling: the corpus-subsampling primitive of

@@ -68,9 +68,22 @@ object Sketches extends QueryModule {
     val keys = Tables.orders(spark, sfDir)
       .filter($"o_totalprice" > 100000.0)
       .select($"o_orderkey")
-    val bf = keys.stat.bloomFilter($"o_orderkey", 100000L, 0.01)
-    val bcast = spark.sparkContext.broadcast(bf)
-    val contains = udf((k: Long) => bcast.value.mightContainLong(k))
+    // A zero-row build leaves the sketch buffer null (Spark empty-
+    // aggregation corner) and the build/probe NPEs — the empty-day case
+    // at scale. An empty key set has no members, so the correct membership
+    // probe is constant false.
+    val bfOpt =
+      try {
+        val b = keys.stat.bloomFilter($"o_orderkey", 100000L, 0.01)
+        b.mightContainLong(0L) // degenerate sketches also NPE on probe
+        Some(b)
+      } catch { case _: NullPointerException => None }
+    val contains = bfOpt match {
+      case Some(bf) =>
+        val bcast = spark.sparkContext.broadcast(bf)
+        udf((k: Long) => bcast.value.mightContainLong(k))
+      case None => udf((_: Long) => false)
+    }
     val memberKeys = keys.distinct().withColumnRenamed("o_orderkey", "mk")
     Tables.lineitem(spark, sfDir)
       .select($"l_orderkey")

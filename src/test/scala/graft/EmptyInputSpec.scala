@@ -1,0 +1,30 @@
+package graft
+
+/** Robustness gate: every declared query must EXECUTE (no exception, no
+  * hang) against a corpus of the same schemas with ZERO rows. At 100 TB
+  * this is the empty-partition / empty-day / brand-new-table case — an
+  * operator that throws on empty input takes down a whole pipeline run.
+  * Values are not asserted (most results are legitimately empty or null);
+  * execution is.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      Tables.table(spark, sf, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    dir
+  }
+
+  test("every declared query executes on zero-row inputs") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable => Some(name -> e.toString.take(200)) }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
+  }
+}

@@ -27,4 +27,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(failures.isEmpty,
       failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
   }
+
+  test("concurrent queries on one session produce the same results as serial runs") {
+    // multi-tenant reality: one SparkSession, many threads. The library
+    // must be re-entrant — shared state (curate TrieMap, lazy planes,
+    // scratch dirs keyed by sfDir) must not race or cross-contaminate.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = Seq("agg_daily_top_titles", "join_star", "dedup_text_hash",
+      "sim_topk_cosine", "filter_partition_prune", "text_chunk",
+      "win_rank_topn", "sample_stratified_hash")
+    val serial = names.map(n => n -> SparkEntry.queries(n)(spark, sf).count()).toMap
+    val concurrent = Await.result(
+      Future.sequence(names.map(n =>
+        Future(n -> SparkEntry.queries(n)(spark, sf).count()))), 120.seconds).toMap
+    assert(concurrent === serial)
+  }
 }

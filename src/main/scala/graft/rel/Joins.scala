@@ -138,6 +138,58 @@ object Joins extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** J7b — FORWARD as-of: for each purchase, the first signup at-or-after
+    * it. Same union+ordered-window shape as [[joinAsof]] (one shuffle on
+    * the key, linear scan) with the frame flipped to
+    * [currentRow, unboundedFollowing]; at equal timestamps the signup
+    * sorts AFTER the purchase so "at-or-after" stays inclusive. */
+  private def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "signup", $"ts").as("signup_ts"))
+    val wNext = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, when($"event_type" === "signup", 1).otherwise(0).asc, $"event_id".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("next_signup_ts", first($"signup_ts", ignoreNulls = true).over(wNext))
+      .filter($"event_type" === "purchase" && $"next_signup_ts".isNotNull)
+      .select($"event_id", $"user_id", $"next_signup_ts")
+      .orderBy($"event_id")
+  }
+
+  /** J7c — NEAREST as-of: the signup closest in time, either direction,
+    * ties to the earlier (backward) side — pandas `merge_asof
+    * direction='nearest'` semantics. Both directional candidates come
+    * from the two ordered windows above: ONE shuffle on the key, two
+    * linear sorted passes, then a pure row-local comparison — never a
+    * range join or pair expansion. */
+  private def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "signup", $"ts").as("signup_ts"))
+    val wPrev = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, when($"event_type" === "signup", 0).otherwise(1).asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, when($"event_type" === "signup", 1).otherwise(0).asc, $"event_id".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("prev_ts", last($"signup_ts", ignoreNulls = true).over(wPrev))
+      .withColumn("next_ts", first($"signup_ts", ignoreNulls = true).over(wNext))
+      .filter($"event_type" === "purchase" &&
+        ($"prev_ts".isNotNull || $"next_ts".isNotNull))
+      .withColumn("nearest_signup_ts",
+        when($"prev_ts".isNull, $"next_ts")
+          .when($"next_ts".isNull, $"prev_ts")
+          .when(unix_micros($"ts".cast("timestamp")) - unix_micros($"prev_ts".cast("timestamp")) <=
+                unix_micros($"next_ts".cast("timestamp")) - unix_micros($"ts".cast("timestamp")), $"prev_ts")
+          .otherwise($"next_ts"))
+      .select($"event_id", $"user_id", $"nearest_signup_ts")
+      .orderBy($"event_id")
+  }
+
   /** Skew-mitigated equi-join (SURVEY §7 risk register): semantically a
     * plain inner join — the oracle is the unsalted SQL — but the hot keys
     * spread over 8 reducers. See [[SkewJoin]]. */
@@ -213,6 +265,8 @@ object Joins extends QueryModule {
     "join_anti"      -> joinAnti,
     "join_range"     -> joinRange,
     "join_asof"      -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_cross"     -> joinCross,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed"  -> joinBucketed
@@ -276,6 +330,30 @@ object Joins extends QueryModule {
         |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p.event_id, p.user_id, min(s.ts) AS next_signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts >= p.ts AND s.event_type = 'signup'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |prev AS (
+        |  SELECT p.event_id, max(s.ts) AS pts FROM p JOIN s
+        |    ON s.user_id = p.user_id AND s.ts <= p.ts GROUP BY p.event_id),
+        |nxt AS (
+        |  SELECT p.event_id, min(s.ts) AS nts FROM p JOIN s
+        |    ON s.user_id = p.user_id AND s.ts >= p.ts GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN pts IS NULL THEN nts
+        |       WHEN nts IS NULL THEN pts
+        |       WHEN p.ts - pts <= nts - p.ts THEN pts
+        |       ELSE nts END AS nearest_signup_ts
+        |FROM p LEFT JOIN prev USING (event_id) LEFT JOIN nxt USING (event_id)
+        |WHERE pts IS NOT NULL OR nts IS NOT NULL
         |ORDER BY p.event_id""".stripMargin,
     "join_skew_salted" ->
       """SELECT o_orderkey, c_name

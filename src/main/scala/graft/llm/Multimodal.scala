@@ -147,14 +147,55 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"fi")
   }
 
+  /** Target "resolution" of the resize stub (bytes). */
+  val ResizeTarget = 128
+
+  /** North-star — RESIZE stub: nearest-neighbor downsampling over the
+    * 1-D byte stream (keep every k-th byte, k = ⌊n/target⌋, min 1) —
+    * the exact dataflow of image nearest-neighbor resize with the byte
+    * stride standing in for the pixel stride (no codecs ship in this
+    * container). Emits the resized payload's length, digest, and head so
+    * the oracle replays it byte for byte. The per-byte gather is a
+    * transform lambda — acceptable here because decode-family stubs are
+    * not hot paths (the real implementation is a native codec call via
+    * partition-batched mapping, [[decodeFeaturesStub]]). */
+  private def resizeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .withColumn("k", greatest(lit(1), expr(s"n div $ResizeTarget")))
+      .withColumn("resized",
+        expr("array_join(transform(sequence(1, n, k), p -> substring(text, p, 1)), '')"))
+      .select($"doc_id",
+        $"k".cast("long").as("stride"),
+        length($"resized").cast("long").as("n_resized"),
+        md5($"resized").as("digest"),
+        substring($"resized", 1, 24).as("head"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "multimodal_struct_proj" -> structProj,
     "multimodal_binary_meta" -> binaryMeta,
     "multimodal_decode_stub" -> decodeStub,
+    "multimodal_resize_stub" -> resizeStub,
     "multimodal_frame_sample" -> frameSample
   )
 
   override def oracles: Map[String, String] = Map(
+    "multimodal_resize_stub" ->
+      s"""WITH r AS (
+        |  SELECT doc_id,
+        |    greatest(1, len(text) // $ResizeTarget) AS k,
+        |    array_to_string(
+        |      list_transform(range(1, len(text) + 1, greatest(1, len(text) // $ResizeTarget)),
+        |                     p -> substr(text, p, 1)), '') AS resized
+        |  FROM documents)
+        |SELECT doc_id, CAST(k AS BIGINT) AS stride,
+        |  CAST(len(resized) AS BIGINT) AS n_resized,
+        |  md5(resized) AS digest,
+        |  substr(resized, 1, 24) AS head
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_struct_proj" ->
       """SELECT doc_id, meta['lang'] AS meta_lang, meta['source'] AS meta_src, label
         |FROM (SELECT doc_id, {'lang': lang, 'source': source} AS meta, label

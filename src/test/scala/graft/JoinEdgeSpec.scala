@@ -58,5 +58,32 @@ class JoinEdgeSpec extends SparkSpec {
     val out = SparkEntry.queries("join_asof")(spark, dir).collect()
     assert(out.length === 1, "purchase at the signup instant must match")
     assert(out.head.getLong(0) === 2L)
+    // the forward and nearest variants are equally inclusive at the instant
+    for (q <- Seq("join_asof_forward", "join_asof_nearest")) {
+      val o = SparkEntry.queries(q)(spark, dir).collect()
+      assert(o.length === 1 &&
+        o.head.getAs[java.time.LocalDateTime](2) === ts0.toLocalDateTime, q)
+    }
+  }
+
+  test("nearest as-of dominates both directional variants per purchase") {
+    def epoch(ldt: java.time.LocalDateTime): Long =
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    def byId(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => r.getLong(0) -> epoch(r.getAs[java.time.LocalDateTime](2))).toMap
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"ts").collect()
+      .map(r => r.getLong(0) -> epoch(r.getAs[java.time.LocalDateTime](1))).toMap
+    val back = byId("join_asof"); val fwd = byId("join_asof_forward")
+    val near = byId("join_asof_nearest")
+    // every directional match implies a nearest match, and the nearest
+    // distance is <= both directional distances
+    assert((back.keySet ++ fwd.keySet) === near.keySet)
+    for ((id, nts) <- near) {
+      val d = math.abs(purchases(id) - nts)
+      for (b <- back.get(id)) assert(d <= math.abs(purchases(id) - b), s"back $id")
+      for (f <- fwd.get(id)) assert(d <= math.abs(f - purchases(id)), s"fwd $id")
+    }
   }
 }

@@ -196,9 +196,23 @@ object VecDotNative {
   def vec_cosine_native(a: Column, b: Column): Column =
     vec_dot_native(a, b) / (vec_norm_native(a) * vec_norm_native(b))
 
-  /** Register `vec_dot_native` for SQL callers (library surface):
-    * `SELECT vec_dot_native(embedding, embedding) FROM ...`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the native vector functions for SQL callers (library
+    * surface): `SELECT vec_dot_native(embedding, embedding) FROM ...`,
+    * `SELECT vec_sign_bands(embedding, planes, 8, 8) FROM ...` (the last
+    * two arguments must be integer literals — banding geometry is
+    * plan-time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_native", exprs => VecDotExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sign_bands", exprs => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"vec_sign_bands: $what must be an integer literal, got $other")
+        }
+        VecSignBandsExpr(exprs.head, exprs(1),
+          intLit(exprs(2), "bands"), intLit(exprs(3), "rowsPerBand"))
+      }, "scala_udf")
+  }
 }

@@ -47,6 +47,15 @@ class VecDotNativeSpec extends SparkSpec {
     assert(v > 0.0)
   }
 
+  test("vec_sign_bands is SQL-registered with literal geometry") {
+    VecDotNative.register(spark)
+    val sig = spark.sql(
+      "SELECT vec_sign_bands(array(1.0F, -1.0F), array(1.0F, 0.0F, 0.0F, 1.0F), 1, 2) AS s")
+      .head.getSeq[Long](0)
+    // plane0 = [1,0] -> dot 1 > 0 -> bit 1 (weight 2); plane1 = [0,1] -> dot -1 -> 0
+    assert(sig === Seq(2L))
+  }
+
   test("vec_sign_bands equals the per-column sign formulation bit for bit") {
     val rnd = new scala.util.Random(11)
     val planes = Seq.fill(4)(Seq.fill(8)(rnd.nextGaussian().toFloat))

@@ -102,11 +102,43 @@ object PipelineQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** P8b — DYNAMIC partition pruning: the partition predicate is not a
+    * literal but the result of a selective dim-side subquery (high-purchase
+    * days), so pruning happens at RUNTIME — Catalyst injects a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters and
+    * only the qualifying day directories are listed/read. At 100 TB this
+    * is THE mechanism that keeps star joins on a date-partitioned fact
+    * from scanning the whole history (PlanSpec asserts the dynamic filter
+    * lands in the scan). */
+  private def filterDynamicPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = spark.read
+      .schema(Curate.curateTs(Tables.events(spark, sfDir)).schema)
+      .parquet(curatedEventsDir(spark, sfDir))
+    // "hot day" = purchases above 1.05x the daily average — SELF-SCALING
+    // selectivity (a fixed count can't discriminate across scale factors).
+    // The average of integer counts is exact in double (integer sums are
+    // order-independent below 2^53), so both engines agree bit-for-bit.
+    val daily = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy(dayofmonth($"ts").as("hd"))
+      .agg(count(lit(1)).as("n"))
+    val hotDays = daily
+      .crossJoin(broadcast(daily.agg(avg($"n").as("a"))))
+      .filter($"n" > $"a" * 1.05)
+      .select($"hd")
+    fact.join(hotDays, fact("dd") === hotDays("hd"))
+      .groupBy(fact("dd").cast("long").as("dd"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"dd")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "ctas_daily_top_titles"  -> ctasDailyTopTitles,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
-    "filter_partition_prune" -> filterPartitionPrune
+    "filter_partition_prune" -> filterPartitionPrune,
+    "filter_dynamic_prune"   -> filterDynamicPrune
   )
 
   override def oracles: Map[String, String] = Map(
@@ -132,6 +164,16 @@ object PipelineQueries extends QueryModule {
     "filter_partition_prune" ->
       """SELECT event_id, user_id FROM events
         |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "filter_dynamic_prune" ->
+      """WITH daily AS (
+        |  SELECT day(ts) AS hd, count(*) AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |hot AS (
+        |  SELECT hd FROM daily
+        |  WHERE n > 1.05 * (SELECT avg(n) FROM daily))
+        |SELECT day(ts) AS dd, count(*) AS n_events
+        |FROM events JOIN hot ON day(ts) = hot.hd
+        |GROUP BY 1 ORDER BY dd""".stripMargin
   )
 }

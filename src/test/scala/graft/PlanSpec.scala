@@ -101,6 +101,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filter_dynamic_prune injects a runtime dynamicpruning filter into the fact scan") {
+    val plan = executed("filter_dynamic_prune")
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in the scan: $plan")
+  }
+
   test("text_unigram_nll broadcasts the single-row corpus total") {
     val plan = executed("text_unigram_nll")
     // the 1-row total must attach as a broadcast nested loop (1xN), and the

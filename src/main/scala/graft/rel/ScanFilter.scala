@@ -174,6 +174,13 @@ object ScanFilter extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // Inference is the operator, but the DATA it yields is still exactly
+    // checkable: doubles survive the JSON leg via shortest-round-trip
+    // rendering, strings/longs verbatim — so the hash gate also proves
+    // the inferred TYPES decoded every value bit-exactly.
+    "scan_json_infer" ->
+      """SELECT event_id, event_type, props, user_id, value FROM events
+        |ORDER BY event_id LIMIT 200""".stripMargin,
     "proj_select" ->
       """SELECT event_id, event_type, user_id, value FROM events
         |ORDER BY event_id""".stripMargin,

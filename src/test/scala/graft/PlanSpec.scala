@@ -101,6 +101,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("win_rank_topn pushes the rank filter into a WindowGroupLimit") {
+    // Spark 4's rank-limit pushdown: each task keeps only the per-group
+    // top-N BEFORE the window shuffle/sort materializes every row — the
+    // group-local analog of TakeOrderedAndProject. If this gate fails the
+    // filter stopped being pushable (e.g. rank expr changed) and the
+    // query silently reverted to full window materialization.
+    val plan = executed("win_rank_topn")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("filter_dynamic_prune injects a runtime dynamicpruning filter into the fact scan") {
     val plan = executed("filter_dynamic_prune")
     assert(plan.contains("dynamicpruning"),

@@ -15,7 +15,8 @@ object ExplainDump {
     "win_ntile", "tpch_q10",
     "sim_threshold_lsh", "tpch_q2", "tpch_q21", "sim_ann_ivf", "upsert_scd2",
     "quality_filter_pipeline", "text_chunk", "sample_stratified_hash",
-    "ts_resample", "dedup_simhash_hamming", "text_unigram_nll")
+    "ts_resample", "dedup_simhash_hamming", "text_unigram_nll",
+    "filter_dynamic_prune", "win_rank_topn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

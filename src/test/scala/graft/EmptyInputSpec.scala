@@ -28,6 +28,41 @@ class EmptyInputSpec extends SparkSpec {
       failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
   }
 
+  private lazy val nullDir: String = {
+    // every non-key column nulled: the sparse/dirty-ingest case. Keys stay
+    // so joins/groupings still have semantics; everything else must
+    // null-propagate, never throw.
+    val keyCols = Map(
+      "region" -> Set("r_regionkey"), "nation" -> Set("n_nationkey", "n_regionkey"),
+      "customer" -> Set("c_custkey", "c_nationkey"),
+      "supplier" -> Set("s_suppkey", "s_nationkey"),
+      "part" -> Set("p_partkey"), "orders" -> Set("o_orderkey", "o_custkey"),
+      "lineitem" -> Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "events" -> Set("event_id", "user_id"), "documents" -> Set("doc_id"),
+      "embeddings" -> Set("vec_id", "label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_null").toString
+    for ((t, keys) <- keyCols) {
+      val src = Tables.table(spark, sf, t).limit(20)
+      val cols = src.schema.fields.map { f =>
+        if (keys(f.name)) org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
+      src.select(cols.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every declared query null-propagates on all-null non-key columns") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, nullDir).count(); None }
+        catch { case e: Throwable => Some(name -> e.toString.take(200)) }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
+  }
+
   test("concurrent queries on one session produce the same results as serial runs") {
     // multi-tenant reality: one SparkSession, many threads. The library
     // must be re-entrant — shared state (curate TrieMap, lazy planes,

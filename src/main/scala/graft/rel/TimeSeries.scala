@@ -71,10 +71,32 @@ object TimeSeries extends QueryModule {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** 7-day rolling DISTINCT user count per day — the WAU (weekly-active)
+    * metric. Window functions cannot COUNT DISTINCT over a frame, and a
+    * per-day self-join re-scans the facts 7x; the scalable form is
+    * EXPLODE-INTO-COVERED-WINDOWS: dedup to (user, day) rows (one exact
+    * shuffle — the relation is bounded by users×days, far smaller than
+    * events), map-side explode each row into the ≤7 window-end days it
+    * covers, then one count-distinct per window day. Facts are scanned
+    * once; everything else is proportional to the distinct relation. */
+  private def tsRollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val userDays = e.select(to_date($"ts").as("d"), $"user_id").distinct()
+    val observedDays = e.select(to_date($"ts").as("wd")).distinct()
+    userDays
+      .select(explode(sequence($"d", date_add($"d", 6))).as("wd"), $"user_id")
+      .join(observedDays, Seq("wd"))
+      .groupBy($"wd")
+      .agg(countDistinct($"user_id").as("wau"))
+      .orderBy($"wd")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "ts_gapfill"      -> tsGapfill,
-    "ts_fill_forward" -> tsFillForward,
-    "ts_resample"     -> tsResample
+    "ts_gapfill"          -> tsGapfill,
+    "ts_fill_forward"     -> tsFillForward,
+    "ts_resample"         -> tsResample,
+    "ts_rolling_distinct" -> tsRollingDistinct
   )
 
   override def oracles: Map[String, String] = Map(
@@ -107,6 +129,17 @@ object TimeSeries extends QueryModule {
         |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY bucket, event_type""".stripMargin
+        |ORDER BY bucket, event_type""".stripMargin,
+    "ts_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS wd FROM events),
+        |cov AS (
+        |  SELECT unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |                                INTERVAL 1 DAY))::DATE AS wd, user_id
+        |  FROM ud)
+        |SELECT c.wd, count(DISTINCT user_id) AS wau
+        |FROM cov c JOIN days USING (wd)
+        |GROUP BY 1 ORDER BY wd""".stripMargin
   )
 }

@@ -92,11 +92,31 @@ object TimeSeries extends QueryModule {
       .orderBy($"wd")
   }
 
+  /** The sub-linear-state twin of [[tsRollingDistinct]]: HLL++ sketch
+    * instead of exact distinct. At 100 TB the exact form's count-distinct
+    * shuffle carries every (window-day, user) pair; the sketch partials
+    * combine map-side to a few KB per day regardless of user cardinality.
+    * Rows-only (sketch estimates are engine-specific); PropertySpec bounds
+    * the error against the exact query. */
+  private def tsRollingDistinctApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val userDays = e.select(to_date($"ts").as("d"), $"user_id").distinct()
+    val observedDays = e.select(to_date($"ts").as("wd")).distinct()
+    userDays
+      .select(explode(sequence($"d", date_add($"d", 6))).as("wd"), $"user_id")
+      .join(observedDays, Seq("wd"))
+      .groupBy($"wd")
+      .agg(approx_count_distinct($"user_id", 0.02).as("wau_approx"))
+      .orderBy($"wd")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "ts_gapfill"          -> tsGapfill,
     "ts_fill_forward"     -> tsFillForward,
     "ts_resample"         -> tsResample,
-    "ts_rolling_distinct" -> tsRollingDistinct
+    "ts_rolling_distinct" -> tsRollingDistinct,
+    "ts_rolling_distinct_approx" -> tsRollingDistinctApprox
   )
 
   override def oracles: Map[String, String] = Map(

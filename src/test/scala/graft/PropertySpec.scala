@@ -20,6 +20,17 @@ class PropertySpec extends SparkSpec {
   private val vecGen: Gen[Seq[Float]] =
     Gen.listOfN(8, Gen.chooseNum(-10f, 10f)).map(_.toSeq)
 
+  test("approx rolling distinct tracks the exact WAU within the sketch bound") {
+    val exact = SparkEntry.queries("ts_rolling_distinct")(spark, sf)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("ts_rolling_distinct_approx")(spark, sf)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((d, a) <- approx; ex = exact(d))
+      assert(math.abs(a - ex) <= math.max(2L, (ex * 0.05).toLong),
+        s"day $d: approx $a vs exact $ex")
+  }
+
   test("cosine similarity is bounded in [-1,1] and reflexive (generated vectors)") {
     val vecs = samples(vecGen, 20).filter(_.exists(_ != 0f))
     val df = vecs.zip(vecs.reverse).toDF("a", "b")

@@ -85,10 +85,18 @@ object Bench {
     // distinguishable from a one-off GC pause. Sub-threshold queries stay
     // single-shot to bound total bench time.
     val noiseThresholdSec = 0.5
+    // A query that THROWS must not be silently reported as a (near-zero)
+    // timing: record it in `failed` and surface the count on the headline
+    // line, so a regression is visible in the bench artifact itself.
+    val failed = scala.collection.mutable.SortedSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         dropPinnedBlocks()
         t
@@ -99,15 +107,17 @@ object Bench {
       name -> t
     }
     def r3(v: Double): String = f"$v%.3f"
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", s",\"failed\":$failedJson}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full)
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"warmup_sec":${r3(warmupSec)},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"warmup_sec":${r3(warmupSec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,9 +83,11 @@ object Curate {
     // rows per target file, estimated from the slice's average row width
     val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
     // snapshot before overwriting: Spark (rightly) refuses to overwrite a
-    // path it is also reading. localCheckpoint suffices single-node; a
-    // cluster deployment would stage to a sibling dir + rename instead.
-    val slice = src.localCheckpoint(true)
+    // path it is also reading, and any recompute-from-source contract
+    // (persist/localCheckpoint) is wrong once the source is rewritten —
+    // Materialize.snapshot stages the slice to durable storage and reads
+    // back, exactly the stage-to-sibling-dir pattern a cluster needs.
+    val slice = graft.rel.Materialize.snapshot(src)
     val rows = slice.count()
     val rowsPerFile =
       if (rows == 0 || bytes <= 0) Long.MaxValue

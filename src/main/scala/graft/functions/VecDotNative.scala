@@ -116,8 +116,17 @@ case class VecSignBandsExpr(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val p = b.asInstanceOf[ArrayData]
-    val dim = p.numElements() / (bands * rowsPerBand)
-    val n = math.min(v.numElements(), dim)
+    // Geometry mismatches FAIL LOUDLY: silently truncating the dot to
+    // min(len, dim) or flooring dim would produce wrong signatures (and
+    // therefore wrong candidate sets) instead of an error.
+    val k = bands * rowsPerBand
+    if (p.numElements() % k != 0) throw new IllegalArgumentException(
+      s"vec_sign_bands: planes length ${p.numElements()} is not a multiple " +
+        s"of bands*rowsPerBand = $k")
+    val dim = p.numElements() / k
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"vec_sign_bands: vector length ${v.numElements()} != plane dim $dim")
+    val n = dim
     val out = new Array[Long](bands)
     var bi = 0
     while (bi < bands) {
@@ -152,8 +161,16 @@ case class VecSignBandsExpr(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
+         |if ($p.numElements() % ${bands * rowsPerBand} != 0) {
+         |  throw new IllegalArgumentException("vec_sign_bands: planes length "
+         |    + $p.numElements() + " is not a multiple of bands*rowsPerBand = ${bands * rowsPerBand}");
+         |}
          |int $dim = $p.numElements() / ${bands * rowsPerBand};
-         |int $n = Math.min($v.numElements(), $dim);
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException("vec_sign_bands: vector length "
+         |    + $v.numElements() + " != plane dim " + $dim);
+         |}
+         |int $n = $dim;
          |long[] $out = new long[$bands];
          |for (int $bi = 0; $bi < $bands; $bi++) {
          |  long $acc = 0L;

@@ -165,11 +165,11 @@ object Similarity extends QueryModule {
     // 64-hyperplane signature subtree per side — measured 5x the whole
     // query at sf0.1 (2.0 s -> 0.42 s, tools/ProfLsh). The relation is
     // (vec_id, band, bv) — b·n tiny rows; at cluster scale this is the
-    // standard persist-signatures-then-join shape.
-    val banded = e
+    // standard persist-signatures-then-join shape (lineage kept: a lost
+    // block recomputes instead of killing the job).
+    val banded = graft.rel.Materialize.once(e
       .select($"vec_id", bandSigs($"embedding").as("sb"))
-      .select($"vec_id", posexplode($"sb").as(Seq("band", "bv")))
-      .localCheckpoint()
+      .select($"vec_id", posexplode($"sb").as(Seq("band", "bv"))))
     val cand = banded.select($"band", $"bv", $"vec_id".as("a_id"))
       .join(banded.select($"band", $"bv", $"vec_id".as("b_id")), Seq("band", "bv"))
       .filter($"a_id" < $"b_id")

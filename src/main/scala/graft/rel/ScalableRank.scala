@@ -37,10 +37,13 @@ object ScalableRank {
     // see identical range boundaries and spark_partition_id() assignments.
     // Without this, two independent subplans each re-run repartitionByRange
     // (whose sampler boundaries and AQE coalescing may differ per run) and
-    // offsets silently key to the wrong partitions.
-    val parts = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // offsets silently key to the wrong partitions. Materialize.once: both
+    // consumers substitute the SAME InMemoryRelation (one materialization,
+    // identical pids), and lineage is kept — on block loss the range
+    // sampler's deterministic per-partition seeds reproduce the same
+    // boundaries, so recompute is safe.
+    val parts = Materialize.once(df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // ≤ shuffle.partitions rows: the global window here is over partition
     // COUNTS, not data — bounded by cluster config.

@@ -70,14 +70,14 @@ object Sketches extends QueryModule {
       .select($"o_orderkey")
     // A zero-row build leaves the sketch buffer null (Spark empty-
     // aggregation corner) and the build/probe NPEs — the empty-day case
-    // at scale. An empty key set has no members, so the correct membership
-    // probe is constant false.
+    // at scale. Detect the empty build EXPLICITLY (head(1) probe) rather
+    // than catching the NPE: exception-as-control-flow would silently
+    // change behavior if a future Spark returns a valid empty sketch or
+    // throws something else. An empty key set has no members, so the
+    // correct membership probe is constant false.
     val bfOpt =
-      try {
-        val b = keys.stat.bloomFilter($"o_orderkey", 100000L, 0.01)
-        b.mightContainLong(0L) // degenerate sketches also NPE on probe
-        Some(b)
-      } catch { case _: NullPointerException => None }
+      if (keys.isEmpty) None
+      else Some(keys.stat.bloomFilter($"o_orderkey", 100000L, 0.01))
     val contains = bfOpt match {
       case Some(bf) =>
         val bcast = spark.sparkContext.broadcast(bf)

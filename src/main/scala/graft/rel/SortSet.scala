@@ -38,13 +38,12 @@ object SortSet extends QueryModule {
     // no global sort) + broadcast membership join — NOT a global-window
     // row_number, which would single-partition every group row. At 100 TB
     // the group counts stay distributed and only K rows ever centralize.
-    // localCheckpoint: `counts` feeds both the top-K probe and the re-agg —
+    // Materialize.once: `counts` feeds both the top-K probe and the re-agg —
     // materialize the grouped frame once instead of scanning+shuffling the
-    // fact table twice.
-    val counts = Tables.events(spark, sfDir)
+    // fact table twice (lineage kept for recompute-on-loss).
+    val counts = Materialize.once(Tables.events(spark, sfDir)
       .groupBy($"event_type", $"user_id")
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n")))
     val top = counts
       .orderBy($"n".desc, $"event_type".asc, $"user_id".asc)
       .limit(10)

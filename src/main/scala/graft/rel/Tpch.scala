@@ -486,7 +486,7 @@ object Tpch extends QueryModule {
         $"l_orderkey" === $"o_orderkey")
       .select($"o_orderkey", $"l_suppkey",
         ($"l_shipdate" > date_add($"o_orderdate", 60).cast("timestamp")).as("late"))
-      .localCheckpoint()
+      .transform(Materialize.once)
     val waiting = lo.groupBy($"o_orderkey")
       .agg(countDistinct($"l_suppkey").as("n_supp"),
         countDistinct(when($"late", $"l_suppkey")).as("n_late"))

@@ -168,9 +168,9 @@ object StreamOps {
             old.unionByName(batch), keyCols, Seq(col(versionCol).desc))
           case None => batch
         }
-        // checkpoint BEFORE the overwrite: the merge reads the same files
-        // the overwrite deletes (same pattern as KeepLatest.upsertPartitions)
-        merged.localCheckpoint(true)
+        // stage BEFORE the overwrite: the merge reads the same files the
+        // overwrite deletes (same pattern as KeepLatest.upsertPartitions)
+        graft.rel.Materialize.snapshot(merged)
           .write.mode("overwrite").parquet(targetDir)
       }
 

@@ -35,9 +35,11 @@ object KeepLatest {
                        partitionCols: Seq[String]): Unit = {
     // Materialize before overwriting: `existing` reads the same path we are
     // about to rewrite. A transactional table format makes this snapshot
-    // isolation; without one (no Delta jar here) we checkpoint the merge.
-    val merged = keepLatest(existing.unionByName(batch), keys, ordering)
-      .localCheckpoint(true)
+    // isolation; without one (no Delta jar here) the merge is staged to
+    // durable storage (Materialize.snapshot) — a recompute-from-source
+    // contract would re-read the overwritten path.
+    val merged = graft.rel.Materialize.snapshot(
+      keepLatest(existing.unionByName(batch), keys, ordering))
     val spark = batch.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -15,6 +15,14 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("IMPLEMENTATION.md names every declared query key (docs track the code)") {
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("IMPLEMENTATION.md")), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(k => doc.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"keys missing from IMPLEMENTATION.md: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every declared query runs and returns rows on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

@@ -117,6 +117,34 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic partition pruning subquery in the scan: $plan")
   }
 
+  test("join_runtime_bloom injects a runtime bloom filter below the fact shuffle") {
+    // completes the runtime-filtering story next to filter_dynamic_prune:
+    // with the feature armed, Catalyst must build a bloom filter over the
+    // selective orders slice and inject might_contain onto the lineitem
+    // side BEFORE its exchange.
+    val confs = graft.rel.Joins.RuntimeBloomConfs
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val qe = graft.rel.Joins.runtimeBloomPlan(spark, sf).queryExecution
+      val opt = qe.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter in the optimized plan: $opt")
+      val phys = qe.executedPlan.toString
+      assert(!phys.contains("BroadcastHashJoin"),
+        s"fact-fact join must be a shuffle join for the gate to be meaningful: $phys")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("join_range_binned plans an equi join on the bucket key, never a nested loop") {
+    val plan = executed("join_range_binned")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pure interval join must ride the manufactured bucket equi key: $plan")
+  }
+
   test("text_unigram_nll broadcasts the single-row corpus total") {
     val plan = executed("text_unigram_nll")
     // the 1-row total must attach as a broadcast nested loop (1xN), and the

@@ -103,6 +103,58 @@ class PropertySpec extends SparkSpec {
     assert(a.length > total * 0.1 && a.length < total * 0.3)
   }
 
+  test("star-contraction CC converges on a chain with diameter far past the old 64-round cap") {
+    // A path graph 0-1-2-...-N is the worst case for plain min-label
+    // propagation (N rounds to drag label 0 to the far end — the round-3
+    // implementation capped at 64 and would fail loudly here). Large-star/
+    // small-star contracts it in O(log² N) rounds.
+    val n = 500
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val lbl = graft.llm.Dedup.propagateMinLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size === n + 1)
+    assert(lbl.values.forall(_ == 0L), s"all labels must be the component min 0")
+  }
+
+  test("star-contraction CC labels random multi-component graphs like a reference union-find") {
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 49L), Gen.chooseNum(0L, 49L)))
+    samples(edgeGen, 5).foreach { edges0 =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: driver-side union-find
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> {
+            // min of component = root after min-directed unions
+            find(x)
+          }).toMap
+        val got = graft.llm.Dedup.propagateMinLabels(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("text_top_terms_approx equals the exact top terms (MG candidates + exact recount)") {
+    // the MG candidate union provably contains every word with global
+    // count > n_lang/256; the recount is exact over candidates — so the
+    // approx twin must agree exactly with text_top_terms on the fixtures.
+    val exact = SparkEntry.queries("text_top_terms")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val approx = SparkEntry.queries("text_top_terms_approx")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(approx === exact)
+  }
+
   test("gauge/bar invariant: global sum equals the sum over per-group sums (A4 vs A5)") {
     val global = SparkEntry.queries("agg_global_sum")(spark, sf)
       .head.getLong(0)

@@ -219,6 +219,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("T7b: raw-sink pipeline survives a crash-and-restart exactly-once (injected failed commit)") {
+    // The end-to-end exactly-once CLAIM of the raw pipeline (SURVEY §3.3),
+    // failure-tested: kill the query, then forge the classic crash state —
+    // offsets log AHEAD of commits log (Spark writes offsets/N before a
+    // batch and commits/N after; a crash in between leaves exactly this).
+    // On restart Spark MUST re-run the uncommitted batch from its logged
+    // offsets, and the file sink's _spark_metadata transaction log must
+    // swallow the re-run's output — no duplicates, no losses.
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    def addFile(i: Int): Unit =
+      Seq(s"""{"id":$i,"title":"T$i"}""").toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/in")
+    def start() = StreamOps.rawSink(
+      spark.readStream.schema("id LONG, title STRING")
+        .option("maxFilesPerTrigger", 1).json(s"$dir/in"),
+      s"$dir/data", s"$dir/chk", triggerInterval = "0 seconds").start()
+    addFile(1); addFile(2)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // kill #1
+    val commits = new java.io.File(s"$dir/chk/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "maxFilesPerTrigger=1 must give one batch per file")
+    assert(commits.last.delete(), "failed to inject the crashed-commit state")
+    addFile(3) // lands while the pipeline is down
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // spark.read on a streaming-sink dir resolves through _spark_metadata:
+    // only committed files count — exactly the reader-facing guarantee.
+    val ids = spark.read.json(s"$dir/data")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L),
+      "crash-restart must re-run the uncommitted batch without duplicating it")
+  }
+
   test("transformWithState keeps per-key running totals across micro-batches (RocksDB)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

@@ -16,7 +16,8 @@ object ExplainDump {
     "sim_threshold_lsh", "tpch_q2", "tpch_q21", "sim_ann_ivf", "upsert_scd2",
     "quality_filter_pipeline", "text_chunk", "sample_stratified_hash",
     "ts_resample", "dedup_simhash_hamming", "text_unigram_nll",
-    "filter_dynamic_prune", "win_rank_topn")
+    "filter_dynamic_prune", "win_rank_topn",
+    "join_range_binned", "text_top_terms_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -30,6 +31,22 @@ object ExplainDump {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+    }
+    // join_runtime_bloom: the declared query materializes eagerly inside
+    // its conf scope (the returned frame is an InMemoryRelation), so the
+    // interesting plan is the inner one, dumped under the same confs.
+    locally {
+      println(s"\n===== join_runtime_bloom (inner plan, confs armed) =====")
+      val confs = graft.rel.Joins.RuntimeBloomConfs
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try println(graft.rel.Joins.runtimeBloomPlan(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
     println(s"\nTOTAL_DECLARED_QUERIES=${SparkEntry.queries.size}")
     println(s"ORACLE_QUERIES=${SparkEntry.oracleSql.size}")

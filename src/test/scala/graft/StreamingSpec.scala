@@ -241,6 +241,11 @@ class StreamingSpec extends SparkSpec {
     val commits = new java.io.File(s"$dir/chk/commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
     assert(commits.length >= 2, "maxFilesPerTrigger=1 must give one batch per file")
+    // drop the local-FS checksum sibling too, or the re-written commit's
+    // rename collides with the stale .crc and Spark misreads the conflict
+    // as a concurrent query on the same checkpoint
+    val crc = new java.io.File(s"$dir/chk/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
     assert(commits.last.delete(), "failed to inject the crashed-commit state")
     addFile(3) // lands while the pipeline is down
     val q2 = start()

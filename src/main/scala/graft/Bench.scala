@@ -28,7 +28,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: round-4's driver capture lost the metric line in a
+    // flood of storage-layer WARNs (BENCH_r04.json parsed=null). The metric
+    // line must be the one thing this process reliably emits.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session once so the first timed queries don't absorb one-time
     // JVM/session init (measured 1.5-3.5 s on whichever queries happen to run
     // first): executor threads, codegen compiler, hadoop FS, parquet footers
@@ -116,8 +119,12 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"warmup_sec":${r3(warmupSec)},"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"warmup_sec":${r3(warmupSec)},"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // Re-print AFTER stop: shutdown logging must not be the tail the
+    // driver's output capture sees (round-4 lesson — parsed=null).
+    println(line)
   }
 }

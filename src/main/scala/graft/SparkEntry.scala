@@ -29,6 +29,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Curation,
     llm.Similarity,
+    llm.Clustering,
     llm.Text,
     llm.Multimodal,
     pipeline.PipelineQueries

@@ -170,7 +170,57 @@ object Curation extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** Target mix shares for [[sampleDomainMix]] — the declared corpus
+    * composition (the knob a pretraining run publishes, e.g. Llama/Pile
+    * domain weights). Must sum to 1. */
+  private val MixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Domain-mix resampling — downsample each domain so the KEPT corpus
+    * matches declared target proportions (the composition step every
+    * pretraining data recipe runs after cleaning). Water-filling: the
+    * largest kept corpus honoring shares p_l with supplies n_l is
+    * T = min_l(n_l / p_l); each domain then keeps f_l = p_l·T / n_l of its
+    * docs (f = 1 exactly for the binding domain — nothing is upsampled).
+    *
+    * Scale shape: one tiny partial-aggregated groupBy(lang) for the
+    * supplies, the min over it attached as a broadcast scalar, the per-lang
+    * fractions broadcast back onto the corpus scan, and the draw itself is
+    * the same stateless md5-uniform as [[sampleStratifiedHash]] — so the
+    * kept set is a deterministic map-side filter, replayable cross-engine
+    * and independent of partitioning. No collect, no window, no full-corpus
+    * shuffle. `least(1.0, ·)` guards the binding domain's f against the
+    * one-ulp float excess (n/p·p/n can round to 1.0000…02 — both engines
+    * compute the identical IEEE value, but >1 draws are impossible, so the
+    * clamp documents intent rather than papering over divergence). */
+  private def sampleDomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val pCol = MixTargets.tail.foldLeft(
+      when($"lang" === MixTargets.head._1, MixTargets.head._2)) {
+      case (acc, (l, p)) => acc.when($"lang" === l, p)
+    }
+    val supplies = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("p", pCol)
+      .filter($"p".isNotNull)
+    // t_max via an unpartitioned window over the DOMAIN-COUNT rows (one per
+    // domain, a handful) — NOT a second aggregation, which would re-scan
+    // the corpus for the same 5 rows. The single-partition window is safe
+    // exactly because its input is domain-cardinality, never corpus-sized.
+    val fracs = supplies
+      .withColumn("t_max", min($"n_l" / $"p").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"lang", least(lit(1.0), $"p" * $"t_max" / $"n_l").as("f"))
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    docs.join(broadcast(fracs), Seq("lang"))
+      .filter(u < $"f")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "sample_domain_mix"       -> sampleDomainMix,
     "sample_stratified_hash"  -> sampleStratifiedHash,
     "text_chunk"              -> textChunk,
     "text_pii_mask"           -> textPiiMask,
@@ -180,6 +230,25 @@ object Curation extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sample_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |p AS (
+        |  SELECT lang, n_l,
+        |    CASE lang WHEN 'en' THEN CAST(0.40 AS DOUBLE)
+        |              WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+        |              WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+        |              WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+        |              WHEN 'zh' THEN CAST(0.15 AS DOUBLE) END AS p
+        |  FROM c WHERE CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 WHEN 'es' THEN 1
+        |                         WHEN 'fr' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END = 1),
+        |t AS (SELECT min(n_l / p) AS t_max FROM p),
+        |f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), p * t_max / n_l) AS f
+        |      FROM p CROSS JOIN t)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN f USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0 < f
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_stratified_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

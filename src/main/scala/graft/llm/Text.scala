@@ -283,7 +283,92 @@ object Text extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Repetition filtering (Gopher-style, Rae et al. 2021 §A1.1): the
+    * within-document duplicate-content fractions every pretraining corpus
+    * filter computes — duplicate-word fraction and duplicate-3-gram
+    * fraction, plus the keep/drop verdict. A boilerplate page (nav menus,
+    * templated listings) repeats its own n-grams; natural prose doesn't.
+    *
+    * Scale shape: pure codegen'd MAP — tokenization, 3-gram construction
+    * (`transform` over a `sequence` of start offsets, reading the row-local
+    * token array), and `array_distinct` all evaluate per row with zero
+    * exchange; at 100 TB this streams through the scan like the quality
+    * filters it composes with ([[Curation]] `quality_filter_pipeline`).
+    * The verdict thresholds (30% dup words / 18% dup 3-grams, Gopher's
+    * published cutoffs) are evaluated in INTEGER cross-multiplied form
+    * ((nW−nDW)·10 > nW·3) so the boolean is bit-portable across engines —
+    * no float threshold ever compares. */
+  private def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split(trim($"text"), " "), t => t =!= "")
+    Tables.documents(spark, sfDir)
+      .withColumn("w", toks)
+      .withColumn("g3",
+        when(size($"w") >= 3,
+          transform(sequence(lit(1), size($"w") - 2), i =>
+            concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+              element_at($"w", i + 2))))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        $"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        pround((size($"w") - size(array_distinct($"w"))) /
+          nullif(size($"w"), lit(0)).cast("double"), 6).as("dup_word_frac"),
+        pround((size($"g3") - size(array_distinct($"g3"))) /
+          nullif(size($"g3"), lit(0)).cast("double"), 6).as("dup_3gram_frac"),
+        (((size($"w") - size(array_distinct($"w"))) * 10 > size($"w") * 3) ||
+          ((size($"g3") - size(array_distinct($"g3"))) * 100 > size($"g3") * 18))
+          .as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM/Llama eval-leakage guard):
+    * flag corpus documents sharing any n-gram with a held-out benchmark
+    * set. Production uses 13-grams over a real eval suite; the fixture's
+    * 10-99-word docs use 5-grams and a deterministic benchmark slice
+    * (doc_id % 97 == 0) so overlaps actually occur at test scale — the
+    * operator SHAPE is scale-invariant.
+    *
+    * Scale shape: the benchmark n-gram set is tiny (eval suites are MBs
+    * against a 100-TB corpus) → distinct it once and BROADCAST; corpus
+    * docs explode their distinct n-grams map-side and probe via a
+    * broadcast left-semi join (no shuffle of corpus data), then one
+    * partial-aggregated groupBy(doc_id) counts hits. The left-outer join
+    * back to the corpus restores zero-hit docs — every doc gets a verdict,
+    * not just the contaminated ones. */
+  private def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = 5
+    val toks = filter(split(trim($"text"), " "), t => t =!= "")
+    val withGrams = Tables.documents(spark, sfDir)
+      .withColumn("w", toks)
+      .withColumn("g",
+        when(size($"w") >= n,
+          array_distinct(transform(sequence(lit(1), size($"w") - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(j => element_at($"w", i + j)): _*))))
+          .otherwise(array().cast("array<string>")))
+    val benchGrams = withGrams.filter($"doc_id" % 97 === 0)
+      .select(explode($"g").as("gram")).distinct()
+    val corpus = withGrams.filter($"doc_id" % 97 =!= 0)
+    val hits = corpus
+      .select($"doc_id", explode($"g").as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.select($"doc_id", size($"g").cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id", $"n_grams",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        pround(coalesce($"n_hits", lit(0L)) /
+          nullif($"n_grams", lit(0L)).cast("double"), 6).as("hit_frac"),
+        (coalesce($"n_hits", lit(0L)) > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "text_repetition"   -> repetition,
+    "text_contamination" -> contamination,
     "text_normalize"    -> textNormalize,
     "text_unigram_nll"  -> unigramNll,
     "text_levenshtein"  -> levenshteinScore,
@@ -299,6 +384,51 @@ object Text extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |         ELSE []::VARCHAR[] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  floor((len(w) - len(list_distinct(w))) * 1.0
+        |        / nullif(len(w), 0) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+        |  floor((len(g3) - len(list_distinct(g3))) * 1.0
+        |        / nullif(len(g3), 0) * 1e6 + 0.5) / 1e6 AS dup_3gram_frac,
+        |  ((len(w) - len(list_distinct(w))) * 10 > len(w) * 3)
+        |    OR ((len(g3) - len(list_distinct(g3))) * 100 > len(g3) * 18) AS repetitive
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 5
+        |         THEN list_distinct(list_transform(range(1, len(w) - 3),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                     w[i+3] || ' ' || w[i+4]))
+        |         ELSE []::VARCHAR[] END AS g
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(g) AS gram FROM corp) c
+        |  JOIN bench USING (gram) GROUP BY c.doc_id)
+        |SELECT corp.doc_id,
+        |  CAST(len(g) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  floor(coalesce(n_hits, 0) * 1.0
+        |        / nullif(len(g), 0) * 1e6 + 0.5) / 1e6 AS hit_frac,
+        |  coalesce(n_hits, 0) > 0 AS contaminated
+        |FROM corp LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,

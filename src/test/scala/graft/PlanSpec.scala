@@ -101,6 +101,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_repetition plans as a pure map (zero shuffles, zero aggregates)") {
+    // the repetition filter touches every corpus byte — it must stream
+    // through the scan exactly like the curation map-only family.
+    val plan = executed("text_repetition")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"text_repetition must not shuffle: $plan")
+    assert(!plan.contains("HashAggregate"),
+      s"text_repetition must not aggregate: $plan")
+  }
+
+  test("text_contamination probes benchmark n-grams via broadcast (no corpus-side shuffle for the probe)") {
+    // the benchmark gram set is tiny vs the corpus: the semi-join must be
+    // a BroadcastHashJoin LeftSemi, so corpus grams never shuffle to reach
+    // the probe — only the per-doc hit count aggregates.
+    val plan = executed("text_contamination")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark grams must broadcast for the semi probe: $plan")
+  }
+
+  test("sample_domain_mix attaches fractions by broadcast; the corpus never hash-shuffles") {
+    // supplies (5 rows) and fractions (5 rows) aggregate and broadcast;
+    // the corpus side is scan → broadcast join → filter. Any
+    // hashpartitioning exchange over the DOCUMENTS scan means the kept-set
+    // filter stopped being map-side.
+    val plan = executed("sample_domain_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang fractions must broadcast: $plan")
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    // the only hash exchange allowed is the tiny groupBy(lang) supplies agg
+    assert(hashExchanges <= 1,
+      s"corpus must not hash-shuffle (found $hashExchanges exchanges): $plan")
+  }
+
   test("win_rank_topn pushes the rank filter into a WindowGroupLimit") {
     // Spark 4's rank-limit pushdown: each task keeps only the per-group
     // top-N BEFORE the window shuffle/sort materializes every row — the

@@ -156,4 +156,38 @@ class LlmSpec extends SparkSpec {
     assert(q.filter($"quality" < 0 || $"quality" > 1).count() === 0)
     assert(q.filter($"stop_ratio" < 0 || $"stop_ratio" > 1).count() === 0)
   }
+
+  test("embed_kmeans: every vector assigned, k clusters in use, assignment is the argmin") {
+    val out = SparkEntry.queries("embed_kmeans")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === n, "one assignment per vector")
+    val clusters = out.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf((0L until 5L).toSet) && clusters.size >= 2,
+      s"clusters must come from the k seeds and split the corpus: $clusters")
+    out.foreach(r => assert(r.getDouble(2) >= 0d, "squared distance is non-negative"))
+  }
+
+  test("text_contamination: benchmark docs excluded; hits bounded by gram count") {
+    val out = SparkEntry.queries("text_contamination")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "benchmark slice must not appear in the verdicts")
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed the doc's distinct grams")
+    }
+  }
+
+  test("sample_domain_mix: kept shares track the declared mix within sampling noise") {
+    // f_l·n_l ≈ p_l·T by construction; with md5-uniform draws the kept
+    // count per domain concentrates around it. 15% relative slack covers
+    // binomial noise at fixture scale without hiding a broken fraction.
+    val kept = SparkEntry.queries("sample_domain_mix")(spark, sf)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    val targets = Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+    targets.foreach { case (l, p) =>
+      val share = kept.getOrElse(l, 0L) / total
+      assert(math.abs(share - p) <= 0.15 * p + 0.02,
+        s"$l kept share $share vs target $p")
+    }
+  }
 }

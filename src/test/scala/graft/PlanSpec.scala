@@ -135,6 +135,17 @@ class PlanSpec extends SparkSpec {
       s"corpus must not hash-shuffle (found $hashExchanges exchanges): $plan")
   }
 
+  test("embed_kmeans broadcasts centroids and assigns via aggregate argmin (no Window over vectors)") {
+    // both Lloyd iterations must attach centroids as a broadcast (k·dim
+    // doubles) and pick the nearest via min(struct(d2,cid)) — a hash
+    // aggregate. A Window node would mean per-vector sorting crept in; a
+    // non-broadcast join would shuffle the corpus against k rows.
+    val plan = executed("embed_kmeans")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"), s"centroids must broadcast: $plan")
+    assert(!plan.contains("Window"), s"argmin must stay an aggregate: $plan")
+  }
+
   test("win_rank_topn pushes the rank filter into a WindowGroupLimit") {
     // Spark 4's rank-limit pushdown: each task keeps only the per-group
     // top-N BEFORE the window shuffle/sort materializes every row — the

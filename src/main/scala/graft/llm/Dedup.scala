@@ -433,10 +433,16 @@ object Dedup extends QueryModule {
     // generation + verify, which must not re-run per consumer or per round.
     // Canonical form: (a, b) with a > b, distinct, no self-loops.
     val p0 = pairs.toDF("u", "v").filter($"u" =!= $"v")
-    var edges = Materialize.eager(
+    val (e0, h0) = Materialize.pin(
       p0.select(greatest($"u", $"v").as("a"), least($"u", $"v").as("b"))
         .distinct())
-    val incident = Materialize.once(
+    var edges = e0
+    // EAGER: incident is only consumed after the loop, by which point the
+    // round-0 edge persist is released — materialized lazily there, its
+    // lineage would re-run the entire upstream candidate pipeline. This
+    // one action also populates the round-0 pin (incident reads through
+    // it), so the loop starts from cached edges with no extra job.
+    val incident = Materialize.eager(
       edges.select($"a".as("id")).union(edges.select($"b".as("id"))).distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -465,27 +471,49 @@ object Dedup extends QueryModule {
     // exactly one center. This doubles as the structural correctness
     // guarantee: canonical stars are centered at their component minimum,
     // and both steps preserve connectivity (SoCC'14 Lemmas 1-2), so star
-    // centers ARE the original components' minima.
+    // centers ARE the original components' minima. ONE action and ONE
+    // shuffle per probe: tag each edge endpoint with its role, aggregate
+    // per node — a node that is both member and center breaks condition 1,
+    // a member of 2+ edges breaks condition 2 (edges are distinct, so
+    // count == edge multiplicity). Running the probe also populates the
+    // round's lazy persist.
     def isStarUnion(e: DataFrame): Boolean =
-      e.select($"a").intersect(e.select($"b")).isEmpty &&
-        e.groupBy($"a").agg(countDistinct($"b").as("nb"))
-          .filter($"nb" > 1).isEmpty
+      e.select($"a".as("n"), lit(1L).as("m"), lit(0L).as("c"))
+        .union(e.select($"b".as("n"), lit(0L).as("m"), lit(1L).as("c")))
+        .groupBy($"n").agg(sum($"m").as("m"), sum($"c").as("c"))
+        .filter(($"m" > 0 && $"c" > 0) || $"m" > 1)
+        .limit(1).isEmpty
+    // Per-round materialization is Materialize.pin: O(1) logical plan (the
+    // star steps reference their input ~6 times each — an untruncated plan
+    // grows ~6^round copies and Catalyst re-analysis explodes by round ~8),
+    // rows cached by the convergence probe itself (no extra job, no disk
+    // write — the round-4 snapshot-every-round form spent 3.4 s of the
+    // 5.1 s dedup_clusters_lsh bench cost on parquet round-trips), lineage
+    // KEPT for block-loss recompute. Recompute depth is bounded by a
+    // durable snapshot every SnapEvery rounds (GraphFrames checkpoints its
+    // CC loop the same way) — worst-case recompute under executor loss is
+    // <= SnapEvery rounds of tiny edge-set transforms, never the corpus.
+    // No pre-loop probe — real pair graphs are never already star-unions,
+    // so that action was pure cost.
+    val SnapEvery = 8
+    var handle: DataFrame = h0 // persisted backing of the current pin
     var rounds = 0
-    var converged = isStarUnion(edges)
+    var converged = false
+    val t0 = System.nanoTime()
     while (!converged && rounds < StarRoundCap) {
-      // Snapshot EVERY round: the star steps reference their input ~6
-      // times each (sym union + min-agg + join), so an untruncated logical
-      // plan grows ~6^round copies of the base — Catalyst re-analysis cost
-      // explodes by round ~8. The durable staged copy keeps plans O(1) per
-      // round AND survives executor loss (GraphFrames checkpoints its CC
-      // loop every few rounds for exactly this reason); the edge set is
-      // tiny relative to the corpus (near-dup pairs only), so the per-round
-      // write is noise.
-      val next = Materialize.snapshot(smallStar(largeStar(edges)))
-      converged = isStarUnion(next)
-      edges.unpersist(blocking = false)
+      val stepped = smallStar(largeStar(edges))
+      val (next, nextHandle) =
+        if ((rounds + 1) % SnapEvery == 0) (Materialize.snapshot(stepped), null)
+        else Materialize.pin(stepped)
+      converged = isStarUnion(next) // materializes the round's persist
+      // prior round's blocks are no longer read once `next` is cached
+      if (handle != null) handle.unpersist(blocking = false)
+      edges.unpersist(blocking = false) // frees the round-0 eager persist
+      handle = nextHandle
       edges = next
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $rounds done at ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged,
       s"star-contraction not converged after $rounds rounds")

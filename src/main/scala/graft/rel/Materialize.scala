@@ -49,6 +49,27 @@ object Materialize {
     p
   }
 
+  /** Iterative-loop materialization: persist the rows AND re-root the
+    * LOGICAL PLAN on the materialized RDD. An iterative plan that feeds
+    * itself (the CC star steps reference their input ~6 times each) grows
+    * exponentially if the plan is only persisted — persist caches rows but
+    * Catalyst still re-analyzes the whole expanding tree every round. The
+    * re-rooted frame is a LogicalRDD leaf: O(1) plan per round, no
+    * re-analysis blowup, no disk write (unlike [[snapshot]] — measured
+    * 5.1 s → CC-loop cost dominated by per-round parquet round-trips at
+    * sf0.1), and the underlying RDD keeps FULL lineage, so a lost
+    * executor block recomputes from source instead of killing the job
+    * (the `localCheckpoint` failure mode). Recompute depth grows with
+    * rounds — callers bound it with a periodic [[snapshot]]
+    * (GraphFrames checkpoints its CC loop the same way).
+    *
+    * Returns (re-rooted frame, persisted handle) — unpersist the handle
+    * when the round's successor is materialized. */
+  def pin(df: DataFrame): (DataFrame, DataFrame) = {
+    val p = once(df)
+    (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+  }
+
   private val stagedDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]()
   @volatile private var hookInstalled = false

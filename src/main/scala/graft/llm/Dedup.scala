@@ -496,7 +496,8 @@ object Dedup extends QueryModule {
     // No pre-loop probe — real pair graphs are never already star-unions,
     // so that action was pure cost.
     val SnapEvery = 8
-    var handle: DataFrame = h0 // persisted backing of the current pin
+    // persisted backing of the current round's pin
+    var handle: org.apache.spark.rdd.RDD[_] = h0
     var rounds = 0
     var converged = false
     val t0 = System.nanoTime()
@@ -508,7 +509,6 @@ object Dedup extends QueryModule {
       converged = isStarUnion(next) // materializes the round's persist
       // prior round's blocks are no longer read once `next` is cached
       if (handle != null) handle.unpersist(blocking = false)
-      edges.unpersist(blocking = false) // frees the round-0 eager persist
       handle = nextHandle
       edges = next
       rounds += 1

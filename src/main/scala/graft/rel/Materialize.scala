@@ -36,9 +36,42 @@ object Materialize {
 
   /** Materialize `df` once for multi-consumer reuse, keeping lineage
     * (recompute on block loss instead of job death). MEMORY_AND_DISK:
-    * spills instead of dropping under memory pressure. */
+    * spills instead of dropping under memory pressure. Dataset-level
+    * persist deliberately: the InMemoryRelation carries accurate
+    * sizeInBytes STATISTICS, so consumers' join-strategy choices
+    * (auto-broadcast under the threshold) survive the materialization —
+    * an RDD-level re-root would be a stats-less LogicalRDD that silently
+    * turns broadcastable sides into sort-merge shuffles downstream.
+    * Lazy: the first action populates the cache. */
   def once(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Iterative-loop materialization: persist the INTERNAL-ROW RDD and
+    * re-root the logical plan on it. The re-rooted LogicalRDD leaf is
+    * what makes self-feeding iterative plans viable: the CC star steps
+    * reference their input ~6 times each, so an un-re-rooted plan grows
+    * ~6^round copies and Catalyst re-analysis explodes by round ~8; here
+    * every round re-analyzes a leaf. UnsafeRow blocks cache as compact
+    * bytes (no columnar encode, no Row round-trip), the RDD keeps FULL
+    * lineage (lost blocks recompute instead of killing the job — the
+    * `localCheckpoint` failure mode), and unlike [[snapshot]] there is no
+    * disk round-trip (parquet staging dominated the CC bench cost).
+    * Recompute depth under block loss is bounded by the caller's periodic
+    * [[snapshot]] (GraphFrames checkpoints its CC loop the same way).
+    * The stats-less leaf is safe HERE because the loop's own joins are
+    * all shuffle joins over same-sized edge sets anyway. The `.copy()` is
+    * required — physical operators reuse their UnsafeRow buffer.
+    *
+    * Returns (re-rooted frame, persisted handle) — unpersist the handle
+    * once the round's successor is materialized. */
+  def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val spark = df.sparkSession
+    val internal = df.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (org.apache.spark.sql.GraftInternalAccess.fromInternal(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      internal, df.schema), internal)
+  }
 
   /** [[once]], populated eagerly — for call sites that need the
     * materialization to happen NOW (e.g. before a conf change or a
@@ -47,27 +80,6 @@ object Materialize {
     val p = once(df)
     p.count()
     p
-  }
-
-  /** Iterative-loop materialization: persist the rows AND re-root the
-    * LOGICAL PLAN on the materialized RDD. An iterative plan that feeds
-    * itself (the CC star steps reference their input ~6 times each) grows
-    * exponentially if the plan is only persisted — persist caches rows but
-    * Catalyst still re-analyzes the whole expanding tree every round. The
-    * re-rooted frame is a LogicalRDD leaf: O(1) plan per round, no
-    * re-analysis blowup, no disk write (unlike [[snapshot]] — measured
-    * 5.1 s → CC-loop cost dominated by per-round parquet round-trips at
-    * sf0.1), and the underlying RDD keeps FULL lineage, so a lost
-    * executor block recomputes from source instead of killing the job
-    * (the `localCheckpoint` failure mode). Recompute depth grows with
-    * rounds — callers bound it with a periodic [[snapshot]]
-    * (GraphFrames checkpoints its CC loop the same way).
-    *
-    * Returns (re-rooted frame, persisted handle) — unpersist the handle
-    * when the round's successor is materialized. */
-  def pin(df: DataFrame): (DataFrame, DataFrame) = {
-    val p = once(df)
-    (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
   }
 
   private val stagedDirs =

@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Package bridge to `SparkSession.internalCreateDataFrame` (private[sql]
+  * in the public Spark source — sql/core SparkSession.scala), used by
+  * `graft.rel.Materialize.pin` to re-root an iterative plan on a cached
+  * InternalRow RDD without a Row round-trip: UnsafeRow blocks cache as
+  * compact bytes (the same storage `localCheckpoint` used) and the
+  * re-rooted LogicalRDD leaf keeps per-round plan analysis O(1) in the
+  * connected-components loop.
+  */
+object GraftInternalAccess {
+  def fromInternal(spark: classic.SparkSession,
+      rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema)
+}

@@ -118,8 +118,8 @@ object Clustering extends QueryModule {
     import spark.implicits._
     import graft.functions.VecDotNative.{vec_dot_native, vec_norm_native}
     val tau = 0.35
-    val a2 = graft.rel.Materialize.once(
-      assignments(spark, sfDir).withColumn("nrm", vec_norm_native($"emb")))
+    val a2 = graft.rel.Materialize.pin(
+      assignments(spark, sfDir).withColumn("nrm", vec_norm_native($"emb")))._1
     val a = a2.select($"cid", $"vec_id".as("a_id"), $"emb".as("va"), $"nrm".as("na"))
     val b = a2.select($"cid", $"vec_id".as("b_id"), $"emb".as("vb"), $"nrm".as("nb"))
     val close = a.join(b, Seq("cid"))

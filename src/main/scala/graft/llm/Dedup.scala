@@ -148,7 +148,7 @@ object Dedup extends QueryModule {
         conv(substring($"m", 11, 10), 16, 10).cast("long").as("h2"))
       .groupBy($"doc_id")
       .agg(sigAggs.head, (sigAggs.tail :+ collect_set($"h1").as("hs")): _*)
-    val perDocM = graft.rel.Materialize.once(perDocRaw)
+    val perDocM = graft.rel.Materialize.pin(perDocRaw)._1
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("band"),
         array((bi * RowsPerBand until (bi + 1) * RowsPerBand)
@@ -303,7 +303,7 @@ object Dedup extends QueryModule {
     * 4-byte key. The signature stage materializes once (one row per doc). */
   private def dedupSimhashHamming(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sigs = graft.rel.Materialize.once(simhashSigs(spark, sfDir))
+    val sigs = graft.rel.Materialize.pin(simhashSigs(spark, sfDir))._1
     val blocked = sigs.select($"doc_id", $"simhash",
       posexplode(array((0 until 4).map(b =>
         shiftright($"simhash", b * 8).bitwiseAND(255)): _*)).as(Seq("blk", "bv")))

@@ -167,9 +167,9 @@ object Similarity extends QueryModule {
     // (vec_id, band, bv) — b·n tiny rows; at cluster scale this is the
     // standard persist-signatures-then-join shape (lineage kept: a lost
     // block recomputes instead of killing the job).
-    val banded = graft.rel.Materialize.once(e
+    val banded = graft.rel.Materialize.pin(e
       .select($"vec_id", bandSigs($"embedding").as("sb"))
-      .select($"vec_id", posexplode($"sb").as(Seq("band", "bv"))))
+      .select($"vec_id", posexplode($"sb").as(Seq("band", "bv"))))._1
     val cand = banded.select($"band", $"bv", $"vec_id".as("a_id"))
       .join(banded.select($"band", $"bv", $"vec_id".as("b_id")), Seq("band", "bv"))
       .filter($"a_id" < $"b_id")

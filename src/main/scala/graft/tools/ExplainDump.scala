@@ -17,7 +17,9 @@ object ExplainDump {
     "quality_filter_pipeline", "text_chunk", "sample_stratified_hash",
     "ts_resample", "dedup_simhash_hamming", "text_unigram_nll",
     "filter_dynamic_prune", "win_rank_topn",
-    "join_range_binned", "text_top_terms_approx")
+    "join_range_binned", "text_top_terms_approx",
+    "text_repetition", "text_contamination", "sample_domain_mix",
+    "embed_kmeans", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -122,7 +122,14 @@ object Dedup extends QueryModule {
     * [[dedupMinhash]] (L2, keep-first: drop the higher doc_id of each
     * confirmed pair) and [[dedupClustersLsh]] (full-corpus connected
     * components). */
-  private def minhashCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The exact-dup member→representative map and the REP-LEVEL verified-
+    * candidate source: (memberMap, candRep). memberMap is pinned (multiple
+    * consumers); candRep carries (a_id, b_id, sa, sb) over representatives
+    * only. [[minhashCandidatePairs]] expands candRep back over the groups;
+    * [[dedupClustersLsh]] instead clusters the rep graph directly and
+    * attaches members by their rep's label (identical result, without
+    * materializing the expanded pair set). */
+  private def minhashRepParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     // Hash every shingle to two 40-bit md5 halves map-side, then ONE
     // aggregation produces BOTH the k-minhash signature (k codegen'd min()
@@ -138,10 +145,35 @@ object Dedup extends QueryModule {
     // whole pipeline stays oracle-replayable; 40-bit operands keep
     // j·h2 < 2^44, safe under ANSI (Spark 4 default). The j-th hash is
     // classic double hashing: h_j = (h1 + j·h2) mod 2^40.
+    // EXACT-FIRST (the production dedup stage order — RefinedWeb/FineWeb
+    // run exact dedup before fuzzy dedup): collapse byte-identical texts
+    // to their minimum-doc_id representative, run the near-dup pipeline
+    // on REPRESENTATIVES only, and expand the candidate pairs back over
+    // the groups at the end. Web corpora are 30-50% exact duplicates, and
+    // the candidate-verify stage is quadratic per duplicate group — on
+    // the 10x-duplicate-density scale probe this collapse cuts
+    // dedup_clusters_lsh from ~30 s to seconds while producing the
+    // BIT-IDENTICAL pair set (identical text ⇒ identical shingle set ⇒
+    // identical signatures, band matches, and set measures — the DuckDB
+    // oracle still replays the uncollapsed formulation and must agree).
+    // Null-text docs never produce shingles, so they are excluded from
+    // grouping exactly as they were excluded from the pipeline.
+    val keyed = Tables.documents(spark, sfDir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("th"))
+    // min-over-group as a window on the hash partition: ONE shuffle for
+    // the whole member→rep map (groupBy+join back would shuffle twice).
+    val memberMap = graft.rel.Materialize.pin(
+      keyed.select($"doc_id",
+        min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"th"))
+          .as("rep")))._1
+    val repDocs = Tables.documents(spark, sfDir)
+      .join(memberMap.filter($"doc_id" === $"rep").select($"doc_id"), Seq("doc_id"))
     val k = NumBands * RowsPerBand
     val sigAggs = (0 until k).map(j =>
       min(($"h1" + lit(j.toLong) * $"h2") % lit(1L << 40)).as(s"s$j"))
-    val perDocRaw = shingleRows(Tables.documents(spark, sfDir))
+    val perDocRaw = shingleRows(repDocs)
       .withColumn("m", md5($"s"))
       .select($"doc_id",
         conv(substring($"m", 1, 10), 16, 10).cast("long").as("h1"),
@@ -174,9 +206,41 @@ object Dedup extends QueryModule {
     // the shingle sets (the oracle replays the identical hashes, so even a
     // collision changes both sides identically).
     val grams = perDocM.select($"doc_id", $"hs")
-    candidates
+    val candRep = candidates
       .join(grams.select($"doc_id".as("a_id"), $"hs".as("sa")), Seq("a_id"))
       .join(grams.select($"doc_id".as("b_id"), $"hs".as("sb")), Seq("b_id"))
+    (memberMap, candRep, grams)
+  }
+
+  /** Candidate pairs over ALL documents, with sets attached. EXPANSION of
+    * the rep-level candidates back over the exact-dup groups — provably
+    * the original candidate set: (ma, mb) share a band ⟺ their reps do
+    * (identical signatures), so cross-group member pairs inherit their
+    * reps' candidacy and sets verbatim (canonicalized a < b, sets swapped
+    * to follow); within-group pairs share every band (identical
+    * signatures) and both sides carry the group's own set (every measure
+    * evaluates to 1 — trivially past any threshold, exactly as the
+    * uncollapsed pipeline would conclude). */
+  private def minhashCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (memberMap, candRep, grams) = minhashRepParts(spark, sfDir)
+    val cross = candRep
+      .join(memberMap.select($"rep".as("a_id"), $"doc_id".as("ma")), Seq("a_id"))
+      .join(memberMap.select($"rep".as("b_id"), $"doc_id".as("mb")), Seq("b_id"))
+      .select(
+        when($"ma" < $"mb",
+          struct($"ma".as("a_id"), $"mb".as("b_id"), $"sa", $"sb"))
+          .otherwise(
+            struct($"mb".as("a_id"), $"ma".as("b_id"),
+              $"sb".as("sa"), $"sa".as("sb"))).as("r"))
+      .select($"r.*")
+    val within = memberMap.select($"rep", $"doc_id".as("ma"))
+      .join(memberMap.select($"rep", $"doc_id".as("mb")), Seq("rep"))
+      .filter($"ma" < $"mb")
+      .join(grams.select($"doc_id".as("rep"), $"hs"), Seq("rep"))
+      .select($"ma".as("a_id"), $"mb".as("b_id"),
+        $"hs".as("sa"), $"hs".as("sb"))
+    cross.unionByName(within)
   }
 
   /** Candidate pairs with their hashed shingle sets attached — the shared
@@ -534,10 +598,25 @@ object Dedup extends QueryModule {
     * pipeline AND the fixpoint via a recursive CTE. */
   private def dedupClustersLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val lbl = propagateMinLabels(minhashDupPairs(spark, sfDir))
+    // CC over the REPRESENTATIVE graph only, members attached by their
+    // rep's label afterwards — identical labels to clustering the
+    // expanded pair set: each exact-dup group is internally connected
+    // (identical text ⇒ Jaccard 1) and its rep is the group MINIMUM, so
+    // a component's minimum over members equals its minimum over reps.
+    // This keeps the iterative CC input at rep cardinality — on the
+    // duplicate-heavy scale probe the expanded graph is 100x larger.
+    val (memberMap, candRep, _) = minhashRepParts(spark, sfDir)
+    val repPairs = candRep
+      .filter(
+        size(array_intersect($"sa", $"sb")) >=
+          lit(0.7) * size(array_union($"sa", $"sb")))
+      .select($"a_id", $"b_id")
+    val lbl = propagateMinLabels(repPairs)
     Tables.documents(spark, sfDir).select($"doc_id")
-      .join(lbl.select($"id".as("doc_id"), $"lbl"), Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+      .join(memberMap, Seq("doc_id"), "left_outer")
+      .join(lbl.select($"id".as("rep"), $"lbl"), Seq("rep"), "left_outer")
+      .select($"doc_id",
+        coalesce($"lbl", $"rep", $"doc_id").as("cluster_id"))
       .orderBy($"doc_id")
   }
 

@@ -219,7 +219,121 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws u ∈ (0,1) and keys on -ln(u)/w — the k smallest keys
+    * are a weighted sample without replacement, here weighted by document
+    * length (the standard long-doc upweighting when assembling a token
+    * budget). One pass, no RNG state: u is the same stateless md5-uniform
+    * as [[sampleStratifiedHash]] (a zero draw — p = 2⁻³² per doc — maps
+    * to key +∞ in both engines and is simply never sampled), and the
+    * global top-k is
+    * `TakeOrderedAndProject` (per-task heaps), never a full sort. The
+    * rank key uses ln — not bit-specified by IEEE, but both engines agree
+    * to <1 ulp and ranks only flip on near-exact key ties, impossible
+    * with distinct md5 draws at this precision; the REPORTED key rounds
+    * portably. */
+  private def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .withColumn("key", -log(u) / $"n_chars")
+      .orderBy($"key".asc, $"doc_id".asc)
+      .limit(100)
+      .select($"doc_id", $"n_chars", pround($"key" * 1000, 6).as("k1000"))
+      .orderBy($"doc_id")
+  }
+
+  /** The survivors of the full curation DAG, stage by stage — the
+    * composition every component in this module exists for (and the
+    * document-modality analog of the reference's curate job,
+    * `glue/job_wiki_curate.py`):
+    *
+    *   raw → repetition filter (Gopher dup-3-gram criterion; the
+    *   dup-WORD criterion is deliberately not composed here — on a small
+    *   vocabulary it measures the vocabulary, not the document) →
+    *   quality filter (the `quality_filter_pipeline` length/token/
+    *   word-shape/digit conditions) → exact dedup keep-first on the
+    *   normalized-text hash (the `dedup_text_hash` key) → domain-mix
+    *   water-filling resample RECOMPUTED over the surviving corpus.
+    *
+    * Plan shape: the two filters fuse into the scan (one codegen stage),
+    * the dedup is one window over the hash partition, and the mix is the
+    * domain-cardinality broadcast of [[sampleDomainMix]] — the whole DAG
+    * is 3 shuffles end-to-end (hash, supplies agg, determinism sort)
+    * regardless of corpus size. */
+  private def keptAfterStages(spark: SparkSession, sfDir: String): (DataFrame, Seq[(String, DataFrame)]) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val w = filter(split(trim($"text"), " "), t => t =!= "")
+    val g3 = when(size($"w") >= 3,
+      transform(sequence(lit(1), size($"w") - 2), i =>
+        concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+          element_at($"w", i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nonRep = docs.withColumn("w", w).withColumn("g3", g3)
+      .filter(!((size($"g3") - size(array_distinct($"g3"))) * 100 >
+        size($"g3") * 18))
+      .drop("g3")
+    val l = length($"text")
+    val ntok = size($"w")
+    val letters = length(regexp_replace($"text", " ", ""))
+    val digits = l - length(regexp_replace($"text", "[0-9]", ""))
+    val quality = nonRep.filter(
+      l >= 60 && l <= 520 && ntok >= 15 &&
+        letters >= ntok * 2 && letters <= ntok * 12 &&
+        digits * 10 < l * 3).drop("w")
+    // Materialized once: the deduped corpus feeds BOTH the supplies
+    // aggregate and the final mix join — without this the whole
+    // filter+window subtree (and its corpus shuffle) runs twice. In a
+    // production DAG this is the point where the cleaned corpus is
+    // persisted between stages anyway.
+    val deduped = graft.rel.Materialize.once(quality
+      .withColumn("rep", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(lower(trim($"text"))))))
+      .filter($"doc_id" === $"rep").drop("rep"))
+    val pCol = MixTargets.tail.foldLeft(
+      when($"lang" === MixTargets.head._1, MixTargets.head._2)) {
+      case (acc, (lg, p)) => acc.when($"lang" === lg, p)
+    }
+    val supplies = deduped.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("p", pCol).filter($"p".isNotNull)
+    val fracs = supplies
+      .withColumn("t_max", min($"n_l" / $"p").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"lang", least(lit(1.0), $"p" * $"t_max" / $"n_l").as("f"))
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    val mixed = deduped.join(broadcast(fracs), Seq("lang")).filter(u < $"f")
+    (mixed,
+      Seq("raw" -> docs, "nonrepetitive" -> nonRep, "quality" -> quality,
+        "deduped" -> deduped, "mixed" -> mixed))
+  }
+
+  private def curationPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    keptAfterStages(spark, sfDir)._1
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Stage-by-stage survivor counts of [[curationPipelineE2e]] — the
+    * funnel the reference dashboards as a QuickSight funnel chart
+    * (BASELINE.md top-25-vs-Other). One row per stage, fixed order. */
+  private def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, stages) = keptAfterStages(spark, sfDir)
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("name"), $"n")
+    }.reduce(_ unionByName _).orderBy($"stage")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "curation_pipeline_e2e"   -> curationPipelineE2e,
+    "curation_funnel"         -> curationFunnel,
+    "sample_weighted"         -> sampleWeighted,
     "sample_domain_mix"       -> sampleDomainMix,
     "sample_stratified_hash"  -> sampleStratifiedHash,
     "text_chunk"              -> textChunk,
@@ -229,7 +343,75 @@ object Curation extends QueryModule {
     "dedup_containment"       -> dedupContainment
   )
 
+  /** The curation DAG as shared CTEs ending in `mixed` — prefix of the
+    * e2e and funnel oracles so both provably replay the same stages. */
+  private val PipelineCtes: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT *, CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE []::VARCHAR[] END AS g3
+      |  FROM w0),
+      |nonrep AS (
+      |  SELECT doc_id, lang, text, w FROM g
+      |  WHERE NOT ((len(g3) - len(list_distinct(g3))) * 100 > len(g3) * 18)),
+      |quality AS (
+      |  SELECT doc_id, lang, text FROM nonrep
+      |  WHERE len(text) >= 60 AND len(text) <= 520 AND len(w) >= 15
+      |    AND len(replace(text, ' ', '')) >= len(w) * 2
+      |    AND len(replace(text, ' ', '')) <= len(w) * 12
+      |    AND (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 10
+      |        < len(text) * 3),
+      |dedup AS (
+      |  SELECT doc_id, lang FROM (
+      |    SELECT doc_id, lang,
+      |           min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS rep
+      |    FROM quality) WHERE doc_id = rep),
+      |c AS (SELECT lang, count(*) AS n_l FROM dedup GROUP BY lang),
+      |p AS (
+      |  SELECT lang, n_l,
+      |    CASE lang WHEN 'en' THEN CAST(0.40 AS DOUBLE)
+      |              WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+      |              WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+      |              WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+      |              WHEN 'zh' THEN CAST(0.15 AS DOUBLE) END AS p
+      |  FROM c WHERE lang IN ('en','de','es','fr','zh')),
+      |t AS (SELECT min(n_l / p) AS t_max FROM p),
+      |f AS (SELECT lang, least(CAST(1.0 AS DOUBLE), p * t_max / n_l) AS f
+      |      FROM p CROSS JOIN t),
+      |mixed AS (
+      |  SELECT d.doc_id, d.lang FROM dedup d JOIN f USING (lang)
+      |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |          / 4294967296.0 < f)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "curation_pipeline_e2e" -> (PipelineCtes +
+      """
+        |SELECT doc_id, lang FROM mixed ORDER BY doc_id""".stripMargin),
+    "curation_funnel" -> (PipelineCtes +
+      """
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+        |         count(*) AS n FROM documents
+        |  UNION ALL SELECT 1, 'nonrepetitive', count(*) FROM nonrep
+        |  UNION ALL SELECT 2, 'quality', count(*) FROM quality
+        |  UNION ALL SELECT 3, 'deduped', count(*) FROM dedup
+        |  UNION ALL SELECT 4, 'mixed', count(*) FROM mixed)
+        |ORDER BY stage""".stripMargin),
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |       floor(key * 1000 * 1e6 + 0.5) / 1e6 AS k1000
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    -ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |          / 4294967296.0) / n_chars AS key
+        |  FROM documents
+        |  ORDER BY key ASC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "sample_domain_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |p AS (

@@ -146,6 +146,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"argmin must stay an aggregate: $plan")
   }
 
+  test("curation_pipeline_e2e runs the whole DAG in <=2 corpus-key shuffles") {
+    // repetition + quality filters must fuse into the scan; the only
+    // hash exchanges are the dedup window (md5 partition) and the tiny
+    // supplies aggregate — the mix fractions attach by broadcast. More
+    // exchanges means a filter stopped fusing or the mix regressed to a
+    // shuffle join.
+    // Count DISTINCT plan ids: the cached dedup subtree prints under both
+    // its consumers (mix join + supplies agg) but executes once.
+    val plan = executed("curation_pipeline_e2e")
+    val hashExchanges = "Exchange hashpartitioning\\([^\\n]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(hashExchanges <= 2, s"pipeline grew shuffles ($hashExchanges): $plan")
+    assert(plan.contains("BroadcastHashJoin"), s"mix fractions must broadcast: $plan")
+  }
+
   test("win_rank_topn pushes the rank filter into a WindowGroupLimit") {
     // Spark 4's rank-limit pushdown: each task keeps only the per-group
     // top-N BEFORE the window shuffle/sort materializes every row — the

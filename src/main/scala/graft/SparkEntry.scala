@@ -26,6 +26,7 @@ object SparkEntry {
     rel.Subqueries,
     rel.StatsAggs,
     rel.TimeSeries,
+    rel.Graph,
     llm.Dedup,
     llm.Curation,
     llm.Similarity,

@@ -244,6 +244,30 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** GPT-style sequence packing: concatenate the corpus in a deterministic
+    * order (doc_id) and split into fixed-capacity context windows — each doc
+    * is assigned the window its FIRST token lands in. The core primitive is
+    * a global prefix sum of token counts, computed by the two-phase
+    * distributed form ([[graft.rel.ScalableRank.withGlobalRunningSum]]):
+    * range shuffle + per-partition sums + tiny offset window + local cumsum.
+    * A naive `sum over (order by doc_id)` window moves the whole corpus to
+    * ONE partition — the single-partition trap this module's scaladoc bans;
+    * here the only global window runs over ≤ shuffle.partitions partial
+    * sums. Capacity 2048 whitespace tokens. */
+  private def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048L
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(filter(split(trim($"text"), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+    graft.rel.ScalableRank
+      .withGlobalRunningSum(docs, $"n_tok", "cum", $"doc_id")
+      .select($"doc_id", $"n_tok",
+        floor(($"cum" - $"n_tok") / cap).as("chunk"))
+      .orderBy($"doc_id")
+  }
+
   /** The survivors of the full curation DAG, stage by stage — the
     * composition every component in this module exists for (and the
     * document-modality analog of the reference's curate job,
@@ -333,6 +357,7 @@ object Curation extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "curation_pipeline_e2e"   -> curationPipelineE2e,
     "curation_funnel"         -> curationFunnel,
+    "curation_pack_sequences" -> packSequences,
     "sample_weighted"         -> sampleWeighted,
     "sample_domain_mix"       -> sampleDomainMix,
     "sample_stratified_hash"  -> sampleStratifiedHash,
@@ -402,6 +427,16 @@ object Curation extends QueryModule {
         |  UNION ALL SELECT 3, 'deduped', count(*) FROM dedup
         |  UNION ALL SELECT 4, 'mixed', count(*) FROM mixed)
         |ORDER BY stage""".stripMargin),
+    "curation_pack_sequences" ->
+      """SELECT doc_id, n_tok,
+        |       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS chunk
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tok,
+        |    sum(len(list_filter(string_split(trim(text), ' '), x -> x <> '')))
+        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, n_chars,
         |       floor(key * 1000 * 1e6 + 0.5) / 1e6 AS k1000

@@ -56,6 +56,34 @@ object Dedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** L1c — exact SUBSTRING duplication candidates (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" signal):
+    * slide a 40-char window at stride 10 over every document and surface
+    * windows that recur across ≥2 distinct documents — boilerplate,
+    * licenses, templated spans that document-level dedup never sees. Map
+    * side emits (window, doc_id) pairs row-locally (bounded ≤ len/stride
+    * per doc); ONE partial+final aggregation counts distinct docs per
+    * window. At 100 TB the group key is a 64-bit hash of the window, not
+    * the text (shuffle bytes), with an exact recount on survivors — same
+    * two-phase shape as `text_top_terms_approx`; the full suffix-array
+    * formulation replaces the fixed stride when sub-window recall is
+    * required. */
+  private def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = 40
+    val s = 10
+    val wins = when(length($"text") >= w,
+      transform(sequence(lit(0), floor((length($"text") - w) / s).cast("int")),
+        k => substring($"text", k * s + 1, lit(w))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(wins).as("sub"))
+      .groupBy($"sub")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"sub")
+  }
+
   /** 3-word shingles of a document, distinct (Jaccard is a set measure). */
   private def shingled(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -705,6 +733,7 @@ object Dedup extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "dedup_exact_id"      -> dedupExactId,
     "dedup_text_hash"     -> dedupTextHash,
+    "dedup_substring"     -> dedupSubstring,
     "dedup_minhash"       -> dedupMinhash,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_simhash_hamming" -> dedupSimhashHamming,
@@ -725,6 +754,16 @@ object Dedup extends QueryModule {
     "dedup_text_hash" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      """SELECT sub, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM (
+        |  SELECT doc_id, substr(text, CAST(t.k AS INTEGER) * 10 + 1, 40) AS sub
+        |  FROM documents,
+        |       unnest(range(0, CAST(floor((len(text) - 40) / 10.0) AS BIGINT) + 1))
+        |         AS t(k)
+        |  WHERE len(text) >= 40)
+        |GROUP BY sub HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY sub""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |dups AS (

@@ -218,7 +218,40 @@ object Similarity extends QueryModule {
       .limit(5)
   }
 
+  /** Per-dimension min–max scalar quantization of the embedding column to
+    * uint8 codes — the standard storage/serving compression for a corpus-
+    * scale vector store (4x smaller than float32 before any codec). Two
+    * passes, both linear: (1) per-dimension min/max via posexplode + one
+    * partial+final aggregation into a SINGLE 64-entry scales row (dims are
+    * a constant, so the collect_list aggregate is bounded by dimension,
+    * never by corpus size); (2) the scales row broadcasts back and every
+    * vector quantizes map-side in one codegen'd `transform`. All arithmetic
+    * is float→double IEEE ops in identical order in both engines, so codes
+    * are bit-exact, not approximately equal. */
+  private def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val scales = e
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct($"pos", $"mn", $"mx"))).as("s"))
+      .select(transform($"s", s => s.getField("mn")).as("mn"),
+        transform($"s", s => s.getField("mx")).as("mx"))
+    e.crossJoin(broadcast(scales))
+      .select($"vec_id",
+        transform($"embedding", (x, i) => {
+          val mn = element_at($"mn", i + 1)
+          val mx = element_at($"mx", i + 1)
+          when(mx === mn, lit(0))
+            .otherwise(floor((x.cast("double") - mn) / (mx - mn) * 255 +
+              lit(0.5)).cast("int"))
+        }).as("codes"))
+      .orderBy($"vec_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "embed_quantize"     -> embedQuantize,
     "sim_topk_cosine"    -> simTopkCosine,
     "sim_threshold_join" -> simThresholdJoin,
     "sim_threshold_lsh"  -> simThresholdLsh,
@@ -227,6 +260,24 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH d AS (
+        |  SELECT t.pos, min(CAST(embedding[t.pos] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[t.pos] AS DOUBLE)) AS mx
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) AS t(pos)
+        |  GROUP BY t.pos),
+        |s AS (
+        |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+        |  FROM d)
+        |SELECT vec_id,
+        |  list_transform(range(1, len(embedding) + 1), i ->
+        |    CASE WHEN s.mx[i] = s.mn[i] THEN 0
+        |         ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - s.mn[i])
+        |                / (s.mx[i] - s.mn[i]) * 255 + 0.5) AS INTEGER)
+        |    END) AS codes
+        |FROM embeddings CROSS JOIN s
+        |ORDER BY vec_id""".stripMargin,
     "sim_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
         |SELECT vec_id,

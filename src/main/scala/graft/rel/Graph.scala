@@ -1,0 +1,113 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as declarative join+aggregate rounds.
+  *
+  * PageRank is the canonical link-graph quality signal: pretraining
+  * pipelines weight web documents by (variants of) it when assembling a
+  * corpus, and the reference's wiki domain is exactly a page graph
+  * (the reference itself stops at per-page edit counts — its top-pages
+  * dashboards; this is the natural next analytics step over the same
+  * entities). The fixture graph is the undirected customer–supplier trade
+  * graph from `orders ⋈ lineitem` — the densest deterministic graph the
+  * test tables induce.
+  *
+  * Scale shape (100 TB): the edge list is degree-annotated, hash-
+  * partitioned on the source key, and pinned ONCE — its cached
+  * partitioning satisfies the join's distribution requirement, so across
+  * all rounds the edges never reshuffle. Each round then moves only the
+  * small (node, rank) frame: one exchange to the source key for the join,
+  * one partial+final aggregation exchange on the destination key — the
+  * irreducible propagation cost of message-passing on a graph. No driver
+  * collect: the node count is the only scalar and is computed once. Rounds
+  * are a fixed constant (5) — unlike connected components there is no
+  * data-dependent convergence loop, so the plan depth is bounded and
+  * lineage stays recomputable without checkpoints. Skewed hub nodes (a
+  * supplier joined by thousands of customers) are exactly the skew AQE's
+  * skew-join split handles; the aggregation side is safe because partial
+  * aggregation combines hub contributions map-side.
+  */
+object Graph extends QueryModule {
+
+  private val Damping = 0.85
+  private val Rounds = 5
+
+  /** 5-round PageRank over the undirected customer–supplier trade graph;
+    * one row per node, rank reported at portable 6-decimal rounding. */
+  private def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("a"),
+        concat(lit("s"), $"l_suppkey").as("b"))
+      .distinct()
+    // Symmetrize, attach out-degrees, hash-partition on the join key, and
+    // pin: the cached partitioning satisfies every round's join
+    // requirement, so the (large) edge side never reshuffles — only the
+    // small rank frame moves each round. Degrees ride along so rounds
+    // never re-join a separate degree table.
+    val edges = Materialize.once {
+      val sym = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      sym.join(deg, Seq("src")).repartition($"src")
+    }
+    // The one scalar: |V|. A single count over the pinned edge list —
+    // not a per-round driver action.
+    val n = edges.select($"src").distinct().count()
+    var ranks = edges.select($"src".as("node")).distinct()
+      .withColumn("r", lit(1.0) / n)
+    for (_ <- 1 to Rounds) {
+      ranks = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy($"dst".as("node"))
+        .agg((lit((1 - Damping)) / n +
+          lit(Damping) * sum($"r" / $"deg")).as("r"))
+    }
+    ranks.select($"node", pround($"r" * 1000, 6).as("r1000"))
+      .orderBy($"node")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pagerank
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // The same 5 rounds unrolled as CTEs — both engines replay identical
+    // arithmetic; float sum-order differences sit ~1e-15, far from the
+    // 6-decimal reporting boundary.
+    "graph_pagerank" -> {
+      val base =
+        """WITH e0 AS (
+          |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |edges AS (
+          |  SELECT a AS src, b AS dst FROM e0
+          |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+          |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r
+          |       FROM deg CROSS JOIN nv)""".stripMargin
+      val rounds = (1 to Rounds).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |         CAST(0.15 AS DOUBLE) / max(nv.n)
+           |           + CAST(0.85 AS DOUBLE) * sum(p.r / d.deg) AS r
+           |  FROM edges e
+           |  JOIN r${i - 1} p ON p.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  CROSS JOIN nv
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        s"""
+           |SELECT node, floor(r * 1000 * 1e6 + 0.5) / 1e6 AS r1000
+           |FROM r$Rounds ORDER BY node""".stripMargin
+    }
+  )
+}

@@ -138,6 +138,29 @@ object Joins extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** J7d — as-of with TOLERANCE (pandas `merge_asof(tolerance=...)`): the
+    * backward match only counts if it lies within a bounded lookback (72 h
+    * here) — the semantics every feature-store point-in-time join needs so
+    * a years-stale dimension row never leaks into a feature. Identical
+    * one-shuffle union+ordered-window shape as [[joinAsof]]; the tolerance
+    * is a pure row-local filter AFTER the window, so the plan cost is
+    * unchanged — no range join appears. */
+  private def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "signup", $"ts").as("signup_ts"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, when($"event_type" === "signup", 0).otherwise(1).asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_signup_ts", last($"signup_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_signup_ts".isNotNull &&
+        $"last_signup_ts" >= $"ts" - expr("INTERVAL 72 HOURS"))
+      .select($"event_id", $"user_id", $"last_signup_ts")
+      .orderBy($"event_id")
+  }
+
   /** J7b — FORWARD as-of: for each purchase, the first signup at-or-after
     * it. Same union+ordered-window shape as [[joinAsof]] (one shuffle on
     * the key, linear scan) with the frame flipped to
@@ -358,6 +381,7 @@ object Joins extends QueryModule {
     "join_runtime_bloom" -> joinRuntimeBloom,
     "join_asof"      -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest" -> joinAsofNearest,
     "join_cross"     -> joinCross,
     "join_skew_salted" -> joinSkewSalted,
@@ -434,6 +458,14 @@ object Joins extends QueryModule {
         |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |HAVING max(s.ts) >= p.ts - INTERVAL 72 HOUR
         |ORDER BY p.event_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT p.event_id, p.user_id, min(s.ts) AS next_signup_ts

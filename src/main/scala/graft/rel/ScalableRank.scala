@@ -60,6 +60,33 @@ object ScalableRank {
       .drop("__pid", "__off")
   }
 
+  /** Adds column `cumCol` = inclusive global running sum of `valueCol` under
+    * `sortCols` (a total order), by the same two-phase shape as
+    * [[withGlobalRowNumber]]: range shuffle, per-partition SUMS (not counts),
+    * tiny cumulative-offset window, broadcast back, partition-local running
+    * sum + offset. The only global window runs over ≤ `shuffle.partitions`
+    * partial-sum rows — never over data. This is the distributed prefix-sum
+    * every sequence-packing / quota-assembly job needs. */
+  def withGlobalRunningSum(df: DataFrame, valueCol: Column, cumCol: String,
+      sortCols: Column*): DataFrame = {
+    // Same materialize-once contract as withGlobalRowNumber: offsets and
+    // probe must see identical range boundaries and partition ids.
+    val parts = Materialize.once(df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol))
+    val sums = parts.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__s")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumCol, col("__off") + sum(col("__v")).over(localW))
+      .drop("__pid", "__off", "__v")
+  }
+
   /** `ntile(k)` from a global row number: the first `n % k` tiles take
     * `n/k + 1` rows, the rest `n/k` (ANSI semantics, matches Spark/DuckDB). */
   def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {

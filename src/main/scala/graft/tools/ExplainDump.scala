@@ -19,7 +19,9 @@ object ExplainDump {
     "filter_dynamic_prune", "win_rank_topn",
     "join_range_binned", "text_top_terms_approx",
     "text_repetition", "text_contamination", "sample_domain_mix",
-    "embed_kmeans", "dedup_semantic")
+    "embed_kmeans", "dedup_semantic",
+    "curation_pipeline_e2e", "curation_pack_sequences", "sample_weighted",
+    "graph_pagerank", "embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

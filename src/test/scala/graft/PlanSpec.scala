@@ -152,6 +152,11 @@ class PlanSpec extends SparkSpec {
     // supplies aggregate — the mix fractions attach by broadcast. More
     // exchanges means a filter stopped fusing or the mix regressed to a
     // shuffle join.
+    // Virgin cache state: earlier suites in the same JVM may have left
+    // their own pinned copies of the dedup subtree, and stale entries
+    // substitute per-consumer, inflating the count (Verify/Bench clear
+    // between queries for the same reason).
+    spark.sharedState.cacheManager.clearCache()
     // Count DISTINCT plan ids: the cached dedup subtree prints under both
     // its consumers (mix join + supplies agg) but executes once.
     val plan = executed("curation_pipeline_e2e")

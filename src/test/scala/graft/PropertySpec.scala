@@ -155,6 +155,38 @@ class PropertySpec extends SparkSpec {
     assert(approx === exact)
   }
 
+  test("graph_pagerank is a probability distribution and hubs outrank leaves") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    // r1000 = rank * 1000, so the ranks must sum to ~1000 (PageRank
+    // conserves total mass each round: damping redistributes, never leaks,
+    // and the undirected symmetrization leaves no dangling nodes).
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1000.0) < 0.5, s"mass not conserved: $total")
+    assert(rows.forall(_._2 > 0), "every node keeps positive rank")
+    // suppliers are hubs (hundreds of customer edges each) — their mean
+    // rank must dominate the customer mean.
+    val (supp, cust) = rows.partition(_._1.startsWith("s"))
+    assert(supp.map(_._2).sum / supp.length > 5 * cust.map(_._2).sum / cust.length,
+      "hub suppliers should far outrank leaf customers")
+  }
+
+  test("curation_pack_sequences fills every chunk to capacity without splitting docs mid-chunk") {
+    val rows = SparkEntry.queries("curation_pack_sequences")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // chunk ids are nondecreasing in doc order and start at 0
+    val chunks = rows.sortBy(_._1).map(_._3)
+    assert(chunks.head === 0L)
+    assert(chunks.zip(chunks.tail).forall { case (a, b) => b >= a })
+    // concat-split invariant: the docs STARTING in chunk c carry the
+    // stream from offset c*2048 up to at most (c+1)*2048 + (max doc) — so
+    // per-chunk token mass is bounded by capacity + the largest document.
+    val maxDoc = rows.map(_._2).max
+    val perChunk = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    for ((c, tok) <- perChunk if c < chunks.max) // last chunk may be short
+      assert(tok <= 2048 + maxDoc, s"chunk $c overfilled: $tok")
+  }
+
   test("gauge/bar invariant: global sum equals the sum over per-group sums (A4 vs A5)") {
     val global = SparkEntry.queries("agg_global_sum")(spark, sf)
       .head.getLong(0)

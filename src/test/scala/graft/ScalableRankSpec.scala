@@ -35,6 +35,28 @@ class ScalableRankSpec extends SparkSpec {
     checkAgainstGlobalWindow(1, 4)     // percent_rank n=1 edge
   }
 
+  test("global running sum matches the single-partition window version") {
+    import spark.implicits._
+    val df = spark.range(1000).select(
+      $"id".as("pk"), pmod($"id" * 7919 + 13, lit(97)).as("v"))
+    val got = withGlobalRunningSum(df, $"v", "cum", $"pk".asc)
+      .select($"pk", $"cum")
+    val want = df.withColumn("cum", sum($"v").over(
+      Window.orderBy($"pk".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"pk", $"cum")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("curation_pack_sequences plan prefixes by range partitions, not one partition") {
+    val plan = SparkEntry.queries("curation_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    // the data-side running sum must partition by the range bucket id —
+    // never an unpartitioned sum over the corpus
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+  }
+
   test("win_ntile plan sorts by range partitioning, not a single partition") {
     val plan = SparkEntry.queries("win_ntile")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -281,11 +281,16 @@ object Curation extends QueryModule {
     *   normalized-text hash (the `dedup_text_hash` key) → domain-mix
     *   water-filling resample RECOMPUTED over the surviving corpus.
     *
-    * Plan shape: the two filters fuse into the scan (one codegen stage),
-    * the dedup is one window over the hash partition, and the mix is the
-    * domain-cardinality broadcast of [[sampleDomainMix]] — the whole DAG
-    * is 3 shuffles end-to-end (hash, supplies agg, determinism sort)
-    * regardless of corpus size. */
+    * Plan shape: the corpus is read ONCE — a single codegen'd projection
+    * evaluates both filter stages into boolean FLAGS (the tokenization and
+    * 3-gram arrays are shared subexpressions inside one Project, computed
+    * once per row) plus the dedup hash, and that slim text-free frame is
+    * what materializes. Every stage count, the dedup window, the supplies
+    * aggregate, and the mix join all derive from it, so the expensive text
+    * pass never re-runs (the first funnel cut re-ran it per stage branch —
+    * 8.3 s steady at sf0.1; flags form: one pass). End-to-end the DAG is
+    * still ≤2 corpus-key shuffles (hash window + supplies agg; mix attaches
+    * by broadcast) regardless of corpus size. */
   private def keptAfterStages(spark: SparkSession, sfDir: String): (DataFrame, Seq[(String, DataFrame)]) = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -295,27 +300,32 @@ object Curation extends QueryModule {
         concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
           element_at($"w", i + 2))))
       .otherwise(array().cast("array<string>"))
-    val nonRep = docs.withColumn("w", w).withColumn("g3", g3)
-      .filter(!((size($"g3") - size(array_distinct($"g3"))) * 100 >
-        size($"g3") * 18))
-      .drop("g3")
     val l = length($"text")
     val ntok = size($"w")
     val letters = length(regexp_replace($"text", " ", ""))
     val digits = l - length(regexp_replace($"text", "[0-9]", ""))
-    val quality = nonRep.filter(
-      l >= 60 && l <= 520 && ntok >= 15 &&
+    // One pass over the corpus: both stage flags + the dedup hash, then
+    // the text drops. This is the frame that materializes — at corpus
+    // scale it is a fixed ~50 bytes/doc regardless of document length.
+    val flags = graft.rel.Materialize.once(docs
+      .withColumn("w", w).withColumn("g3", g3)
+      .withColumn("nonrep_ok",
+        !((size($"g3") - size(array_distinct($"g3"))) * 100 >
+          size($"g3") * 18))
+      .withColumn("q_ok", $"nonrep_ok" &&
+        l >= 60 && l <= 520 && ntok >= 15 &&
         letters >= ntok * 2 && letters <= ntok * 12 &&
-        digits * 10 < l * 3).drop("w")
-    // Materialized once: the deduped corpus feeds BOTH the supplies
-    // aggregate and the final mix join — without this the whole
-    // filter+window subtree (and its corpus shuffle) runs twice. In a
-    // production DAG this is the point where the cleaned corpus is
-    // persisted between stages anyway.
+        digits * 10 < l * 3)
+      .select($"doc_id", $"lang", $"nonrep_ok", $"q_ok",
+        md5(lower(trim($"text"))).as("h")))
+    val nonRep = flags.filter($"nonrep_ok")
+    val quality = flags.filter($"q_ok")
+    // Also pinned: the deduped survivors feed BOTH the supplies aggregate
+    // and the mix join — one window execution, not two. In a production
+    // DAG this is where the cleaned corpus persists between stages anyway.
     val deduped = graft.rel.Materialize.once(quality
       .withColumn("rep", min($"doc_id").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(lower(trim($"text"))))))
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .filter($"doc_id" === $"rep").drop("rep"))
     val pCol = MixTargets.tail.foldLeft(
       when($"lang" === MixTargets.head._1, MixTargets.head._2)) {
@@ -331,7 +341,7 @@ object Curation extends QueryModule {
       .cast("long") / lit(4294967296.0)
     val mixed = deduped.join(broadcast(fracs), Seq("lang")).filter(u < $"f")
     (mixed,
-      Seq("raw" -> docs, "nonrepetitive" -> nonRep, "quality" -> quality,
+      Seq("raw" -> flags, "nonrepetitive" -> nonRep, "quality" -> quality,
         "deduped" -> deduped, "mixed" -> mixed))
   }
 

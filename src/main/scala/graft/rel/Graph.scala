@@ -54,8 +54,13 @@ object Graph extends QueryModule {
     val edges = Materialize.once {
       val sym = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
-      sym.join(deg, Seq("src")).repartition($"src")
+      // Degrees via a count-window over the repartitioned frame: the
+      // window's clustering is satisfied by the repartition, so degree
+      // attachment costs ZERO extra exchanges (the agg+join formulation
+      // paid a shuffle for the aggregate and a sort-merge for the join).
+      sym.repartition($"src")
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"src")))
     }
     // The one scalar: |V|. A single count over the pinned edge list —
     // not a per-round driver action.

@@ -40,11 +40,15 @@ object Graph extends QueryModule {
     * one row per node, rank reported at portable 6-decimal rounding. */
   private def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Nodes are LONG-encoded for the hot loop (customer k → 2k,
+    // supplier k → 2k+1): the 5-round join+agg hashes and compares the
+    // node key ~10·|E| times, and a fixed 8-byte key beats a string
+    // there; display names materialize once in the final projection.
     val pairs = Tables.orders(spark, sfDir)
       .join(Tables.lineitem(spark, sfDir),
         $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("a"),
-        concat(lit("s"), $"l_suppkey").as("b"))
+      .select(($"o_custkey" * 2).as("a"),
+        ($"l_suppkey" * 2 + 1).as("b"))
       .distinct()
     // Symmetrize, attach out-degrees, hash-partition on the join key, and
     // pin: the cached partitioning satisfies every round's join
@@ -54,13 +58,15 @@ object Graph extends QueryModule {
     val edges = Materialize.once {
       val sym = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      // Degrees via a count-window over the repartitioned frame: the
-      // window's clustering is satisfied by the repartition, so degree
-      // attachment costs ZERO extra exchanges (the agg+join formulation
-      // paid a shuffle for the aggregate and a sort-merge for the join).
-      sym.repartition($"src")
-        .withColumn("deg", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+      // Degrees: partial-agg map-side to one row per node (|V| rows —
+      // tiny next to |E|), joined back on src. BOTH sides are already
+      // hash-partitioned on src (the agg's own exchange; the explicit
+      // repartition), so the join adds no exchange; AQE broadcasts the
+      // degree side when it fits (it does at any test scale) and falls
+      // back to the co-partitioned join on a billion-node graph — which
+      // is why this is a plain join, not a forced broadcast.
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      sym.repartition($"src").join(deg, Seq("src"))
     }
     // The one scalar: |V|. A single count over the pinned edge list —
     // not a per-round driver action.
@@ -74,7 +80,11 @@ object Graph extends QueryModule {
         .agg((lit((1 - Damping)) / n +
           lit(Damping) * sum($"r" / $"deg")).as("r"))
     }
-    ranks.select($"node", pround($"r" * 1000, 6).as("r1000"))
+    ranks.select(
+        when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long")))
+          .otherwise(concat(lit("s"), (($"node" - 1) / 2).cast("long")))
+          .as("node"),
+        pround($"r" * 1000, 6).as("r1000"))
       .orderBy($"node")
   }
 

@@ -219,6 +219,39 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-based language rebalancing (the XLM-R / mBERT exponential
+    * smoothing, Conneau et al. 2020): target share q_l ∝ (n_l/N)^α with
+    * α = 0.7 — low-resource languages are upsampled relative to their raw
+    * share without letting any single language dominate. The realized
+    * sample keeps every doc of the most-suppressed language (rate 1) and
+    * scales the rest to match the q ratios — the same water-filling closure
+    * as [[sampleDomainMix]] with temperature-derived targets. All the
+    * per-language arithmetic happens on the language-cardinality count rows
+    * (a handful); the draw is the stateless md5 map-side filter. `pow` is
+    * not bit-specified by IEEE, but both engines agree to <1 ulp and the
+    * draw grid is 2^-32, so a boundary flip needs a q within ~1e-16 of a
+    * grid point — negligible, and the clamp bounds rates at 1 anyway. */
+  private def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy()
+    // All on language-count rows: shares, smoothed targets, then the
+    // water-filling scale that pins the binding language at rate 1.
+    val rates = counts
+      .withColumn("n", sum($"n_l").over(win))
+      .withColumn("q_raw", pow($"n_l" / $"n", lit(0.7)))
+      .withColumn("q", $"q_raw" / sum($"q_raw").over(win))
+      .withColumn("t_max", min($"n_l" / $"q").over(win))
+      .select($"lang", least(lit(1.0), $"q" * $"t_max" / $"n_l").as("f"))
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(u < $"f")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each doc draws u ∈ (0,1) and keys on -ln(u)/w — the k smallest keys
     * are a weighted sample without replacement, here weighted by document
@@ -369,6 +402,7 @@ object Curation extends QueryModule {
     "curation_funnel"         -> curationFunnel,
     "curation_pack_sequences" -> packSequences,
     "sample_weighted"         -> sampleWeighted,
+    "sample_temperature"      -> sampleTemperature,
     "sample_domain_mix"       -> sampleDomainMix,
     "sample_stratified_hash"  -> sampleStratifiedHash,
     "text_chunk"              -> textChunk,
@@ -457,6 +491,23 @@ object Curation extends QueryModule {
         |  FROM documents
         |  ORDER BY key ASC, doc_id ASC LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |q AS (
+        |  SELECT lang, n_l,
+        |         pow(n_l * 1.0 / (SELECT sum(n_l) FROM c), 0.7) AS q_raw
+        |  FROM c),
+        |f AS (
+        |  SELECT lang,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (q_raw / (SELECT sum(q_raw) FROM q))
+        |        * (SELECT min(n_l / (q_raw / (SELECT sum(q_raw) FROM q)))
+        |           FROM q) / n_l) AS f
+        |  FROM q)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0 < f
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_domain_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |p AS (

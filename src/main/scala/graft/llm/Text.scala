@@ -267,6 +267,35 @@ object Text extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its LM score and cut the corpus into quality bands (CCNet
+    * keeps head/middle/tail thirds of the per-language perplexity
+    * distribution; 4 bands here). The score is [[unigramNll]]'s cheap
+    * proxy; the ranking is the DISTRIBUTED global ntile
+    * ([[graft.rel.ScalableRank]]) — never a single-partition window over
+    * the corpus. The rank key is the 6-dp-rounded score (+ doc_id
+    * tiebreak): exact-duplicate documents have mathematically identical
+    * scores but float-sum-order noise would break their ties differently
+    * per engine — rounding first makes the order, and so the bucket
+    * boundaries, engine-portable. */
+  private def perplexityBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+    val freq = tokens.groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = tokens.agg(count(lit(1)).as("tot"))
+    val nll = tokens
+      .join(freq, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(pround(avg(-log($"c" * lit(1.0) / $"tot")), 6).as("avg_nll"))
+    graft.rel.ScalableRank
+      .withGlobalRowNumber(nll, "rn", "n", $"avg_nll".asc, $"doc_id".asc)
+      .select($"doc_id", $"avg_nll",
+        graft.rel.ScalableRank.ntileFromRowNumber($"rn", $"n", 4).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   /** Canonical text normalization — the pass every dedup/quality stage
     * assumes upstream: lowercase, strip everything outside [a-z0-9 ],
     * collapse whitespace runs, trim. Pure codegen'd map (three
@@ -371,6 +400,7 @@ object Text extends QueryModule {
     "text_contamination" -> contamination,
     "text_normalize"    -> textNormalize,
     "text_unigram_nll"  -> unigramNll,
+    "text_perplexity_bucket" -> perplexityBucket,
     "text_levenshtein"  -> levenshteinScore,
     "text_top_terms"    -> topTerms,
     "text_top_terms_approx" -> topTermsApprox,
@@ -448,6 +478,20 @@ object Text extends QueryModule {
         |  floor(avg(-ln(c * 1.0 / tot)) * 1e6 + 0.5) / 1e6 AS avg_nll
         |FROM tok JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_perplexity_bucket" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS tot FROM tok),
+        |nll AS (
+        |  SELECT doc_id,
+        |         floor(avg(-ln(c * 1.0 / tot)) * 1e6 + 0.5) / 1e6 AS avg_nll
+        |  FROM tok JOIN freq USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, avg_nll,
+        |       CAST(ntile(4) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+        |FROM nll ORDER BY doc_id""".stripMargin,
     "text_levenshtein" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 120) AS t
         |           FROM documents WHERE doc_id < 60)

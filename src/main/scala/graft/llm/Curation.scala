@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators (SURVEY.md §2.11 north-star extensions):
@@ -98,19 +98,38 @@ object Curation extends QueryModule {
     * (`10·digits < 3·len` instead of `digits/len < 0.3`) so no float ever
     * sits on a decision boundary — bit-identical in any engine. One
     * codegen'd pass over the scan, no shuffle. */
+  /** The four quality conditions over a text column — shared by the batch
+    * query, the composed pipeline, and the streaming curate-on-ingest
+    * parity test (StreamingSpec): a pure column expression works unchanged
+    * under `readStream`, which is the whole stream/batch-unification
+    * point. */
+  def qualityFlags(text: Column): (Column, Column, Column, Column) = {
+    val len = length(text)
+    val ntok = size(split(trim(text), " "))
+    val letters = length(regexp_replace(text, " ", ""))
+    val digits = len - length(regexp_replace(text, "[0-9]", ""))
+    (len >= 60 && len <= 520,
+      ntok >= 15,
+      letters >= ntok * 2 && letters <= ntok * 12,
+      digits * 10 < len * 3)
+  }
+
+  /** Conjunction of [[qualityFlags]] — the keep decision. */
+  def qualityKeep(text: Column): Column = {
+    val (lenOk, tokOk, wordOk, digitOk) = qualityFlags(text)
+    lenOk && tokOk && wordOk && digitOk
+  }
+
   private def qualityFilterPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val len = length($"text")
-    val ntok = size(split(trim($"text"), " "))
-    val letters = length(regexp_replace($"text", " ", ""))
-    val digits = len - length(regexp_replace($"text", "[0-9]", ""))
+    val (lenOk, tokOk, wordOk, digitOk) = qualityFlags($"text")
     Tables.documents(spark, sfDir)
       .select(
         $"doc_id",
-        (len >= 60 && len <= 520).as("len_ok"),
-        (ntok >= 15).as("tok_ok"),
-        (letters >= ntok * 2 && letters <= ntok * 12).as("wordlen_ok"),
-        (digits * 10 < len * 3).as("digit_ok"))
+        lenOk.as("len_ok"),
+        tokOk.as("tok_ok"),
+        wordOk.as("wordlen_ok"),
+        digitOk.as("digit_ok"))
       .withColumn("keep",
         $"len_ok" && $"tok_ok" && $"wordlen_ok" && $"digit_ok")
       .orderBy($"doc_id")

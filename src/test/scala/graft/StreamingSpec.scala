@@ -385,4 +385,29 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(spark.read.json(s"$dir/out").count() === 3)
   }
+
+  test("stream/batch parity: curate-on-ingest keeps exactly the batch quality set") {
+    // The same column expression (Curation.qualityKeep) runs unchanged
+    // under readStream — the reference curates AFTER landing raw data
+    // (glue/job_wiki_curate.py); stream/batch unification lets the same
+    // filter run ON ingest with provably identical results.
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    docs.repartition(4).write.json(s"$dir/in")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches, not one
+      .json(s"$dir/in")
+      .filter(graft.llm.Curation.qualityKeep($"text"))
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    val got =
+      try { q.processAllAvailable()
+        spark.table("curated_stream").collect().map(_.getLong(0)).sorted.toSeq }
+      finally q.stop()
+    val want = docs.filter(graft.llm.Curation.qualityKeep($"text"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "streamed curation diverged from the batch filter")
+    assert(want.nonEmpty, "fixture must exercise the keep path")
+  }
 }

@@ -37,8 +37,54 @@ object DailyAggregates extends QueryModule {
       .orderBy($"edits".desc, $"ds", $"title", $"editor")
   }
 
+  /** Funnel conversion — the product-analytics staple over the event
+    * stream: per user, the first signup and the first purchase at-or-after
+    * it, with a 72 h conversion verdict. Two conditional aggregations on
+    * the user key (signup firsts; purchase firsts gated on the signup
+    * time) — the signup frame re-joins by user, so the whole funnel is
+    * user-key-partitioned with no window over raw events and no
+    * event-to-event pair join. The reference dashboards count page events;
+    * this is the next dashboard every product team asks for. */
+  private def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val signups = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val firstPurchase = e.filter($"event_type" === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter($"ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    signups.join(firstPurchase, Seq("user_id"), "left")
+      .select($"user_id", $"signup_ts", $"purchase_ts",
+        ($"purchase_ts".isNotNull &&
+          $"purchase_ts" <= $"signup_ts" + expr("INTERVAL 72 HOURS"))
+          .as("converted"))
+      .orderBy($"user_id")
+  }
+
+  /** Cohort retention matrix — users grouped by first-active day, counted
+    * per day-offset of later activity: THE retention dashboard. One
+    * distinct (user, day) projection feeds both the cohort assignment
+    * (min-day aggregate on the user key) and the activity join; the matrix
+    * aggregate is (cohort_day, offset)-keyed — day-cardinality², tiny at
+    * any event volume, and every shuffle key is the user id until the
+    * final matrix reduction. */
+  private def retentionCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohorts = ud.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    ud.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day",
+        datediff($"d", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "agg_daily_top_titles" -> dailyTopTitles
+    "agg_daily_top_titles" -> dailyTopTitles,
+    "funnel_conversion"    -> funnelConversion,
+    "agg_retention_cohort" -> retentionCohort
   )
 
   override def oracles: Map[String, String] = Map(
@@ -47,6 +93,29 @@ object DailyAggregates extends QueryModule {
         |       count(*) AS edits
         |FROM events
         |GROUP BY 1, 2, 3
-        |ORDER BY edits DESC, ds, title, editor""".stripMargin
+        |ORDER BY edits DESC, ds, title, editor""".stripMargin,
+    "funnel_conversion" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_ts, p.purchase_ts,
+        |       p.purchase_ts IS NOT NULL
+        |         AND p.purchase_ts <= s.signup_ts + INTERVAL 72 HOUR
+        |         AS converted
+        |FROM s LEFT JOIN p USING (user_id)
+        |ORDER BY s.user_id""".stripMargin,
+    "agg_retention_cohort" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT c.cohort_day, datediff('day', c.cohort_day, ud.d) AS day_offset,
+        |       count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -48,6 +48,27 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** S11c — CDC apply: materialize the final table state from an
+    * insert/update/delete change stream — the lakehouse MERGE-from-CDC
+    * pattern (Debezium → Delta/Iceberg). Ops derive deterministically from
+    * the fixture ('error' events are deletes of the key, everything else
+    * upserts); per key only the LAST op in (ts, event_id) order decides:
+    * survived upserts keep their payload, a trailing delete removes the
+    * key. Same single keep-latest shuffle as [[upsertKeepLatest]] — the
+    * delete filter is row-local after the window, so CDC apply costs
+    * exactly what last-writer-wins costs. */
+  private def upsertCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cdc = Tables.events(spark, sfDir)
+      .withColumn("op",
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")))
+    KeepLatest.keepLatest(cdc, keys = Seq("user_id"),
+        ordering = Seq($"ts".desc, $"event_id".desc))
+      .filter($"op" =!= "D")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .orderBy($"user_id")
+  }
+
   /** S11b — SCD Type-2 history build: the keep-HISTORY twin of
     * [[upsertKeepLatest]]'s last-writer-wins. Each user's attribute stream
     * becomes versioned rows with [valid_from, valid_to) ranges and an
@@ -137,6 +158,7 @@ object PipelineQueries extends QueryModule {
     "ctas_daily_top_titles"  -> ctasDailyTopTitles,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
+    "upsert_cdc_apply"       -> upsertCdcApply,
     "filter_partition_prune" -> filterPartitionPrune,
     "filter_dynamic_prune"   -> filterDynamicPrune
   )
@@ -154,6 +176,14 @@ object PipelineQueries extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "upsert_cdc_apply" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
     "upsert_keep_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

@@ -56,17 +56,23 @@ object Graph extends QueryModule {
     // small rank frame moves each round. Degrees ride along so rounds
     // never re-join a separate degree table.
     val edges = Materialize.once {
-      val sym = pairs.select($"a".as("src"), $"b".as("dst"))
-        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      // Degrees: partial-agg map-side to one row per node (|V| rows —
-      // tiny next to |E|), joined back on src. BOTH sides are already
-      // hash-partitioned on src (the agg's own exchange; the explicit
-      // repartition), so the join adds no exchange; AQE broadcasts the
-      // degree side when it fits (it does at any test scale) and falls
-      // back to the co-partitioned join on a billion-node graph — which
-      // is why this is a plain join, not a forced broadcast.
-      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
-      sym.repartition($"src").join(deg, Seq("src"))
+      // Symmetrize by EXPLODE, not union: a union of two projections of
+      // `pairs` recomputes the join+distinct subtree once per branch; the
+      // explode emits both orientations in the same pass.
+      val sym = pairs
+        .select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+      // Degrees via a count-window over the repartitioned frame: the
+      // window's clustering is satisfied by the repartition (no exchange)
+      // and it keeps `sym` SINGLE-consumer — an aggregate+join degree
+      // attach reads the un-pinned sym subtree twice. Sorting 8-byte
+      // keys within partitions is cheap next to recomputing the
+      // join+distinct pair build.
+      sym.repartition($"src")
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"src")))
     }
     // The one scalar: |V|. A single count over the pinned edge list —
     // not a per-round driver action.

@@ -21,7 +21,9 @@ object ExplainDump {
     "text_repetition", "text_contamination", "sample_domain_mix",
     "embed_kmeans", "dedup_semantic",
     "curation_pipeline_e2e", "curation_pack_sequences", "sample_weighted",
-    "graph_pagerank", "embed_quantize")
+    "graph_pagerank", "embed_quantize",
+    "text_perplexity_bucket", "sample_temperature", "dedup_substring",
+    "upsert_cdc_apply", "funnel_conversion", "agg_retention_cohort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -27,6 +27,8 @@ object SparkEntry {
     rel.StatsAggs,
     rel.TimeSeries,
     rel.Graph,
+    rel.DataQuality,
+    rel.Layout,
     llm.Dedup,
     llm.Curation,
     llm.Similarity,

@@ -123,6 +123,43 @@ object Text extends QueryModule {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** BM25 (Okapi, k1 = 1.2, b = 0.75) retrieval scores of the whole
+    * corpus against a fixed 3-term query — the ranking function behind
+    * benchmark-decontamination lookups and retrieval-based data selection
+    * (the step after [[tfidf]]'s raw weights). Top-20 docs, total-ordered
+    * on (rounded score desc, doc_id).
+    *
+    * Scale shape: identical to tfidf — one (doc, word) aggregation for
+    * term frequencies (filtered to the query's terms BEFORE the shuffle,
+    * so tf traffic is proportional to query hits, not vocabulary), one
+    * doc-length aggregation, a broadcast of the 3-row df side and the
+    * 1-row corpus stats, and a co-partitioned tf ⋈ dl join on doc_id.
+    * The (k1+1)=2.2 and (1-b)=0.25 factors are written as literals in
+    * BOTH dialects: 1.2+1.0 lands within 1 ulp of a rounding boundary in
+    * IEEE doubles, so computing it at runtime would make the cross-engine
+    * hash ride on evaluation order. */
+  private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queryTerms = Seq("join", "vector", "stream")
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
+      .filter($"word" =!= "")
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = toks.filter($"word".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5))"))
+      .withColumn("contrib",
+        expr("idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"))
+      .groupBy($"doc_id").agg(pround(sum($"contrib"), 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
   /** L5b — per-language corpus stats. */
   private def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -405,6 +442,7 @@ object Text extends QueryModule {
     "text_top_terms"    -> topTerms,
     "text_top_terms_approx" -> topTermsApprox,
     "text_tfidf"        -> tfidf,
+    "text_bm25"         -> bm25,
     "text_lang_stats"   -> langStats,
     "text_quality"      -> qualityScore,
     "text_langid"       -> langId,
@@ -518,6 +556,27 @@ object Text extends QueryModule {
         |  FROM tf JOIN df USING (word) CROSS JOIN n)
         |WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, w AS word
+        |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
+        |       WHERE word IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  floor(sum(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |        * 1e6 + 0.5) / 1e6 AS bm25
+        |FROM (
+        |  SELECT tf.doc_id, tf.tf, dl.dl, stats.avgdl,
+        |         ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf
+        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "text_top_terms" ->
       """SELECT lang, rn, word, n FROM (
         |  SELECT lang, word, n,

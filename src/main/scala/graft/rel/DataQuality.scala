@@ -1,0 +1,165 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: a per-column statistical profile and a
+  * declarative constraint suite, both over the event stream.
+  *
+  * The reference enforces quality only implicitly — the SSE producer drops
+  * non-`message` frames and back-fills absent fields with `.get` defaults
+  * (`kafka/wiki-producer.py:74-90`), and the Glue crawler re-infers schema
+  * each run. A lakehouse feeding a 100 TB training pipeline needs those
+  * checks as first-class, queryable operators (the Deequ/Great-Expectations
+  * role): profile every landed partition, gate downstream jobs on
+  * constraint results.
+  *
+  * Scale shape (100 TB):
+  *  - BOTH operators are a SINGLE full scan feeding one partial+final
+  *    aggregation — no per-column re-scan (a naive per-column UNION of six
+  *    profile queries reads the table six times; here the six column
+  *    profiles are six aggregate groups over one pass).
+  *  - The profile's multiple exact `count(DISTINCT col)`s make Catalyst
+  *    plan an Expand (one duplicated row per distinct-aggregate), trading
+  *    a 6× shuffle-row blowup for the single scan — the standard plan.
+  *    At 100 TB swap `countDistinct` for `approx_count_distinct` and the
+  *    Expand collapses to mergeable HLL partials (the
+  *    `ts_rolling_distinct_approx` pattern); exact is kept here because
+  *    the driver's oracle hash-compares values.
+  *  - Constraint evaluation is pure map-side `sum(CASE …)` partials —
+  *    bytes shuffled = one row per partition regardless of input size.
+  */
+object DataQuality extends QueryModule {
+
+  /** Per-column profile of `events`: null count, exact distinct count,
+    * min/max (numeric columns as doubles — timestamps via epoch-micros,
+    * which stay exact in a double up to year ~2255; string columns
+    * lexicographic). One row per column, fixed schema across types. */
+  private def dqProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+    def nulls(c: String) = sum(col(c).isNull.cast("long"))
+    val agg = e.agg(
+      nulls("event_id").as("id_nul"), countDistinct($"event_id").as("id_dis"),
+      min($"event_id").cast("double").as("id_min"), max($"event_id").cast("double").as("id_max"),
+      nulls("ts").as("ts_nul"), countDistinct($"ts_us").as("ts_dis"),
+      min($"ts_us").cast("double").as("ts_min"), max($"ts_us").cast("double").as("ts_max"),
+      nulls("user_id").as("us_nul"), countDistinct($"user_id").as("us_dis"),
+      min($"user_id").cast("double").as("us_min"), max($"user_id").cast("double").as("us_max"),
+      nulls("value").as("va_nul"), countDistinct($"value").as("va_dis"),
+      min($"value").as("va_min"), max($"value").as("va_max"),
+      nulls("event_type").as("et_nul"), countDistinct($"event_type").as("et_dis"),
+      min($"event_type").as("et_min"), max($"event_type").as("et_max"),
+      nulls("props").as("pr_nul"), countDistinct($"props").as("pr_dis"),
+      min($"props").as("pr_min"), max($"props").as("pr_max"))
+    agg.select(expr(
+      """stack(6,
+        |  'event_id',   id_nul, id_dis, id_min, id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'ts',         ts_nul, ts_dis, ts_min, ts_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'user_id',    us_nul, us_dis, us_min, us_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'value',      va_nul, va_dis, va_min, va_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'event_type', et_nul, et_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), et_min, et_max,
+        |  'props',      pr_nul, pr_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), pr_min, pr_max)
+        |AS (col, n_null, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+      .orderBy($"col")
+  }
+
+  /** Declarative constraint suite over `events`: each rule is a predicate
+    * whose violation count is a `sum(CASE …)` in ONE shared aggregation —
+    * adding a rule adds a column, never a scan. `value_outlier_cap` is a
+    * deliberately-firing threshold rule so the suite demonstrably detects,
+    * not just vacuously passes; `event_id_unique` is the one non-map-side
+    * rule (needs a distinct count). */
+  private def dqConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def viol(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
+    val agg = Tables.events(spark, sfDir).agg(
+      viol($"value".isNull || $"value" < 0 || $"value" > 1000).as("r_range"),
+      viol($"value" > 400).as("r_cap"),
+      viol($"event_type".isNull ||
+        !$"event_type".isin("click", "view", "purchase", "signup", "error")).as("r_dom"),
+      viol($"ts" < lit("2020-01-01").cast("timestamp_ntz") ||
+        $"ts" >= lit("2031-01-01").cast("timestamp_ntz")).as("r_ts"),
+      viol($"user_id".isNull).as("r_uid"),
+      viol(get_json_object($"props", "$.k").isNull).as("r_props"),
+      (count(lit(1)) - countDistinct($"event_id")).as("r_uniq"))
+    agg.select(expr(
+      """stack(7,
+        |  'event_id_unique',   r_uniq,
+        |  'event_type_domain', r_dom,
+        |  'props_has_k',       r_props,
+        |  'ts_in_range',       r_ts,
+        |  'user_id_not_null',  r_uid,
+        |  'value_in_range',    r_range,
+        |  'value_outlier_cap', r_cap)
+        |AS (rule, n_violations)""".stripMargin))
+      .withColumn("passed", $"n_violations" === 0L)
+      .orderBy($"rule")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "dq_profile"     -> dqProfile,
+    "dq_constraints" -> dqConstraints
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "dq_profile" ->
+      """WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
+        |SELECT 'event_id' AS col,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM e
+        |UNION ALL
+        |SELECT 'ts',
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT ts_us) AS BIGINT),
+        |  CAST(min(ts_us) AS DOUBLE), CAST(max(ts_us) AS DOUBLE), NULL, NULL FROM e
+        |UNION ALL
+        |SELECT 'user_id',
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE), NULL, NULL FROM e
+        |UNION ALL
+        |SELECT 'value',
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT value) AS BIGINT),
+        |  min(value), max(value), NULL, NULL FROM e
+        |UNION ALL
+        |SELECT 'event_type',
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(event_type), max(event_type) FROM e
+        |UNION ALL
+        |SELECT 'props',
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT props) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(props), max(props) FROM e
+        |ORDER BY col""".stripMargin,
+    "dq_constraints" ->
+      """WITH agg AS (SELECT
+        |  CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS r_range,
+        |  CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS r_cap,
+        |  CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+        |                     OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_dom,
+        |  CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2031-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS r_ts,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_uid,
+        |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_props,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS r_uniq
+        |  FROM events)
+        |SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'event_id_unique' AS rule,  r_uniq  AS n_violations FROM agg
+        |  UNION ALL SELECT 'event_type_domain', r_dom   FROM agg
+        |  UNION ALL SELECT 'props_has_k',       r_props FROM agg
+        |  UNION ALL SELECT 'ts_in_range',       r_ts    FROM agg
+        |  UNION ALL SELECT 'user_id_not_null',  r_uid   FROM agg
+        |  UNION ALL SELECT 'value_in_range',    r_range FROM agg
+        |  UNION ALL SELECT 'value_outlier_cap', r_cap   FROM agg)
+        |ORDER BY rule""".stripMargin
+  )
+}

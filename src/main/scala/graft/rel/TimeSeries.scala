@@ -111,12 +111,64 @@ object TimeSeries extends QueryModule {
       .orderBy($"wd")
   }
 
+  /** Per-group z-score outlier flagging: events whose `value` sits more
+    * than 1.5 population-σ from their event_type's mean (1.5 is a demo
+    * threshold — the fixture's near-uniform values have no 3σ tail).
+    *
+    * Scale shape: the per-type moment aggregation reduces the fact table
+    * to |types| rows map-side; joining it back is an auto-broadcast (the
+    * stats side is tiny by construction), so the detector is one scan +
+    * one broadcast join — no self-join, no window over the full facts. */
+  private def tsZscoreOutlier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val stats = e.groupBy($"event_type")
+      .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"))
+    e.join(stats, Seq("event_type"))
+      .withColumn("z", pround(($"value" - $"mu") / $"sigma", 4))
+      .filter(abs($"z") > 1.5)
+      .select($"event_id", $"event_type", pround($"value", 4).as("value"), $"z")
+      .orderBy($"event_id")
+  }
+
+  /** Trailing-window EWMA (α = 0.5, last 20 observations) of `value` per
+    * user, ordered by event time — the monitoring-style smoothed series.
+    *
+    * The textbook recursive EWMA (e_i = αx_i + (1-α)e_{i-1}) is a
+    * sequential scan no engine's declarative layer expresses without
+    * either exponent blow-up (the closed-form prefix trick overflows
+    * (1-α)^-n past ~700 rows) or an imperative per-partition pass. The
+    * trailing-window form is the bounded-state equivalent: weights below
+    * 0.5^20 are < 1e-6 — under the output rounding — so the truncation is
+    * exact at the reported precision. Implemented as ONE window
+    * (collect_list over a 20-row frame) + a codegen'd higher-order fold;
+    * α = 0.5 deliberately: every weight is a power of two, so Spark and
+    * DuckDB compute bit-identical products and the cross-engine hash
+    * match does not ride on libm pow rounding. Normalized (adjust=true)
+    * so short prefixes are unbiased: e = Σ w_i x_i / Σ w_i. */
+  private def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(-19, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("arr", collect_list($"value").over(w))
+      .withColumn("num", expr(
+        "aggregate(zip_with(arr, sequence(size(arr)-1, 0, -1)," +
+          " (x, k) -> x * power(0.5D, k)), 0D, (a, v) -> a + v)"))
+      .withColumn("den", lit(2.0) * (lit(1.0) - pow(lit(0.5), size($"arr"))))
+      .select($"event_id", $"user_id", pround($"num" / $"den", 4).as("ewma"))
+      .orderBy($"event_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "ts_gapfill"          -> tsGapfill,
     "ts_fill_forward"     -> tsFillForward,
     "ts_resample"         -> tsResample,
     "ts_rolling_distinct" -> tsRollingDistinct,
-    "ts_rolling_distinct_approx" -> tsRollingDistinctApprox
+    "ts_rolling_distinct_approx" -> tsRollingDistinctApprox,
+    "ts_zscore_outlier"   -> tsZscoreOutlier,
+    "ts_ewma"             -> tsEwma
   )
 
   override def oracles: Map[String, String] = Map(
@@ -160,6 +212,27 @@ object TimeSeries extends QueryModule {
         |  FROM ud)
         |SELECT c.wd, count(DISTINCT user_id) AS wau
         |FROM cov c JOIN days USING (wd)
-        |GROUP BY 1 ORDER BY wd""".stripMargin
+        |GROUP BY 1 ORDER BY wd""".stripMargin,
+    "ts_zscore_outlier" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type,
+        |  floor(value * 1e4 + 0.5) / 1e4 AS value,
+        |  floor((value - mu) / sigma * 1e4 + 0.5) / 1e4 AS z
+        |FROM events JOIN stats USING (event_type)
+        |WHERE abs(floor((value - mu) / sigma * 1e4 + 0.5) / 1e4) > 1.5
+        |ORDER BY event_id""".stripMargin,
+    "ts_ewma" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  floor(list_sum(list_transform(list_zip(arr, list_reverse(range(len(arr)))),
+        |          p -> p[1] * power(0.5, p[2])))
+        |        / (2 * (1 - power(0.5, len(arr)))) * 1e4 + 0.5) / 1e4 AS ewma
+        |FROM w ORDER BY event_id""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
+import graft.rel.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -141,16 +142,27 @@ object Text extends QueryModule {
   private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val queryTerms = Seq("join", "vector", "stream")
-    val toks = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
-      .filter($"word" =!= "")
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n_docs"))
-    val tf = toks.filter($"word".isin(queryTerms: _*))
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    // Per-doc lengths AND per-query-term frequencies in ONE aggregation
+    // (a term column per fixed query term): the naive tf/df/dl-as-
+    // separate-subtrees formulation re-derives the exploded token stream
+    // once per aggregate — four corpus scans at 100 TB. Pivoting the
+    // 3-term query into columns makes the whole corpus pass happen once;
+    // everything downstream operates on one pinned row per document.
+    val perDoc = Materialize.once(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("dl"),
+          queryTerms.map(t =>
+            sum(($"word" === t).cast("long")).as(s"tf_$t")): _*))
+    val stats = perDoc.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = perDoc.select($"doc_id", $"dl", expr(
+        queryTerms.map(t => s"'$t', tf_$t").mkString(
+          s"stack(${queryTerms.size}, ", ", ", ") AS (word, tf)")))
+      .filter($"tf" > 0)
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "word")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5))"))
       .withColumn("contrib",

@@ -77,7 +77,7 @@ object DataQuality extends QueryModule {
     def viol(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
     val agg = Tables.events(spark, sfDir).agg(
       viol($"value".isNull || $"value" < 0 || $"value" > 1000).as("r_range"),
-      viol($"value" > 400).as("r_cap"),
+      viol($"value" > 300).as("r_cap"),
       viol($"event_type".isNull ||
         !$"event_type".isin("click", "view", "purchase", "signup", "error")).as("r_dom"),
       viol($"ts" < lit("2020-01-01").cast("timestamp_ntz") ||
@@ -143,7 +143,7 @@ object DataQuality extends QueryModule {
     "dq_constraints" ->
       """WITH agg AS (SELECT
         |  CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS r_range,
-        |  CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS r_cap,
+        |  CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS r_cap,
         |  CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
         |                     OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_dom,
         |  CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2031-01-01'

@@ -117,10 +117,19 @@ object Graph extends QueryModule {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("s")).distinct()
-    val pairs = Materialize.once(
+    trianglesOf(
       li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
         .select(col("x.s").as("u"), col("y.s").as("v")).distinct())
+  }
+
+  /** Degree-oriented triangle counting over a canonical undirected edge
+    * list (`u < v`, distinct, no self-loops). Package-visible so tests
+    * can drive it with graphs of known triangle structure. */
+  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = Materialize.once(edges)
     val deg = pairs.select($"u".as("node"))
       .unionByName(pairs.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))

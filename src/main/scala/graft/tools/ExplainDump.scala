@@ -23,7 +23,9 @@ object ExplainDump {
     "curation_pipeline_e2e", "curation_pack_sequences", "sample_weighted",
     "graph_pagerank", "embed_quantize",
     "text_perplexity_bucket", "sample_temperature", "dedup_substring",
-    "upsert_cdc_apply", "funnel_conversion", "agg_retention_cohort")
+    "upsert_cdc_apply", "funnel_conversion", "agg_retention_cohort",
+    "dq_profile", "dq_constraints", "ts_zscore_outlier", "ts_ewma",
+    "text_bm25", "graph_triangle_count", "layout_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -32,7 +34,10 @@ object ExplainDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Headline.foreach { name =>
+    // optional: trailing args restrict the dump to those keys
+    val only = args.drop(1).toSet
+    val selected = if (only.isEmpty) Headline else Headline.filter(only)
+    selected.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(df.queryExecution.explainString(
@@ -41,7 +46,7 @@ object ExplainDump {
     // join_runtime_bloom: the declared query materializes eagerly inside
     // its conf scope (the returned frame is an InMemoryRelation), so the
     // interesting plan is the inner one, dumped under the same confs.
-    locally {
+    if (only.isEmpty || only("join_runtime_bloom")) {
       println(s"\n===== join_runtime_bloom (inner plan, confs armed) =====")
       val confs = graft.rel.Joins.RuntimeBloomConfs
       val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

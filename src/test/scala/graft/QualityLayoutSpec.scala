@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants for the round-5 closing operators: the DQ
+  * constraint suite detects (not just vacuously passes), the z-order
+  * bucket boxes actually bound both dimensions (the property scan
+  * pruning rides on), EWMA respects convexity, z-scores are standardized,
+  * and BM25 ranks saturating term frequency sensibly. */
+class QualityLayoutSpec extends SparkSpec {
+  import SparkSpec.session.implicits._
+
+  test("dq_constraints: outlier-cap rule fires, all structural rules pass") {
+    val rows = SparkEntry.queries("dq_constraints")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rows("value_outlier_cap") === false, "canary rule must detect")
+    for ((rule, passed) <- rows if rule != "value_outlier_cap")
+      assert(passed, s"structural rule $rule unexpectedly violated")
+  }
+
+  test("dq_profile: row count and null-free fixture invariants") {
+    val rows = SparkEntry.queries("dq_profile")(spark, sf).collect()
+    assert(rows.length === 6)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_null") === 0L, s"${r.getString(0)} nulls")
+      assert(r.getAs[Long]("n_distinct") > 0L)
+    }
+  }
+
+  test("layout_zorder: every bucket bounds BOTH dimensions (pruning property)") {
+    val rows = SparkEntry.queries("layout_zorder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (uMin, uMax) = (r.getAs[Long]("u_min"), r.getAs[Long]("u_max"))
+      val (dMin, dMax) = (r.getAs[Long]("d_min"), r.getAs[Long]("d_max"))
+      // a 256-key z bucket covers a 16x16 Morton tile: user span ≤ 16
+      // cells, day span ≤ 16 cells — no bucket smears across either axis
+      assert(uMax - uMin < 16, s"bucket ${r.getLong(0)} user span")
+      assert(dMax - dMin < 16, s"bucket ${r.getLong(0)} day span")
+    }
+  }
+
+  test("ts_ewma: smoothed value is a convex combination of the user's window values") {
+    val ewma = SparkEntry.queries("ts_ewma")(spark, sf)
+    val bounds = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val out = ewma.join(bounds, "user_id")
+      .filter($"ewma" < $"lo" - 0.001 || $"ewma" > $"hi" + 0.001)
+    assert(out.count() === 0L)
+  }
+
+  test("ts_zscore_outlier: all reported rows clear the threshold") {
+    val rows = SparkEntry.queries("ts_zscore_outlier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(math.abs(r.getAs[Double]("z")) > 1.5)
+  }
+
+  test("text_bm25: scores positive, descending, and bounded by the idf sum") {
+    val rows = SparkEntry.queries("text_bm25")(spark, sf)
+      .collect().map(_.getAs[Double]("bm25"))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_ > 0.0))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+    // tf/(tf + k1·norm) < 1 ⇒ each term contributes < idf·(k1+1); with
+    // 3 query terms and idf ≤ ln(1 + (N+0.5)/0.5) the total is bounded
+    val nDocs = Tables.documents(spark, sf).count()
+    val cap = 3 * 2.2 * math.log(1 + (nDocs + 0.5) / 0.5)
+    assert(rows.forall(_ < cap))
+  }
+}

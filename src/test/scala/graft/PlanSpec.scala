@@ -228,4 +228,46 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("*(1)"), s"$q lost codegen: $plan")
     }
   }
+
+  test("text_bm25 scans the corpus once (pivoted tf/dl, no per-aggregate re-derivation)") {
+    // simple-mode toString reprints the cached subtree per consumer;
+    // formatted mode assigns node ids, so distinct scan ids = real scans
+    val fmt = SparkEntry.queries("text_bm25")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSet
+    assert(scanIds.size === 1,
+      s"token stream must derive from ONE corpus scan: $fmt")
+    assert(fmt.contains("BroadcastHashJoin"), fmt)
+    assert(fmt.contains("TakeOrderedAndProject"), fmt)
+  }
+
+  test("dq operators profile/validate in one scan each") {
+    for (q <- Seq("dq_profile", "dq_constraints")) {
+      val plan = executed(q)
+      assert("Scan parquet".r.findAllIn(plan).size === 1,
+        s"$q must not re-scan per column/rule: $plan")
+    }
+  }
+
+  test("layout_zorder computes the interleave map-side: one hash exchange") {
+    val plan = executed("layout_zorder")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"z-value must be zero-shuffle, bucket agg one hash exchange: $plan")
+  }
+
+  test("ts_zscore_outlier attaches group stats by broadcast (no fact-side shuffle)") {
+    val plan = executed("ts_zscore_outlier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("graph_triangle_count closes wedges with hash joins, never a nested loop") {
+    val plan = executed("graph_triangle_count")
+    assert(!plan.contains("NestedLoop") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, // scalar attach crossJoins only
+      s"wedge/close joins must be equi-joins: $plan")
+    assert("HashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
 }

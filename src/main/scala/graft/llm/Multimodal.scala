@@ -174,15 +174,86 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The 64 byte values the perceptual hash tracks: letters, digits,
+    * space, dot — the payload's live alphabet. */
+  private val PhashBytes: Seq[Int] =
+    (97 to 122) ++ (48 to 57) ++ (65 to 90) ++ Seq(32, 46)
+
+  /** Hamming radius: 4 blocks of 16 bits pigeonhole-guarantee every pair
+    * within radius 3 shares at least one intact block (the
+    * `dedup_simhash_hamming` geometry — 16-bit blocks keep band buckets
+    * selective at corpus scale where 8-bit blocks would collide). */
+  private val PhashRadius = 3
+
+  /** North-star — perceptual-hash near-duplicate detection over the OPAQUE
+    * media payload: the image/audio near-dedup stage of a multimodal
+    * corpus, with a byte-histogram-parity signature standing in for a
+    * codec-backed pHash/chromaprint (no codec jars in this container —
+    * same stand-in contract as the decode/resize stubs). Each payload maps
+    * to a 64-bit code (bit k = parity of the count of tracked byte value
+    * k), so near-identical payloads — a few bytes edited — flip few bits,
+    * exactly the content-histogram hashing family (a color-histogram hash
+    * for images). Unlike `dedup_simhash` this never tokenizes: it reads
+    * raw bytes, the contract a binary column requires.
+    *
+    * Scale shape (100 TB): identical to the simhash family —
+    * CANDIDATE-GENERATION-BY-BUCKETING, never all-pairs. The code is one
+    * map-side projection (64 codegen'd replace/length terms, no shuffle);
+    * candidates come from 4 per-block equi-joins (explode into 4×16-bit
+    * block keys, join carries IDS ONLY); the exact `bit_count(xor)`
+    * verify runs on candidates alone. The pigeonhole bound makes
+    * banded+verify EXACTLY equal to all-pairs-within-radius — the oracle
+    * exploits that by replaying the direct quadratic form, proving the
+    * blocked plan loses nothing. */
+  private def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val codeExpr = PhashBytes.zipWithIndex.map { case (v, k) =>
+      s"shiftleft((length(text) - length(replace(text, chr($v), ''))) % 2, $k)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+    val codes = graft.rel.Materialize.once(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", expr(codeExpr).as("code")))
+    val bands = codes.select($"doc_id", $"code",
+        explode(expr(
+          "transform(sequence(0, 3), i -> struct(i AS bi, shiftright(code, 16 * i) & 65535 AS bv))"))
+          .as("b"))
+      .select($"doc_id", $"b.bi".as("bi"), $"b.bv".as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(codes.select($"doc_id".as("a_id"), $"code".as("ca")), "a_id")
+      .join(codes.select($"doc_id".as("b_id"), $"code".as("cb")), "b_id")
+      .withColumn("hamming", bit_count($"ca".bitwiseXOR($"cb")).cast("long"))
+      .filter($"hamming" <= PhashRadius)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "multimodal_struct_proj" -> structProj,
     "multimodal_binary_meta" -> binaryMeta,
     "multimodal_decode_stub" -> decodeStub,
     "multimodal_resize_stub" -> resizeStub,
-    "multimodal_frame_sample" -> frameSample
+    "multimodal_frame_sample" -> frameSample,
+    "multimodal_phash_dedup" -> phashDedup
   )
 
   override def oracles: Map[String, String] = Map(
+    "multimodal_phash_dedup" -> {
+      val terms = PhashBytes.zipWithIndex.map { case (v, k) =>
+        s"(((length(text) - length(replace(text, chr($v), ''))) % 2) << $k)"
+      }.mkString(" + ")
+      s"""WITH codes AS (
+         |  SELECT doc_id, CAST($terms AS BIGINT) AS code FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+         |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.code, b.code)) <= $PhashRadius
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "multimodal_resize_stub" ->
       s"""WITH r AS (
         |  SELECT doc_id,

@@ -172,6 +172,37 @@ object Text extends QueryModule {
       .limit(20)
   }
 
+  /** Fasttext-style linear quality-classifier INFERENCE over the corpus —
+    * the model-based quality gate of the CCNet/LLaMA pipelines (a trained
+    * linear model over hashed bag-of-words features deciding keep/drop).
+    * The hashing trick is the scale contract: features are
+    * `md5(word) mod 256` buckets, so there is NO vocabulary table and no
+    * vocabulary shuffle — scoring is Σ w[bucket(word)] accumulated
+    * map-side per document, one aggregation total. Weights here are a
+    * deterministic stand-in derived from the bucket id (a Knuth
+    * multiplicative mix into [-1, 1]; a trained model would broadcast a
+    * 256-entry weight map — same plan, the weight lookup is the only
+    * difference). Weight sums stay INTEGER until one final float division
+    * per doc, so cross-engine equality rides on a single exp() call, not
+    * on summation order. Score = σ(mean weight + bias); keep = rounded
+    * score > 0.5. */
+  private def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
+      .filter($"word" =!= "")
+      .withColumn("bucket",
+        conv(substring(md5($"word"), 1, 8), 16, 10).cast("long") % 256)
+      .withColumn("w", ($"bucket" * 2654435761L) % 2001L - 1000L)
+      .groupBy($"doc_id")
+      .agg(sum($"w").as("sw"), count(lit(1)).as("dl"))
+      .withColumn("quality_score",
+        pround(expr("1.0 / (1.0 + exp(-(sw / 1000.0 / dl + 0.1)))"), 4))
+      .select($"doc_id", $"quality_score",
+        ($"quality_score" > 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** L5b — per-language corpus stats. */
   private def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -455,6 +486,7 @@ object Text extends QueryModule {
     "text_top_terms_approx" -> topTermsApprox,
     "text_tfidf"        -> tfidf,
     "text_bm25"         -> bm25,
+    "text_quality_classifier" -> qualityClassifier,
     "text_lang_stats"   -> langStats,
     "text_quality"      -> qualityScore,
     "text_langid"       -> langId,
@@ -589,6 +621,24 @@ object Text extends QueryModule {
         |GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "text_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, w AS word
+        |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |f AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substr(md5(word), 1, 8))::BIGINT % 256)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM t),
+        |d AS (SELECT doc_id, sum(w) AS sw, count(*) AS dl FROM f GROUP BY 1)
+        |SELECT doc_id,
+        |  floor(1.0 / (1.0 + exp(-(sw / 1000.0 / dl + 0.1))) * 1e4 + 0.5) / 1e4
+        |    AS quality_score,
+        |  floor(1.0 / (1.0 + exp(-(sw / 1000.0 / dl + 0.1))) * 1e4 + 0.5) / 1e4 > 0.5
+        |    AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """SELECT lang, rn, word, n FROM (
         |  SELECT lang, word, n,

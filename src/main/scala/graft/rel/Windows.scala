@@ -125,6 +125,24 @@ object Windows extends QueryModule {
       .orderBy($"d_ts")
   }
 
+  /** Hopping (sliding) window aggregation — 6-hour windows advancing every
+    * 3 hours, the Flink/KSQL HOP/Kafka-Streams hopping-window semantics:
+    * each event lands in size/slide = 2 overlapping windows. Spark's
+    * `window(ts, size, slide)` generator emits the covering windows
+    * map-side (a 2× row expansion BEFORE the aggregation, combined by
+    * partial aggregates — never a self-join of bucket spines), then one
+    * partial+final hash agg on (window, type); the same
+    * explode-into-covered-windows shape as `ts_rolling_distinct`. Both
+    * engines align buckets to the epoch, verified by `ts_resample`. */
+  private def hopping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "6 hours", "3 hours").getField("start").as("w_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), pround(avg($"value"), 4).as("avg_value"))
+      .orderBy($"w_start", $"event_type")
+  }
+
   /** T6 — gap-based sessionization (30-min inactivity), the lag + cumulative
     * sum linear formulation; epoch-µs arithmetic for engine parity. */
   private def session(spark: SparkSession, sfDir: String): DataFrame = {
@@ -189,6 +207,7 @@ object Windows extends QueryModule {
     "win_ntile"          -> ntileQ,
     "win_percent_rank"   -> percentRankQ,
     "win_tumbling_daily" -> tumblingDaily,
+    "win_hopping"        -> hopping,
     "win_session"        -> session,
     "win_session_native" -> sessionNative
   )
@@ -243,6 +262,16 @@ object Windows extends QueryModule {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d_ts, count(*) AS n,
         |       floor(sum(value) * 100 + 0.5) / 100 AS total
         |FROM events GROUP BY 1 ORDER BY d_ts""".stripMargin,
+    "win_hopping" ->
+      """WITH cov AS (
+        |  SELECT unnest([time_bucket(INTERVAL 3 HOURS, ts),
+        |                 time_bucket(INTERVAL 3 HOURS, ts) - INTERVAL 3 HOURS])
+        |           AS w_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT w_start, event_type, count(*) AS n,
+        |       floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_value
+        |FROM cov GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "win_session" ->
       """WITH t AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,

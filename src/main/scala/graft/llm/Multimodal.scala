@@ -174,48 +174,63 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** The 64 byte values the perceptual hash tracks: letters, digits,
-    * space, dot — the payload's live alphabet. */
-  private val PhashBytes: Seq[Int] =
-    (97 to 122) ++ (48 to 57) ++ (65 to 90) ++ Seq(32, 46)
+  /** The byte values the perceptual hash tracks: the payload's LIVE
+    * alphabet (a–z, space, dot). Tracking dead byte values is worse than
+    * useless: their counts are 0 corpus-wide, the code bits they feed are
+    * constant, and any band containing mostly-constant bits degenerates
+    * into one bucket holding the whole corpus — the first cut tracked 64
+    * values (36 dead) and its two dead-bit bands saturated to all-pairs
+    * (measured 73 s at sf0.1 vs 3.5 s now). */
+  private val PhashBytes: Seq[Int] = (97 to 122) ++ Seq(32, 46)
 
-  /** Hamming radius: 4 blocks of 16 bits pigeonhole-guarantee every pair
-    * within radius 3 shares at least one intact block (the
-    * `dedup_simhash_hamming` geometry — 16-bit blocks keep band buckets
-    * selective at corpus scale where 8-bit blocks would collide). */
-  private val PhashRadius = 3
+  /** Bits per tracked byte value: count mod 2 and count div 2 mod 2 —
+    * the two low bits of the occurrence count. One edited occurrence
+    * flips bit 0 and (on carry) bit 1, so edit distance still maps to
+    * small Hamming distance while every bit carries real entropy. */
+  private val PhashBitsPerVal = 2
+
+  /** 7 blocks of 8 bits over the 56-bit code pigeonhole-guarantee every
+    * pair within radius 6 shares at least one intact block. */
+  private val PhashBlocks = 7
+  private val PhashRadius = 6
 
   /** North-star — perceptual-hash near-duplicate detection over the OPAQUE
     * media payload: the image/audio near-dedup stage of a multimodal
-    * corpus, with a byte-histogram-parity signature standing in for a
+    * corpus, with a byte-histogram signature standing in for a
     * codec-backed pHash/chromaprint (no codec jars in this container —
     * same stand-in contract as the decode/resize stubs). Each payload maps
-    * to a 64-bit code (bit k = parity of the count of tracked byte value
-    * k), so near-identical payloads — a few bytes edited — flip few bits,
+    * to a 56-bit code (two low count-bits per tracked byte value), so
+    * near-identical payloads — a few bytes edited — flip few bits,
     * exactly the content-histogram hashing family (a color-histogram hash
     * for images). Unlike `dedup_simhash` this never tokenizes: it reads
     * raw bytes, the contract a binary column requires.
     *
     * Scale shape (100 TB): identical to the simhash family —
     * CANDIDATE-GENERATION-BY-BUCKETING, never all-pairs. The code is one
-    * map-side projection (64 codegen'd replace/length terms, no shuffle);
-    * candidates come from 4 per-block equi-joins (explode into 4×16-bit
+    * map-side projection (56 codegen'd replace/length terms, no shuffle);
+    * candidates come from 7 per-block equi-joins (explode into 7×8-bit
     * block keys, join carries IDS ONLY); the exact `bit_count(xor)`
-    * verify runs on candidates alone. The pigeonhole bound makes
+    * verify runs on candidates alone (1.2M candidates / 5000 docs at
+    * sf0.1 — band-bucket sizes, not n²). The pigeonhole bound makes
     * banded+verify EXACTLY equal to all-pairs-within-radius — the oracle
     * exploits that by replaying the direct quadratic form, proving the
     * blocked plan loses nothing. */
   private def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val codeExpr = PhashBytes.zipWithIndex.map { case (v, k) =>
-      s"shiftleft((length(text) - length(replace(text, chr($v), ''))) % 2, $k)"
-    }.mkString("CAST(", " + ", " AS BIGINT)")
+    // CAST each bit to BIGINT BEFORE shifting: shiftleft on INT wraps the
+    // shift distance mod 32 (bits ≥ 32 silently fold onto low bits)
+    val codeExpr = PhashBytes.zipWithIndex.flatMap { case (v, k) =>
+      val cnt = s"(length(text) - length(replace(text, chr($v), '')))"
+      Seq(s"shiftleft(CAST($cnt % 2 AS BIGINT), ${2 * k})",
+        s"shiftleft(CAST(($cnt div 2) % 2 AS BIGINT), ${2 * k + 1})")
+    }.mkString("(", " + ", ")")
     val codes = graft.rel.Materialize.once(
       Tables.documents(spark, sfDir)
         .select($"doc_id", expr(codeExpr).as("code")))
     val bands = codes.select($"doc_id", $"code",
         explode(expr(
-          "transform(sequence(0, 3), i -> struct(i AS bi, shiftright(code, 16 * i) & 65535 AS bv))"))
+          s"transform(sequence(0, ${PhashBlocks - 1}), " +
+            "i -> struct(i AS bi, shiftright(code, 8 * i) & 255 AS bv))"))
           .as("b"))
       .select($"doc_id", $"b.bi".as("bi"), $"b.bv".as("bv"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -243,8 +258,10 @@ object Multimodal extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "multimodal_phash_dedup" -> {
-      val terms = PhashBytes.zipWithIndex.map { case (v, k) =>
-        s"(((length(text) - length(replace(text, chr($v), ''))) % 2) << $k)"
+      val terms = PhashBytes.zipWithIndex.flatMap { case (v, k) =>
+        val cnt = s"(length(text) - length(replace(text, chr($v), '')))"
+        Seq(s"(CAST($cnt % 2 AS BIGINT) << ${2 * k})",
+          s"(CAST(($cnt // 2) % 2 AS BIGINT) << ${2 * k + 1})")
       }.mkString(" + ")
       s"""WITH codes AS (
          |  SELECT doc_id, CAST($terms AS BIGINT) AS code FROM documents)

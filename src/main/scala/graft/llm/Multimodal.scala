@@ -227,23 +227,39 @@ object Multimodal extends QueryModule {
     val codes = graft.rel.Materialize.once(
       Tables.documents(spark, sfDir)
         .select($"doc_id", expr(codeExpr).as("code")))
-    val bands = codes.select($"doc_id", $"code",
+    // EXACT-FIRST collapse (the minhash-family stage order, SCALE.md):
+    // byte-identical payloads share a code, and a duplicate-heavy corpus
+    // makes every band bucket quadratic in group size (measured 235 s at
+    // the 10×-duplicate probe). Banding runs over DISTINCT codes only;
+    // identical-code pairs re-enter as the group-local hamming-0 set and
+    // cross-code pairs expand through two code joins — output-sized work,
+    // provably the same pair set.
+    val distinctCodes = graft.rel.Materialize.once(
+      codes.select($"code").distinct())
+    val bands = distinctCodes.select($"code",
         explode(expr(
           s"transform(sequence(0, ${PhashBlocks - 1}), " +
             "i -> struct(i AS bi, shiftright(code, 8 * i) & 255 AS bv))"))
           .as("b"))
-      .select($"doc_id", $"b.bi".as("bi"), $"b.bv".as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
+      .select($"code", $"b.bi".as("bi"), $"b.bv".as("bv"))
+    val codePairs = bands.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          col("x.code") < col("y.code"))
+      .select(col("x.code").as("ca"), col("y.code").as("cb"))
       .distinct()
-    cand
-      .join(codes.select($"doc_id".as("a_id"), $"code".as("ca")), "a_id")
-      .join(codes.select($"doc_id".as("b_id"), $"code".as("cb")), "b_id")
       .withColumn("hamming", bit_count($"ca".bitwiseXOR($"cb")).cast("long"))
       .filter($"hamming" <= PhashRadius)
-      .select($"a_id", $"b_id", $"hamming")
+    val cross = codePairs
+      .join(codes.select($"doc_id".as("ia"), $"code".as("ca")), "ca")
+      .join(codes.select($"doc_id".as("ib"), $"code".as("cb")), "cb")
+      .select(least($"ia", $"ib").as("a_id"),
+        greatest($"ia", $"ib").as("b_id"), $"hamming")
+    val intra = codes.as("x").join(codes.as("y"),
+        col("x.code") === col("y.code") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
       .orderBy($"a_id", $"b_id")
   }
 

@@ -410,4 +410,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "streamed curation diverged from the batch filter")
     assert(want.nonEmpty, "fixture must exercise the keep path")
   }
+
+  test("stream/batch parity: hopping-window aggregation matches the batch query") {
+    // The same window(ts, 6h, 3h) generator runs under readStream with a
+    // watermark (hopping state evicts like tumbling) — the declared
+    // `win_hopping` semantics hold on an unbounded source.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hop").toString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"event_type", $"value")
+    ev.repartition(4).write.parquet(s"$dir/in")
+    val q = spark.readStream.schema(
+        spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours", "3 hours").getField("start").as("w_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("hop_stream")
+      .outputMode("complete").start()
+    val got =
+      try { q.processAllAvailable()
+        spark.table("hop_stream").collect()
+          .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).sorted.toSeq }
+      finally q.stop()
+    val want = ev
+      .groupBy(window($"ts", "6 hours", "3 hours").getField("start").as("w_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === want, "streamed hopping windows diverged from batch")
+    assert(want.nonEmpty)
+  }
 }

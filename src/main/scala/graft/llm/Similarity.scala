@@ -250,8 +250,46 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Output dimensionality of the random projection. */
+  private val RpOutDims = 16
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with a ±1
+    * (Achlioptas) sign matrix — the storage/compute reduction applied
+    * BEFORE indexing a corpus-scale vector store (4× fewer floats per
+    * vector, pairwise distances preserved within the JL distortion
+    * bound). Complements [[embedQuantize]] (which narrows the value
+    * type; this narrows the dimension).
+    *
+    * Scale shape (100 TB): the sign matrix is NEVER stored — each ±1
+    * entry regenerates from md5(i_j) parity, so both engines (and every
+    * executor) derive the identical matrix from nothing. The projection
+    * is posexplode (map-side, 64 rows/vec) ⋈ broadcast(1024-row plane
+    * dim) → one partial+final agg on (vec, out-dim): the only shuffle
+    * carries 16 partial sums per vector. No driver-side matrix, no
+    * collect. */
+  private def embedRandomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val planes = spark.range(64).select($"id".cast("int").as("i"))
+      .crossJoin(spark.range(RpOutDims).select($"id".cast("int").as("j")))
+      .withColumn("s", when(
+        conv(substring(md5(concat($"i".cast("string"), lit("_"),
+          $"j".cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0)))
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos".cast("int").as("i"), $"x")
+      .join(broadcast(planes), "i")
+      .groupBy($"vec_id", $"j")
+      .agg(sum($"x".cast("double") * $"s").as("dot"))
+      // 0.25 = 1/sqrt(16): the JL scaling, exact in binary
+      .select($"vec_id", $"j".cast("long").as("j"),
+        pround($"dot" * 0.25, 4).as("z"))
+      .orderBy($"vec_id", $"j")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "embed_quantize"     -> embedQuantize,
+    "embed_random_projection" -> embedRandomProjection,
     "sim_topk_cosine"    -> simTopkCosine,
     "sim_threshold_join" -> simThresholdJoin,
     "sim_threshold_lsh"  -> simThresholdLsh,
@@ -260,6 +298,20 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "embed_random_projection" ->
+      s"""WITH planes AS (
+         |  SELECT i, j,
+         |    CASE WHEN ('0x' || substr(md5(i || '_' || j), 1, 1))::BIGINT % 2 = 0
+         |         THEN 1.0 ELSE -1.0 END AS s
+         |  FROM range(64) t1(i), range($RpOutDims) t2(j)),
+         |ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |         unnest(embedding) AS x
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |  floor(sum(CAST(x AS DOUBLE) * s) * 0.25 * 1e4 + 0.5) / 1e4 AS z
+         |FROM ex JOIN planes USING (i)
+         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "embed_quantize" ->
       """WITH d AS (
         |  SELECT t.pos, min(CAST(embedding[t.pos] AS DOUBLE)) AS mn,

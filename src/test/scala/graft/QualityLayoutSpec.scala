@@ -65,6 +65,21 @@ class QualityLayoutSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hamming") <= 6L))
   }
 
+  test("embed_random_projection: norms preserved in expectation (JL contract)") {
+    val z = SparkEntry.queries("embed_random_projection")(spark, sf)
+      .groupBy($"vec_id").agg(sum($"z" * $"z").as("zn"))
+    val vn = Tables.embeddings(spark, sf)
+      .select($"vec_id", expr(
+        "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("vn"))
+    val ratios = z.join(vn, "vec_id")
+      .select(($"zn" / $"vn").as("r")).collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    // E[||z||^2] = ||v||^2 for a ±1/√k JL matrix; per-vector spread is
+    // wide at k=16 but the corpus mean concentrates hard
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r > 0.1 && r < 4.0), "per-vector distortion blew the JL tail bound")
+  }
+
   test("text_bm25: scores positive, descending, and bounded by the idf sum") {
     val rows = SparkEntry.queries("text_bm25")(spark, sf)
       .collect().map(_.getAs[Double]("bm25"))

@@ -25,7 +25,9 @@ object ExplainDump {
     "text_perplexity_bucket", "sample_temperature", "dedup_substring",
     "upsert_cdc_apply", "funnel_conversion", "agg_retention_cohort",
     "dq_profile", "dq_constraints", "ts_zscore_outlier", "ts_ewma",
-    "text_bm25", "graph_triangle_count", "layout_zorder")
+    "text_bm25", "graph_triangle_count", "layout_zorder",
+    "win_hopping", "text_quality_classifier", "multimodal_phash_dedup",
+    "embed_random_projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -203,7 +203,33 @@ object Aggs extends QueryModule {
       .orderBy($"label", $"idx")
   }
 
+  /** Incremental view maintenance (IVM) merge: yesterday's materialized
+    * aggregate STATE merged with today's delta state — count/sum/min/max
+    * are all self-mergeable, so refreshing the view costs one pass over
+    * the DELTA plus a state-sized merge, never a rescan of history. The
+    * reference recomputes its CTAS dashboards from scratch every DAG run
+    * (`dag/wiki_pipeline_dag.py` — full-table CTAS); this is the
+    * incremental refresh a 100 TB history forces. The query materializes
+    * the contract: base state (events before day 20) unioned with the
+    * delta state (day 20 on) and re-aggregated — the ORACLE is the full
+    * single-pass aggregate, proving merge(base, delta) ≡ recompute. */
+  private def aggIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val cut = lit("2024-01-20").cast("timestamp_ntz")
+    def state(df: DataFrame) = df.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"value").as("sv"),
+      min($"value").as("mn"), max($"value").as("mx"))
+    state(e.filter($"ts" < cut)).unionByName(state(e.filter($"ts" >= cut)))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), pround(sum($"sv"), 2).as("sum_value"),
+        pround(min($"mn"), 4).as("min_value"),
+        pround(max($"mx"), 4).as("max_value"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "agg_incremental_merge" -> aggIncrementalMerge,
     "agg_daily_top_editors" -> dailyTopEditors,
     "agg_groupby_ordinal"   -> groupByOrdinal,
     "agg_global_sum"        -> globalSum,
@@ -222,6 +248,14 @@ object Aggs extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // deliberately the FULL single-pass aggregate: the oracle proves the
+    // base+delta state merge equals a from-scratch recompute
+    "agg_incremental_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+        |  floor(min(value) * 1e4 + 0.5) / 1e4 AS min_value,
+        |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_daily_top_editors" ->
       """SELECT CAST(ts AS DATE) AS dt, user_id AS editor, count(*) AS edits
         |FROM events WHERE event_type <> 'error'

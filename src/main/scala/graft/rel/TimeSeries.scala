@@ -161,7 +161,34 @@ object TimeSeries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Robust (median/MAD) outlier detection — the modified z-score of
+    * Iglewicz–Hoaglin (0.6745·(x−med)/MAD > 3.5): unlike
+    * [[tsZscoreOutlier]] the detector itself is outlier-resistant (mean
+    * and σ are dragged by the very tail they're meant to flag; the
+    * median pair is not — the robust-statistics standard for monitoring
+    * pipelines).
+    *
+    * Scale shape: two grouped EXACT medians (per-type state bounded by
+    * group size; the operators sort within hash groups, fine while
+    * |types| is small and per-type rows fit a task — at extreme group
+    * sizes swap `median` for `approx_percentile(0.5)`, same plan), each
+    * reduced frame broadcast back; the flag itself is row-local. */
+  private def tsMadOutlier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val med = e.groupBy($"event_type").agg(median($"value").as("med"))
+    val stats = e.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(median(abs($"value" - $"med")).as("mad"), min($"med").as("med"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("mz", pround(expr("0.6745 * (value - med) / mad"), 4))
+      .filter(abs($"mz") > 3.5)
+      .select($"event_id", $"event_type", pround($"value", 4).as("value"), $"mz")
+      .orderBy($"event_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "ts_mad_outlier"      -> tsMadOutlier,
     "ts_gapfill"          -> tsGapfill,
     "ts_fill_forward"     -> tsFillForward,
     "ts_resample"         -> tsResample,
@@ -213,6 +240,19 @@ object TimeSeries extends QueryModule {
         |SELECT c.wd, count(DISTINCT user_id) AS wau
         |FROM cov c JOIN days USING (wd)
         |GROUP BY 1 ORDER BY wd""".stripMargin,
+    "ts_mad_outlier" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+        |         min(m.med) AS med
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT event_id, event_type,
+        |  floor(value * 1e4 + 0.5) / 1e4 AS value,
+        |  floor(0.6745 * (value - med) / mad * 1e4 + 0.5) / 1e4 AS mz
+        |FROM events JOIN stats USING (event_type)
+        |WHERE abs(floor(0.6745 * (value - med) / mad * 1e4 + 0.5) / 1e4) > 3.5
+        |ORDER BY event_id""".stripMargin,
     "ts_zscore_outlier" ->
       """WITH stats AS (
         |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma

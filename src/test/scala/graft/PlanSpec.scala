@@ -263,6 +263,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ts_mad_outlier attaches median/MAD stats by broadcast") {
+    val plan = executed("ts_mad_outlier")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("agg_incremental_merge: both states aggregate partial+final before the merge") {
+    val plan = executed("agg_incremental_merge")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"base and delta must each partial+final aggregate: $plan")
+  }
+
   test("graph_triangle_count closes wedges with hash joins, never a nested loop") {
     val plan = executed("graph_triangle_count")
     assert(!plan.contains("NestedLoop") ||

@@ -136,17 +136,55 @@ object Formats extends QueryModule {
         max($"n_tokens").as("max_tokens"))
   }
 
+  /** Schema evolution on read: a column ADDED mid-stream (the commonest
+    * lakehouse schema change — the reference's Glue crawler re-infers the
+    * landed schema every run for exactly this reason). Batch 1 lands
+    * (orderkey, quantity); batch 2 adds `l_extendedprice`;
+    * `mergeSchema=true` unifies on read with nulls for the pre-evolution
+    * rows, and the aggregate proves value-level fidelity for both eras.
+    * At 100 TB mergeSchema is a FOOTER-only operation (no data rewrite,
+    * one footer read per file — the reason additive evolution is free in
+    * parquet lakehouses, and exactly what a full-table CTAS migration
+    * would cost instead). */
+  private def scanSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = scratch("evo", sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(pmod($"l_orderkey", lit(20)) === 0)
+      .select($"l_orderkey", $"l_quantity")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/b1")
+    li.filter(pmod($"l_orderkey", lit(20)) === 10)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_extendedprice".isNotNull.cast("long")).as("n_with_price"),
+        pround(sum($"l_quantity"), 2).as("sum_qty"),
+        pround(sum($"l_extendedprice"), 2).as("sum_price"))
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "scan_csv_roundtrip" -> scanCsv,
     "scan_orc_roundtrip" -> scanOrc,
     "scan_xml_roundtrip" -> scanXml,
-    "scan_text_roundtrip" -> scanText
+    "scan_text_roundtrip" -> scanText,
+    "scan_schema_evolution" -> scanSchemaEvolution
   )
 
   override def oracles: Map[String, String] = Map(
     "scan_csv_roundtrip" -> summarizeOracle,
     "scan_orc_roundtrip" -> summarizeOracle,
     "scan_xml_roundtrip" -> summarizeOracle,
+    "scan_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey % 20 = 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_price,
+        |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor(sum(CASE WHEN l_orderkey % 20 = 10 THEN l_extendedprice END)
+        |        * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 20 IN (0, 10)""".stripMargin,
     "scan_text_roundtrip" ->
       """WITH t AS (
         |  SELECT replace(replace(text, chr(13), ' '), chr(10), ' ') AS text

@@ -96,9 +96,34 @@ object Sketches extends QueryModule {
         sum(when($"hit" && $"mk".isNull, 1L).otherwise(0L)).as("n_false_pos"))
   }
 
+  /** Count-min frequency sketch: the heavy-hitter/frequency companion to
+    * the HLL (distinct) and bloom (membership) sketches. The built-in
+    * `count_min_sketch` aggregate builds and merges partial states
+    * distributively (constant ~w·d ints per partition at ANY volume); the
+    * read side — "how many of X?" — has no SQL surface, so probing goes
+    * through the custom [[graft.functions.CmsEstimateExpr]] native
+    * expression. Per-day partial sketches union via the aggregate's own
+    * merge; each type's estimate is a broadcast probe of the single
+    * merged state. Rows-only (sketch estimates are seed/implementation-
+    * specific); SketchFormatSpec asserts the CMS contract: estimate ≥
+    * exact, ≤ exact + ε·N. */
+  private def sketchCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val sk = e.agg(expr(
+      "count_min_sketch(event_type, 0.001d, 0.99d, 1)").as("sk"))
+    e.select($"event_type").distinct()
+      .crossJoin(broadcast(sk))
+      .select($"event_type",
+        graft.functions.CmsEstimate.cms_estimate($"sk", $"event_type")
+          .as("est_n"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_hll_sketch" -> sketchHll,
+    "agg_count_min" -> sketchCountMin,
     "filter_bloom" -> bloomFilter
   )
 

@@ -71,6 +71,21 @@ class SketchFormatSpec extends SparkSpec {
     assert(orcBack.exceptAll(src).count() === 0 && src.exceptAll(orcBack).count() === 0)
   }
 
+  test("count-min estimates obey the CMS contract: >= exact, <= exact + eps*N") {
+    val est = SparkEntry.queries("agg_count_min")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(est.keySet === exact.keySet)
+    for ((t, e) <- est; ex = exact(t)) {
+      assert(e >= ex, s"$t: CMS must never underestimate ($e < $ex)")
+      assert(e <= ex + math.ceil(0.001 * total).toLong + 1,
+        s"$t: estimate $e blew the eps*N bound over exact $ex")
+    }
+  }
+
   test("variant path extraction agrees with the string JSON path") {
     val v = SparkEntry.queries("variant_funcs")(spark, sf)
       .select($"event_id", $"k_int")

@@ -325,6 +325,25 @@ object ScalarFns extends QueryModule {
       .orderBy($"doc_id", $"k")
   }
 
+  /** `inline` — the struct-array generator (stack's typed sibling): each
+    * lineitem expands row-locally into three (kind, amount) charge rows
+    * (gross / discounted / tax-charged), then one partial+final agg per
+    * kind. The generator runs inside the scan's codegen stage — the
+    * expansion never shuffles raw rows, only the 3-row aggregate states. */
+  private def genInline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select(expr(
+        "inline(array(" +
+          "struct('gross' AS kind, l_extendedprice AS amt), " +
+          "struct('disc' AS kind, l_extendedprice * (1 - l_discount) AS amt), " +
+          "struct('charged' AS kind," +
+          " l_extendedprice * (1 - l_discount) * (1 + l_tax) AS amt)))"))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"), pround(sum($"amt"), 2).as("total"))
+      .orderBy($"kind")
+  }
+
   /** X3c — posexplode_OUTER: explode with ordinality that KEEPS parents
     * whose array is empty (one null row) — the outer-join semantics of
     * generation, needed whenever downstream must not silently drop
@@ -404,6 +423,7 @@ object ScalarFns extends QueryModule {
     "xml_funcs" -> xmlFuncs,
     "url_funcs" -> urlFuncs,
     "gen_stack" -> genStack,
+    "gen_inline" -> genInline,
     "gen_posexplode_outer" -> genPosexplodeOuter,
     "interval_funcs" -> intervalFuncs,
     "str_collation" -> strCollation,
@@ -431,6 +451,16 @@ object ScalarFns extends QueryModule {
         |       lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) = 'en' AS eq_ci,
         |       lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) LIKE 'e%' AS sw_ci
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "gen_inline" ->
+      """SELECT kind, count(*) AS n, floor(sum(amt) * 100 + 0.5) / 100 AS total
+        |FROM (
+        |  SELECT 'gross' AS kind, l_extendedprice AS amt FROM lineitem
+        |  UNION ALL
+        |  SELECT 'disc', l_extendedprice * (1 - l_discount) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'charged',
+        |    l_extendedprice * (1 - l_discount) * (1 + l_tax) FROM lineitem)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
     "gen_stack" ->
       """SELECT doc_id, k, v FROM (
         |  SELECT doc_id, 'lang' AS k, lang AS v FROM documents

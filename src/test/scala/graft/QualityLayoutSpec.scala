@@ -40,6 +40,25 @@ class QualityLayoutSpec extends SparkSpec {
     }
   }
 
+  test("Observation collects DQ metrics during a real job — no extra pass") {
+    // the zero-cost companion to dq_profile/dq_constraints: piggyback
+    // metrics on a job that runs anyway (here: a curated write), instead
+    // of a dedicated profiling scan
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    Tables.events(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("n"),
+        sum($"value".isNull.cast("long")).as("n_null_value"),
+        max($"value").as("max_value"))
+      .write.mode("overwrite").parquet(s"$dir/out")
+    val m = obs.get
+    val n = Tables.events(spark, sf).count()
+    assert(m("n") === n)
+    assert(m("n_null_value") === 0L)
+    assert(m("max_value").asInstanceOf[Double] > 0.0)
+  }
+
   test("ts_ewma: smoothed value is a convex combination of the user's window values") {
     val ewma = SparkEntry.queries("ts_ewma")(spark, sf)
     val bounds = Tables.events(spark, sf)

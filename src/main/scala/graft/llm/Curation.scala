@@ -416,7 +416,39 @@ object Curation extends QueryModule {
     }.reduce(_ unionByName _).orderBy($"stage")
   }
 
+  /** Training shards to balance into. */
+  private val ShardCount = 8
+
+  /** Token-balanced shard assignment — the last step before a training
+    * run: distribute documents over N shards so every shard carries a
+    * near-equal TOKEN load (data-parallel workers step in lockstep; a fat
+    * shard stalls the whole step). Longest-processing-time round-robin:
+    * rank docs by token count descending, shard = (rank−1) mod N — the
+    * classic LPT makespan approximation, and on a 500-doc corpus the
+    * loads land within ~1% (asserted in QualityLayoutSpec).
+    *
+    * Scale shape: the only global structure is the rank, computed by the
+    * two-phase distributed row-number ([[graft.rel.ScalableRank]]) —
+    * range shuffle + per-partition counts + a window over
+    * ≤ shuffle.partitions offset rows. NO single-partition window over
+    * the corpus. The physical write would follow as
+    * `.repartition(col("shard")).write` — shard-local files, one pass. */
+  private def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(expr("filter(split(trim(text), ' '), x -> x <> '')"))
+          .cast("long").as("n_tokens"))
+    graft.rel.ScalableRank
+      .withGlobalRowNumber(toks, "rn", "n", $"n_tokens".desc, $"doc_id".asc)
+      .withColumn("shard", ($"rn" - 1) % ShardCount)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+      .orderBy($"shard")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "curation_shard_balance"  -> shardBalance,
     "curation_pipeline_e2e"   -> curationPipelineE2e,
     "curation_funnel"         -> curationFunnel,
     "curation_pack_sequences" -> packSequences,
@@ -477,6 +509,20 @@ object Curation extends QueryModule {
       |          / 4294967296.0 < f)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "curation_shard_balance" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+         |      AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM t)
+         |SELECT CAST((rn - 1) % $ShardCount AS BIGINT) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "curation_pipeline_e2e" -> (PipelineCtes +
       """
         |SELECT doc_id, lang FROM mixed ORDER BY doc_id""".stripMargin),

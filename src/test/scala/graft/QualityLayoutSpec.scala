@@ -99,6 +99,16 @@ class QualityLayoutSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.1 && r < 4.0), "per-vector distortion blew the JL tail bound")
   }
 
+  test("curation_shard_balance: token loads within 5% across shards") {
+    val rows = SparkEntry.queries("curation_shard_balance")(spark, sf).collect()
+    assert(rows.length === 8)
+    val loads = rows.map(_.getAs[Long]("total_tokens").toDouble)
+    assert(loads.max / loads.min < 1.05,
+      s"LPT round-robin should balance: ${loads.mkString(",")}")
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(docs.max - docs.min <= 1, "doc counts differ by more than the remainder")
+  }
+
   test("text_bm25: scores positive, descending, and bounded by the idf sum") {
     val rows = SparkEntry.queries("text_bm25")(spark, sf)
       .collect().map(_.getAs[Double]("bm25"))

@@ -28,7 +28,8 @@ object ExplainDump {
     "text_bm25", "graph_triangle_count", "layout_zorder",
     "win_hopping", "text_quality_classifier", "multimodal_phash_dedup",
     "embed_random_projection", "ts_mad_outlier", "agg_incremental_merge",
-    "scan_schema_evolution", "agg_count_min", "gen_inline")
+    "scan_schema_evolution", "agg_count_min", "gen_inline",
+    "curation_shard_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -274,6 +274,51 @@ object Joins extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** J6c — interval-OVERLAP join (interval × interval, no equi key), the
+    * second pure-range shape after [[joinRangeBinned]]'s interval × point:
+    * which high-quantity shipment windows (shipdate..+7 d) overlap each
+    * high-value order's 3-week fulfilment window? Both sides are interval
+    * sets, so the "point belongs to exactly one bucket" dedup-free property
+    * is gone — BOTH sides explode into the fixed-width buckets they cover
+    * and an overlapping pair now shares ceil(overlap/width)+1 buckets.
+    * Instead of a post-join `distinct` (a second full shuffle over the
+    * pair set), each pair is kept exactly once by a PURE PREDICATE: the
+    * bucket containing `greatest(a_lo, b_lo)` is the FIRST bucket both
+    * intervals cover (each interval covers a contiguous bucket range, and
+    * max of the two starts lies inside both intervals whenever they
+    * overlap), so `bucket = bin(greatest(a_lo, b_lo))` selects one
+    * canonical meeting bucket per pair — dedup folded into the join
+    * filter, zero extra exchanges. Bin width (7 d ≈ the shorter side's
+    * interval length) is the same copies-vs-occupancy knob documented on
+    * [[joinRangeBinned]]. */
+  private def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val BinDays = 7
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, to_date(lit("1970-01-01"))) / BinDays)
+    val promos = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 480000.0)
+      .select($"o_orderkey",
+        to_date($"o_orderdate").as("p_lo"),
+        date_add(to_date($"o_orderdate"), 20).as("p_hi"))
+    val ships = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" >= 49)
+      .select(to_date($"l_shipdate").as("s_lo"),
+        date_add(to_date($"l_shipdate"), 7).as("s_hi"))
+    val pBinned = promos
+      .withColumn("bucket", explode(sequence(bin($"p_lo"), bin($"p_hi"))))
+    val sBinned = ships
+      .withColumn("bucket", explode(sequence(bin($"s_lo"), bin($"s_hi"))))
+    pBinned.join(sBinned, Seq("bucket"))
+      .filter($"s_lo" <= $"p_hi" && $"p_lo" <= $"s_hi" &&
+        $"bucket" === bin(greatest($"p_lo", $"s_lo")))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_shipments"),
+        sum(datediff(least($"p_hi", $"s_hi"), greatest($"p_lo", $"s_lo")) + 1)
+          .cast("bigint").as("overlap_days"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Confs that arm runtime bloom-filter join pruning for [[joinRuntimeBloom]]:
     * the feature itself plus fixture-scale threshold overrides (the
     * application-side scan must look "big enough to be worth filtering" —
@@ -378,6 +423,7 @@ object Joins extends QueryModule {
     "join_anti"      -> joinAnti,
     "join_range"     -> joinRange,
     "join_range_binned" -> joinRangeBinned,
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_runtime_bloom" -> joinRuntimeBloom,
     "join_asof"      -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
@@ -446,6 +492,20 @@ object Joins extends QueryModule {
         |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'signup'
         |GROUP BY a.event_id ORDER BY a_id""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS p_lo,
+        |         CAST(o_orderdate AS DATE) + 20 AS p_hi
+        |  FROM orders WHERE o_totalprice > 480000),
+        |s AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS s_lo,
+        |         CAST(l_shipdate AS DATE) + 7 AS s_hi
+        |  FROM lineitem WHERE l_quantity >= 49)
+        |SELECT o_orderkey, count(*) AS n_shipments,
+        |  CAST(sum(date_diff('day', greatest(p_lo, s_lo), least(p_hi, s_hi)) + 1)
+        |       AS BIGINT) AS overlap_days
+        |FROM p JOIN s ON s_lo <= p_hi AND p_lo <= s_hi
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
     "join_runtime_bloom" ->
       """SELECT l_returnflag, count(*) AS n,
         |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS rev

@@ -2,6 +2,7 @@ package graft.rel
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) interleaving of two
@@ -52,8 +53,43 @@ object Layout extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** Small-file compaction planning — the OTHER half of `OPTIMIZE`
+    * (bin-packing) next to [[zorderBuckets]] (clustering). The reference's
+    * consumer lands one gzip NDJSON object per Kafka micro-batch
+    * (`kafka/wiki-s3-consumer.py:62-90`), the canonical small-files
+    * generator: a day of 1-minute batches is 1,440 objects whose footers /
+    * list calls dominate scan cost long before data does. Compaction
+    * concatenates each partition's batches, in arrival order, into
+    * target-sized output files.
+    *
+    * The declared query materializes the ASSIGNMENT (which micro-batch
+    * lands in which output file) rather than file bytes — file listings
+    * aren't hashable cross-engine, the plan is. Micro-batch grain here is
+    * the hour (the fixture's stand-in for the consumer's batch id);
+    * assignment is streaming first-fit in batch order: output index =
+    * floor(rows-before-me / target-rows) — exactly what a single pass
+    * concatenating batches until the target fills produces. One partial
+    * aggregation to batch grain + one linear window per day partition;
+    * state is per-day batch counts, never raw rows. The physical rewrite
+    * (read + write with this many output files per partition) is
+    * exercised in QualityLayoutSpec. */
+  private def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val TargetRows = 1024L
+    val w = Window.partitionBy($"d").orderBy($"h".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"), hour($"ts").cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("cum_before", coalesce(sum($"n_rows").over(w), lit(0L)))
+      .select($"d", $"h", $"n_rows",
+        floor($"cum_before" / TargetRows).cast("long").as("target_file"))
+      .orderBy($"d", $"h")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
-    "layout_zorder" -> zorderBuckets
+    "layout_zorder" -> zorderBuckets,
+    "layout_compaction" -> compactionPlan
   )
 
   override def oracles: Map[String, String] = {
@@ -70,7 +106,20 @@ object Layout extends QueryModule {
            |SELECT CAST(z // 256 AS BIGINT) AS bucket, count(*) AS n,
            |  min(user_id) AS u_min, max(user_id) AS u_max,
            |  CAST(min(y) AS BIGINT) AS d_min, CAST(max(y) AS BIGINT) AS d_max
-           |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+           |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "layout_compaction" ->
+        """WITH b AS (
+          |  SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS h,
+          |         count(*) AS n_rows
+          |  FROM events GROUP BY 1, 2),
+          |c AS (
+          |  SELECT *, coalesce(sum(n_rows) OVER
+          |    (PARTITION BY d ORDER BY h
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM b)
+          |SELECT d, h, n_rows,
+          |       CAST(floor(cum_before / 1024) AS BIGINT) AS target_file
+          |FROM c ORDER BY d, h""".stripMargin
     )
   }
 }

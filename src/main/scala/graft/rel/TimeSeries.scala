@@ -187,7 +187,57 @@ object TimeSeries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Linear interpolation of a sparse series onto a dense grid — the
+    * companion to [[tsFillForward]] (LOCF) for metrics where a straight
+    * line between observations beats a step function (sensor readings,
+    * sampled gauges). Known points: hourly mean `value` of a 1%-of-users
+    * cohort (`user_id % 97 = 0`), genuinely sparse at every fixture SF;
+    * grid: every hour in the table's span × event_type. Interior gaps get
+    * `prev + (next-prev)·Δt/Δt_total`; points before the first / after the
+    * last observation stay null (interpolation, not extrapolation).
+    *
+    * Scale shape: the fact table collapses to the known-point relation in
+    * ONE partial+final aggregation; the spine is `sequence()` from a
+    * 1-row bound agg × the tiny type dim — spine size = hours × types,
+    * independent of fact cardinality. The prev/next attachment is two
+    * linear passes over the spine (windows partitioned by type, never a
+    * self-join or point probe per gap). The interpolation arithmetic runs
+    * on ALREADY-ROUNDED endpoint values, so the cross-engine hash match
+    * never rides on aggregation order. */
+  private def tsInterpolateLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val known = e.filter($"user_id" % 97 === 0)
+      .groupBy(window($"ts", "1 hour").getField("start").as("bucket"),
+        $"event_type")
+      .agg(pround(avg($"value"), 4).as("v"))
+    val spine = e
+      .agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      .crossJoin(e.select($"event_type").distinct())
+    val wPrev = Window.partitionBy($"event_type").orderBy($"bucket".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"event_type").orderBy($"bucket".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(known, Seq("bucket", "event_type"), "left_outer")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("pt",
+        last(when($"v".isNotNull, $"bucket"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .withColumn("nt",
+        first(when($"v".isNotNull, $"bucket"), ignoreNulls = true).over(wNext))
+      .withColumn("filled", when($"v".isNotNull, $"v").otherwise(
+        $"pv" + ($"nv" - $"pv") *
+          ((unix_timestamp($"bucket") - unix_timestamp($"pt")) /
+            (unix_timestamp($"nt") - unix_timestamp($"pt")))))
+      .select($"bucket", $"event_type", pround($"filled", 4).as("v_interp"),
+        ($"v".isNull && $"pv".isNotNull && $"nv".isNotNull).as("was_gap"))
+      .orderBy($"bucket", $"event_type")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "ts_interpolate_linear" -> tsInterpolateLinear,
     "ts_mad_outlier"      -> tsMadOutlier,
     "ts_gapfill"          -> tsGapfill,
     "ts_fill_forward"     -> tsFillForward,
@@ -199,6 +249,43 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "ts_interpolate_linear" ->
+      """WITH known AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+        |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+        |  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS bucket
+        |  FROM events),
+        |keys AS (SELECT DISTINCT event_type FROM events),
+        |j AS (
+        |  SELECT s.bucket, k.event_type, kn.v
+        |  FROM spine s CROSS JOIN keys k
+        |  LEFT JOIN known kn ON kn.bucket = s.bucket AND kn.event_type = k.event_type),
+        |w AS (
+        |  SELECT bucket, event_type, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY bucket
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY bucket
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT bucket, event_type,
+        |  floor((CASE WHEN v IS NOT NULL THEN v
+        |         ELSE pv + (nv - pv) *
+        |              ((epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))) END)
+        |        * 1e4 + 0.5) / 1e4 AS v_interp,
+        |  (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS was_gap
+        |FROM w ORDER BY bucket, event_type""".stripMargin,
     "ts_gapfill" ->
       """WITH counts AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n

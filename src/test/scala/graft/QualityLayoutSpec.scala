@@ -109,6 +109,73 @@ class QualityLayoutSpec extends SparkSpec {
     assert(docs.max - docs.min <= 1, "doc counts differ by more than the remainder")
   }
 
+  test("layout_compaction: physical rewrite follows the plan and loses no rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toFile.getAbsolutePath
+    val day = Tables.events(spark, sf)
+      .filter(to_date($"ts") === lit("2024-01-03"))
+    val nIn = day.count()
+    // land the day as 24 micro-batch files (the consumer's hourly grain)
+    day.repartition(24).write.mode("overwrite").parquet(s"$tmp/small")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$tmp/small") === 24)
+    // output file count the declared plan assigns for this day
+    val nOut = SparkEntry.queries("layout_compaction")(spark, sf)
+      .filter($"d" === lit("2024-01-03"))
+      .agg(max($"target_file")).head.getLong(0).toInt + 1
+    spark.read.parquet(s"$tmp/small").repartition(nOut)
+      .write.mode("overwrite").parquet(s"$tmp/compacted")
+    assert(files(s"$tmp/compacted") === nOut)
+    assert(nOut < 24, "compaction must reduce the file count")
+    val out = spark.read.parquet(s"$tmp/compacted")
+    assert(out.count() === nIn)
+    assert(out.select($"event_id").exceptAll(day.select($"event_id")).isEmpty)
+  }
+
+  test("join_interval_overlap: binned plan equals the naive inequality join") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val binned = SparkEntry.queries("join_interval_overlap")(spark, sf)
+    val p = Tables.orders(spark, sf).filter($"o_totalprice" > 480000.0)
+      .select($"o_orderkey", to_date($"o_orderdate").as("p_lo"),
+        date_add(to_date($"o_orderdate"), 20).as("p_hi"))
+    val s = Tables.lineitem(spark, sf).filter($"l_quantity" >= 49)
+      .select(to_date($"l_shipdate").as("s_lo"),
+        date_add(to_date($"l_shipdate"), 7).as("s_hi"))
+    val naive = p.join(s, $"s_lo" <= $"p_hi" && $"p_lo" <= $"s_hi")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_shipments"),
+        fsum(datediff(least($"p_hi", $"s_hi"), greatest($"p_lo", $"s_lo")) + 1)
+          .cast("bigint").as("overlap_days"))
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    assert(binned.count() > 0)
+  }
+
+  test("ts_interpolate_linear: interior fills lie between their endpoints") {
+    val rows = SparkEntry.queries("ts_interpolate_linear")(spark, sf).collect()
+    assert(rows.exists(_.getAs[Boolean]("was_gap")), "fixture must have gaps")
+    // group by type, walk the series: every was_gap value must sit within
+    // [min(prev known, next known), max(...)] — the convexity contract
+    for ((_, series) <- rows.groupBy(_.getString(1))) {
+      val vs = series.sortBy(_.getTimestamp(0).getTime)
+        .map(r => (Option(r.getAs[java.lang.Double]("v_interp")),
+          r.getAs[Boolean]("was_gap")))
+      for (i <- vs.indices if vs(i)._2 && vs(i)._1.isDefined) {
+        val prevKnown = (i - 1 to 0 by -1).collectFirst {
+          case j if !vs(j)._2 && vs(j)._1.isDefined => vs(j)._1.get.doubleValue }
+        val nextKnown = (i + 1 until vs.length).collectFirst {
+          case j if !vs(j)._2 && vs(j)._1.isDefined => vs(j)._1.get.doubleValue }
+        assert(prevKnown.isDefined && nextKnown.isDefined,
+          "interpolated point without both endpoints")
+        val (lo, hi) = (math.min(prevKnown.get, nextKnown.get),
+          math.max(prevKnown.get, nextKnown.get))
+        val v = vs(i)._1.get.doubleValue
+        assert(v >= lo - 1e-4 && v <= hi + 1e-4,
+          s"interpolated $v outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("text_bm25: scores positive, descending, and bounded by the idf sum") {
     val rows = SparkEntry.queries("text_bm25")(spark, sf)
       .collect().map(_.getAs[Double]("bm25"))

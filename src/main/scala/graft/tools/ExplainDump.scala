@@ -29,7 +29,8 @@ object ExplainDump {
     "win_hopping", "text_quality_classifier", "multimodal_phash_dedup",
     "embed_random_projection", "ts_mad_outlier", "agg_incremental_merge",
     "scan_schema_evolution", "agg_count_min", "gen_inline",
-    "curation_shard_balance")
+    "curation_shard_balance",
+    "ts_interpolate_linear", "join_interval_overlap", "layout_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

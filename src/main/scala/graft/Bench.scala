@@ -92,6 +92,11 @@ object Bench {
       dropPinnedBlocks()
     }
     val warmupSec = (System.nanoTime() - tw) / 1e9
+    // Drain the warmup's residual cleaner backlog (up to 23 queries since
+    // the last periodic GC) BEFORE timing starts — otherwise the first
+    // timed queries (alphabetically agg_*) absorb it even under min-of-3
+    // (measured: agg_approx_distinct 1.58 s in-bench vs 0.5 s isolated).
+    sinceGc = 0; System.gc()
     // Noise control (round-2 lesson, tightened round 5): single-shot
     // timings absorb GC pauses AND multi-second co-tenant bursts (measured:
     // the same query 0.3 s in one run, 3 s median-of-3 in the next when a

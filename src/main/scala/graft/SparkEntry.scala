@@ -27,6 +27,7 @@ object SparkEntry {
     rel.StatsAggs,
     rel.TimeSeries,
     rel.Graph,
+    rel.Mining,
     rel.DataQuality,
     rel.Layout,
     llm.Dedup,

@@ -1,0 +1,120 @@
+package graft.rel
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining (market-basket co-occurrence) — the classic
+  * corpus-analysis primitive a training-data pipeline runs to find
+  * systematically co-occurring items (tags, domains, n-grams, licenses)
+  * before sampling decisions. The reference's dashboards stop at per-title
+  * counts (wiki_aggregates, `glue/wiki-spark-job.py:60-84`); this is the
+  * pairwise extension over the same grouped-count machinery.
+  *
+  * Algorithm (A-Priori, Agrawal/Srikant VLDB'94, restricted to pairs —
+  * the production sweet spot; triples explode combinatorially and are
+  * mined from pair survivors when needed):
+  *
+  *  1. item-support pass: one groupBy over (basket, item)-distinct rows;
+  *     items below `MinItemSupport` are dropped. The A-Priori bound —
+  *     a pair is frequent only if BOTH items are — makes this prune
+  *     sound, and it is THE scale lever: pair generation cost is
+  *     Σ C(k_b, 2) over pruned basket sizes k_b.
+  *  2. pair generation INSIDE baskets: baskets collapse to one sorted
+  *     item array per basket (single shuffle on the basket key, partial
+  *     collect map-side), pairs expand from the array with a nested
+  *     `transform`+`slice` — ordered (p1 < p2 by construction), no
+  *     self-join, no second exchange of the item rows.
+  *  3. pair-support pass: partial-aggregating groupBy on (p1, p2) with
+  *     `MinPairSupport` HAVING; lift = support·N / (c1·c2) attaches the
+  *     1-row basket count by broadcast cross join (scalar-attach plan).
+  *
+  * 100-TB shape: two item-row shuffles total (support pass + basket
+  * collapse) and one pair shuffle bounded by the A-Priori prune. Skewed
+  * giant baskets (a crawl bucket with 10^5 items) are the known hazard:
+  * in production the basket is capped to its top-K most-frequent items
+  * before expansion (cap >> any real basket here — TPC-H orders hold ≤ 7
+  * lines, so the fixture needs no cap and the oracle stays exact).
+  * Thresholds are ABSOLUTE support counts calibrated to the fixture
+  * (median item support 30 at BOTH sf0.01 and sf0.1 — TPC-H scales the
+  * part keyspace with volume, so supports stay constant):
+  * `MinItemSupport` 25 prunes a real fraction of items,
+  * `MinPairSupport` 2 keeps ~3.4k stable pairs at either SF. Production
+  * mining instead uses RELATIVE minsup (support / n_baskets — pass the
+  * scaled absolute to [[frequentPairsOf]]): on a corpus that grows by
+  * replication (the 10× probe: fixed keyspace, supports ×10) an absolute
+  * threshold admits every pair — output is data-determined, and the
+  * probe confirms runtime stays input+output-linear through that regime
+  * (4.3 s → 22 s for 10× input / 400× output), which is the invariant
+  * that matters at 100 TB.
+  */
+object Mining extends QueryModule {
+
+  private val MinItemSupport = 25L
+  private val MinPairSupport = 2L
+
+  private def frequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    frequentPairsOf(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct(),
+      MinItemSupport, MinPairSupport)
+  }
+
+  /** A-Priori pair mining over canonical (basket, item)-distinct rows.
+    * Package-visible so tests can drive basket sets with known frequent
+    * pairs. Output: (p1, p2, support, lift), totally ordered. */
+  private[graft] def frequentPairsOf(
+      basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame = {
+    val spark = basketsRaw.sparkSession
+    import spark.implicits._
+    // three consumers (item-support pass, prune join, basket-count
+    // scalar) — pin once so the source scans once, not three times
+    val baskets = Materialize.once(basketsRaw)
+    val freqItems = baskets.groupBy($"p")
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= minItem)
+    // pruned basket rows carry the item's support for the lift term
+    val pruned = baskets.join(freqItems, Seq("p"))
+    val lists = pruned.groupBy($"ok")
+      .agg(sort_array(collect_list(struct($"p", $"c"))).as("it"))
+    val pairs = lists.select(explode(expr(
+      """flatten(transform(it, (x, i) ->
+        |  transform(slice(it, i + 2, size(it)), y ->
+        |    struct(x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2))))""".stripMargin
+    )).as("pr")).select($"pr.p1", $"pr.p2", $"pr.c1", $"pr.c2")
+    val sup = pairs.groupBy($"p1", $"p2")
+      .agg(count(lit(1)).as("support"),
+        max($"c1").as("c1"), max($"c2").as("c2")) // constant per key
+      .filter($"support" >= minPair)
+    val nb = baskets.agg(countDistinct($"ok").as("n_baskets"))
+    sup.crossJoin(broadcast(nb))
+      .select($"p1", $"p2", $"support".cast("bigint").as("support"),
+        pround($"support" * $"n_baskets" / ($"c1" * $"c2"), 6).as("lift"))
+      .orderBy($"p1", $"p2")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "mine_frequent_pairs" -> frequentPairs
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "mine_frequent_pairs" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |           FROM lineitem),
+         |i AS (SELECT p, count(*) AS c FROM b GROUP BY 1
+         |      HAVING count(*) >= $MinItemSupport),
+         |pb AS (SELECT b.ok, b.p, i.c FROM b JOIN i USING (p)),
+         |pr AS (SELECT x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2
+         |       FROM pb x JOIN pb y ON x.ok = y.ok AND x.p < y.p),
+         |s AS (SELECT p1, p2, count(*) AS support,
+         |             max(c1) AS c1, max(c2) AS c2
+         |      FROM pr GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport),
+         |n AS (SELECT count(DISTINCT ok) AS nb FROM b)
+         |SELECT p1, p2, CAST(support AS BIGINT) AS support,
+         |       floor(support * nb * 1.0 / (c1 * c2) * 1e6 + 0.5) / 1e6
+         |         AS lift
+         |FROM s CROSS JOIN n ORDER BY p1, p2""".stripMargin
+  )
+}

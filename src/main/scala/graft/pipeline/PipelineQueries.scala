@@ -69,6 +69,43 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** S11d — CDC DERIVE: the inverse of [[upsertCdcApply]] — diff two
+    * table snapshots into the I/U/D changelog that produced one from the
+    * other (the Delta CDF / `table_changes` role: downstream incremental
+    * consumers subscribe to the diff instead of rescanning the table).
+    * Snapshots derive deterministically from the fixture: base = per-user
+    * latest state before Jan 2, next = current per-user latest with
+    * 'error'-final users dropped (the same delete semantics
+    * [[upsertCdcApply]] applies). Change detection compares the latest
+    * row IDENTITY (event_id) — same latest row ⇒ no change row emitted.
+    *
+    * Scale shape (100 TB): each snapshot is one keyed keep-latest shuffle
+    * (partial row_number state per user), then ONE full-outer sort-merge
+    * join on the snapshot key — the irreducible diff cost; payload
+    * comparison is row-local. No broadcast assumption: both sides are
+    * table-sized. At 1000 executors both shuffles and the join hash on
+    * user_id, so AQE coalesces/splits the same key space end-to-end. */
+  private def cdcDeriveChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value", $"event_type")
+    def latest(df: DataFrame): DataFrame =
+      KeepLatest.keepLatest(df, keys = Seq("user_id"),
+        ordering = Seq($"ts".desc, $"event_id".desc))
+    val base = latest(ev.filter($"ts" < lit("2024-01-02").cast("timestamp")))
+      .select($"user_id", $"event_id".as("b_eid"))
+    val nxt = latest(ev).filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id".as("n_eid"),
+        $"ts".as("n_ts"), $"value".as("n_value"))
+    base.join(nxt, Seq("user_id"), "full_outer")
+      .filter($"b_eid".isNull || $"n_eid".isNull || $"b_eid" =!= $"n_eid")
+      .select($"user_id",
+        when($"b_eid".isNull, lit("I"))
+          .when($"n_eid".isNull, lit("D")).otherwise(lit("U")).as("op"),
+        $"n_eid".as("event_id"), $"n_ts".as("ts"), $"n_value".as("value"))
+      .orderBy($"user_id")
+  }
+
   /** S11b — SCD Type-2 history build: the keep-HISTORY twin of
     * [[upsertKeepLatest]]'s last-writer-wins. Each user's attribute stream
     * becomes versioned rows with [valid_from, valid_to) ranges and an
@@ -159,6 +196,7 @@ object PipelineQueries extends QueryModule {
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
+    "cdc_derive_changes"     -> cdcDeriveChanges,
     "filter_partition_prune" -> filterPartitionPrune,
     "filter_dynamic_prune"   -> filterDynamicPrune
   )
@@ -176,6 +214,30 @@ object PipelineQueries extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "cdc_derive_changes" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id AS b_eid FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-02')
+        |  WHERE rn = 1),
+        |nx AS (
+        |  SELECT user_id, event_id AS n_eid, ts AS n_ts, value AS n_value,
+        |         event_type FROM (
+        |    SELECT user_id, event_id, ts, value, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1),
+        |nxt AS (SELECT * FROM nx WHERE event_type <> 'error')
+        |SELECT coalesce(b.user_id, n.user_id) AS user_id,
+        |       CASE WHEN b.user_id IS NULL THEN 'I'
+        |            WHEN n.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |       n.n_eid AS event_id, n.n_ts AS ts, n.n_value AS value
+        |FROM base b FULL OUTER JOIN nxt n ON b.user_id = n.user_id
+        |WHERE b.user_id IS NULL OR n.user_id IS NULL OR b.b_eid <> n.n_eid
+        |ORDER BY user_id""".stripMargin,
     "upsert_cdc_apply" ->
       """SELECT user_id, event_id, ts, value FROM (
         |  SELECT user_id, event_id, ts, value,

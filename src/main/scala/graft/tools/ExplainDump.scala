@@ -30,7 +30,8 @@ object ExplainDump {
     "embed_random_projection", "ts_mad_outlier", "agg_incremental_merge",
     "scan_schema_evolution", "agg_count_min", "gen_inline",
     "curation_shard_balance",
-    "ts_interpolate_linear", "join_interval_overlap", "layout_compaction")
+    "ts_interpolate_linear", "join_interval_overlap", "layout_compaction",
+    "mine_frequent_pairs", "cdc_derive_changes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -157,4 +157,27 @@ class PipelineSpec extends SparkSpec {
       .filter($"yyyy" === 2024 && $"mm" === 1 && $"dd" === 3).count()
     assert(n > 0)
   }
+
+  test("cdc round-trip: applying the derived changelog to base reproduces next") {
+    // derive ∘ apply = identity — the property that makes a changelog a
+    // changelog. Rebuild the op's two snapshots, apply its I/U/D output
+    // to base, and require exact set equality with next.
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"value", $"event_type")
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      KeepLatest.keepLatest(df, Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+    val base = latest(ev.filter($"ts" < lit("2024-01-02").cast("timestamp")))
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val nxt = latest(ev).filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val changes = SparkEntry.queries("cdc_derive_changes")(spark, sf)
+    assert(changes.select($"op").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("I", "U", "D")))
+    val touched = changes.select($"user_id")
+    val applied = base.join(touched, Seq("user_id"), "left_anti")
+      .unionByName(changes.filter($"op" =!= "D")
+        .select($"user_id", $"event_id", $"ts", $"value"))
+    assert(applied.exceptAll(nxt).isEmpty && nxt.exceptAll(applied).isEmpty,
+      "base + changelog must equal the next snapshot exactly")
+  }
 }

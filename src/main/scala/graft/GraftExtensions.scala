@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VecDotExpr
-import graft.plans.VecDotRewrite
+import graft.plans.{AsOfJoinStrategy, VecDotRewrite}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -13,11 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Injects:
   *  - [[graft.plans.VecDotRewrite]]: transparently accelerates
   *    higher-order dot-product expressions to the native codegen'd form;
+  *  - [[graft.plans.AsOfJoinStrategy]]: plans the whole-operator
+  *    [[graft.plans.AsOfJoin]] node as the native sort-merge exec;
   *  - SQL function `vec_dot_native(array<float>, array<float>) -> double`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("vec_dot_native"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot_native"),

@@ -213,6 +213,27 @@ object Joins extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** J7e — the NATIVE as-of join: identical semantics and oracle as
+    * [[joinAsof]], executed by the custom whole-operator
+    * [[graft.plans.AsOfJoinExec]] (logical node + strategy + physical
+    * sort-merge exec — extension tier (c)) instead of the union +
+    * ordered-window rewrite. Each side shuffles once on `user_id` and
+    * sort-merges per partition with O(1) state; see the operator scaladoc
+    * for why this beats the window form at scale. */
+  private def joinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+    graft.plans.AsOf.join(purchases, signups,
+        leftKeys = Seq("user_id"), rightKeys = Seq("s_user"),
+        leftTime = "ts", rightTime = "s_ts")
+      .select($"event_id", $"user_id", $"s_ts".as("last_signup_ts"))
+      .orderBy($"event_id")
+  }
+
   /** Skew-mitigated equi-join (SURVEY §7 risk register): semantically a
     * plain inner join — the oracle is the unsalted SQL — but the hot keys
     * spread over 8 reducers. See [[SkewJoin]]. */
@@ -426,6 +447,7 @@ object Joins extends QueryModule {
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_runtime_bloom" -> joinRuntimeBloom,
     "join_asof"      -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest" -> joinAsofNearest,
@@ -513,6 +535,13 @@ object Joins extends QueryModule {
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof" ->
+      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_native" ->
       """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
         |FROM events p JOIN events s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'

@@ -31,7 +31,7 @@ object ExplainDump {
     "scan_schema_evolution", "agg_count_min", "gen_inline",
     "curation_shard_balance",
     "ts_interpolate_linear", "join_interval_overlap", "layout_compaction",
-    "mine_frequent_pairs", "cdc_derive_changes")
+    "mine_frequent_pairs", "cdc_derive_changes", "join_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

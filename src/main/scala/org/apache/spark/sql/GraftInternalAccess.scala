@@ -16,4 +16,12 @@ object GraftInternalAccess {
   def fromInternal(spark: classic.SparkSession,
       rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema)
+
+  /** Bridge to `Dataset.ofRows` (private[sql], sql/core classic/Dataset
+    * .scala) — turns a hand-built logical plan (e.g. `graft.plans.AsOfJoin`)
+    * back into a public `DataFrame`, running it through the session's full
+    * analyze/optimize/plan pipeline like any API-built query. */
+  def ofRows(spark: classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark, plan)
 }

@@ -204,6 +204,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_native plans the custom AsOfJoinExec: one exchange+sort per side, no window") {
+    val plan = executed("join_asof_native")
+    assert(plan.contains("AsOfJoin"), s"expected the native operator in the plan: $plan")
+    assert(!plan.contains("Window"),
+      s"native as-of must not fall back to the window rewrite: $plan")
+    // two ENSURE_REQUIREMENTS hash exchanges feed the merge (plus the final
+    // orderBy range exchange) — no extra shuffles appear anywhere
+    assert("hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("join_range_binned plans an equi join on the bucket key, never a nested loop") {
     val plan = executed("join_range_binned")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -447,7 +447,60 @@ object Curation extends QueryModule {
       .orderBy($"shard")
   }
 
+  private val DsirBuckets = 8192
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how target-like it is, as the log-likelihood ratio of two hashed
+    * n-gram bag-of-words models — here target = the `en` slice (stand-in
+    * for "high-quality domain"), raw = the whole corpus. Hashed uni+bigrams
+    * land in 8192 buckets (`md5`-derived, the repo's cross-engine hash);
+    * each bucket's add-one-smoothed log ratio
+    * `ln((ct_t+1)(R+B) / ((ct_r+1)(T+B)))` is rounded ONCE to integer
+    * micro-nats in the bucket DIMENSION, and each document sums those
+    * BIGINT micros — integer summation makes the per-doc weight
+    * bit-identical across engines regardless of addition order (the
+    * float-determinism trap the avg-based scores dodge by rounding last).
+    * Downstream, `log_w_micro` is exactly what [[sampleWeighted]]-style
+    * resampling consumes (DSIR = weight, then importance-resample).
+    *
+    * Scale shape (100 TB): gram explosion is a pure map (zip_with over the
+    * token array — no per-doc window, no shuffle); bucket stats partial-
+    * aggregate to ≤8192 rows/partition; the scored pass broadcast-joins the
+    * 8192-row dimension, and the per-doc sum combines map-side (grams of a
+    * doc are co-located by construction), so one row per doc crosses the
+    * wire. Two passes over the gram stream, zero wide shuffles of it. */
+  private def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val B = DsirBuckets
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", split(trim($"text"), " ").as("ts"))
+    val uni = d.select($"doc_id", $"lang", explode($"ts").as("g"))
+    val bi = d.select($"doc_id", $"lang", explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("g"))
+    val grams = uni.unionByName(bi)
+      .withColumn("b",
+        conv(substring(md5($"g"), 1, 8), 16, 10).cast("long") % B)
+    val stats = grams.groupBy($"b").agg(
+      count(lit(1)).as("ct_r"),
+      count(when($"lang" === "en", 1)).as("ct_t"))
+    val tot = grams.agg(
+      count(lit(1)).as("r"),
+      count(when($"lang" === "en", 1)).as("t"))
+    val dim = stats.crossJoin(broadcast(tot))
+      .select($"b", floor(log(
+          ($"ct_t" + 1.0) * ($"r" + B) / (($"ct_r" + 1.0) * ($"t" + B)))
+          * 1e6 + 0.5).cast("long").as("lr_micro"))
+    grams.join(broadcast(dim), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"lr_micro").as("log_w_micro"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "curation_dsir"           -> dsirWeights,
     "curation_shard_balance"  -> shardBalance,
     "curation_pipeline_e2e"   -> curationPipelineE2e,
     "curation_funnel"         -> curationFunnel,
@@ -509,6 +562,28 @@ object Curation extends QueryModule {
       |          / 4294967296.0 < f)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "curation_dsir" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ts FROM documents),
+         |uni AS (SELECT doc_id, lang, unnest(ts) AS g FROM d),
+         |bi AS (SELECT doc_id, lang, z.a || ' ' || z.b AS g
+         |       FROM (SELECT doc_id, lang,
+         |               unnest(list_zip(ts[1:-2], ts[2:-1])::STRUCT(a VARCHAR, b VARCHAR)[]) AS z
+         |             FROM d)),
+         |grams AS (
+         |  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |stats AS (SELECT b, count(*) AS ct_r,
+         |                 count(*) FILTER (WHERE lang = 'en') AS ct_t
+         |          FROM grams GROUP BY b),
+         |tot AS (SELECT count(*) AS r, count(*) FILTER (WHERE lang = 'en') AS t FROM grams),
+         |dim AS (SELECT b,
+         |          CAST(floor(ln((ct_t + 1.0) * (r + $DsirBuckets) /
+         |                        ((ct_r + 1.0) * (t + $DsirBuckets))) * 1e6 + 0.5) AS BIGINT)
+         |            AS lr_micro
+         |        FROM stats CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_grams, sum(lr_micro) AS log_w_micro
+         |FROM grams JOIN dim USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curation_shard_balance" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -187,6 +187,20 @@ class PropertySpec extends SparkSpec {
       assert(tok <= 2048 + maxDoc, s"chunk $c overfilled: $tok")
   }
 
+  test("curation_dsir weights discriminate: target-language docs score highest on average") {
+    // the DSIR property that makes the weight useful: documents from the
+    // target slice (en) must carry a higher mean per-gram log-likelihood
+    // ratio than every other language's documents
+    val w = SparkEntry.queries("curation_dsir")(spark, sf)
+    val byLang = w.join(Tables.documents(spark, sf), "doc_id")
+      .groupBy($"lang")
+      .agg(avg($"log_w_micro".cast("double") / $"n_grams").as("mean_pg"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = byLang("en")
+    for ((lang, m) <- byLang if lang != "en")
+      assert(en > m, s"en mean per-gram weight $en must exceed $lang's $m")
+  }
+
   test("gauge/bar invariant: global sum equals the sum over per-group sums (A4 vs A5)") {
     val global = SparkEntry.queries("agg_global_sum")(spark, sf)
       .head.getLong(0)

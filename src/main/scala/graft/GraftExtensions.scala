@@ -26,5 +26,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot_native"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDotExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimateExpr].getName, "cms_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CmsEstimateExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_sign_bands"),
+      new ExpressionInfo(classOf[graft.functions.VecSignBandsExpr].getName, "vec_sign_bands"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+          x match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"vec_sign_bands: $what must be an integer literal, got $other")
+          }
+        graft.functions.VecSignBandsExpr(exprs.head, exprs(1),
+          intLit(exprs(2), "bands"), intLit(exprs(3), "rowsPerBand"))
+      }))
   }
 }

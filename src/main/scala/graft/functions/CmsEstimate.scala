@@ -64,4 +64,11 @@ object CmsEstimate {
   def cms_estimate(sketch: Column, value: Column): Column =
     GraftSqlBridge.column(CmsEstimateExpr(
       GraftSqlBridge.expression(sketch), GraftSqlBridge.expression(value)))
+
+  /** SQL surface: `SELECT cms_estimate(sketch, 'key') FROM ...` — pairs
+    * with Spark's built-in `count_min_sketch` aggregate, which produces
+    * the binary sketch this expression probes. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate", exprs => CmsEstimateExpr(exprs.head, exprs(1)), "scala_udf")
 }

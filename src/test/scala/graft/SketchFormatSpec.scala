@@ -86,6 +86,17 @@ class SketchFormatSpec extends SparkSpec {
     }
   }
 
+  test("cms_estimate is SQL-registered and probes a count_min_sketch built in SQL") {
+    graft.functions.CmsEstimate.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("graft_cms_events")
+    val sqlEst = spark.sql(
+      """SELECT cms_estimate(sk, 'click') AS est FROM (
+        |  SELECT count_min_sketch(event_type, 0.001d, 0.99d, 1) AS sk
+        |  FROM graft_cms_events)""".stripMargin).head.getLong(0)
+    val exact = Tables.events(spark, sf).filter($"event_type" === "click").count()
+    assert(sqlEst >= exact, s"CMS must never underestimate ($sqlEst < $exact)")
+  }
+
   test("variant path extraction agrees with the string JSON path") {
     val v = SparkEntry.queries("variant_funcs")(spark, sf)
       .select($"event_id", $"k_int")

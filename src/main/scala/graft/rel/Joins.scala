@@ -234,6 +234,25 @@ object Joins extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** J7e forward/nearest/tolerance under the native exec — the full pandas
+    * `merge_asof` direction surface on [[joinAsofNative]]'s operator; each
+    * shares its window-formulation twin's oracle. */
+  private def joinAsofNativeDir(direction: String, tolMicros: Option[Long],
+      outCol: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+    graft.plans.AsOf.join(purchases, signups,
+        leftKeys = Seq("user_id"), rightKeys = Seq("s_user"),
+        leftTime = "ts", rightTime = "s_ts",
+        direction = direction, tolerance = tolMicros)
+      .select($"event_id", $"user_id", $"s_ts".as(outCol))
+      .orderBy($"event_id")
+  }
+
   /** Skew-mitigated equi-join (SURVEY §7 risk register): semantically a
     * plain inner join — the oracle is the unsalted SQL — but the hot keys
     * spread over 8 reducers. See [[SkewJoin]]. */
@@ -448,6 +467,12 @@ object Joins extends QueryModule {
     "join_runtime_bloom" -> joinRuntimeBloom,
     "join_asof"      -> joinAsof,
     "join_asof_native" -> joinAsofNative,
+    "join_asof_native_forward" ->
+      joinAsofNativeDir("forward", None, "next_signup_ts") _,
+    "join_asof_native_nearest" ->
+      joinAsofNativeDir("nearest", None, "nearest_signup_ts") _,
+    "join_asof_native_tolerance" ->
+      joinAsofNativeDir("backward", Some(72L * 3600 * 1000000), "last_signup_ts") _,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest" -> joinAsofNearest,
@@ -547,6 +572,38 @@ object Joins extends QueryModule {
         |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_native_forward" ->
+      """SELECT p.event_id, p.user_id, min(s.ts) AS next_signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts >= p.ts AND s.event_type = 'signup'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_native_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |prev AS (
+        |  SELECT p.event_id, max(s.ts) AS pts FROM p JOIN s
+        |    ON s.user_id = p.user_id AND s.ts <= p.ts GROUP BY p.event_id),
+        |nxt AS (
+        |  SELECT p.event_id, min(s.ts) AS nts FROM p JOIN s
+        |    ON s.user_id = p.user_id AND s.ts >= p.ts GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN pts IS NULL THEN nts
+        |       WHEN nts IS NULL THEN pts
+        |       WHEN p.ts - pts <= nts - p.ts THEN pts
+        |       ELSE nts END AS nearest_signup_ts
+        |FROM p LEFT JOIN prev USING (event_id) LEFT JOIN nxt USING (event_id)
+        |WHERE pts IS NOT NULL OR nts IS NOT NULL
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_native_tolerance" ->
+      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |HAVING max(s.ts) >= p.ts - INTERVAL 72 HOUR
         |ORDER BY p.event_id""".stripMargin,
     "join_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts

@@ -66,6 +66,49 @@ class AsOfJoinSpec extends SparkSpec {
       "the two as-of formulations must produce the identical row multiset")
   }
 
+  test("forward direction takes the first right row at-or-after, inclusive") {
+    val out = AsOf.join(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "forward")
+      .select("l_tag", "r_tag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // l-a (t=10) -> r-a (rt=10, inclusive); l-b (t=5) -> r-a (rt=10);
+    // l-c (t=100) -> r-c (rt=101); l-d (t=41) -> r-c; l-e: no key-3 rows
+    assert(out === Set("l-a" -> "r-a", "l-b" -> "r-a", "l-c" -> "r-c", "l-d" -> "r-c"))
+  }
+
+  test("nearest direction picks the closer side and ties go backward") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "mid"), (1L, 4L, "below"), (1L, 39L, "tie")).toDF("k", "t", "l_tag")
+    val r = Seq((1L, 8L, "r8"), (1L, 70L, "r70")).toDF("rk", "rt", "r_tag")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", direction = "nearest")
+      .select("l_tag", "r_tag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // mid: |10-8|=2 < |70-10|=60 -> r8; below: only forward gap 4 vs back 8-4=... back
+    //   exists (8>4? no: 8 > 4 so 8 is forward!) below(t=4): back none, fwd r8;
+    // tie(t=39): |39-8|=31 == |70-39|=31 -> backward r8
+    assert(out === Set("mid" -> "r8", "below" -> "r8", "tie" -> "r8"))
+  }
+
+  test("tolerance bounds the backward gap and drops stale matches") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "t", "l_tag")
+    val r = Seq((1L, 95L, "r95")).toDF("rk", "rt", "r_tag")
+    val out = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = Some(10L))
+      .select("l_tag", "r_tag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set("fresh" -> "r95"), "gap 405 must be dropped by tolerance 10")
+  }
+
+  test("every native direction agrees with its window-formulation twin on the fixture") {
+    for ((native, twin) <- Seq(
+        "join_asof_native_forward" -> "join_asof_forward",
+        "join_asof_native_nearest" -> "join_asof_nearest",
+        "join_asof_native_tolerance" -> "join_asof_tolerance")) {
+      val n = SparkEntry.queries(native)(spark, sf)
+      val w = SparkEntry.queries(twin)(spark, sf)
+      assert(n.exceptAll(w).isEmpty && w.exceptAll(n).isEmpty,
+        s"$native must equal $twin row-for-row")
+    }
+  }
+
   test("empty right side yields an empty (not failing) inner as-of result") {
     val out = AsOf.join(leftDf, rightDf.filter(lit(false)), Seq("k"), Seq("rk"), "t", "rt")
     assert(out.count() === 0)

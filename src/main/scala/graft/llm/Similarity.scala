@@ -287,7 +287,83 @@ object Similarity extends QueryModule {
       .orderBy($"vec_id", $"j")
   }
 
+  private val PqM = 4        // subspaces
+  private val PqSubDim = 16  // dims per subspace (fixture dim 64 = 4×16)
+  private val PqK = 4        // centroids per subspace codebook
+
+  /** Portable squared L2 over double arrays: left-to-right fold, matching
+    * DuckDB's `list_sum(list_transform(...))` accumulation order. */
+  private def pqDist2(a: Column, c: Column): Column =
+    aggregate(
+      zip_with(a, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, v) => s + v)
+
+  /** North-star ANN, PRODUCT-QUANTIZATION flavor (Jégou et al. 2011) —
+    * the fourth rung of the ANN ladder after brute force
+    * ([[simTopkCosine]]), sign-LSH ([[simAnnLsh]]) and coarse IVF
+    * ([[simAnnIvf]]): split each vector into M=4 subvectors, train a
+    * tiny k=4 Lloyd codebook PER SUBSPACE (2 iterations, deterministic
+    * lowest-id seeding — the [[Clustering]] trajectory generalized by a
+    * `sub` group key, so ALL subspaces train in the same relational
+    * pass), encode every vector as its 4 nearest-centroid ids, and
+    * answer the query with an Asymmetric Distance Computation: one
+    * M×k = 16-entry lookup table of exact query-to-centroid distances,
+    * each candidate scored by summing its 4 table cells.
+    *
+    * Cross-engine determinism: per-cell distances round once to integer
+    * NANO units in the 16-row table; per-vector ADC is then a BIGINT sum
+    * — order-independent, so the oracle replays the full two-iteration
+    * codebook + encode + ADC trajectory hash-exact.
+    *
+    * Scale shape (100 TB): codebooks are k·M subvector centroids (KBs,
+    * broadcast); encoding is one broadcast-join + partial-agg argmin per
+    * subspace — the corpus never hash-shuffles; the ADC table is 16 rows
+    * and the scan scores candidates map-side, so query cost is a single
+    * sum per vector over PRE-QUANTIZED codes (the point of PQ: at serving
+    * scale the float embeddings aren't touched at all — codes are 4 bytes
+    * a vector vs 256). Top-10 via TakeOrderedAndProject. */
+  private def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val subs = e.select($"vec_id", explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  s -> struct(s AS sub,
+           |    transform(slice(embedding, s * $PqSubDim + 1, $PqSubDim),
+           |              x -> CAST(x AS DOUBLE)) AS v))""".stripMargin)).as("sv"))
+      .select($"vec_id", $"sv.sub".as("sub"), $"sv.v".as("v"))
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", pround(pqDist2($"v", $"cvec"), 9))
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"d2", $"cid")).as("r"), first($"v").as("v"))
+        .select($"vec_id", $"sub", $"r.cid".as("cid"), $"v")
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned
+        .select($"sub", $"cid", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"sub", $"cid", $"pos")
+        .agg(avg($"x").as("m"))
+        .groupBy($"sub", $"cid")
+        .agg(transform(
+          array_sort(collect_list(struct($"pos", $"m"))),
+          s => pround(s.getField("m"), 6)).as("cvec"))
+    val c0 = subs.filter($"vec_id" < PqK)
+      .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
+    val c1 = recenter(assign(c0))
+    val codes = assign(c1).select($"vec_id", $"sub", $"cid")
+    val q = subs.filter($"vec_id" === 0).select($"sub", $"v".as("qv"))
+    val dtab = c1.join(q, Seq("sub"))
+      .select($"sub", $"cid",
+        floor(pqDist2($"qv", $"cvec") * 1e9 + 0.5).cast("long").as("nano"))
+    codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"nano").as("adc_d2_nano"))
+      .filter($"vec_id" =!= 0)
+      .orderBy($"adc_d2_nano".asc, $"vec_id".asc)
+      .limit(10)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "sim_ann_pq"         -> simAnnPq,
     "embed_quantize"     -> embedQuantize,
     "embed_random_projection" -> embedRandomProjection,
     "sim_topk_cosine"    -> simTopkCosine,
@@ -298,6 +374,53 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sim_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, s.sub AS sub,
+         |         list_transform(embedding[s.sub*$PqSubDim+1 : s.sub*$PqSubDim+$PqSubDim],
+         |                        x -> CAST(x AS DOUBLE)) AS v
+         |  FROM e, (SELECT unnest(range(0, $PqM)) AS sub) s),
+         |c0 AS (SELECT sub, vec_id AS cid, v AS cvec FROM subs WHERE vec_id < $PqK),
+         |d1 AS (
+         |  SELECT subs.vec_id, subs.sub, c0.cid, subs.v,
+         |    floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (subs.v[i] - c0.cvec[i]) * (subs.v[i] - c0.cvec[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM subs JOIN c0 USING (sub)),
+         |a1 AS (SELECT vec_id, sub, cid, v FROM (
+         |    SELECT vec_id, sub, cid, v,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT sub, cid, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, cid, t.i AS pos,
+         |           floor(avg(v[t.i]) * 1e6 + 0.5) / 1e6 AS m
+         |    FROM a1, unnest(range(1, ${PqSubDim + 1})) AS t(i)
+         |    GROUP BY sub, cid, t.i)
+         |  GROUP BY sub, cid),
+         |d2s AS (
+         |  SELECT subs.vec_id, subs.sub, c1.cid,
+         |    floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (subs.v[i] - c1.cvec[i]) * (subs.v[i] - c1.cvec[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM subs JOIN c1 USING (sub)),
+         |codes AS (SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d2s) WHERE rn = 1),
+         |q AS (SELECT sub, v AS qv FROM subs WHERE vec_id = 0),
+         |dtab AS (
+         |  SELECT c1.sub, c1.cid,
+         |    CAST(floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (q.qv[i] - c1.cvec[i]) * (q.qv[i] - c1.cvec[i]))) * 1e9 + 0.5)
+         |      AS BIGINT) AS nano
+         |  FROM c1 JOIN q USING (sub))
+         |SELECT vec_id, CAST(sum(nano) AS BIGINT) AS adc_d2_nano
+         |FROM codes JOIN dtab USING (sub, cid)
+         |WHERE vec_id <> 0
+         |GROUP BY vec_id
+         |ORDER BY adc_d2_nano, vec_id LIMIT 10""".stripMargin,
     "embed_random_projection" ->
       s"""WITH planes AS (
          |  SELECT i, j,

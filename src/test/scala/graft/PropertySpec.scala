@@ -155,6 +155,22 @@ class PropertySpec extends SparkSpec {
     assert(approx === exact)
   }
 
+  test("graph_bfs_distance: source at 0, every edge spans at most one level") {
+    val d = SparkEntry.queries("graph_bfs_distance")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("c1") === 0L, "the BFS source (customer 1) must sit at distance 0")
+    assert(d.values.forall(v => v >= 0 && v <= 3), "distances bounded by the round cap")
+    // BFS invariant: adjacent nodes' shortest distances differ by <= 1
+    // (when both are known within the cap)
+    val edges = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("u"),
+        concat(lit("s"), $"l_suppkey").as("v"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    for ((u, v) <- edges if d.contains(u) && d.contains(v))
+      assert(math.abs(d(u) - d(v)) <= 1, s"edge ($u,$v) spans ${d(u)} -> ${d(v)}")
+  }
+
   test("graph_pagerank is a probability distribution and hubs outrank leaves") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1))

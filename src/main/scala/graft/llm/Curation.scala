@@ -581,7 +581,8 @@ object Curation extends QueryModule {
          |                        ((ct_r + 1.0) * (t + $DsirBuckets))) * 1e6 + 0.5) AS BIGINT)
          |            AS lr_micro
          |        FROM stats CROSS JOIN tot)
-         |SELECT doc_id, count(*) AS n_grams, sum(lr_micro) AS log_w_micro
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(lr_micro) AS BIGINT) AS log_w_micro
          |FROM grams JOIN dim USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curation_shard_balance" ->

@@ -227,7 +227,14 @@ object Similarity extends QueryModule {
     * never by corpus size); (2) the scales row broadcasts back and every
     * vector quantizes map-side in one codegen'd `transform`. All arithmetic
     * is float→double IEEE ops in identical order in both engines, so codes
-    * are bit-exact, not approximately equal. */
+    * are bit-exact, not approximately equal.
+    *
+    * Output is the EXPLODED (vec_id, pos, code) form, not the code array:
+    * the verify gate canonicalizes results by sorting rows, which needs
+    * every output column scalar — an `array<int>` column is unsortable in
+    * the driver's compare (round-5 finding). The array form is a
+    * `group_by(vec_id).agg(sort_array(collect_list(...)))` away and loses
+    * nothing. */
   private def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
@@ -240,14 +247,15 @@ object Similarity extends QueryModule {
         transform($"s", s => s.getField("mx")).as("mx"))
     e.crossJoin(broadcast(scales))
       .select($"vec_id",
-        transform($"embedding", (x, i) => {
+        posexplode(transform($"embedding", (x, i) => {
           val mn = element_at($"mn", i + 1)
           val mx = element_at($"mx", i + 1)
           when(mx === mn, lit(0))
             .otherwise(floor((x.cast("double") - mn) / (mx - mn) * 255 +
               lit(0.5)).cast("int"))
-        }).as("codes"))
-      .orderBy($"vec_id")
+        })).as(Seq("pos", "code")))
+      .select($"vec_id", $"pos".cast("long").as("pos"), $"code")
+      .orderBy($"vec_id", $"pos")
   }
 
   /** Output dimensionality of the random projection. */
@@ -441,18 +449,14 @@ object Similarity extends QueryModule {
         |         max(CAST(embedding[t.pos] AS DOUBLE)) AS mx
         |  FROM embeddings,
         |       unnest(generate_series(1, len(embedding))) AS t(pos)
-        |  GROUP BY t.pos),
-        |s AS (
-        |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
-        |  FROM d)
-        |SELECT vec_id,
-        |  list_transform(range(1, len(embedding) + 1), i ->
-        |    CASE WHEN s.mx[i] = s.mn[i] THEN 0
-        |         ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - s.mn[i])
-        |                / (s.mx[i] - s.mn[i]) * 255 + 0.5) AS INTEGER)
-        |    END) AS codes
-        |FROM embeddings CROSS JOIN s
-        |ORDER BY vec_id""".stripMargin,
+        |  GROUP BY t.pos)
+        |SELECT e.vec_id, CAST(d.pos - 1 AS BIGINT) AS pos,
+        |  CASE WHEN d.mx = d.mn THEN 0
+        |       ELSE CAST(floor((CAST(e.embedding[d.pos] AS DOUBLE) - d.mn)
+        |              / (d.mx - d.mn) * 255 + 0.5) AS INTEGER)
+        |  END AS code
+        |FROM embeddings e CROSS JOIN d
+        |ORDER BY vec_id, pos""".stripMargin,
     "sim_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
         |SELECT vec_id,

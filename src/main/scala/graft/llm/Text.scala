@@ -475,7 +475,58 @@ object Text extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Segment size (words) and the distinct-document threshold for
+    * [[segmentDedup]]. Calibrated on the fixture: 4-word segments at
+    * threshold 5 flag 11 boilerplate segments at sf0.01 and 45 at sf0.1
+    * (including the planted duplicate passages, which sit at nd ≥ 10),
+    * while leaving ordinary text untouched — selective, not destructive. */
+  private val SegWords = 4
+  private val SegDocThreshold = 5
+
+  /** Cross-document repeated-segment removal — the MassiveText/RefinedWeb
+    * "remove lines duplicated across documents" boilerplate filter
+    * (headers, footers, cookie banners), at word-segment granularity
+    * because the fixture text is single-line. A segment (non-overlapping
+    * [[SegWords]]-word window) that occurs verbatim in ≥ [[SegDocThreshold]]
+    * DISTINCT documents is boilerplate and is cut from every document;
+    * remaining segments reassemble in order.
+    *
+    * Scale shape (100 TB): segments explode map-side (n_words/K rows, ids +
+    * short strings only); frequency is one partial-aggregated groupBy(seg)
+    * — Zipf skew combines map-side exactly like `text_top_terms`; the
+    * boilerplate set is tiny BY CONSTRUCTION (threshold admits only
+    * segments repeated across ≥K docs) so the anti-join broadcasts;
+    * reassembly is one groupBy(doc_id) carrying the surviving segments.
+    * Two aggregation shuffles total, nothing quadratic, no driver collect. */
+  private def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = SegWords
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val segs = d.select($"doc_id", posexplode(expr(
+      s"""transform(sequence(0, cast(ceil(size(w) / $k.0) as int) - 1),
+         |  i -> array_join(slice(w, i * $k + 1, $k), ' '))""".stripMargin))
+      .as(Seq("pos", "seg")))
+    val boiler = segs.groupBy($"seg")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= SegDocThreshold)
+      .select($"seg")
+    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seg"))),
+          s => s.getField("seg")), " ").as("text_dedup"))
+    d.select($"doc_id",
+        ceil(size($"w") / lit(k.toDouble)).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_segs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_dedup", lit("")).as("text_dedup"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "text_segment_dedup" -> segmentDedup,
     "text_repetition"   -> repetition,
     "text_contamination" -> contamination,
     "text_normalize"    -> textNormalize,
@@ -496,6 +547,25 @@ object Text extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "text_segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |segs AS (
+         |  SELECT doc_id, t.i AS pos,
+         |         array_to_string(w[(t.i * $SegWords + 1):(t.i * $SegWords + $SegWords)], ' ') AS seg
+         |  FROM w, unnest(range(0, CAST(ceil(len(w) / $SegWords.0) AS BIGINT))) AS t(i)),
+         |boiler AS (SELECT seg FROM segs GROUP BY seg
+         |           HAVING count(DISTINCT doc_id) >= $SegDocThreshold),
+         |kept AS (SELECT s.doc_id, s.pos, s.seg FROM segs s
+         |         LEFT JOIN boiler b ON s.seg = b.seg WHERE b.seg IS NULL),
+         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |             string_agg(seg, ' ' ORDER BY pos) AS txt
+         |      FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |       CAST(ceil(len(w.w) / $SegWords.0) AS BIGINT) AS n_segs,
+         |       COALESCE(r.n_kept, 0) AS n_kept,
+         |       COALESCE(r.txt, '') AS text_dedup
+         |FROM w LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w

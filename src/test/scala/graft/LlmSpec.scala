@@ -201,6 +201,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("text_segment_dedup: untouched docs reconstruct verbatim; removal is real and selective") {
+    val out = SparkEntry.queries("text_segment_dedup")(spark, sf).cache()
+    val joined = out.join(Tables.documents(spark, sf), "doc_id")
+    // reconstruction identity: a doc that lost no segments must round-trip
+    // split→chunk→join back to its exact original text
+    val untouched = joined.filter($"n_kept" === $"n_segs")
+    assert(untouched.count() > 0)
+    assert(untouched.filter($"text_dedup" =!= $"text").count() === 0,
+      "untouched docs must reconstruct verbatim")
+    // non-vacuous but selective: some docs lose segments, none lose all,
+    // and most of the corpus is untouched (boilerplate is the minority)
+    val touched = joined.filter($"n_kept" < $"n_segs")
+    assert(touched.count() > 0, "threshold must flag real boilerplate")
+    assert(out.filter($"n_kept" === 0 && $"n_segs" > 0).count() === 0,
+      "no document should be erased entirely")
+    assert(touched.count() * 2 < out.count(), "removal must stay selective")
+    out.unpersist()
+  }
+
   test("sample_domain_mix: kept shares track the declared mix within sampling noise") {
     // f_l·n_l ≈ p_l·T by construction; with md5-uniform draws the kept
     // count per domain concentrates around it. 15% relative slack covers

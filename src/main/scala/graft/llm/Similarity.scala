@@ -330,38 +330,64 @@ object Similarity extends QueryModule {
     * sum per vector over PRE-QUANTIZED codes (the point of PQ: at serving
     * scale the float embeddings aren't touched at all — codes are 4 bytes
     * a vector vs 256). Top-10 via TakeOrderedAndProject. */
-  private def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
-    val subs = e.select($"vec_id", explode(expr(
+  /** Subvector decomposition: one row per (vec, subspace), the shared
+    * input of PQ training, encoding, and the ADC table. */
+  private def pqSubs(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"vec_id", explode(expr(
         s"""transform(sequence(0, ${PqM - 1}),
            |  s -> struct(s AS sub,
            |    transform(slice(embedding, s * $PqSubDim + 1, $PqSubDim),
            |              x -> CAST(x AS DOUBLE)) AS v))""".stripMargin)).as("sv"))
       .select($"vec_id", $"sv.sub".as("sub"), $"sv.v".as("v"))
-    def assign(cents: DataFrame): DataFrame =
-      subs.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", pround(pqDist2($"v", $"cvec"), 9))
-        .groupBy($"vec_id", $"sub")
-        .agg(min(struct($"d2", $"cid")).as("r"), first($"v").as("v"))
-        .select($"vec_id", $"sub", $"r.cid".as("cid"), $"v")
-    def recenter(assigned: DataFrame): DataFrame =
-      assigned
-        .select($"sub", $"cid", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"sub", $"cid", $"pos")
-        .agg(avg($"x").as("m"))
-        .groupBy($"sub", $"cid")
-        .agg(transform(
-          array_sort(collect_list(struct($"pos", $"m"))),
-          s => pround(s.getField("m"), 6)).as("cvec"))
+  }
+
+  /** Nearest-codebook-centroid assignment per (vec, subspace) — broadcast
+    * join + partial-agg argmin, deterministic (d2, cid) tiebreak. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", pround(pqDist2($"v", $"cvec"), 9))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"cid")).as("r"), first($"v").as("v"))
+      .select($"vec_id", $"sub", $"r.cid".as("cid"), $"v")
+  }
+
+  /** Lloyd recenter step: per-(sub, cid, dim) mean, reassembled in dim
+    * order at portable 6-decimal rounding. */
+  private def pqRecenter(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .select($"sub", $"cid", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"sub", $"cid", $"pos")
+      .agg(avg($"x").as("m"))
+      .groupBy($"sub", $"cid")
+      .agg(transform(
+        array_sort(collect_list(struct($"pos", $"m"))),
+        s => pround(s.getField("m"), 6)).as("cvec"))
+  }
+
+  /** The trained codebook (2-iteration Lloyd from lowest-id seeds), the
+    * per-vector PQ codes, and the query ADC table — shared by
+    * [[simAnnPq]] (flat PQ) and [[simAnnIvfPq]] (IVF-pruned PQ). */
+  private def pqArtifacts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val subs = pqSubs(Tables.embeddings(spark, sfDir))
     val c0 = subs.filter($"vec_id" < PqK)
       .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
-    val c1 = recenter(assign(c0))
-    val codes = assign(c1).select($"vec_id", $"sub", $"cid")
+    val c1 = pqRecenter(pqAssign(subs, c0))
+    val codes = pqAssign(subs, c1).select($"vec_id", $"sub", $"cid")
     val q = subs.filter($"vec_id" === 0).select($"sub", $"v".as("qv"))
     val dtab = c1.join(q, Seq("sub"))
       .select($"sub", $"cid",
         floor(pqDist2($"qv", $"cvec") * 1e9 + 0.5).cast("long").as("nano"))
+    (codes, dtab)
+  }
+
+  private def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (codes, dtab) = pqArtifacts(spark, sfDir)
     codes.join(broadcast(dtab), Seq("sub", "cid"))
       .groupBy($"vec_id")
       .agg(sum($"nano").as("adc_d2_nano"))
@@ -370,7 +396,57 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** How many coarse cells the IVF-PQ query probes. */
+  private val IvfPqProbes = 4
+
+  /** North-star ANN, IVF-PQ composite (the Jégou et al. 2011 production
+    * deployment shape — FAISS `IVFx,PQy`): the coarse quantizer
+    * ([[simAnnIvf]]'s 16 leading-id centroids) partitions the corpus into
+    * inverted lists; the query probes its [[IvfPqProbes]] nearest cells
+    * and scores ONLY those lists' vectors, by PQ ADC lookup
+    * ([[simAnnPq]]'s codes + 16-entry table) — never touching a float
+    * embedding at query time.
+    *
+    * Scale shape (100 TB): both prunings compose multiplicatively —
+    * candidates shrink to (nprobe/k)·N and each candidate costs an
+    * M-entry table sum over 4-byte codes instead of a 256-byte float dot.
+    * Coarse assignment and encoding are broadcast-join + partial-agg
+    * argmins (the corpus never hash-shuffles); the probed-cell filter is
+    * a broadcast semi-join of a 4-row frame. Deterministic end-to-end
+    * ((dist, cid) tiebreaks, nano-integer ADC), so the oracle replays the
+    * whole trajectory hash-exact. */
+  private def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("ccell"), $"embedding".as("cv"))
+    val coarse = e.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        lit(1.0) - vec_dot_native($"embedding", $"cv") /
+          (vec_norm_native($"embedding") * vec_norm_native($"cv")))
+      .groupBy($"vec_id")
+      .agg(min_by($"ccell", struct($"dist", $"ccell")).as("ccell"))
+    val qcells = e.filter($"vec_id" === 0).crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        lit(1.0) - vec_dot_native($"embedding", $"cv") /
+          (vec_norm_native($"embedding") * vec_norm_native($"cv")))
+      .orderBy($"dist".asc, $"ccell".asc)
+      .limit(IvfPqProbes)
+      .select($"ccell")
+    val cand = coarse.join(broadcast(qcells), Seq("ccell"))
+      .select($"vec_id")
+    val (codes, dtab) = pqArtifacts(spark, sfDir)
+    codes.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .join(broadcast(dtab), Seq("sub", "cid"))
+      .groupBy($"vec_id")
+      .agg(sum($"nano").as("adc_d2_nano"))
+      .filter($"vec_id" =!= 0)
+      .orderBy($"adc_d2_nano".asc, $"vec_id".asc)
+      .limit(10)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "sim_ann_ivf_pq"     -> simAnnIvfPq,
     "sim_ann_pq"         -> simAnnPq,
     "embed_quantize"     -> embedQuantize,
     "embed_random_projection" -> embedRandomProjection,
@@ -382,6 +458,73 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The full IVF-PQ trajectory replayed: identical coarse assignment
+    // (double cosine, (dist, ccell) tiebreak), identical 4-cell probe,
+    // identical codebook/codes/ADC table as sim_ann_pq.
+    "sim_ann_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cc AS (SELECT vec_id AS ccell, v AS cv FROM ev ORDER BY vec_id LIMIT 16),
+         |casg AS (SELECT vec_id, ccell FROM (
+         |    SELECT ev.vec_id, cc.ccell,
+         |           row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+         |             1.0 - list_dot_product(ev.v, cc.cv) /
+         |                   (sqrt(list_dot_product(ev.v, ev.v)) *
+         |                    sqrt(list_dot_product(cc.cv, cc.cv))) ASC, cc.ccell ASC) AS rn
+         |    FROM ev, cc) WHERE rn = 1),
+         |qc AS (
+         |  SELECT cc.ccell
+         |  FROM ev, cc WHERE ev.vec_id = 0
+         |  ORDER BY 1.0 - list_dot_product(ev.v, cc.cv) /
+         |             (sqrt(list_dot_product(ev.v, ev.v)) *
+         |              sqrt(list_dot_product(cc.cv, cc.cv))) ASC, cc.ccell ASC
+         |  LIMIT $IvfPqProbes),
+         |cand AS (SELECT vec_id FROM casg WHERE ccell IN (SELECT ccell FROM qc)),
+         |subs AS (
+         |  SELECT vec_id, s.sub AS sub,
+         |         list_transform(embedding[s.sub*$PqSubDim+1 : s.sub*$PqSubDim+$PqSubDim],
+         |                        x -> CAST(x AS DOUBLE)) AS v
+         |  FROM e, (SELECT unnest(range(0, $PqM)) AS sub) s),
+         |c0 AS (SELECT sub, vec_id AS cid, v AS cvec FROM subs WHERE vec_id < $PqK),
+         |d1 AS (
+         |  SELECT subs.vec_id, subs.sub, c0.cid, subs.v,
+         |    floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (subs.v[i] - c0.cvec[i]) * (subs.v[i] - c0.cvec[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM subs JOIN c0 USING (sub)),
+         |a1 AS (SELECT vec_id, sub, cid, v FROM (
+         |    SELECT vec_id, sub, cid, v,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT sub, cid, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, cid, t.i AS pos,
+         |           floor(avg(v[t.i]) * 1e6 + 0.5) / 1e6 AS m
+         |    FROM a1, unnest(range(1, ${PqSubDim + 1})) AS t(i)
+         |    GROUP BY sub, cid, t.i)
+         |  GROUP BY sub, cid),
+         |d2s AS (
+         |  SELECT subs.vec_id, subs.sub, c1.cid,
+         |    floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (subs.v[i] - c1.cvec[i]) * (subs.v[i] - c1.cvec[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM subs JOIN c1 USING (sub)),
+         |codes AS (SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d2s) WHERE rn = 1),
+         |q AS (SELECT sub, v AS qv FROM subs WHERE vec_id = 0),
+         |dtab AS (
+         |  SELECT c1.sub, c1.cid,
+         |    CAST(floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (q.qv[i] - c1.cvec[i]) * (q.qv[i] - c1.cvec[i]))) * 1e9 + 0.5)
+         |      AS BIGINT) AS nano
+         |  FROM c1 JOIN q USING (sub))
+         |SELECT vec_id, CAST(sum(nano) AS BIGINT) AS adc_d2_nano
+         |FROM codes JOIN dtab USING (sub, cid)
+         |WHERE vec_id IN (SELECT vec_id FROM cand) AND vec_id <> 0
+         |GROUP BY vec_id
+         |ORDER BY adc_d2_nano, vec_id LIMIT 10""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |subs AS (

@@ -201,6 +201,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivf_pq: full result, monotone ADC, scores consistent with flat PQ") {
+    val ivfPq = SparkEntry.queries("sim_ann_ivf_pq")(spark, sf).collect()
+    assert(ivfPq.length === 10)
+    val scores = ivfPq.map(_.getLong(1))
+    assert(scores.sameElements(scores.sorted), "ADC distances must ascend")
+    // the cell pruning must not change a vector's ADC score — any vec_id
+    // in both rankings carries the identical nano distance
+    val flat = SparkEntry.queries("sim_ann_pq")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val common = ivfPq.flatMap(r => flat.get(r.getLong(0)).map((_, r.getLong(1))))
+    assert(common.nonEmpty, "probing 4 of 16 cells should retain top hits")
+    common.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("text_segment_dedup: untouched docs reconstruct verbatim; removal is real and selective") {
     val out = SparkEntry.queries("text_segment_dedup")(spark, sf).cache()
     val joined = out.join(Tables.documents(spark, sf), "doc_id")

@@ -209,13 +209,49 @@ object Graph extends QueryModule {
       .orderBy($"node")
   }
 
+  /** Degree distribution of the trade graph, per side — the first
+    * diagnostic run before ANY iterative graph algorithm (it dictates the
+    * skew strategy: hub degrees decide salting/AQE-skew handling for
+    * [[pagerank]]'s joins and the orientation win for [[triangleCount]]).
+    * Histogram of node degree by node side (customer/supplier).
+    *
+    * Scale shape (100 TB): degree = one partial-aggregated groupBy per
+    * side over the distinct edge list; the histogram re-aggregates the
+    * (tiny) per-node frame. Output is bounded by max degree, not node
+    * count. */
+  private def degreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Materialize.once(
+      Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("a"), $"l_suppkey".as("b"))
+        .distinct())
+    val deg = pairs.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .select(lit("c").as("side"), $"deg")
+      .unionByName(pairs.groupBy($"b").agg(count(lit(1)).as("deg"))
+        .select(lit("s").as("side"), $"deg"))
+    deg.groupBy($"side", $"deg")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"side", $"deg")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_hist" -> degreeHist,
     "graph_pagerank" -> pagerank,
     "graph_triangle_count" -> triangleCount,
     "graph_bfs_distance" -> bfsDistance
   )
 
   override def oracles: Map[String, String] = Map(
+    "graph_degree_hist" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a, l_suppkey AS b
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |d AS (
+        |  SELECT 'c' AS side, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY a
+        |  UNION ALL
+        |  SELECT 's', CAST(count(*) AS BIGINT) FROM p GROUP BY b)
+        |SELECT side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY side, deg ORDER BY side, deg""".stripMargin,
     "graph_bfs_distance" ->
       s"""WITH RECURSIVE ed0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b

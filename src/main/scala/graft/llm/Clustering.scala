@@ -139,7 +139,91 @@ object Clustering extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Power-iteration rounds for [[pcaPower]]. Convergence is geometric in
+    * (λ₂/λ₁)ʳ; the fixture's modest eigen-gap leaves ~3% Rayleigh error
+    * after 4 rounds (measured), so 8 — rounds touch only the dim²-row
+    * scatter frame, so extra rounds cost microseconds of plan, not a
+    * corpus scan. */
+  private val PcaRounds = 8
+  private val Dim = 64
+
+  /** Leading principal component of the embedding corpus by POWER
+    * ITERATION over the covariance matrix — the classical dimensionality
+    * analysis an embedding pipeline runs before choosing a projection
+    * (how much variance does one direction carry?), completing the
+    * embedding toolkit next to [[kmeans]] (clustering),
+    * `embed_random_projection` (data-independent reduction) and
+    * `embed_quantize` (value compression).
+    *
+    * Scale shape (100 TB): the ONLY corpus-sized pass is the scatter
+    * (covariance) build — centered values explode their dim×dim outer
+    * product map-side and partial-aggregate to dim² cells, so the shuffle
+    * carries dim²·partitions rows regardless of corpus size (the standard
+    * distributed Gram-matrix plan). Every power-iteration round then
+    * touches only the pinned dim²-row scatter frame and a 1-row
+    * coefficient array: matvec = one tiny groupBy, renormalize = one
+    * 1-row projection. No driver-side matrix, no per-round corpus scan.
+    *
+    * Cross-engine determinism, the hard part of an iterative float
+    * algorithm: every DATA-SIZED sum is INTEGER — centered values
+    * quantize to micros, the scatter accumulates exact BIGINT products,
+    * the matvec accumulates BIGINT nano·micro products — so accumulation
+    * order (Spark partials vs DuckDB) cannot perturb a single bit. The
+    * only float reductions are the 64-term norm (fixed left-to-right
+    * fold, the [[dist2]] convention) and the per-dim input mean (rounded
+    * to micros, the [[recenter]] convention). v₀ = 1/√64 = 0.125 is
+    * exact in binary AND in micros, so both engines start identically. */
+  private def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val mu = e.select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(floor(avg($"x".cast("double")) * 1e6 + 0.5).cast("long").as("mu"))
+      .agg(sort_array(collect_list(struct($"pos", $"mu"))).as("s"))
+      .select(transform($"s", s => s.getField("mu")).as("mu"))
+    val cent = e.crossJoin(broadcast(mu))
+      .select(transform($"embedding", (x, i) =>
+        floor(x.cast("double") * 1e6 - element_at($"mu", i + 1) + lit(0.5))
+          .cast("long")).as("c"))
+    val scatter = graft.rel.Materialize.once(
+      cent.select(explode(expr(
+          """flatten(transform(c, (ci, i) ->
+            |  transform(c, (cj, j) -> struct(i AS i, j AS j, ci * cj AS p))))"""
+            .stripMargin)).as("t"))
+        .select($"t.i", $"t.j", $"t.p")
+        .groupBy($"i", $"j")
+        .agg(sum($"p").as("sp"))
+        // micros² → covariance nanos: S/(N·1e3); |S| < 2^53 so the double
+        // cast is exact and the division sequence is identical in DuckDB
+        .select($"i", $"j",
+          floor($"sp".cast("double") / lit(n.toDouble) / 1e3 + lit(0.5))
+            .cast("long").as("s_nano")))
+    var v = spark.range(1)
+      .select(typedLit(Seq.fill(Dim)(125000L)).as("v"), lit(0.0).as("nrm"))
+    for (_ <- 1 to PcaRounds) {
+      val w = scatter.crossJoin(broadcast(v.select($"v")))
+        .groupBy($"i")
+        .agg(sum($"s_nano" * element_at($"v", ($"j" + 1).cast("int"))).as("w"))
+      v = w.agg(sort_array(collect_list(struct($"i", $"w"))).as("sw"))
+        .select(transform($"sw", s => s.getField("w")).as("w"))
+        .withColumn("nrm", sqrt(aggregate($"w", lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+        .select(transform($"w", x =>
+          floor(x.cast("double") / $"nrm" * 1e6 + lit(0.5)).cast("long")).as("v"),
+          $"nrm")
+    }
+    v.select(posexplode($"v").as(Seq("pos", "vm")), $"nrm")
+      .select($"pos".cast("long").as("pos"),
+        ($"vm".cast("double") / 1e6).as("loading"),
+        // w = S_nano·v_micro ≈ (Cov·v)·1e15, so ‖w‖/1e15 is the Rayleigh
+        // eigenvalue estimate in value² units
+        pround($"nrm" / 1e15, 6).as("eigenvalue"))
+      .orderBy($"pos")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "embed_pca_power" -> pcaPower,
     "embed_kmeans"   -> kmeans,
     "dedup_semantic" -> semanticDedup
   )
@@ -185,7 +269,43 @@ object Clustering extends QueryModule {
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM d2s) WHERE rn = 1)""".stripMargin
 
+  /** The identical integer-arithmetic power-iteration trajectory, rounds
+    * unrolled as CTEs (the graph_pagerank convention). */
+  private def pcaOracle: String = {
+    val base =
+      s"""WITH nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |p AS (SELECT vec_id, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+         |      FROM embeddings, unnest(range(0, $Dim)) AS t(i)),
+         |mu AS (SELECT pos, CAST(floor(avg(x) * 1e6 + 0.5) AS BIGINT) AS mu
+         |       FROM p GROUP BY pos),
+         |c AS (SELECT vec_id, p.pos, CAST(floor(x * 1e6 - mu + 0.5) AS BIGINT) AS ci
+         |      FROM p JOIN mu USING (pos)),
+         |s AS (SELECT a.pos AS i, b.pos AS j,
+         |        CAST(floor(CAST(sum(a.ci * b.ci) AS DOUBLE) / (SELECT n FROM nv)
+         |               / 1e3 + 0.5) AS BIGINT) AS s_nano
+         |      FROM c a JOIN c b USING (vec_id) GROUP BY a.pos, b.pos),
+         |v0 AS (SELECT t.i AS i, CAST(125000 AS BIGINT) AS vm
+         |       FROM unnest(range(0, $Dim)) AS t(i))""".stripMargin
+    val rounds = (1 to PcaRounds).map { r =>
+      s"""w$r AS (SELECT s.i, sum(s.s_nano * v.vm) AS w
+         |        FROM s JOIN v${r - 1} v ON v.i = s.j GROUP BY s.i),
+         |n$r AS (SELECT sqrt(list_sum(list_transform(
+         |          list(CAST(w AS DOUBLE) ORDER BY i), x -> x * x))) AS nrm
+         |        FROM w$r),
+         |v$r AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / (SELECT nrm FROM n$r)
+         |               * 1e6 + 0.5) AS BIGINT) AS vm
+         |        FROM w$r)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + rounds +
+      s"""
+         |SELECT CAST(i AS BIGINT) AS pos, CAST(vm AS DOUBLE) / 1e6 AS loading,
+         |       floor((SELECT nrm FROM n$PcaRounds) / 1e15 * 1e6 + 0.5) / 1e6
+         |         AS eigenvalue
+         |FROM v$PcaRounds ORDER BY pos""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "embed_pca_power" -> pcaOracle,
     "embed_kmeans" -> (KmeansCtes +
       """
         |SELECT vec_id, cid AS cluster,

@@ -201,6 +201,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("embed_pca_power: unit-norm output that is a genuine top eigenvector") {
+    val out = SparkEntry.queries("embed_pca_power")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val v = out.map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings must be unit-norm")
+    assert(lambda > 0.0)
+    // recompute the covariance exactly in scala and check Cv ≈ λv: the
+    // relational power iteration must agree with the mathematical object
+    val x = Tables.embeddings(spark, sf).select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = x.length
+    val dim = v.length
+    val mu = Array.tabulate(dim)(j => x.map(_(j)).sum / n)
+    val cv = Array.tabulate(dim) { i =>
+      (0 until dim).map { j =>
+        x.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum / n * v(j)
+      }.sum
+    }
+    val rayleigh = (0 until dim).map(i => v(i) * cv(i)).sum
+    assert(math.abs(rayleigh - lambda) / lambda < 0.02,
+      s"Rayleigh quotient $rayleigh vs reported eigenvalue $lambda")
+    val resid = math.sqrt((0 until dim).map(i => {
+      val d = cv(i) - lambda * v(i); d * d
+    }).sum)
+    assert(resid / lambda < 0.1,
+      s"residual ||Cv - lambda v|| / lambda = ${resid / lambda} too large")
+  }
+
   test("sim_ann_ivf_pq: full result, monotone ADC, scores consistent with flat PQ") {
     val ivfPq = SparkEntry.queries("sim_ann_ivf_pq")(spark, sf).collect()
     assert(ivfPq.length === 10)

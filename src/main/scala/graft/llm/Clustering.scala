@@ -176,28 +176,43 @@ object Clustering extends QueryModule {
   private def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val n = e.count()
-    val mu = e.select(posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"pos")
-      .agg(floor(avg($"x".cast("double")) * 1e6 + 0.5).cast("long").as("mu"))
-      .agg(sort_array(collect_list(struct($"pos", $"mu"))).as("s"))
-      .select(transform($"s", s => s.getField("mu")).as("mu"))
-    val cent = e.crossJoin(broadcast(mu))
+    // Per-dim micro-rounded mean AND the corpus count in ONE pass — each
+    // row contributes exactly one value per pos, so count(per-pos) = N;
+    // no separate count() action/scan. Materialized (1 row) because both
+    // the centering and the scatter normalization consume it.
+    val mu = graft.rel.Materialize.once(
+      e.select(posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"pos")
+        .agg(floor(avg($"x".cast("double")) * 1e6 + 0.5).cast("long").as("mu"),
+          count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(struct($"pos", $"mu"))).as("s"),
+          max($"n").as("n"))
+        .select(transform($"s", s => s.getField("mu")).as("mu"), $"n"))
+    val cent = e.crossJoin(broadcast(mu.select($"mu")))
       .select(transform($"embedding", (x, i) =>
         floor(x.cast("double") * 1e6 - element_at($"mu", i + 1) + lit(0.5))
           .cast("long")).as("c"))
-    val scatter = graft.rel.Materialize.once(
+    // The scatter is symmetric: explode only the UPPER triangle (i ≤ j,
+    // dim·(dim+1)/2 cells instead of dim²) — halves the corpus-sized
+    // explode and its partial-agg shuffle — and mirror the strict-upper
+    // cells from the aggregated (tiny) frame afterwards.
+    val upper = graft.rel.Materialize.once(
       cent.select(explode(expr(
           """flatten(transform(c, (ci, i) ->
-            |  transform(c, (cj, j) -> struct(i AS i, j AS j, ci * cj AS p))))"""
+            |  transform(slice(c, i + 1, size(c) - i), (cj, j) ->
+            |    struct(i AS i, i + j AS j, ci * cj AS p))))"""
             .stripMargin)).as("t"))
         .select($"t.i", $"t.j", $"t.p")
         .groupBy($"i", $"j")
-        .agg(sum($"p").as("sp"))
+        .agg(sum($"p").as("sp")))
+    val scatter = graft.rel.Materialize.once(
+      upper.unionAll(
+          upper.where($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"sp"))
+        .crossJoin(broadcast(mu.select($"n")))
         // micros² → covariance nanos: S/(N·1e3); |S| < 2^53 so the double
         // cast is exact and the division sequence is identical in DuckDB
         .select($"i", $"j",
-          floor($"sp".cast("double") / lit(n.toDouble) / 1e3 + lit(0.5))
+          floor($"sp".cast("double") / $"n".cast("double") / 1e3 + lit(0.5))
             .cast("long").as("s_nano")))
     var v = spark.range(1)
       .select(typedLit(Seq.fill(Dim)(125000L)).as("v"), lit(0.0).as("nrm"))
@@ -270,29 +285,42 @@ object Clustering extends QueryModule {
       |    FROM d2s) WHERE rn = 1)""".stripMargin
 
   /** The identical integer-arithmetic power-iteration trajectory, rounds
-    * unrolled as CTEs (the graph_pagerank convention). */
+    * unrolled as CTEs (the graph_pagerank convention).
+    *
+    * Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB inlines
+    * plain CTEs, and because each round's `v$r` references `w$r` both
+    * directly and through `n$r`'s scalar subquery, inlining re-evaluates
+    * the corpus-sized scatter join a geometrically growing number of
+    * times across the unrolled rounds (>15 min of pinned CPU at sf0.01).
+    * Materialized, each CTE evaluates exactly once: 0.2 s at sf0.01. */
   private def pcaOracle: String = {
     val base =
       s"""WITH nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-         |p AS (SELECT vec_id, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+         |p AS MATERIALIZED (
+         |      SELECT vec_id, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
          |      FROM embeddings, unnest(range(0, $Dim)) AS t(i)),
          |mu AS (SELECT pos, CAST(floor(avg(x) * 1e6 + 0.5) AS BIGINT) AS mu
          |       FROM p GROUP BY pos),
-         |c AS (SELECT vec_id, p.pos, CAST(floor(x * 1e6 - mu + 0.5) AS BIGINT) AS ci
+         |c AS MATERIALIZED (
+         |      SELECT vec_id, p.pos, CAST(floor(x * 1e6 - mu + 0.5) AS BIGINT) AS ci
          |      FROM p JOIN mu USING (pos)),
-         |s AS (SELECT a.pos AS i, b.pos AS j,
+         |s AS MATERIALIZED (
+         |      SELECT a.pos AS i, b.pos AS j,
          |        CAST(floor(CAST(sum(a.ci * b.ci) AS DOUBLE) / (SELECT n FROM nv)
          |               / 1e3 + 0.5) AS BIGINT) AS s_nano
          |      FROM c a JOIN c b USING (vec_id) GROUP BY a.pos, b.pos),
          |v0 AS (SELECT t.i AS i, CAST(125000 AS BIGINT) AS vm
          |       FROM unnest(range(0, $Dim)) AS t(i))""".stripMargin
     val rounds = (1 to PcaRounds).map { r =>
-      s"""w$r AS (SELECT s.i, sum(s.s_nano * v.vm) AS w
+      s"""w$r AS MATERIALIZED (
+         |        SELECT s.i, sum(s.s_nano * v.vm) AS w
          |        FROM s JOIN v${r - 1} v ON v.i = s.j GROUP BY s.i),
-         |n$r AS (SELECT sqrt(list_sum(list_transform(
+         |n$r AS MATERIALIZED (
+         |        SELECT sqrt(list_sum(list_transform(
          |          list(CAST(w AS DOUBLE) ORDER BY i), x -> x * x))) AS nrm
          |        FROM w$r),
-         |v$r AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / (SELECT nrm FROM n$r)
+         |v$r AS MATERIALIZED (
+         |        SELECT i, CAST(floor(CAST(w AS DOUBLE) / (SELECT nrm FROM n$r)
          |               * 1e6 + 0.5) AS BIGINT) AS vm
          |        FROM w$r)""".stripMargin
     }.mkString(",\n", ",\n", "")

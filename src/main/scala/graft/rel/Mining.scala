@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * corpus-analysis primitive a training-data pipeline runs to find
   * systematically co-occurring items (tags, domains, n-grams, licenses)
   * before sampling decisions. The reference's dashboards stop at per-title
-  * counts (wiki_aggregates, `glue/wiki-spark-job.py:60-84`); this is the
-  * pairwise extension over the same grouped-count machinery.
+  * counts (wiki_aggregates, `dag/wiki_pipeline_dag.py:29-39`,
+  * `README.md:101-106`); this is the pairwise extension over the same
+  * grouped-count machinery.
   *
   * Algorithm (A-Priori, Agrawal/Srikant VLDB'94, restricted to pairs —
   * the production sweet spot; triples explode combinatorially and are

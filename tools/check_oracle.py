@@ -12,9 +12,16 @@ passing here ⇒ passing the driver's hash match.
 
 Dev tooling only — NOT part of the graft library (driver-side python deps).
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, threading
 
 import duckdb
+
+# Per-oracle wall-time budget (seconds). Every healthy oracle completes in
+# well under 1 s at sf0.01; a pathological one (e.g. a multiply-referenced
+# CTE that DuckDB inlines geometrically — the round-6 embed_pca_power
+# incident, >15 min of pinned CPU) must fail THAT query, never hang the
+# whole artifact. Override with ORACLE_BUDGET_SEC.
+ORACLE_BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "60"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -32,10 +39,21 @@ def canon(cell):
     return repr(cell)
 
 
-def fetch(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+def fetch(con, sql, budget=None):
+    timer = None
+    if budget:
+        timer = threading.Timer(budget, con.interrupt)
+        timer.daemon = True
+        timer.start()
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {budget:.0f}s wall-time budget")
+    finally:
+        if timer:
+            timer.cancel()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
 
@@ -58,7 +76,11 @@ def main():
             n_fail += 1
             continue
         try:
-            o_cols, o_rows = fetch(con, oracles[name])
+            o_cols, o_rows = fetch(con, oracles[name], budget=ORACLE_BUDGET_SEC)
+        except TimeoutError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1

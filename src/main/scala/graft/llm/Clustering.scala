@@ -156,13 +156,16 @@ object Clustering extends QueryModule {
     * `embed_quantize` (value compression).
     *
     * Scale shape (100 TB): the ONLY corpus-sized pass is the scatter
-    * (covariance) build — centered values explode their dim×dim outer
-    * product map-side and partial-aggregate to dim² cells, so the shuffle
-    * carries dim²·partitions rows regardless of corpus size (the standard
-    * distributed Gram-matrix plan). Every power-iteration round then
-    * touches only the pinned dim²-row scatter frame and a 1-row
-    * coefficient array: matvec = one tiny groupBy, renormalize = one
-    * 1-row projection. No driver-side matrix, no per-round corpus scan.
+    * (covariance) build — centered values explode their UPPER-TRIANGLE
+    * outer product map-side (dim·(dim+1)/2 cells, mirrored after
+    * aggregation) and partial-aggregate, so the shuffle carries
+    * dim²-bounded rows regardless of corpus size (the standard
+    * distributed Gram-matrix plan). The power rounds then operate on a
+    * dim²-BOUNDED matrix — not distributed work at all — so the scatter
+    * collapses to one dense row-major array and all rounds run as a
+    * single projection of higher-order functions: one job, no per-round
+    * shuffle/broadcast scheduling. No driver-side matrix, no per-round
+    * corpus scan.
     *
     * Cross-engine determinism, the hard part of an iterative float
     * algorithm: every DATA-SIZED sum is INTEGER — centered values
@@ -205,30 +208,56 @@ object Clustering extends QueryModule {
         .select($"t.i", $"t.j", $"t.p")
         .groupBy($"i", $"j")
         .agg(sum($"p").as("sp")))
-    val scatter = graft.rel.Materialize.once(
-      upper.unionAll(
-          upper.where($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"sp"))
-        .crossJoin(broadcast(mu.select($"n")))
-        // micros² → covariance nanos: S/(N·1e3); |S| < 2^53 so the double
-        // cast is exact and the division sequence is identical in DuckDB
-        .select($"i", $"j",
-          floor($"sp".cast("double") / $"n".cast("double") / 1e3 + lit(0.5))
-            .cast("long").as("s_nano")))
-    var v = spark.range(1)
-      .select(typedLit(Seq.fill(Dim)(125000L)).as("v"), lit(0.0).as("nrm"))
-    for (_ <- 1 to PcaRounds) {
-      val w = scatter.crossJoin(broadcast(v.select($"v")))
-        .groupBy($"i")
-        .agg(sum($"s_nano" * element_at($"v", ($"j" + 1).cast("int"))).as("w"))
-      v = w.agg(sort_array(collect_list(struct($"i", $"w"))).as("sw"))
-        .select(transform($"sw", s => s.getField("w")).as("w"))
-        .withColumn("nrm", sqrt(aggregate($"w", lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))))
-        .select(transform($"w", x =>
-          floor(x.cast("double") / $"nrm" * 1e6 + lit(0.5)).cast("long")).as("v"),
-          $"nrm")
-    }
-    v.select(posexplode($"v").as(Seq("pos", "vm")), $"nrm")
+    val scatter = upper.unionAll(
+        upper.where($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"sp"))
+      .crossJoin(broadcast(mu.select($"n")))
+      // micros² → covariance nanos: S/(N·1e3); |S| < 2^53 so the double
+      // cast is exact and the division sequence is identical in DuckDB
+      .select($"i", $"j",
+        floor($"sp".cast("double") / $"n".cast("double") / 1e3 + lit(0.5))
+          .cast("long").as("s_nano"))
+    // The scatter is dim²-BOUNDED (4096 cells) no matter the corpus size,
+    // so the power rounds are not distributed work at all: collapse it to
+    // one dense row-major matrix row and run ALL rounds as ONE
+    // higher-order-function fold — one job, instead of 2 shuffle stages +
+    // a broadcast per round (~24 tiny stages whose scheduling overhead
+    // dominated the query: 6.9 s isolated at sf0.1). The trajectory is
+    // bit-identical: the matvec is an INTEGER sum (order-free), and the
+    // norm keeps the same left-to-right fold over i-ascending terms as
+    // the grouped form it replaces.
+    //
+    // Expression-duplication discipline (the same trap the DuckDB oracle
+    // hit with inlined CTEs, and a naive withColumn-per-round chain hits
+    // via Catalyst's CollapseProject): each round uses its w vector twice
+    // (norm + renormalize) and its norm twice, so chained projections
+    // substitute sub-expressions geometrically across 8 rounds and the
+    // plan never finishes optimizing. Here every intermediate binds
+    // EXACTLY ONCE as a lambda variable — rounds via aggregate over
+    // sequence(1, rounds), w and nrm via single-element transform(array(
+    // e), x -> …) let-bindings — so the expression tree stays linear.
+    val mat = scatter
+      .groupBy($"i")
+      .agg(sort_array(collect_list(struct($"j", $"s_nano"))).as("row"))
+      .agg(sort_array(collect_list(struct($"i", $"row"))).as("rows"))
+      .select(transform($"rows", r =>
+        transform(r.getField("row"), c => c.getField("s_nano"))).as("S"))
+    val fin = mat.select(aggregate(
+      sequence(lit(1), lit(PcaRounds)),
+      struct(typedLit(Seq.fill(Dim)(125000L)).as("v"), lit(0.0).as("nrm")),
+      (st, _) => {
+        val w = transform($"S", row =>
+          aggregate(zip_with(row, st.getField("v"), (s, vj) => s * vj),
+            lit(0L), (acc, x) => acc + x))
+        element_at(transform(array(w), wv =>
+          element_at(transform(array(sqrt(aggregate(wv, lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double")))), nrm =>
+            struct(
+              transform(wv, x =>
+                floor(x.cast("double") / nrm * 1e6 + lit(0.5)).cast("long"))
+                .as("v"),
+              nrm.as("nrm"))), 1)), 1)
+      }).as("st"))
+    fin.select(posexplode($"st.v").as(Seq("pos", "vm")), $"st.nrm".as("nrm"))
       .select($"pos".cast("long").as("pos"),
         ($"vm".cast("double") / 1e6).as("loading"),
         // w = S_nano·v_micro ≈ (Cov·v)·1e15, so ‖w‖/1e15 is the Rayleigh

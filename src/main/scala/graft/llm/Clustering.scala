@@ -156,16 +156,17 @@ object Clustering extends QueryModule {
     * `embed_quantize` (value compression).
     *
     * Scale shape (100 TB): the ONLY corpus-sized pass is the scatter
-    * (covariance) build — centered values explode their UPPER-TRIANGLE
-    * outer product map-side (dim·(dim+1)/2 cells, mirrored after
-    * aggregation) and partial-aggregate, so the shuffle carries
-    * dim²-bounded rows regardless of corpus size (the standard
-    * distributed Gram-matrix plan). The power rounds then operate on a
-    * dim²-BOUNDED matrix — not distributed work at all — so the scatter
-    * collapses to one dense row-major array and all rounds run as a
-    * single projection of higher-order functions: one job, no per-round
-    * shuffle/broadcast scheduling. No driver-side matrix, no per-round
-    * corpus scan.
+    * (covariance) build — the typed [[graft.functions.GramAggregator]]
+    * accumulates each partition's packed upper-triangle Gram sums in a
+    * tight integer loop with map-side partial aggregation, so the
+    * shuffle carries one dim·(dim+1)/2-cell buffer per partition
+    * regardless of corpus size (the standard distributed Gram-matrix
+    * plan, at `sum`-like communication cost). The power rounds then
+    * operate on a dim²-BOUNDED matrix — not distributed work at all —
+    * so the scatter expands to one dense row-major array and all rounds
+    * run as a single projection of higher-order functions: one job, no
+    * per-round shuffle/broadcast scheduling. No driver-side matrix, no
+    * per-round corpus scan.
     *
     * Cross-engine determinism, the hard part of an iterative float
     * algorithm: every DATA-SIZED sum is INTEGER — centered values
@@ -177,6 +178,45 @@ object Clustering extends QueryModule {
     * to micros, the [[recenter]] convention). v₀ = 1/√64 = 0.125 is
     * exact in binary AND in micros, so both engines start identically. */
   private def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, fin) = pcaParts(spark, sfDir)
+    fin.select(posexplode($"st.v").as(Seq("pos", "vm")), $"st.nrm".as("nrm"))
+      .select($"pos".cast("long").as("pos"),
+        ($"vm".cast("double") / 1e6).as("loading"),
+        // w = S_nano·v_micro ≈ (Cov·v)·1e15, so ‖w‖/1e15 is the Rayleigh
+        // eigenvalue estimate in value² units
+        pround($"nrm" / 1e15, 6).as("eigenvalue"))
+      .orderBy($"pos")
+  }
+
+  /** Project every embedding onto the leading principal component — the
+    * APPLICATION half of [[pcaPower]] (which learns the direction): the
+    * 1-D coordinate a pipeline stores for variance-ranked filtering,
+    * ordering, or as the first whitened feature. Deterministic by the
+    * same integer discipline: the centered micro vector dots the micro
+    * eigenvector in exact BIGINT (|dot| < 2^53), then one double
+    * division by 1e12 (micros·micros) lands the coordinate — identical
+    * bits in both engines.
+    *
+    * Scale shape (100 TB): the learned direction is ONE broadcast row;
+    * the projection is a map-only pass over the corpus (no shuffle
+    * beyond [[pcaParts]]' dim²-bounded scatter build). */
+  private def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cent, fin) = pcaParts(spark, sfDir)
+    cent.crossJoin(broadcast(fin.select($"st.v".as("v"))))
+      .select($"vec_id",
+        (aggregate(zip_with($"c", $"v", (ci, vi) => ci * vi),
+          lit(0L), (acc, x) => acc + x).cast("double") / 1e12).as("coord"))
+      .orderBy($"vec_id")
+  }
+
+  /** Shared PCA power-iteration trajectory: returns (centered corpus
+    * frame `(vec_id, c)`, 1-row final state `st = (v, nrm)` after
+    * [[PcaRounds]] rounds). Both [[pcaPower]] and [[pcaProject]] compose
+    * from these, so the reported loadings and the projection provably
+    * use the SAME learned direction (the KmeansCtes convention). */
+  private def pcaParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     // Per-dim micro-rounded mean AND the corpus count in ONE pass — each
@@ -192,39 +232,43 @@ object Clustering extends QueryModule {
           max($"n").as("n"))
         .select(transform($"s", s => s.getField("mu")).as("mu"), $"n"))
     val cent = e.crossJoin(broadcast(mu.select($"mu")))
-      .select(transform($"embedding", (x, i) =>
+      .select($"vec_id", transform($"embedding", (x, i) =>
         floor(x.cast("double") * 1e6 - element_at($"mu", i + 1) + lit(0.5))
           .cast("long")).as("c"))
-    // The scatter is symmetric: explode only the UPPER triangle (i ≤ j,
-    // dim·(dim+1)/2 cells instead of dim²) — halves the corpus-sized
-    // explode and its partial-agg shuffle — and mirror the strict-upper
-    // cells from the aggregated (tiny) frame afterwards.
-    val upper = graft.rel.Materialize.once(
-      cent.select(explode(expr(
-          """flatten(transform(c, (ci, i) ->
-            |  transform(slice(c, i + 1, size(c) - i), (cj, j) ->
-            |    struct(i AS i, i + j AS j, ci * cj AS p))))"""
-            .stripMargin)).as("t"))
-        .select($"t.i", $"t.j", $"t.p")
-        .groupBy($"i", $"j")
-        .agg(sum($"p").as("sp")))
-    val scatter = upper.unionAll(
-        upper.where($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"sp"))
-      .crossJoin(broadcast(mu.select($"n")))
-      // micros² → covariance nanos: S/(N·1e3); |S| < 2^53 so the double
-      // cast is exact and the division sequence is identical in DuckDB
-      .select($"i", $"j",
-        floor($"sp".cast("double") / $"n".cast("double") / 1e3 + lit(0.5))
-          .cast("long").as("s_nano"))
-    // The scatter is dim²-BOUNDED (4096 cells) no matter the corpus size,
-    // so the power rounds are not distributed work at all: collapse it to
-    // one dense row-major matrix row and run ALL rounds as ONE
-    // higher-order-function fold — one job, instead of 2 shuffle stages +
-    // a broadcast per round (~24 tiny stages whose scheduling overhead
-    // dominated the query: 6.9 s isolated at sf0.1). The trajectory is
-    // bit-identical: the matvec is an INTEGER sum (order-free), and the
-    // norm keeps the same left-to-right fold over i-ascending terms as
-    // the grouped form it replaces.
+    // The one corpus-sized pass: packed upper-triangle Gram sums via the
+    // typed [[graft.functions.GramAggregator]] — a tight per-partition
+    // integer loop with map-side partial aggregation, so the shuffle
+    // carries ONE 2080-cell buffer per partition regardless of corpus
+    // size. (The explode→groupBy formulation this replaces allocated
+    // dim·(dim+1)/2 structs PER ROW just to feed a hash-agg — the
+    // dominant cost of the query once the power rounds were folded.)
+    val gram = cent.agg(
+      graft.functions.GramAggregator.gram_upper($"c").as("g"))
+    // Expand the packed triangle to the dense row-major matrix (cell
+    // (i,j) lives at a·Dim − a·(a−1)/2 + (b−a) with a=min, b=max) and
+    // normalize: micros² → covariance nanos, S/(N·1e3); |S| < 2^53 so
+    // the double cast is exact and the division sequence is identical
+    // in DuckDB.
+    val mat = gram.crossJoin(broadcast(mu.select($"n")))
+      .select(transform(sequence(lit(0), lit(Dim - 1)), i =>
+        transform(sequence(lit(0), lit(Dim - 1)), j => {
+          val a = least(i, j)
+          val b = greatest(i, j)
+          // Column./ is double division; a·(a−1) ≤ 63·62 so the double
+          // quotient is exact and the int cast is lossless.
+          val idx = (a * lit(Dim) - a * (a - lit(1)) / lit(2) + (b - a) +
+            lit(1)).cast("int")
+          floor(element_at($"g", idx).cast("double") / $"n".cast("double")
+            / 1e3 + lit(0.5)).cast("long")
+        })).as("S"))
+    // The matrix is dim²-BOUNDED (4096 cells) no matter the corpus size,
+    // so the power rounds are not distributed work at all: run ALL rounds
+    // as ONE higher-order-function fold — one job, instead of 2 shuffle
+    // stages + a broadcast per round (~24 tiny stages whose scheduling
+    // overhead dominated the query: 6.9 s isolated at sf0.1). The
+    // trajectory is bit-identical: the matvec is an INTEGER sum (order-
+    // free), and the norm keeps the same left-to-right fold over
+    // i-ascending terms as the grouped form it replaces.
     //
     // Expression-duplication discipline (the same trap the DuckDB oracle
     // hit with inlined CTEs, and a naive withColumn-per-round chain hits
@@ -235,12 +279,6 @@ object Clustering extends QueryModule {
     // EXACTLY ONCE as a lambda variable — rounds via aggregate over
     // sequence(1, rounds), w and nrm via single-element transform(array(
     // e), x -> …) let-bindings — so the expression tree stays linear.
-    val mat = scatter
-      .groupBy($"i")
-      .agg(sort_array(collect_list(struct($"j", $"s_nano"))).as("row"))
-      .agg(sort_array(collect_list(struct($"i", $"row"))).as("rows"))
-      .select(transform($"rows", r =>
-        transform(r.getField("row"), c => c.getField("s_nano"))).as("S"))
     val fin = mat.select(aggregate(
       sequence(lit(1), lit(PcaRounds)),
       struct(typedLit(Seq.fill(Dim)(125000L)).as("v"), lit(0.0).as("nrm")),
@@ -257,17 +295,12 @@ object Clustering extends QueryModule {
                 .as("v"),
               nrm.as("nrm"))), 1)), 1)
       }).as("st"))
-    fin.select(posexplode($"st.v").as(Seq("pos", "vm")), $"st.nrm".as("nrm"))
-      .select($"pos".cast("long").as("pos"),
-        ($"vm".cast("double") / 1e6).as("loading"),
-        // w = S_nano·v_micro ≈ (Cov·v)·1e15, so ‖w‖/1e15 is the Rayleigh
-        // eigenvalue estimate in value² units
-        pround($"nrm" / 1e15, 6).as("eigenvalue"))
-      .orderBy($"pos")
+    (cent, fin)
   }
 
   override def queries: Map[String, QueryFn] = Map(
-    "embed_pca_power" -> pcaPower,
+    "embed_pca_power"   -> pcaPower,
+    "embed_pca_project" -> pcaProject,
     "embed_kmeans"   -> kmeans,
     "dedup_semantic" -> semanticDedup
   )
@@ -322,7 +355,7 @@ object Clustering extends QueryModule {
     * the corpus-sized scatter join a geometrically growing number of
     * times across the unrolled rounds (>15 min of pinned CPU at sf0.01).
     * Materialized, each CTE evaluates exactly once: 0.2 s at sf0.01. */
-  private def pcaOracle: String = {
+  private def pcaOracleCtes: String = {
     val base =
       s"""WITH nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
          |p AS MATERIALIZED (
@@ -353,16 +386,31 @@ object Clustering extends QueryModule {
          |               * 1e6 + 0.5) AS BIGINT) AS vm
          |        FROM w$r)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    base + rounds +
+    base + rounds
+  }
+
+  private def pcaOracle: String =
+    pcaOracleCtes +
       s"""
          |SELECT CAST(i AS BIGINT) AS pos, CAST(vm AS DOUBLE) / 1e6 AS loading,
          |       floor((SELECT nrm FROM n$PcaRounds) / 1e15 * 1e6 + 0.5) / 1e6
          |         AS eigenvalue
          |FROM v$PcaRounds ORDER BY pos""".stripMargin
-  }
+
+  /** Projection oracle shares [[pcaOracleCtes]] verbatim, so the oracle
+    * provably projects onto the SAME learned direction: exact integer
+    * dot of the centered micros (`c`) with the final micro eigenvector,
+    * one double division. */
+  private def pcaProjectOracle: String =
+    pcaOracleCtes +
+      s"""
+         |SELECT c.vec_id, CAST(sum(c.ci * v.vm) AS DOUBLE) / 1e12 AS coord
+         |FROM c JOIN v$PcaRounds v ON v.i = c.pos
+         |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "embed_pca_power" -> pcaOracle,
+    "embed_pca_project" -> pcaProjectOracle,
     "embed_kmeans" -> (KmeansCtes +
       """
         |SELECT vec_id, cid AS cluster,

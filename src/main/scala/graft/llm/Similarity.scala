@@ -39,15 +39,46 @@ object Similarity extends QueryModule {
       .select($"embedding".as("qv"))
   }
 
-  /** L3 — exact top-10 cosine against the query vector. */
-  private def simTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  /** L3 — exact top-k cosine against the query vector (k parameterized:
+    * 10 for the declared query, 5 as [[simAnnRecallEval]]'s ground
+    * truth). */
+  private def topkCosine(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
       .crossJoin(broadcast(queryVec(spark, sfDir)))
       .withColumn("cos_sim", pround(vec_cosine_native($"embedding", $"qv"), 6))
       .select($"vec_id", $"cos_sim")
       .orderBy($"cos_sim".desc, $"vec_id".asc)
-      .limit(10)
+      .limit(k)
+  }
+
+  private def simTopkCosine(spark: SparkSession, sfDir: String): DataFrame =
+    topkCosine(spark, sfDir, 10)
+
+  /** Recall@5 of each ANN method against the exact brute-force top-5 —
+    * THE acceptance metric an ANN deployment is tuned by (you pick
+    * LSH bits / IVF probe counts by exactly this curve; FAISS ships the
+    * same evaluation). One row per method: hits = |ANN∩exact|, recall =
+    * hits/k. Fully deterministic (both methods and the ground truth are
+    * seeded/deterministic pipelines), so the oracle replays all three
+    * and must land the identical counts. The query vector itself is a
+    * member of both sets by construction (cos = 1 top hit) — the
+    * convention FAISS recall benchmarks use.
+    *
+    * Scale shape (100 TB): each branch is the respective ANN/brute
+    * pipeline unchanged (their own scale stories apply); the evaluation
+    * itself joins three ≤k-row frames — free. */
+  private def simAnnRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gt = topkCosine(spark, sfDir, 5).select($"vec_id")
+    def row(method: String, ann: DataFrame): DataFrame =
+      ann.select($"vec_id").join(broadcast(gt), Seq("vec_id"), "semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), lit(5L).as("k"), $"hits",
+          pround($"hits".cast("double") / 5, 6).as("recall"))
+    row("ivf", simAnnIvf(spark, sfDir))
+      .unionByName(row("lsh", simAnnLsh(spark, sfDir)))
+      .orderBy($"method")
   }
 
   /** L4 — pairwise similarity join above a threshold, label-blocked:
@@ -454,7 +485,8 @@ object Similarity extends QueryModule {
     "sim_threshold_join" -> simThresholdJoin,
     "sim_threshold_lsh"  -> simThresholdLsh,
     "sim_ann_lsh"        -> simAnnLsh,
-    "sim_ann_ivf"        -> simAnnIvf
+    "sim_ann_ivf"        -> simAnnIvf,
+    "sim_ann_recall_eval" -> simAnnRecallEval
   )
 
   override def oracles: Map[String, String] = Map(
@@ -600,14 +632,26 @@ object Similarity extends QueryModule {
         |  END AS code
         |FROM embeddings e CROSS JOIN d
         |ORDER BY vec_id, pos""".stripMargin,
-    "sim_topk_cosine" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
-        |SELECT vec_id,
-        |       floor(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
-        |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
-        |FROM embeddings e, q
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_topk_cosine" -> topkOracle(10),
+    // Recall evaluation: the three pipelines (exact top-5, LSH, IVF)
+    // replay verbatim as MATERIALIZED subquery CTEs, then two 5-row
+    // semi-joins count the hits.
+    "sim_ann_recall_eval" ->
+      s"""WITH brute AS MATERIALIZED (SELECT vec_id FROM (
+         |${topkOracle(5)})),
+         |lshr AS MATERIALIZED (SELECT vec_id FROM (
+         |$annLshOracle)),
+         |ivfr AS MATERIALIZED (SELECT vec_id FROM (
+         |$annIvfOracle)),
+         |m AS (
+         |  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ivfr WHERE vec_id IN (SELECT vec_id FROM brute)
+         |  UNION ALL
+         |  SELECT 'lsh', CAST(count(*) AS BIGINT)
+         |  FROM lshr WHERE vec_id IN (SELECT vec_id FROM brute))
+         |SELECT method, CAST(5 AS BIGINT) AS k, hits,
+         |       floor(CAST(hits AS DOUBLE) / 5 * 1e6 + 0.5) / 1e6 AS recall
+         |FROM m ORDER BY method""".stripMargin,
     // Full LSH-threshold replay: identical band signatures (exact widened
     // float plane literals), identical candidate pairs, identical exact
     // verify — survivor pair sets must match row for row.
@@ -648,49 +692,64 @@ object Similarity extends QueryModule {
     // IVF is deterministic end-to-end (leading-16 centroids, double cosine
     // arithmetic bit-exact across engines, cid tiebreak), so the oracle
     // replays the whole assignment + bucket-scan exactly.
-    "sim_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |a AS (
-        |  SELECT vec_id, v, cid,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-        |  FROM (SELECT e.vec_id, e.v, c.cid,
-        |               1.0 - list_dot_product(e.v, c.cv) /
-        |                     (sqrt(list_dot_product(e.v, e.v)) *
-        |                      sqrt(list_dot_product(c.cv, c.cv))) AS dist
-        |        FROM e, c)),
-        |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
-        |q AS (SELECT v AS qv, cid AS qcid FROM asg ORDER BY vec_id LIMIT 1)
-        |SELECT asg.vec_id,
-        |       floor(list_dot_product(asg.v, q.qv) /
-        |             (sqrt(list_dot_product(asg.v, asg.v)) *
-        |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
-        |FROM asg, q
-        |WHERE asg.cid = q.qcid
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "sim_ann_ivf" -> annIvfOracle,
     // The LSH signature is deterministic too (seeded hyperplanes, sign of a
     // left-to-right double dot) — the oracle inlines the plane constants as
     // SQL list literals (Double.toString round-trips the exact value) and
     // recomputes the identical 8-bit signature.
-    "sim_ann_lsh" -> {
-      val sigExpr = planes.zipWithIndex.map { case (p, i) =>
-        val lit = p.map(_.toDouble.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << (7 - i)} ELSE 0 END)"
-      }.mkString(" +\n         ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |s AS (
-         |  SELECT vec_id, v,
-         |         $sigExpr AS sig
-         |  FROM e),
-         |q AS (SELECT v AS qv, sig AS qsig FROM s ORDER BY vec_id LIMIT 1)
-         |SELECT s.vec_id,
-         |       floor(list_dot_product(s.v, q.qv) /
-         |             (sqrt(list_dot_product(s.v, s.v)) *
-         |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
-         |FROM s, q
-         |WHERE s.sig = q.qsig
-         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
-    }
+    "sim_ann_lsh" -> annLshOracle
   )
+
+  /** Exact top-k oracle, limit parameterized (10 = `sim_topk_cosine`,
+    * 5 = the recall evaluation's ground truth). */
+  private def topkOracle(limit: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+       |SELECT vec_id,
+       |       floor(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+       |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       |              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
+       |FROM embeddings e, q
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT $limit""".stripMargin
+
+  private def annIvfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |a AS (
+      |  SELECT vec_id, v, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+      |  FROM (SELECT e.vec_id, e.v, c.cid,
+      |               1.0 - list_dot_product(e.v, c.cv) /
+      |                     (sqrt(list_dot_product(e.v, e.v)) *
+      |                      sqrt(list_dot_product(c.cv, c.cv))) AS dist
+      |        FROM e, c)),
+      |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+      |q AS (SELECT v AS qv, cid AS qcid FROM asg ORDER BY vec_id LIMIT 1)
+      |SELECT asg.vec_id,
+      |       floor(list_dot_product(asg.v, q.qv) /
+      |             (sqrt(list_dot_product(asg.v, asg.v)) *
+      |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+      |FROM asg, q
+      |WHERE asg.cid = q.qcid
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  private def annLshOracle: String = {
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1L << (7 - i)} ELSE 0 END)"
+    }.mkString(" +\n         ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, v,
+       |         $sigExpr AS sig
+       |  FROM e),
+       |q AS (SELECT v AS qv, sig AS qsig FROM s ORDER BY vec_id LIMIT 1)
+       |SELECT s.vec_id,
+       |       floor(list_dot_product(s.v, q.qv) /
+       |             (sqrt(list_dot_product(s.v, s.v)) *
+       |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+       |FROM s, q
+       |WHERE s.sig = q.qsig
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
 }

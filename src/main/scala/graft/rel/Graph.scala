@@ -35,6 +35,7 @@ object Graph extends QueryModule {
 
   private val Damping = 0.85
   private val Rounds = 5
+  private val LpaRounds = 4
 
   /** 5-round PageRank over the undirected customer–supplier trade graph;
     * one row per node, rank reported at portable 6-decimal rounding. */
@@ -209,6 +210,59 @@ object Graph extends QueryModule {
       .orderBy($"node")
   }
 
+  /** Synchronous label propagation (community detection) over the
+    * undirected trade graph — the cheap communities-first pass (Raghavan
+    * et al. 2007) a corpus pipeline runs to group related entities
+    * before sampling or dedup decisions, completing the graph family
+    * next to [[pagerank]] (importance), [[triangleCount]] (density),
+    * [[bfsDistance]] (reachability) and [[degreeHist]] (skew).
+    *
+    * Determinism (LPA is notoriously order-dependent; this variant is
+    * not): SYNCHRONOUS rounds — every node updates from the previous
+    * round's labels — and a total tie order: new label = the neighbor
+    * label with the highest frequency, ties broken toward the SMALLEST
+    * label. Both engines replay the identical trajectory, so per-node
+    * labels hash-match exactly.
+    *
+    * Scale shape (100 TB): same skeleton as [[pagerank]] — the edge list
+    * pins once with its hash partitioning; each round moves only the
+    * (node, label) frame through one join exchange and one two-level
+    * aggregation (per-(dst,label) counts partial-aggregate map-side —
+    * hub fan-in combines before the shuffle — then a per-dst `max_by`
+    * argmax, aggregate not window, so no per-node sort of candidate
+    * lists). Rounds are a fixed constant: bounded plan depth, no
+    * convergence loop, lineage recomputable without checkpoints. */
+  private def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val edges = Materialize.once(pairs
+      .select(explode(array(
+        struct($"a".as("src"), $"b".as("dst")),
+        struct($"b".as("src"), $"a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst")))
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node")
+    for (_ <- 1 to LpaRounds) {
+      labels = edges
+        .join(labels.select($"node".as("src"), $"lbl".as("nl")), Seq("src"))
+        .groupBy($"dst", $"nl").agg(count(lit(1)).as("cnt"))
+        // argmax by (count DESC, label ASC): max of (cnt, -nl) is a total
+        // order per dst (labels are distinct within a dst group), so the
+        // winner is unique and engine-independent.
+        .groupBy($"dst").agg(
+          max_by($"nl", struct($"cnt", (-$"nl").as("neg"))).as("lbl"))
+        .select($"dst".as("node"), $"lbl")
+    }
+    def side(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+    labels.select(side($"node").as("node"), side($"lbl").as("community"))
+      .orderBy($"node")
+  }
+
   /** Degree distribution of the trade graph, per side — the first
     * diagnostic run before ANY iterative graph algorithm (it dictates the
     * skew strategy: hub degrees decide salting/AQE-skew handling for
@@ -239,10 +293,45 @@ object Graph extends QueryModule {
     "graph_degree_hist" -> degreeHist,
     "graph_pagerank" -> pagerank,
     "graph_triangle_count" -> triangleCount,
-    "graph_bfs_distance" -> bfsDistance
+    "graph_bfs_distance" -> bfsDistance,
+    "graph_label_propagation" -> labelPropagation
   )
 
   override def oracles: Map[String, String] = Map(
+    // The identical synchronous trajectory, rounds unrolled as CTEs
+    // (the graph_pagerank convention); every round MATERIALIZED — the
+    // argmax subquery references its round input once, but inlining a
+    // chain of unrolled rounds is exactly the geometric-re-evaluation
+    // trap the embed_pca_power oracle hit, so each round evaluates once
+    // by construction.
+    "graph_label_propagation" -> {
+      val base =
+        """WITH ed0 AS (
+          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst FROM ed0
+          |  UNION ALL SELECT b AS src, a AS dst FROM ed0),
+          |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT node, lbl,
+           |           row_number() OVER (PARTITION BY node
+           |                              ORDER BY cnt DESC, lbl ASC) AS rn
+           |    FROM (SELECT e.dst AS node, p.lbl AS lbl, count(*) AS cnt
+           |          FROM edges e JOIN l${r - 1} p ON p.node = e.src
+           |          GROUP BY e.dst, p.lbl))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        s"""
+           |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS BIGINT)
+           |            ELSE 's' || CAST((node - 1) // 2 AS BIGINT) END AS node,
+           |       CASE WHEN lbl % 2 = 0 THEN 'c' || CAST(lbl // 2 AS BIGINT)
+           |            ELSE 's' || CAST((lbl - 1) // 2 AS BIGINT) END AS community
+           |FROM l$LpaRounds ORDER BY node""".stripMargin
+    },
     "graph_degree_hist" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a, l_suppkey AS b
         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -171,6 +171,57 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(d(u) - d(v)) <= 1, s"edge ($u,$v) spans ${d(u)} -> ${d(v)}")
   }
 
+  test("graph_label_propagation: labels are real nodes, rounds reach consensus on the dense fixture") {
+    val rows = SparkEntry.queries("graph_label_propagation")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val nodes = rows.map(_._1).toSet
+    // every community label is itself a node of the graph (labels start
+    // as node ids and propagation only ever copies existing labels)
+    assert(rows.forall { case (_, lbl) => nodes.contains(lbl) },
+      "a community label must be an existing node id")
+    // the trade graph is dense and connected: 4 synchronous rounds must
+    // collapse it far below one-community-per-node
+    val nCommunities = rows.map(_._2).distinct.length
+    assert(nCommunities < nodes.size / 2,
+      s"$nCommunities communities over ${nodes.size} nodes — no propagation happened")
+  }
+
+  test("sim_ann_recall_eval: hits bounded by k, recall consistent, and methods agree with their own results") {
+    val eval = SparkEntry.queries("sim_ann_recall_eval")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(eval.keySet === Set("ivf", "lsh"))
+    for ((m, (hits, recall)) <- eval) {
+      assert(hits >= 1 && hits <= 5, s"$m hits=$hits out of [1,5]")
+      assert(math.abs(recall - hits / 5.0) < 1e-9, s"$m recall != hits/5")
+    }
+    // cross-check one method against a direct recomputation from the
+    // declared queries (the eval must not disagree with its inputs)
+    val gt = SparkEntry.queries("sim_topk_cosine")(spark, sf)
+      .limit(5).collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(eval("ivf")._1 === ivf.count(gt.contains).toLong)
+  }
+
+  test("embed_pca_project: projection is the dot with the reported loadings (centered), up to micro quantization") {
+    val loadings = SparkEntry.queries("embed_pca_power")(spark, sf)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val coords = SparkEntry.queries("embed_pca_project")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val dim = loadings.length
+    val mu = (0 until dim).map(i => vecs.values.map(_(i)).sum / vecs.size)
+    for ((id, v) <- vecs.take(50)) {
+      val expected = (0 until dim).map(i => (v(i) - mu(i)) * loadings(i)).sum
+      // both mean and vector are micro-quantized in the query, so allow
+      // dim * 1e-6-scale slack on the float recomputation
+      assert(math.abs(coords(id) - expected) < 5e-3,
+        s"vec $id: coord ${coords(id)} vs recomputed $expected")
+    }
+  }
+
   test("graph_pagerank is a probability distribution and hubs outrank leaves") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1))

@@ -31,7 +31,10 @@ object ExplainDump {
     "scan_schema_evolution", "agg_count_min", "gen_inline",
     "curation_shard_balance",
     "ts_interpolate_linear", "join_interval_overlap", "layout_compaction",
-    "mine_frequent_pairs", "cdc_derive_changes", "join_asof_native")
+    "mine_frequent_pairs", "cdc_derive_changes", "join_asof_native",
+    "embed_pca_power", "embed_pca_project", "graph_label_propagation",
+    "sim_ann_recall_eval", "text_segment_dedup", "sim_ann_ivf_pq",
+    "graph_degree_hist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -292,4 +292,32 @@ class PlanSpec extends SparkSpec {
       s"wedge/close joins must be equi-joins: $plan")
     assert("HashJoin".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("embed_pca_power scatter is the Gram UDAF, not an explode (one Generate: the mean pass)") {
+    val plan = executed("embed_pca_power")
+    // the typed GramAggregator plans as an ObjectHashAggregate pair
+    // (partial + final) — the corpus never explodes pairwise structs.
+    // Legitimate Generates: the mean-pass posexplode (printed under BOTH
+    // consumers of the lazily-cached mu frame) and the 64-row output
+    // posexplode — the dim²-per-row scatter explode would be a 4th.
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("Generate".r.findAllIn(plan).size <= 3,
+      s"scatter must not explode the outer product: $plan")
+  }
+
+  test("graph_label_propagation argmax is an aggregate, never a per-node Window sort") {
+    val plan = executed("graph_label_propagation")
+    assert(!plan.contains("Window"),
+      s"per-round label argmax must be max_by aggregation, not a window: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-(node,label) counts must partial-aggregate: $plan")
+  }
+
+  test("sim_ann_recall_eval joins tiny top-k frames (TakeOrderedAndProject + semi joins)") {
+    val plan = executed("sim_ann_recall_eval")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k sides must plan as per-task heaps: $plan")
+    assert(plan.contains("LeftSemi"),
+      s"hit counting must be a semi join against the 5-row ground truth: $plan")
+  }
 }

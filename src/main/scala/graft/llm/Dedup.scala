@@ -440,6 +440,56 @@ object Dedup extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** Banding-tuning evaluation: candidate-generation recall AND precision
+    * of the 6×2 MinHash banding against the exact Jaccard ≥ 0.7 ground
+    * truth, on the doc_id < 300 sample — THE measurement an engineer
+    * tunes (bands, rowsPerBand) by before committing a corpus-scale dedup
+    * run (the S-curve picks the operating point; this query measures where
+    * the deployed geometry actually lands on it). The dedup twin of
+    * [[graft.llm.Similarity]]'s `sim_ann_recall_eval`.
+    *
+    * One row: n_true (exact pairs ≥ 0.7), n_candidates (banding hits on
+    * the sample), n_hits (their intersection), recall, precision. Fully
+    * deterministic (seeded md5 double-hashing), so the oracle replays the
+    * uncollapsed pipeline and must land identical counts.
+    *
+    * Scale shape (100 TB): ground truth is quadratic BY NATURE, so the
+    * eval runs on a bounded sample — exactly how banding is tuned in
+    * production (the sample's S-curve transfers; the corpus-scale run
+    * uses [[minhashCandidatePairs]], which never goes all-pairs). The
+    * candidate side reuses the full pipeline unchanged and slices its
+    * output. */
+  private def dedupLshCandidateEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (memberMap, _, grams) = minhashRepParts(spark, sfDir)
+    // per-DOC hashed shingle sets on the sample: each doc carries its
+    // exact-dup representative's set (identical text ⇒ identical set)
+    val docSets = memberMap
+      .filter($"doc_id" < 300)
+      .join(grams.select($"doc_id".as("rep"), $"hs"), Seq("rep"))
+      .select($"doc_id", $"hs")
+    val truth = docSets.repartition($"doc_id")
+      .select($"doc_id".as("a_id"), $"hs".as("sa"))
+      .join(broadcast(docSets.select($"doc_id".as("b_id"), $"hs".as("sb"))),
+        $"a_id" < $"b_id")
+      .filter(size(array_intersect($"sa", $"sb")) >=
+        lit(0.7) * size(array_union($"sa", $"sb")))
+      .select($"a_id", $"b_id")
+    val cands = minhashCandidatePairs(spark, sfDir)
+      .filter($"a_id" < 300 && $"b_id" < 300)
+      .select($"a_id", $"b_id")
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    val nHits = cands.join(truth, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nTrue.crossJoin(nCand).crossJoin(nHits)
+      .select($"n_true", $"n_candidates", $"n_hits",
+        pround($"n_hits".cast("double") / nullif($"n_true", lit(0L)), 6)
+          .as("recall"),
+        pround($"n_hits".cast("double") / nullif($"n_candidates", lit(0L)), 6)
+          .as("precision"))
+  }
+
   /** North-star — duplicate-cluster assignment: connected components over
     * the near-dup pair graph (exact 3-gram Jaccard ≥ 0.5 on the bounded
     * slice), each doc labeled with the smallest doc_id reachable from it.
@@ -738,6 +788,7 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> dedupSimhash,
     "dedup_simhash_hamming" -> dedupSimhashHamming,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_lsh_candidate_eval" -> dedupLshCandidateEval,
     "dedup_clusters"      -> dedupClusters,
     "dedup_clusters_lsh"  -> dedupClustersLsh,
     "dedup_containment_lsh" -> dedupContainmentLsh,
@@ -745,6 +796,31 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Uncollapsed replay of the banding pipeline + the exact all-pairs
+    // ground truth on the sample; t and c are each referenced three
+    // times (hit join + count + denominator), so MATERIALIZED.
+    "dedup_lsh_candidate_eval" ->
+      s"""$MinhashBaseSql,
+         |t AS MATERIALIZED (
+         |  SELECT ga.doc_id AS a_id, gb.doc_id AS b_id
+         |  FROM grams ga JOIN grams gb ON ga.doc_id < gb.doc_id
+         |  WHERE ga.doc_id < 300 AND gb.doc_id < 300
+         |    AND len(list_intersect(ga.g, gb.g)) >=
+         |        0.7 * len(list_distinct(ga.g || gb.g))),
+         |c AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM cand WHERE a_id < 300 AND b_id < 300),
+         |hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |        FROM c JOIN t USING (a_id, b_id))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_true,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_candidates,
+         |       hits.n_hits,
+         |       floor(CAST(hits.n_hits AS DOUBLE)
+         |             / nullif((SELECT count(*) FROM t), 0) * 1e6 + 0.5) / 1e6
+         |         AS recall,
+         |       floor(CAST(hits.n_hits AS DOUBLE)
+         |             / nullif((SELECT count(*) FROM c), 0) * 1e6 + 0.5) / 1e6
+         |         AS precision
+         |FROM hits""".stripMargin,
     "dedup_exact_id" ->
       """SELECT DISTINCT event_id, event_type, user_id FROM (
         |  SELECT event_id, event_type, user_id FROM events

@@ -222,6 +222,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedup_lsh_candidate_eval: hits bound both sets, ratios consistent, banding finds the planted dups") {
+    val r = SparkEntry.queries("dedup_lsh_candidate_eval")(spark, sf).collect().head
+    val (nTrue, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHits <= math.min(nTrue, nCand), s"hits $nHits exceed a side ($nTrue, $nCand)")
+    assert(nTrue > 0, "fixture plants near-duplicates — ground truth must be non-empty")
+    // both ratios are pround'ed to 6 decimals — allow the rounding width
+    assert(math.abs(r.getDouble(3) - nHits.toDouble / nTrue) < 1e-6, "recall != hits/n_true")
+    assert(math.abs(r.getDouble(4) - nHits.toDouble / nCand) < 1e-6, "precision != hits/n_candidates")
+    // 6x2 banding at j >= 0.7 has per-pair candidate probability ~0.98 —
+    // near-total recall on the planted high-similarity pairs
+    assert(r.getDouble(3) >= 0.8, s"banding recall collapsed: ${r.getDouble(3)}")
+  }
+
   test("graph_pagerank is a probability distribution and hubs outrank leaves") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1))

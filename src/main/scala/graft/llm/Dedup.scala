@@ -250,8 +250,16 @@ object Dedup extends QueryModule {
     * evaluates to 1 — trivially past any threshold, exactly as the
     * uncollapsed pipeline would conclude). */
   private def minhashCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val (memberMap, candRep, grams) = minhashRepParts(spark, sfDir)
+    minhashCandidatePairsFrom(spark, memberMap, candRep, grams)
+  }
+
+  /** [[minhashCandidatePairs]] from already-built pipeline parts — so a
+    * consumer that needs BOTH the parts and the expanded candidates (the
+    * banding eval) runs the signature pipeline once, not twice. */
+  private def minhashCandidatePairsFrom(spark: SparkSession, memberMap: DataFrame,
+      candRep: DataFrame, grams: DataFrame): DataFrame = {
+    import spark.implicits._
     val cross = candRep
       .join(memberMap.select($"rep".as("a_id"), $"doc_id".as("ma")), Seq("a_id"))
       .join(memberMap.select($"rep".as("b_id"), $"doc_id".as("mb")), Seq("b_id"))
@@ -461,7 +469,7 @@ object Dedup extends QueryModule {
     * output. */
   private def dedupLshCandidateEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (memberMap, _, grams) = minhashRepParts(spark, sfDir)
+    val (memberMap, candRep, grams) = minhashRepParts(spark, sfDir)
     // per-DOC hashed shingle sets on the sample: each doc carries its
     // exact-dup representative's set (identical text ⇒ identical set)
     val docSets = memberMap
@@ -475,7 +483,7 @@ object Dedup extends QueryModule {
       .filter(size(array_intersect($"sa", $"sb")) >=
         lit(0.7) * size(array_union($"sa", $"sb")))
       .select($"a_id", $"b_id")
-    val cands = minhashCandidatePairs(spark, sfDir)
+    val cands = minhashCandidatePairsFrom(spark, memberMap, candRep, grams)
       .filter($"a_id" < 300 && $"b_id" < 300)
       .select($"a_id", $"b_id")
     val nTrue = truth.agg(count(lit(1)).as("n_true"))

@@ -223,23 +223,30 @@ object Similarity extends QueryModule {
     * next to [[simAnnLsh]]. Oracle-checked (deterministic end-to-end:
     * leading-16 centroids, bit-exact double cosine); LlmSpec checks the
     * query's own list contains it and results ⊆ brute force. */
-  private def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Nearest-centroid assignment over the leading-16 IVF centroids: N×16
+    * dots, then a min_by AGGREGATE (not a row_number window — the window
+    * sorts every vector's candidate list; the aggregate is one
+    * partial+final hash agg with no sort). The ordering struct (dist,
+    * cid) is a total order per vector, so the argmin is deterministic
+    * and identical to the oracle's rank-1 row. Shared by [[simAnnIvf]]
+    * (the search) and [[simAnnIvfCellStats]] (the diagnostic). */
+  private def ivfAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("cid"), $"embedding".as("cv"))
-    // Nearest-centroid assignment: N×16 dots, then a min_by AGGREGATE (not
-    // a row_number window — the window sorts every vector's candidate list;
-    // the aggregate is one partial+final hash agg with no sort). The
-    // ordering struct (dist, cid) is a total order per vector, so the
-    // argmin is deterministic and identical to the oracle's rank-1 row.
-    val assigned = e.crossJoin(broadcast(centroids))
+    e.crossJoin(broadcast(centroids))
       .withColumn("dist",
         lit(1.0) - vec_dot_native($"embedding", $"cv") /
           (vec_norm_native($"embedding") * vec_norm_native($"cv")))
       .groupBy($"vec_id")
       .agg(min_by(struct($"cid", $"embedding"), struct($"dist", $"cid")).as("m"))
       .select($"vec_id", $"m.embedding".as("embedding"), $"m.cid".as("cid"))
+  }
+
+  private def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = ivfAssigned(spark, sfDir)
     val qAssigned = assigned.orderBy($"vec_id").limit(1)
       .select($"embedding".as("qv"), $"cid".as("qcid"))
     assigned.join(broadcast(qAssigned), $"cid" === $"qcid")
@@ -247,6 +254,31 @@ object Similarity extends QueryModule {
       .select($"vec_id", $"cos_sim")
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(5)
+  }
+
+  /** IVF cell-occupancy stats — the skew diagnostic for the inverted-file
+    * family (the ANN analogue of `graph_degree_hist`): a hot cell is THE
+    * IVF failure mode (probing it scans a corpus-sized list; at serving
+    * scale that one cell IS the latency tail), an empty neighborhood
+    * wastes probes. Run before choosing nCells/nProbes, exactly as the
+    * degree histogram runs before committing to an iterative graph
+    * algorithm. One row per cell: occupancy and corpus share.
+    *
+    * Scale shape (100 TB): the assignment is the same N×k broadcast pass
+    * the search uses; the stats are one partial-aggregated groupBy to k
+    * rows. Output bounded by the (tiny) cell count. */
+  private def simAnnIvfCellStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = ivfAssigned(spark, sfDir)
+    // ≤16 rows, but two consumers (itself + its total) — materialize so
+    // the corpus assignment pass runs once, not twice
+    val cells = graft.rel.Materialize.once(
+      assigned.groupBy($"cid").agg(count(lit(1)).as("n_vectors")))
+    cells
+      .crossJoin(broadcast(cells.agg(sum($"n_vectors").as("n_total"))))
+      .select($"cid", $"n_vectors",
+        pround($"n_vectors".cast("double") / $"n_total", 6).as("share"))
+      .orderBy($"cid")
   }
 
   /** Per-dimension min–max scalar quantization of the embedding column to
@@ -486,6 +518,7 @@ object Similarity extends QueryModule {
     "sim_threshold_lsh"  -> simThresholdLsh,
     "sim_ann_lsh"        -> simAnnLsh,
     "sim_ann_ivf"        -> simAnnIvf,
+    "sim_ann_ivf_cell_stats" -> simAnnIvfCellStats,
     "sim_ann_recall_eval" -> simAnnRecallEval
   )
 
@@ -693,6 +726,7 @@ object Similarity extends QueryModule {
     // arithmetic bit-exact across engines, cid tiebreak), so the oracle
     // replays the whole assignment + bucket-scan exactly.
     "sim_ann_ivf" -> annIvfOracle,
+    "sim_ann_ivf_cell_stats" -> annIvfCellStatsOracle,
     // The LSH signature is deterministic too (seeded hyperplanes, sign of a
     // left-to-right double dot) — the oracle inlines the plane constants as
     // SQL list literals (Double.toString round-trips the exact value) and
@@ -711,7 +745,10 @@ object Similarity extends QueryModule {
        |FROM embeddings e, q
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT $limit""".stripMargin
 
-  private def annIvfOracle: String =
+  /** The IVF assignment trajectory ending in CTE `asg(vec_id, v, cid)` —
+    * shared prefix of the search and cell-stats oracles, so both provably
+    * read the same inverted lists. */
+  private def annIvfAsgCtes: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
       |a AS (
@@ -722,15 +759,31 @@ object Similarity extends QueryModule {
       |                     (sqrt(list_dot_product(e.v, e.v)) *
       |                      sqrt(list_dot_product(c.cv, c.cv))) AS dist
       |        FROM e, c)),
-      |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
-      |q AS (SELECT v AS qv, cid AS qcid FROM asg ORDER BY vec_id LIMIT 1)
-      |SELECT asg.vec_id,
-      |       floor(list_dot_product(asg.v, q.qv) /
-      |             (sqrt(list_dot_product(asg.v, asg.v)) *
-      |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
-      |FROM asg, q
-      |WHERE asg.cid = q.qcid
-      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+      |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1)""".stripMargin
+
+  private def annIvfOracle: String =
+    annIvfAsgCtes +
+      """,
+        |q AS (SELECT v AS qv, cid AS qcid FROM asg ORDER BY vec_id LIMIT 1)
+        |SELECT asg.vec_id,
+        |       floor(list_dot_product(asg.v, q.qv) /
+        |             (sqrt(list_dot_product(asg.v, asg.v)) *
+        |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |FROM asg, q
+        |WHERE asg.cid = q.qcid
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  private def annIvfCellStatsOracle: String =
+    annIvfAsgCtes +
+      """,
+        |cells AS MATERIALIZED (
+        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM asg GROUP BY cid)
+        |SELECT cid, n_vectors,
+        |       floor(CAST(n_vectors AS DOUBLE)
+        |             / (SELECT sum(n_vectors) FROM cells) * 1e6 + 0.5) / 1e6
+        |         AS share
+        |FROM cells ORDER BY cid""".stripMargin
 
   private def annLshOracle: String = {
     val sigExpr = planes.zipWithIndex.map { case (p, i) =>

@@ -235,6 +235,15 @@ class PropertySpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.8, s"banding recall collapsed: ${r.getDouble(3)}")
   }
 
+  test("sim_ann_ivf_cell_stats: occupancies cover the corpus, shares sum to one") {
+    val rows = SparkEntry.queries("sim_ann_ivf_cell_stats")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === corpus, "every vector must land in exactly one cell")
+    assert(rows.forall(_._2 > 0), "leading-vector centroids always hold at least themselves")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, s"shares must sum to 1: ${rows.map(_._3).sum}")
+  }
+
   test("graph_pagerank is a probability distribution and hubs outrank leaves") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1))

@@ -448,6 +448,39 @@ object Dedup extends QueryModule {
       .orderBy($"a_id")
   }
 
+  /** INCREMENTAL near-dedup — the daily-ingest contract: dedup the NEW
+    * data (the top-20%-of-ids "delta", a data-driven split so every scale
+    * factor exercises it) against everything already accepted (the
+    * "corpus" = all earlier ids, plus earlier delta rows — keep-FIRST
+    * within the delta too). Production never re-dedups 100 TB per day; it
+    * dedups the delta against the standing index. Output: one row per
+    * REJECTED delta doc with its earliest duplicate and whether that
+    * duplicate sits in the corpus or earlier in the same delta.
+    *
+    * Scale shape (100 TB): candidate generation stays the banded
+    * equi-join; the delta's signatures compute fresh while the corpus
+    * side is, in production, a PRECOMPUTED signature/band index read from
+    * storage (here both derive from the same pipeline — the relational
+    * shape is identical, the corpus side just swaps to a table scan).
+    * Only (…, delta) candidate pairs survive the filter, so the verify
+    * cost is delta-sized, never corpus². */
+  private def dedupIncrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // data-driven 80/20 split point: (max(doc_id)+1)·4/5 — exact integer
+    // arithmetic in both engines (500→400, 5000→4000)
+    val thr = Tables.documents(spark, sfDir)
+      .agg(floor((max($"doc_id") + 1) * 4 / 5).cast("long").as("thr"))
+    minhashDupPairs(spark, sfDir)
+      .crossJoin(broadcast(thr))
+      .filter($"b_id" >= $"thr")
+      .groupBy($"b_id", $"thr")
+      .agg(min($"a_id").as("dup_of"))
+      .select($"b_id".as("doc_id"), $"dup_of",
+        when($"dup_of" < $"thr", lit("corpus")).otherwise(lit("delta"))
+          .as("against"))
+      .orderBy($"doc_id")
+  }
+
   /** Banding-tuning evaluation: candidate-generation recall AND precision
     * of the 6×2 MinHash banding against the exact Jaccard ≥ 0.7 ground
     * truth, on the doc_id < 300 sample — THE measurement an engineer
@@ -797,6 +830,7 @@ object Dedup extends QueryModule {
     "dedup_simhash_hamming" -> dedupSimhashHamming,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_lsh_candidate_eval" -> dedupLshCandidateEval,
+    "dedup_incremental_lsh" -> dedupIncrementalLsh,
     "dedup_clusters"      -> dedupClusters,
     "dedup_clusters_lsh"  -> dedupClustersLsh,
     "dedup_containment_lsh" -> dedupContainmentLsh,
@@ -804,6 +838,16 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "dedup_incremental_lsh" ->
+      s"""$MinhashPipelineSql,
+         |thr AS MATERIALIZED (
+         |  SELECT (max(doc_id) + 1) * 4 // 5 AS thr FROM documents)
+         |SELECT b_id AS doc_id, CAST(min(a_id) AS BIGINT) AS dup_of,
+         |       CASE WHEN min(a_id) < (SELECT thr FROM thr)
+         |            THEN 'corpus' ELSE 'delta' END AS against
+         |FROM lsh_pairs
+         |WHERE b_id >= (SELECT thr FROM thr)
+         |GROUP BY b_id ORDER BY doc_id""".stripMargin,
     // Uncollapsed replay of the banding pipeline + the exact all-pairs
     // ground truth on the sample; t and c are each referenced three
     // times (hit join + count + denominator), so MATERIALIZED.

@@ -235,6 +235,27 @@ class PropertySpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.8, s"banding recall collapsed: ${r.getDouble(3)}")
   }
 
+  test("dedup_incremental_lsh: rejects only delta docs, dup_of earlier, classes consistent") {
+    val rows = SparkEntry.queries("dedup_incremental_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val maxId = Tables.documents(spark, sf).agg(max($"doc_id")).collect().head.getLong(0)
+    val thr = (maxId + 1) * 4 / 5
+    assert(rows.nonEmpty, "fixture plants dups straddling the split — delta rejections expected")
+    for ((id, dupOf, against) <- rows) {
+      assert(id >= thr, s"doc $id rejected but not in the delta (thr=$thr)")
+      assert(dupOf < id, s"doc $id: earliest duplicate $dupOf is not earlier")
+      assert(against === (if (dupOf < thr) "corpus" else "delta"),
+        s"doc $id: against=$against inconsistent with dup_of=$dupOf")
+    }
+    // keep-first: the incremental decision must agree with the batch
+    // keep-first dedup on the same corpus — a delta doc is rejected here
+    // iff the batch dedup_minhash also drops it
+    val kept = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    for ((id, _, _) <- rows)
+      assert(!kept.contains(id), s"doc $id rejected incrementally but kept by batch dedup")
+  }
+
   test("sim_ann_ivf_cell_stats: occupancies cover the corpus, shares sum to one") {
     val rows = SparkEntry.queries("sim_ann_ivf_cell_stats")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

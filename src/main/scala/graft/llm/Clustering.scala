@@ -139,6 +139,46 @@ object Clustering extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Embedding-space OUTLIER detection — flag vectors whose squared
+    * distance to the global centroid z-scores ≥ 2: the standard
+    * embedding-hygiene pass a pipeline runs before clustering/ANN indexing
+    * (mis-embedded, truncated, or off-distribution inputs sit far from the
+    * mass and poison centroid training). Completes the embedding toolkit
+    * next to [[kmeans]] / `embed_quantize` / `embed_pca_*`.
+    *
+    * Scale shape (100 TB): the corpus NEVER hash-shuffles — the centroid
+    * is a dim-cell partial aggregate ([[recenter]]'s shape), broadcast
+    * back; distances are a map; the mean/sd of the distance distribution
+    * is one scalar aggregate, broadcast back; the z-score is a map. Two
+    * corpus scans of the pinned distance frame, zero wide exchanges.
+    *
+    * Determinism: centroid components micro-round (the [[recenter]]
+    * convention), d2 is the fixed left-to-right [[dist2]] fold rounded to
+    * 1e-9, mean/sd micro-round to integer micros before broadcast — so
+    * both engines compute the z from identical doubles, and the rounded z
+    * compares to the threshold identically. */
+  private def embedOutlier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val mu = e.select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(floor(avg($"x".cast("double")) * 1e6 + 0.5).cast("long").as("m"))
+      .agg(sort_array(collect_list(struct($"pos", $"m"))).as("s"))
+      .select(transform($"s",
+        s => s.getField("m").cast("double") / 1e6).as("mu"))
+    val d = graft.rel.Materialize.pin(
+      e.crossJoin(broadcast(mu))
+        .select($"vec_id", pround(dist2($"embedding", $"mu"), 9).as("d2")))._1
+    val st = d.agg(
+      floor(avg($"d2") * 1e6 + 0.5).cast("long").as("mean_m"),
+      floor(stddev_pop($"d2") * 1e6 + 0.5).cast("long").as("sd_m"))
+    d.crossJoin(broadcast(st))
+      .select($"vec_id", pround($"d2", 6).as("d2"),
+        pround(($"d2" - $"mean_m" / 1e6) / ($"sd_m" / 1e6), 6).as("z"))
+      .withColumn("is_outlier", $"z" >= 2.0)
+      .orderBy($"vec_id")
+  }
+
   /** Power-iteration rounds for [[pcaPower]]. Convergence is geometric in
     * (λ₂/λ₁)ʳ; the fixture's modest eigen-gap leaves ~3% Rayleigh error
     * after 4 rounds (measured), so 8 — rounds touch only the dim²-row
@@ -302,6 +342,7 @@ object Clustering extends QueryModule {
     "embed_pca_power"   -> pcaPower,
     "embed_pca_project" -> pcaProject,
     "embed_kmeans"   -> kmeans,
+    "embed_outlier"  -> embedOutlier,
     "dedup_semantic" -> semanticDedup
   )
 
@@ -411,6 +452,32 @@ object Clustering extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "embed_pca_power" -> pcaOracle,
     "embed_pca_project" -> pcaProjectOracle,
+    "embed_outlier" ->
+      s"""WITH mu AS (
+         |  SELECT list_transform(list(m ORDER BY pos),
+         |                        x -> CAST(x AS DOUBLE) / 1e6) AS mu
+         |  FROM (SELECT t.i AS pos,
+         |          CAST(floor(avg(CAST(embedding[t.i + 1] AS DOUBLE)) * 1e6
+         |                     + 0.5) AS BIGINT) AS m
+         |        FROM embeddings, unnest(range(0, $Dim)) AS t(i)
+         |        GROUP BY t.i)),
+         |d AS (
+         |  SELECT vec_id,
+         |    floor(list_sum(list_transform(range(1, len(embedding) + 1),
+         |        i -> (CAST(embedding[i] AS DOUBLE) - mu.mu[i])
+         |           * (CAST(embedding[i] AS DOUBLE) - mu.mu[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM embeddings CROSS JOIN mu),
+         |st AS (
+         |  SELECT CAST(floor(avg(d2) * 1e6 + 0.5) AS BIGINT) AS mean_m,
+         |         CAST(floor(stddev_pop(d2) * 1e6 + 0.5) AS BIGINT) AS sd_m
+         |  FROM d)
+         |SELECT vec_id, floor(d2 * 1e6 + 0.5) / 1e6 AS d2,
+         |       floor((d2 - mean_m / 1e6) / (sd_m / 1e6) * 1e6 + 0.5) / 1e6 AS z,
+         |       floor((d2 - mean_m / 1e6) / (sd_m / 1e6) * 1e6 + 0.5) / 1e6
+         |         >= 2.0 AS is_outlier
+         |FROM d CROSS JOIN st
+         |ORDER BY vec_id""".stripMargin,
     "embed_kmeans" -> (KmeansCtes +
       """
         |SELECT vec_id, cid AS cluster,

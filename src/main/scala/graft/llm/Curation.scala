@@ -447,6 +447,62 @@ object Curation extends QueryModule {
       .orderBy($"shard")
   }
 
+  /** Deterministic train/val/test SPLIT — the canonical last step before a
+    * corpus ships to training: every doc lands in exactly one of
+    * train (90%) / val (5%) / test (5%) by the same stateless md5-uniform
+    * as [[sampleStratifiedHash]], so the assignment is reproducible across
+    * engines, re-runs, and INCREMENTAL ingests (a doc's split never changes
+    * when new data arrives — the property a seeded `randomSplit` cannot
+    * give, since its assignment depends on partition layout). Reported as
+    * per-split per-lang doc and char counts — the split manifest a
+    * pipeline records next to the shards.
+    *
+    * Scale shape (100 TB): the assignment is a pure map over the scan; the
+    * only shuffle carries split×lang cells (≤15 rows) through a partial
+    * aggregate. */
+  private def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars",
+        when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test")
+          .as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Quality-aware dedup survivor selection — exact-duplicate clusters
+    * (normalized-text hash, the `dedup_text_hash` key) keep their
+    * HIGHEST-QUALITY member instead of the lowest id: real pipelines keep
+    * the best-formatted copy of a duplicated page, not an arbitrary one.
+    * Quality is the INTEGER count of satisfied [[qualityFlags]] (0–4) —
+    * integer scoring keeps the argmax bit-identical cross-engine (no float
+    * ever sits on the keep/drop boundary); ties break on lowest doc_id.
+    * Output: each surviving doc with its score and its cluster's size.
+    *
+    * Scale shape (100 TB): ONE corpus-key shuffle — the hash-partition
+    * window that ranks within clusters (score and hash both compute
+    * map-side in the same scan pass); no join, no second pass. */
+  private def curationKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (lenOk, tokOk, wordOk, digitOk) = qualityFlags($"text")
+    val score = (lenOk.cast("int") + tokOk.cast("int") +
+      wordOk.cast("int") + digitOk.cast("int")).cast("long")
+    val w = Window.partitionBy($"h")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", score.as("q_score"),
+        md5(lower(trim($"text"))).as("h"))
+      .withColumn("n_dups", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn", row_number().over(
+        w.orderBy($"q_score".desc, $"doc_id".asc)))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"q_score", $"n_dups")
+      .orderBy($"doc_id")
+  }
+
   private val DsirBuckets = 8192
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
@@ -509,6 +565,8 @@ object Curation extends QueryModule {
     "sample_temperature"      -> sampleTemperature,
     "sample_domain_mix"       -> sampleDomainMix,
     "sample_stratified_hash"  -> sampleStratifiedHash,
+    "sample_split"            -> sampleSplit,
+    "curation_keep_best"      -> curationKeepBest,
     "text_chunk"              -> textChunk,
     "text_pii_mask"           -> textPiiMask,
     "quality_filter_pipeline" -> qualityFilterPipeline,
@@ -673,6 +731,43 @@ object Curation extends QueryModule {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        / 4294967296.0
         |      < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              / 4294967296.0 < 0.90 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              / 4294967296.0 < 0.95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM s GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+    "curation_keep_best" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, md5(lower(trim(text))) AS h,
+        |    (CASE WHEN len(text) >= 60 AND len(text) <= 520 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(string_split(trim(text), ' ')) >= 15 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(replace(text, ' ', ''))
+        |                   >= len(string_split(trim(text), ' ')) * 2
+        |             AND len(replace(text, ' ', ''))
+        |                   <= len(string_split(trim(text), ' ')) * 12
+        |        THEN 1 ELSE 0 END)
+        |    + (CASE WHEN (len(text)
+        |                  - len(regexp_replace(text, '[0-9]', '', 'g'))) * 10
+        |                 < len(text) * 3 THEN 1 ELSE 0 END) AS q_score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, q_score,
+        |         count(*) OVER (PARTITION BY h) AS n_dups,
+        |         row_number() OVER (PARTITION BY h
+        |                            ORDER BY q_score DESC, doc_id ASC) AS rn
+        |  FROM s)
+        |SELECT doc_id, lang, CAST(q_score AS BIGINT) AS q_score,
+        |       CAST(n_dups AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       """WITH t AS (

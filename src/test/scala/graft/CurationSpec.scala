@@ -27,6 +27,47 @@ class CurationSpec extends SparkSpec {
     assert(enRate > 0.05 && enRate < 0.5, s"en keep rate $enRate")
   }
 
+  test("sample_split: splits partition the corpus at the declared rates") {
+    val rows = SparkEntry.queries("sample_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === total) // exactly one split per doc
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train frac $trainFrac")
+    // char volume is conserved too
+    val chars = Tables.documents(spark, sf).agg(sum($"n_chars")).head.getLong(0)
+    assert(rows.map(_._4).sum === chars)
+  }
+
+  test("curation_keep_best: one survivor per text-hash cluster, max quality wins") {
+    val kept = SparkEntry.queries("curation_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", md5(lower(trim($"text"))).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val clusters = docs.groupBy(_._2)
+    assert(kept.length === clusters.size) // exactly one survivor per cluster
+    assert(kept.map(_._3).sum === docs.length.toLong) // sizes tile the corpus
+    // the survivor's score is the cluster max: no member of the survivor's
+    // cluster may out-score it (scores live on the full quality frame)
+    val scoreOf = Tables.documents(spark, sf).select($"doc_id",
+        (length($"text").between(60, 520).cast("int") +
+         (size(split(trim($"text"), " ")) >= 15).cast("int") +
+         (length(regexp_replace($"text", " ", "")) >= size(split(trim($"text"), " ")) * 2 &&
+          length(regexp_replace($"text", " ", "")) <= size(split(trim($"text"), " ")) * 12).cast("int") +
+         ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * 10 <
+          length($"text") * 3).cast("int")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hOf = docs.toMap
+    for ((id, s, _) <- kept) {
+      assert(s === scoreOf(id), s"doc $id reported score")
+      val clusterMax = clusters(hOf(id)).map(m => scoreOf(m._1)).max
+      assert(s === clusterMax, s"doc $id is not the best of its cluster")
+    }
+  }
+
   test("text_chunk: window/stride geometry and first-chunk reconstruction") {
     val chunks = SparkEntry.queries("text_chunk")(spark, sf)
       .collect()

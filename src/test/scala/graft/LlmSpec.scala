@@ -193,6 +193,23 @@ class LlmSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(2) >= 0d, "squared distance is non-negative"))
   }
 
+  test("embed_outlier: full cover, standardized z, threshold consistent") {
+    val out = SparkEntry.queries("embed_outlier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === n, "one verdict per vector")
+    out.foreach { case (id, d2, z, flag) =>
+      assert(d2 >= 0d, s"vec $id distance")
+      assert(flag === (z >= 2.0), s"vec $id flag/threshold mismatch")
+    }
+    // the z distribution is standardized: mean ~0, at most a few percent
+    // of a roughly-bell-shaped population beyond 2 sigma
+    val zs = out.map(_._3)
+    assert(math.abs(zs.sum / zs.length) < 0.01, "z mean must be ~0")
+    val fracOut = out.count(_._4).toDouble / out.length
+    assert(fracOut < 0.2, s"outlier fraction $fracOut implausibly high")
+  }
+
   test("text_contamination: benchmark docs excluded; hits bounded by gram count") {
     val out = SparkEntry.queries("text_contamination")(spark, sf).collect()
     out.foreach { r =>

@@ -135,6 +135,44 @@ class PlanSpec extends SparkSpec {
       s"corpus must not hash-shuffle (found $hashExchanges exchanges): $plan")
   }
 
+  test("sample_split assigns map-side; only split-lang cells shuffle") {
+    // the split assignment is a pure projection over the scan; the single
+    // hash exchange carries the ≤15 split×lang partial-agg cells.
+    val plan = executed("sample_split")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"corpus must not hash-shuffle beyond the cell agg: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"cell agg must run partial+final: $plan")
+  }
+
+  test("curation_keep_best ranks clusters in ONE corpus-key shuffle") {
+    // score + hash compute in the scan pass; the only hash exchange is the
+    // cluster window's partition. A join or second exchange means the
+    // score attach stopped fusing.
+    val plan = executed("curation_keep_best")
+    assert(plan.contains("Window"), s"cluster ranking must be a window: $plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"keep-best must shuffle the corpus exactly once: $plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join belongs in this plan: $plan")
+  }
+
+  test("embed_outlier broadcasts centroid and stats; corpus never hash-shuffles beyond dim cells") {
+    // centroid = dim-cell partial agg (the one allowed hash exchange);
+    // mean/sd = scalar agg (single-partition exchange); both attach back
+    // by broadcast. Any second hashpartitioning means the distance or
+    // z-score pass stopped being map-side.
+    spark.sharedState.cacheManager.clearCache()
+    val plan = executed("embed_outlier")
+    val hashExchanges = "Exchange hashpartitioning\\([^\\n]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(hashExchanges <= 1,
+      s"only the dim-cell centroid agg may hash-shuffle ($hashExchanges): $plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"),
+      s"centroid/stats must attach by broadcast: $plan")
+  }
+
   test("embed_kmeans broadcasts centroids and assigns via aggregate argmin (no Window over vectors)") {
     // both Lloyd iterations must attach centroids as a broadcast (k·dim
     // doubles) and pick the nearest via min(struct(d2,cid)) — a hash

@@ -289,7 +289,52 @@ object Graph extends QueryModule {
       .orderBy($"side", $"deg")
   }
 
+  private val LinkFocusN = 50
+
+  /** Common-neighbor LINK PREDICTION over the bipartite trade graph: for
+    * every pair of FOCUS customers (top-[[LinkFocusN]] by supplier
+    * degree, deterministic ties to the lowest key), the number of shared
+    * suppliers and the neighbor-set Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| —
+    * the classical link-prediction / node-similarity score
+    * (Liben-Nowell & Kleinberg 2003) and the relational form of a
+    * "customers who buy from the same suppliers" recommender.
+    *
+    * Scale shape (100 TB): the full wedge expansion Σ_s deg(s)² is the
+    * known quadratic of common-neighbor scoring, so the pair space is
+    * BOUNDED UP FRONT by the focus set — the standard production move
+    * (score a candidate/query set, not all pairs; the same
+    * bounded-candidate discipline as the LSH dedups). Degrees and the
+    * focus set reduce from one distinct edge pass; focus membership
+    * broadcasts back as a semi-filter, so the wedge join runs over
+    * ≤ focus×suppliers edges — candidates from an EQUI-join on the
+    * shared-supplier key, never a cross product. Jaccard needs no
+    * second corpus pass: |N(a)∪N(b)| = deg(a)+deg(b)−common from the
+    * already-reduced degree frame (full-graph degrees, broadcast). */
+  private def linkPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      .distinct()
+    val focus = Materialize.once(
+      p.groupBy($"c").agg(count(lit(1)).as("deg"))
+        .orderBy($"deg".desc, $"c".asc).limit(LinkFocusN))
+    val fe = p.join(broadcast(focus.select($"c")), Seq("c"))
+    val pairs = fe.select($"c".as("c1"), $"s")
+      .join(fe.select($"c".as("c2"), $"s"), Seq("s"))
+      .filter($"c1" < $"c2")
+      .groupBy($"c1", $"c2").agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(focus.select($"c".as("c1"), $"deg".as("deg1"))), Seq("c1"))
+      .join(broadcast(focus.select($"c".as("c2"), $"deg".as("deg2"))), Seq("c2"))
+      .select($"c1", $"c2", $"common",
+        pround($"common".cast("double") / ($"deg1" + $"deg2" - $"common"), 6)
+          .as("jaccard"))
+      .orderBy($"c1", $"c2")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_predict" -> linkPredict,
     "graph_degree_hist" -> degreeHist,
     "graph_pagerank" -> pagerank,
     "graph_triangle_count" -> triangleCount,
@@ -332,6 +377,20 @@ object Graph extends QueryModule {
            |            ELSE 's' || CAST((lbl - 1) // 2 AS BIGINT) END AS community
            |FROM l$LpaRounds ORDER BY node""".stripMargin
     },
+    "graph_link_predict" ->
+      s"""WITH p AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY c),
+         |focus AS (SELECT c, deg FROM deg ORDER BY deg DESC, c ASC
+         |          LIMIT $LinkFocusN),
+         |fe AS (SELECT p.c, p.s FROM p JOIN focus USING (c)),
+         |w AS (SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS common
+         |      FROM fe a JOIN fe b ON a.s = b.s AND a.c < b.c GROUP BY 1, 2)
+         |SELECT w.c1, w.c2, w.common,
+         |       floor(CAST(w.common AS DOUBLE) / (d1.deg + d2.deg - w.common)
+         |             * 1e6 + 0.5) / 1e6 AS jaccard
+         |FROM w JOIN focus d1 ON d1.c = w.c1 JOIN focus d2 ON d2.c = w.c2
+         |ORDER BY c1, c2""".stripMargin,
     "graph_degree_hist" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a, l_suppkey AS b
         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -236,7 +236,52 @@ object TimeSeries extends QueryModule {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** CUSUM changepoint detection (Page 1954) over the daily mean series
+    * per event type — the classical sequential drift detector a
+    * monitoring pipeline runs on metric series (and a data pipeline runs
+    * on per-shard quality metrics to catch ingest regressions). Positive
+    * CUSUM with slack k = σ/2 and decision threshold h = 5σ, the
+    * textbook parameterization.
+    *
+    * The recurrence S_i = max(0, S_{i-1} + d_i) looks inherently
+    * sequential, but has an exact closed form over prefix sums:
+    * with P_i = Σ_{j≤i} d_j,  S_i = P_i − min(0, min_{j≤i} P_j) —
+    * a window prefix SUM plus a running MIN, both single-pass window
+    * functions. No recursion, no per-row iteration, no collect.
+    *
+    * Scale shape (100 TB): facts partial-aggregate to type×day cells
+    * (the only corpus-sized pass); per-type stats reduce those cells and
+    * broadcast back; the two stacked windows share one hash partition on
+    * event_type over the day-cell frame. Everything after the first
+    * aggregate is proportional to types × days, not events.
+    *
+    * Determinism: daily means and per-type mean/σ micro-round to BIGINT
+    * micros (the [[tsEwma]]-family convention); from there the slack
+    * subtraction, prefix sums, running min, and threshold compare are
+    * ALL exact integer arithmetic — accumulation order cannot perturb a
+    * bit, and no float ever sits on the change/no-change boundary. */
+  private def tsCusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(floor(avg($"value") * 1e6 + 0.5).cast("long").as("x_m"))
+    val stats = daily.groupBy($"event_type")
+      .agg(floor(avg($"x_m") + 0.5).cast("long").as("mu_m"),
+        floor(stddev_pop($"x_m") + 0.5).cast("long").as("sd_m"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("d_m", $"x_m" - $"mu_m" - floor($"sd_m" / 2).cast("long"))
+      .withColumn("p_m", sum($"d_m").over(w))
+      .withColumn("s_m", $"p_m" - least(lit(0L), min($"p_m").over(w)))
+      .select($"event_type", $"day",
+        ($"x_m" / 1e6).as("daily_avg"),
+        ($"s_m" / 1e6).as("cusum"),
+        ($"s_m" > $"sd_m" * 5).as("is_change"))
+      .orderBy($"event_type", $"day")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "ts_cusum_changepoint" -> tsCusumChangepoint,
     "ts_interpolate_linear" -> tsInterpolateLinear,
     "ts_mad_outlier"      -> tsMadOutlier,
     "ts_gapfill"          -> tsGapfill,
@@ -249,6 +294,30 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "ts_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(floor(avg(value) * 1e6 + 0.5) AS BIGINT) AS x_m
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(floor(avg(x_m) + 0.5) AS BIGINT) AS mu_m,
+        |         CAST(floor(stddev_pop(x_m) + 0.5) AS BIGINT) AS sd_m
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT daily.event_type, day, x_m, mu_m, sd_m,
+        |         x_m - mu_m - CAST(floor(sd_m / 2) AS BIGINT) AS d_m
+        |  FROM daily JOIN stats USING (event_type)),
+        |p AS (
+        |  SELECT *, sum(d_m) OVER (PARTITION BY event_type ORDER BY day) AS p_m
+        |  FROM d),
+        |s AS (
+        |  SELECT *, p_m - least(0, min(p_m) OVER (PARTITION BY event_type
+        |                                          ORDER BY day)) AS s_m
+        |  FROM p)
+        |SELECT event_type, day, x_m / 1e6 AS daily_avg, s_m / 1e6 AS cusum,
+        |       s_m > sd_m * 5 AS is_change
+        |FROM s ORDER BY event_type, day""".stripMargin,
     "ts_interpolate_linear" ->
       """WITH known AS (
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,

@@ -99,6 +99,40 @@ class AdvancedSqlSpec extends SparkSpec {
       }
   }
 
+  test("ts_cusum_changepoint matches the naive sequential recurrence") {
+    import spark.implicits._
+    // the query computes S via the closed form P_i - min(0, min_j P_j);
+    // replay the textbook recurrence S_i = max(0, S_{i-1} + d_i) in plain
+    // scala over the same integer-micro inputs and demand exact agreement
+    val out = SparkEntry.queries("ts_cusum_changepoint")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3),
+        r.getBoolean(4)))
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(floor(avg($"value") * 1e6 + 0.5).cast("long").as("x_m"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    for ((tpe, series) <- daily.groupBy(_._1)) {
+      val xs = series.sortBy(_._2).map(x => (x._2, x._3))
+      val mu = math.floor(xs.map(_._2).sum.toDouble / xs.length + 0.5).toLong
+      val sd = math.floor(math.sqrt(
+        xs.map(x => math.pow((x._2 - mu).toDouble, 2)).sum / xs.length) + 0.5).toLong
+      var s = 0L
+      val expect = xs.map { case (day, x) =>
+        s = math.max(0L, s + (x - mu - sd / 2))
+        (day, s)
+      }.toMap
+      out.filter(_._1 == tpe).foreach { case (_, day, cusum, flag) =>
+        // sd micro-rounds off avg/stddev_pop floats; the naive replay can
+        // land one micro off on mu/sd, shifting S by at most days*1 micros
+        assert(math.abs(cusum * 1e6 - expect(day)) <= 2L * xs.length + 2,
+          s"$tpe $day: closed form ${cusum * 1e6} vs recurrence ${expect(day)}")
+        assert(cusum >= 0.0, s"$tpe $day: CUSUM is non-negative by construction")
+        if (flag) assert(cusum * 1e6 > 4L * sd,
+          s"$tpe $day: flagged below threshold")
+      }
+    }
+  }
+
   test("ts_gapfill emits a dense day*type grid with zero-filled gaps") {
     import spark.implicits._
     val out = SparkEntry.queries("ts_gapfill")(spark, sf)

@@ -39,4 +39,31 @@ class GraphSpec extends SparkSpec {
   test("disjoint triangle + dangling edge counts one") {
     assert(count(Seq((0L, 1L), (1L, 2L), (0L, 2L), (5L, 6L))) === 1L)
   }
+
+  test("graph_link_predict: focus-bounded pairs, exact common/Jaccard vs brute force") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("graph_link_predict")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty && out.size <= 50 * 49 / 2, "pair space must be focus-bounded")
+    // brute-force ground truth over the same bipartite graph
+    val adj = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val focus = adj.toSeq.map { case (c, ns) => (c, ns.size) }
+      .sortBy { case (c, d) => (-d, c) }.take(50).map(_._1).toSet
+    for (((c1, c2), (common, jac)) <- out) {
+      assert(c1 < c2 && focus(c1) && focus(c2), s"pair ($c1,$c2) outside focus")
+      val inter = (adj(c1) & adj(c2)).size.toLong
+      val union = (adj(c1) | adj(c2)).size.toLong
+      assert(common === inter, s"($c1,$c2) common")
+      assert(math.abs(jac - inter.toDouble / union) < 1e-6, s"($c1,$c2) jaccard")
+    }
+    // completeness: every focus pair with a shared supplier is reported
+    val expected = focus.toSeq.sorted.combinations(2)
+      .count { case Seq(a, b) => (adj(a) & adj(b)).nonEmpty }
+    assert(out.size === expected, "missing focus pairs with shared suppliers")
+  }
 }

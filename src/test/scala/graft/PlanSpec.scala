@@ -173,6 +173,28 @@ class PlanSpec extends SparkSpec {
       s"centroid/stats must attach by broadcast: $plan")
   }
 
+  test("ts_cusum_changepoint: stats broadcast back; CUSUM is windows, not recursion") {
+    // the closed form needs only stacked windows over the day-cell frame;
+    // the per-type stats attach by broadcast. A SortMergeJoin would mean
+    // the stats join regressed to shuffling the cells; any non-window
+    // recurrence shape would show as extra exchanges.
+    val plan = executed("ts_cusum_changepoint")
+    assert(plan.contains("Window"), s"prefix sum/min must be windows: $plan")
+    assert(plan.contains("BroadcastHashJoin"), s"stats must broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"cells must not shuffle to meet stats: $plan")
+  }
+
+  test("graph_link_predict: wedge candidates from an equi-join, focus by broadcast") {
+    // pairs must come from the shared-supplier hash join over the
+    // focus-filtered edges — never a nested-loop/cartesian pair
+    // enumeration; focus membership and degrees are ≤50-row broadcasts.
+    val plan = executed("graph_link_predict")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedges must come from the supplier equi-join: $plan")
+    assert(plan.contains("BroadcastHashJoin"), s"focus set must broadcast: $plan")
+  }
+
   test("embed_kmeans broadcasts centroids and assigns via aggregate argmin (no Window over vectors)") {
     // both Lloyd iterations must attach centroids as a broadcast (k·dim
     // doubles) and pick the nearest via min(struct(d2,cid)) — a hash

@@ -338,7 +338,42 @@ object Clustering extends QueryModule {
     (cent, fin)
   }
 
+  /** Cluster-vs-label agreement (purity) of the [[assignments]] k-means
+    * run against the fixture's ground-truth `label` column — the
+    * clustering-quality eval a pipeline runs before trusting a clustering
+    * for SemDeDup/IVF/sampling decisions (purity ≈ 1/k means the
+    * clustering learned nothing; labels here are the generator's mixture
+    * ids, so this doubles as the fixture's sanity check). Per cluster:
+    * size, majority label (ties → lowest label id), and purity =
+    * majority count / size.
+    *
+    * Scale shape (100 TB): the label attach is ONE equi-join on the
+    * primary key (vec_id) against the same corpus the assignment read —
+    * co-partitioned under AQE; everything after reduces to (cluster ×
+    * label) cells, then k rows. The majority pick is an AGGREGATE argmax
+    * (`max(struct(n, -label))`), not a window — no per-cluster sort.
+    * Purity is one double division of exact BIGINTs — identical bits
+    * cross-engine. */
+  private def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lab = Tables.embeddings(spark, sfDir).select($"vec_id", $"label")
+    val cells = assignments(spark, sfDir)
+      .select($"vec_id", $"cid")
+      .join(lab, Seq("vec_id"))
+      .groupBy($"cid", $"label")
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy($"cid")
+      .agg(sum($"n").as("n_vecs"),
+        max(struct($"n".as("n"), (-$"label").as("nl"))).as("top"))
+      .select($"cid".as("cluster"), $"n_vecs",
+        (-$"top.nl").as("majority_label"),
+        $"top.n".as("n_majority"),
+        pround($"top.n".cast("double") / $"n_vecs", 6).as("purity"))
+      .orderBy($"cluster")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "embed_cluster_purity" -> clusterPurity,
     "embed_pca_power"   -> pcaPower,
     "embed_pca_project" -> pcaProject,
     "embed_kmeans"   -> kmeans,
@@ -450,6 +485,19 @@ object Clustering extends QueryModule {
          |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "embed_cluster_purity" -> (KmeansCtes +
+      """,
+        |cells AS (SELECT a2.cid, e2.label, count(*) AS n
+        |          FROM a2 JOIN embeddings e2 USING (vec_id) GROUP BY 1, 2),
+        |tt AS (SELECT cid, sum(n) AS n_vecs FROM cells GROUP BY 1),
+        |tp AS (SELECT cid, n, label FROM (
+        |  SELECT cid, n, label,
+        |         row_number() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+        |  FROM cells) WHERE rn = 1)
+        |SELECT tt.cid AS cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |       tp.label AS majority_label, CAST(tp.n AS BIGINT) AS n_majority,
+        |       floor(CAST(tp.n AS DOUBLE) / n_vecs * 1e6 + 0.5) / 1e6 AS purity
+        |FROM tt JOIN tp USING (cid) ORDER BY cluster""".stripMargin),
     "embed_pca_power" -> pcaOracle,
     "embed_pca_project" -> pcaProjectOracle,
     "embed_outlier" ->

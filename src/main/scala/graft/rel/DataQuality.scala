@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,12 +105,96 @@ object DataQuality extends QueryModule {
       .orderBy($"rule")
   }
 
+  /** Distribution-drift monitor: Population Stability Index, KL
+    * divergence, and total-variation distance of each event type's
+    * `value` distribution between the first and second half of the
+    * table's time span — the gate a training pipeline runs per ingest
+    * batch before letting new data into a shard mix (PSI ≥ 0.2 is the
+    * classic "significant shift" rule from credit-risk scorecard
+    * monitoring). Fixed 10-wide bins over the domain [0, 1000) plus
+    * under/overflow bins; Laplace-smoothed proportions
+    * p_i = (n_i + ½)/(N + ½·B) so empty-on-one-side bins contribute a
+    * finite, defined penalty instead of ±∞.
+    *
+    * Scale shape (100 TB): ONE corpus scan — the time midpoint is a
+    * 1-row min/max aggregate broadcast back; side + bin assignment are
+    * map-local; the scan partial-aggregates straight to
+    * (type × bin × {ref,cur}) cells, so the shuffle is bounded by the
+    * bin grid (≤ types·12 rows), never by events. The divergence math
+    * runs on the bounded cell frame (a broadcast self-join of two tiny
+    * aggregates).
+    *
+    * Determinism: bin counts and totals are exact BIGINTs, so p/q are
+    * identical doubles cross-engine; ln differs by ≤1 ulp between
+    * libm/JDK and the ≤12-term sums by a few ulps — absorbed by the
+    * 1e-6 rounding (the agg_stats convention). */
+  private def dqDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .filter($"value".isNotNull)
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+    val mid = e.agg((floor((min($"ts_us") + max($"ts_us")) / 2))
+      .cast("long").as("mid_us"))
+    val binned = e.crossJoin(broadcast(mid))
+      .select($"event_type",
+        ($"ts_us" < $"mid_us").as("is_ref"),
+        when($"value" < 0, 0L)
+          .when($"value" >= 1000, 11L)
+          .otherwise(floor($"value" / 100).cast("long") + 1).as("bucket"))
+    val cells = binned.groupBy($"event_type", $"bucket")
+      .agg(count_if($"is_ref").as("rn"), count_if(!$"is_ref").as("cn"))
+    val totals = cells.groupBy($"event_type")
+      .agg(sum($"rn").as("r_tot"), sum($"cn").as("c_tot"),
+        count(lit(1)).as("n_bins"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("p", ($"rn" + 0.5) / ($"r_tot" + $"n_bins" * 0.5))
+      .withColumn("q", ($"cn" + 0.5) / ($"c_tot" + $"n_bins" * 0.5))
+      .groupBy($"event_type")
+      .agg(
+        first($"r_tot").as("n_ref"), first($"c_tot").as("n_cur"),
+        pround(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"),
+        pround(sum($"p" * log($"p" / $"q")), 6).as("kl"),
+        pround(sum(abs($"p" - $"q")) * 0.5, 6).as("tvd"))
+      .withColumn("drifted", $"psi" >= 0.2)
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "dq_profile"     -> dqProfile,
-    "dq_constraints" -> dqConstraints
+    "dq_constraints" -> dqConstraints,
+    "dq_drift_psi"   -> dqDriftPsi
   )
 
   override def oracles: Map[String, String] = Map(
+    "dq_drift_psi" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT CAST(floor((min(ts_us) + max(ts_us)) / 2) AS BIGINT)
+        |        AS mid_us FROM e),
+        |b AS (SELECT event_type, ts_us < mid_us AS is_ref,
+        |        CASE WHEN value < 0 THEN 0 WHEN value >= 1000 THEN 11
+        |             ELSE CAST(floor(value / 100) AS BIGINT) + 1 END AS bucket
+        |      FROM e CROSS JOIN m),
+        |cells AS (SELECT event_type, bucket,
+        |        count(*) FILTER (WHERE is_ref) AS rn,
+        |        count(*) FILTER (WHERE NOT is_ref) AS cn
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(rn) AS r_tot, sum(cn) AS c_tot,
+        |        count(*) AS n_bins
+        |      FROM cells GROUP BY 1),
+        |pq AS (SELECT cells.event_type,
+        |         (rn + 0.5::DOUBLE) / (r_tot + 0.5::DOUBLE * n_bins) AS p,
+        |         (cn + 0.5::DOUBLE) / (c_tot + 0.5::DOUBLE * n_bins) AS q,
+        |         r_tot, c_tot
+        |       FROM cells JOIN t USING (event_type))
+        |SELECT event_type,
+        |  CAST(max(r_tot) AS BIGINT) AS n_ref,
+        |  CAST(max(c_tot) AS BIGINT) AS n_cur,
+        |  floor(sum((p - q) * ln(p / q)) * 1e6 + 0.5) / 1e6 AS psi,
+        |  floor(sum(p * ln(p / q)) * 1e6 + 0.5) / 1e6 AS kl,
+        |  floor(sum(abs(p - q)) * 0.5 * 1e6 + 0.5) / 1e6 AS tvd,
+        |  floor(sum((p - q) * ln(p / q)) * 1e6 + 0.5) / 1e6 >= 0.2 AS drifted
+        |FROM pq GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dq_profile" ->
       """WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
         |SELECT 'event_id' AS col,

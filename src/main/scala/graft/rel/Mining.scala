@@ -55,6 +55,8 @@ object Mining extends QueryModule {
   private val MinItemSupport = 25L
   private val MinPairSupport = 2L
 
+  private val MinConfidence = 0.08
+
   private def frequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     frequentPairsOf(
@@ -63,10 +65,64 @@ object Mining extends QueryModule {
       MinItemSupport, MinPairSupport)
   }
 
+  /** Association rules (the second A-Priori stage, Agrawal/Srikant
+    * VLDB'94 §1.1): each frequent pair {a, b} yields BOTH directed rules
+    * a⇒b and b⇒a with confidence = support({a,b}) / support(antecedent),
+    * kept when confidence ≥ [[MinConfidence]]. Lift is direction-free and
+    * shared with [[frequentPairs]].
+    *
+    * 100-TB shape: IDENTICAL to the pair mine (the rule expansion is a
+    * map-only 2× of the already-threshold-bounded pair set — no new
+    * shuffle, no new scan); confidence/lift derive from the supports the
+    * pair pass already carries, so no join back to the item table.
+    * Confidence is one double division of exact BIGINT counts → identical
+    * bits cross-engine; no rounding tolerance needed, but pround(6) keeps
+    * the hash-compare convention. */
+  private def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    assocRulesOf(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct(),
+      MinItemSupport, MinPairSupport, MinConfidence)
+  }
+
+  /** Rule derivation over [[pairSupportsOf]] — package-visible so tests
+    * can drive basket sets with known confidence structure. */
+  private[graft] def assocRulesOf(basketsRaw: DataFrame, minItem: Long,
+      minPair: Long, minConf: Double): DataFrame = {
+    import basketsRaw.sparkSession.implicits._
+    pairSupportsOf(basketsRaw, minItem, minPair)
+      .select(explode(array(
+        struct($"p1".as("antecedent"), $"p2".as("consequent"),
+          $"support", $"c1".as("ca"), $"c2".as("cc"), $"n_baskets"),
+        struct($"p2".as("antecedent"), $"p1".as("consequent"),
+          $"support", $"c2".as("ca"), $"c1".as("cc"), $"n_baskets"))).as("r"))
+      .select($"r.*")
+      .withColumn("confidence", $"support".cast("double") / $"ca")
+      .filter($"confidence" >= minConf)
+      .select($"antecedent", $"consequent",
+        $"support".cast("bigint").as("support"),
+        pround($"confidence", 6).as("confidence"),
+        pround($"support" * $"n_baskets" / ($"ca" * $"cc"), 6).as("lift"))
+      .orderBy($"antecedent", $"consequent")
+  }
+
   /** A-Priori pair mining over canonical (basket, item)-distinct rows.
     * Package-visible so tests can drive basket sets with known frequent
     * pairs. Output: (p1, p2, support, lift), totally ordered. */
   private[graft] def frequentPairsOf(
+      basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame = {
+    import basketsRaw.sparkSession.implicits._
+    pairSupportsOf(basketsRaw, minItem, minPair)
+      .select($"p1", $"p2", $"support".cast("bigint").as("support"),
+        pround($"support" * $"n_baskets" / ($"c1" * $"c2"), 6).as("lift"))
+      .orderBy($"p1", $"p2")
+  }
+
+  /** Shared pair-support trajectory (both mining queries compose from it,
+    * so pairs and rules provably use the SAME supports): columns
+    * (p1, p2, support, c1, c2, n_baskets), p1 < p2, thresholds applied. */
+  private def pairSupportsOf(
       basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame = {
     val spark = basketsRaw.sparkSession
     import spark.implicits._
@@ -91,31 +147,52 @@ object Mining extends QueryModule {
       .filter($"support" >= minPair)
     val nb = baskets.agg(countDistinct($"ok").as("n_baskets"))
     sup.crossJoin(broadcast(nb))
-      .select($"p1", $"p2", $"support".cast("bigint").as("support"),
-        pround($"support" * $"n_baskets" / ($"c1" * $"c2"), 6).as("lift"))
-      .orderBy($"p1", $"p2")
   }
 
   override def queries: Map[String, QueryFn] = Map(
-    "mine_frequent_pairs" -> frequentPairs
+    "mine_frequent_pairs" -> frequentPairs,
+    "mine_assoc_rules"    -> assocRules
   )
 
+  /** Shared pair-support CTE prefix ending in `s` (p1, p2, support, c1,
+    * c2) and `n` (nb) — both oracles compose from it, mirroring
+    * [[pairSupportsOf]]. `s` is MATERIALIZED: the rules oracle references
+    * it twice (one scan per direction), and DuckDB's CTE inlining would
+    * re-evaluate the basket self-join per reference (the round-6
+    * embed_pca_power lesson). */
+  private val PairSupportCtes: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+       |           FROM lineitem),
+       |i AS (SELECT p, count(*) AS c FROM b GROUP BY 1
+       |      HAVING count(*) >= $MinItemSupport),
+       |pb AS (SELECT b.ok, b.p, i.c FROM b JOIN i USING (p)),
+       |pr AS (SELECT x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2
+       |       FROM pb x JOIN pb y ON x.ok = y.ok AND x.p < y.p),
+       |s AS MATERIALIZED (
+       |      SELECT p1, p2, count(*) AS support,
+       |             max(c1) AS c1, max(c2) AS c2
+       |      FROM pr GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport),
+       |n AS (SELECT count(DISTINCT ok) AS nb FROM b)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    "mine_frequent_pairs" ->
-      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-         |           FROM lineitem),
-         |i AS (SELECT p, count(*) AS c FROM b GROUP BY 1
-         |      HAVING count(*) >= $MinItemSupport),
-         |pb AS (SELECT b.ok, b.p, i.c FROM b JOIN i USING (p)),
-         |pr AS (SELECT x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2
-         |       FROM pb x JOIN pb y ON x.ok = y.ok AND x.p < y.p),
-         |s AS (SELECT p1, p2, count(*) AS support,
-         |             max(c1) AS c1, max(c2) AS c2
-         |      FROM pr GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport),
-         |n AS (SELECT count(DISTINCT ok) AS nb FROM b)
-         |SELECT p1, p2, CAST(support AS BIGINT) AS support,
-         |       floor(support * nb * 1.0 / (c1 * c2) * 1e6 + 0.5) / 1e6
+    "mine_frequent_pairs" -> (PairSupportCtes +
+      """
+        |SELECT p1, p2, CAST(support AS BIGINT) AS support,
+        |       floor(support * nb * 1.0 / (c1 * c2) * 1e6 + 0.5) / 1e6
+        |         AS lift
+        |FROM s CROSS JOIN n ORDER BY p1, p2""".stripMargin),
+    "mine_assoc_rules" -> (PairSupportCtes +
+      s""",
+         |r AS (SELECT p1 AS antecedent, p2 AS consequent, support,
+         |             c1 AS ca, c2 AS cc FROM s
+         |      UNION ALL
+         |      SELECT p2, p1, support, c2, c1 FROM s)
+         |SELECT antecedent, consequent, CAST(support AS BIGINT) AS support,
+         |       floor(support * 1.0 / ca * 1e6 + 0.5) / 1e6 AS confidence,
+         |       floor(support * nb * 1.0 / (ca * cc) * 1e6 + 0.5) / 1e6
          |         AS lift
-         |FROM s CROSS JOIN n ORDER BY p1, p2""".stripMargin
+         |FROM r CROSS JOIN n
+         |WHERE support * 1.0 / ca >= $MinConfidence
+         |ORDER BY antecedent, consequent""".stripMargin)
   )
 }

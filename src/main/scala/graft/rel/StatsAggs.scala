@@ -144,7 +144,41 @@ object StatsAggs extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Shannon entropy (nats), normalized entropy, and Gini impurity of
+    * each source's language distribution over `documents` — the
+    * label-balance diagnostics a training pipeline computes per corpus
+    * slice before fixing a sampling mix (a near-zero entropy source is
+    * monolingual; Gini is the same signal with cheaper arithmetic and a
+    * bounded [0, 1−1/k] range).
+    *
+    * Scale shape (100 TB): facts partial-aggregate to (source × lang)
+    * cells in one pass; the divergence math runs on that bounded cell
+    * frame (second groupBy over ≤ sources·langs rows). Proportions are
+    * exact-BIGINT count ratios, so cross-engine drift is confined to ln
+    * ulps under the 1e-6 rounding (the [[aggStats]] convention). */
+  private def aggEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy($"source")
+      .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_langs"))
+    cells.join(broadcast(totals), Seq("source"))
+      .withColumn("p", $"n".cast("double") / $"n_docs")
+      .groupBy($"source")
+      .agg(
+        first($"n_docs").as("n_docs"),
+        first($"n_langs").as("n_langs"),
+        pround(-sum($"p" * log($"p")), 6).as("entropy"),
+        pround(when(first($"n_langs") > 1,
+          -sum($"p" * log($"p")) / log(first($"n_langs").cast("double"))), 6)
+          .as("entropy_norm"),
+        pround(lit(1.0) - sum($"p" * $"p"), 6).as("gini"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "agg_entropy"      -> aggEntropy,
     "agg_bool"         -> aggBool,
     "agg_stats"        -> aggStats,
     "agg_skew_kurt"    -> aggSkewKurt,
@@ -157,6 +191,23 @@ object StatsAggs extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_entropy" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n) AS n_docs, count(*) AS n_langs
+        |      FROM cells GROUP BY 1),
+        |p AS (SELECT cells.source, CAST(n AS DOUBLE) / n_docs AS p,
+        |             n_docs, n_langs
+        |      FROM cells JOIN t USING (source))
+        |SELECT source,
+        |  CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(max(n_langs) AS BIGINT) AS n_langs,
+        |  floor(-sum(p * ln(p)) * 1e6 + 0.5) / 1e6 AS entropy,
+        |  CASE WHEN max(n_langs) > 1 THEN
+        |    floor(-sum(p * ln(p)) / ln(CAST(max(n_langs) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS entropy_norm,
+        |  floor((1 - sum(p * p)) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "agg_bool" ->
       """SELECT event_type,
         |  count(*) FILTER (WHERE value > 100) AS n_big,

@@ -280,7 +280,58 @@ object TimeSeries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  private val AcfMaxLag = 7
+
+  /** Sample autocorrelation function of the daily event-count series at
+    * lags 1..[[AcfMaxLag]] (Box–Jenkins r_k, the unadjusted estimator:
+    * lagged covariance over the pairs divided by the full-series
+    * variance) — the seasonality/trend diagnostic a pipeline runs on any
+    * ingest-volume series before alerting on it (a strong lag-7 spike =
+    * weekly cycle; slow decay = trend — pick detectors accordingly).
+    *
+    * Scale shape (100 TB): the ONLY corpus-sized pass is the daily
+    * partial+final count; everything after is proportional to calendar
+    * days (the [[tsCusumChangepoint]] regime) — the unpartitioned lead
+    * window runs over a days-bounded frame, never over facts. Lags
+    * expand map-side (explode of a k-struct array), then one bounded
+    * groupBy(lag).
+    *
+    * Determinism: the series is INTEGER counts, so every aggregate the
+    * estimator needs (Σx, Σx², Σx·y per lag) is exact BIGINT and the
+    * mean never materializes as a float — r_k clears denominators to
+    * r_k = [n²P_k − nS(A_k+B_k) + (n−k)S²] / (n(nQ − S²)), one double
+    * division of exact integers at the very end, identical bits in both
+    * engines. (At extreme daily volumes the BIGINT products need the
+    * counts downscaled or DECIMAL(38) — the day-bounded structure is
+    * unchanged.) */
+  private def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy($"day".asc)
+    val withLeads = (1 to AcfMaxLag).foldLeft(daily)((d, k) =>
+      d.withColumn(s"y$k", lead($"x", k).over(w)))
+    val pairs = withLeads
+      .select(explode(array((1 to AcfMaxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), $"x", col(s"y$k").as("y"))): _*)).as("p"))
+      .select($"p.*")
+      .filter($"y".isNotNull)
+    val glob = daily.agg(count(lit(1)).as("n"), sum($"x").as("s"),
+      sum($"x" * $"x").as("q"))
+    pairs.groupBy($"lag")
+      .agg(sum($"x" * $"y").as("pk"), sum($"x").as("ak"), sum($"y").as("bk"))
+      .crossJoin(broadcast(glob))
+      .select($"lag",
+        pround(
+          ($"n" * $"n" * $"pk" - $"n" * $"s" * ($"ak" + $"bk") +
+            ($"n" - $"lag") * $"s" * $"s").cast("double") /
+            ($"n" * ($"n" * $"q" - $"s" * $"s")).cast("double"), 6).as("acf"))
+      .orderBy($"lag")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "ts_autocorr"          -> tsAutocorr,
     "ts_cusum_changepoint" -> tsCusumChangepoint,
     "ts_interpolate_linear" -> tsInterpolateLinear,
     "ts_mad_outlier"      -> tsMadOutlier,
@@ -293,7 +344,29 @@ object TimeSeries extends QueryModule {
     "ts_ewma"             -> tsEwma
   )
 
+  /** Mirrors [[tsAutocorr]]: `l` is MATERIALIZED because the per-lag
+    * UNION references it [[AcfMaxLag]] times (the CTE-inlining lesson). */
+  private def acfOracle: String = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(k => s"lead(x, $k) OVER (ORDER BY day) AS y$k").mkString(", ")
+    val unions = (1 to AcfMaxLag)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS lag, x, y$k AS y FROM l WHERE y$k IS NOT NULL")
+      .mkString("\n      UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1),
+       |g AS (SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q FROM daily),
+       |l AS MATERIALIZED (SELECT day, x, $lagCols FROM daily),
+       |p AS ($unions),
+       |a AS (SELECT lag, sum(x * y) AS pk, sum(x) AS ak, sum(y) AS bk
+       |      FROM p GROUP BY 1)
+       |SELECT lag,
+       |  floor(CAST(n * n * pk - n * s * (ak + bk) + (n - lag) * s * s AS DOUBLE)
+       |        / CAST(n * (n * q - s * s) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf
+       |FROM a CROSS JOIN g ORDER BY lag""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "ts_autocorr" -> acfOracle,
     "ts_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -34,7 +34,9 @@ object ExplainDump {
     "mine_frequent_pairs", "cdc_derive_changes", "join_asof_native",
     "embed_pca_power", "embed_pca_project", "graph_label_propagation",
     "sim_ann_recall_eval", "text_segment_dedup", "sim_ann_ivf_pq",
-    "graph_degree_hist", "dedup_lsh_candidate_eval", "sim_ann_ivf_cell_stats")
+    "graph_degree_hist", "dedup_lsh_candidate_eval", "sim_ann_ivf_cell_stats",
+    "mine_assoc_rules", "ts_autocorr", "dq_drift_psi", "agg_entropy",
+    "embed_cluster_purity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -56,6 +56,31 @@ class MiningSpec extends SparkSpec {
     assert(m((3L, 4L))._2 === 0.666667)
   }
 
+  private def rules(baskets: Seq[(Long, Long)], minConf: Double) =
+    Mining.assocRulesOf(baskets.toDF("ok", "p"), 1L, 1L, minConf)
+      .collect()
+      .map(r => ((r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")),
+        (r.getAs[Long]("support"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift"))))
+      .toMap
+
+  test("assoc rules: confidence is directional, lift is not") {
+    // item 1 in 4 baskets, item 2 in 2, together in 2:
+    // 1⇒2 conf = 2/4 = 0.5; 2⇒1 conf = 2/2 = 1.0; lift = 2*4/(4*2) = 1.0
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (13L, 1L))
+    val m = rules(b, 0.0)
+    assert(m((1L, 2L)) === ((2L, 0.5, 1.0)))
+    assert(m((2L, 1L)) === ((2L, 1.0, 1.0)))
+  }
+
+  test("assoc rules: min-confidence drops only the weak direction") {
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (13L, 1L))
+    val m = rules(b, 0.75)
+    assert(m.keySet === Set((2L, 1L)))
+  }
+
   test("duplicate (basket, item) rows do not inflate support") {
     val b = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
     // caller contract is distinct rows; the declared query distincts its

@@ -380,4 +380,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"),
       s"hit counting must be a semi join against the 5-row ground truth: $plan")
   }
+
+  test("mine_assoc_rules adds no exchange over mine_frequent_pairs (map-only rule expansion)") {
+    def exchanges(name: String) =
+      "Exchange hashpartitioning".r.findAllIn(executed(name)).size
+    assert(exchanges("mine_assoc_rules") === exchanges("mine_frequent_pairs"),
+      "rule derivation must ride the shared pair-support trajectory")
+  }
+
+  test("dq_drift_psi: midpoint + totals attach by broadcast; corpus partial-aggregates to grid cells") {
+    val plan = executed("dq_drift_psi")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row time midpoint must broadcast-attach: $plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type totals must broadcast back onto the cell frame: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"cell counts must partial-aggregate map-side: $plan")
+  }
+
+  test("ts_autocorr: windows run on the days-bounded frame, global moments broadcast-attach") {
+    val plan = executed("ts_autocorr")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row (n, S, Q) frame must broadcast-attach: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"daily counts must partial-aggregate: $plan")
+  }
+
+  test("agg_entropy attaches per-source totals by broadcast join") {
+    val plan = executed("agg_entropy")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("embed_cluster_purity majority pick is an aggregate argmax, never a window") {
+    val plan = executed("embed_cluster_purity")
+    assert(!plan.contains("Window"),
+      s"per-cluster majority must be max(struct(n, -label)), not a window sort: $plan")
+  }
 }

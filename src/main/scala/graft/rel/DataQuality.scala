@@ -141,8 +141,12 @@ object DataQuality extends QueryModule {
         when($"value" < 0, 0L)
           .when($"value" >= 1000, 11L)
           .otherwise(floor($"value" / 100).cast("long") + 1).as("bucket"))
-    val cells = binned.groupBy($"event_type", $"bucket")
-      .agg(count_if($"is_ref").as("rn"), count_if(!$"is_ref").as("cn"))
+    // two consumers (totals + the proportion join) — pin the grid-bounded
+    // cell frame so the corpus scans once for cells (plus the 1-row
+    // midpoint pass, which is irreducible: binning needs the bounds)
+    val cells = Materialize.once(
+      binned.groupBy($"event_type", $"bucket")
+        .agg(count_if($"is_ref").as("rn"), count_if(!$"is_ref").as("cn")))
     val totals = cells.groupBy($"event_type")
       .agg(sum($"rn").as("r_tot"), sum($"cn").as("c_tot"),
         count(lit(1)).as("n_bins"))

@@ -333,7 +333,70 @@ object Graph extends QueryModule {
       .orderBy($"c1", $"c2")
   }
 
+  private val KcoreK = 8
+  private val KcoreRounds = 4
+
+  /** [[KcoreK]]-core of the customer–supplier graph by synchronous
+    * iterative peeling (Seidman 1983; the Pregel/peeling formulation):
+    * each round drops every node whose CURRENT degree is below k along
+    * with its incident edges, until the survivors all have in-core
+    * degree ≥ k. The densest-cohesion screen a graph pipeline runs
+    * before community detection or embedding (spam rings and scrape
+    * artifacts live in low-coreness shells; the k-core is the stable
+    * backbone). [[KcoreRounds]] synchronous rounds — the fixture's peel
+    * converges in 1 (GraphSpec asserts min core degree ≥ k end-state;
+    * the cascade path is unit-tested on a crafted tail graph).
+    *
+    * Scale shape (100 TB): each round is ONE partial-aggregated degree
+    * pass over the surviving edge list plus two semi-joins against the
+    * (node-sized, auto-broadcast while it fits) alive set — the edge
+    * list only ever SHRINKS, and nothing is quadratic. The peel is
+    * monotone, so unrolled synchronous rounds compute the same fixpoint
+    * as sequential peeling once converged.
+    *
+    * Determinism: degrees are integers; membership is a set test — no
+    * floats anywhere. */
+  private def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val sym = pairs
+      .select(explode(array(
+        struct($"a".as("src"), $"b".as("dst")),
+        struct($"b".as("src"), $"a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+    val fin = kcoreOf(sym, KcoreK, KcoreRounds)
+    fin.select(
+        when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long")))
+          .otherwise(concat(lit("s"), (($"node" - 1) / 2).cast("long")))
+          .as("node"),
+        $"core_deg")
+      .orderBy($"node")
+  }
+
+  /** The peel loop on a symmetric (src, dst) edge list — package-visible
+    * so tests can drive crafted graphs through the cascade. Returns the
+    * surviving (node, core_deg) frame. */
+  private[graft] def kcoreOf(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import sym.sparkSession.implicits._
+    var edges = Materialize.once(sym)
+    for (_ <- 1 to rounds) {
+      val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"src".as("node"))
+      edges = Materialize.once(
+        edges
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select($"src", $"dst"))
+    }
+    edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
     "graph_degree_hist" -> degreeHist,
     "graph_pagerank" -> pagerank,
@@ -343,6 +406,33 @@ object Graph extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Peel rounds unrolled; every alive/edge CTE MATERIALIZED (each is
+    // referenced twice — membership test on both endpoints — so plain
+    // CTE inlining would re-evaluate geometrically across rounds).
+    "graph_kcore" -> {
+      val base =
+        """WITH ed0 AS (
+          |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e0 AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst FROM ed0
+          |  UNION ALL SELECT b AS src, a AS dst FROM ed0)""".stripMargin
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""a$r AS MATERIALIZED (
+           |  SELECT src AS node FROM e${r - 1}
+           |  GROUP BY src HAVING count(*) >= $KcoreK),
+           |e$r AS MATERIALIZED (
+           |  SELECT src, dst FROM e${r - 1}
+           |  WHERE src IN (SELECT node FROM a$r)
+           |    AND dst IN (SELECT node FROM a$r))""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        s"""
+           |SELECT CASE WHEN src % 2 = 0 THEN 'c' || CAST(src // 2 AS BIGINT)
+           |            ELSE 's' || CAST((src - 1) // 2 AS BIGINT) END AS node,
+           |       count(*) AS core_deg
+           |FROM e$KcoreRounds GROUP BY src ORDER BY node""".stripMargin
+    },
     // The identical synchronous trajectory, rounds unrolled as CTEs
     // (the graph_pagerank convention); every round MATERIALIZED — the
     // argmax subquery references its round input once, but inlining a

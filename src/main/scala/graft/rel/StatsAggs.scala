@@ -158,9 +158,12 @@ object StatsAggs extends QueryModule {
     * ulps under the 1e-6 rounding (the [[aggStats]] convention). */
   private def aggEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.documents(spark, sfDir)
-      .groupBy($"source", $"lang")
-      .agg(count(lit(1)).as("n"))
+    // two consumers (totals + the proportion join) — pin the bounded
+    // (source × lang) reduction so the corpus scans ONCE
+    val cells = Materialize.once(
+      Tables.documents(spark, sfDir)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n")))
     val totals = cells.groupBy($"source")
       .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_langs"))
     cells.join(broadcast(totals), Seq("source"))

@@ -306,9 +306,12 @@ object TimeSeries extends QueryModule {
     * unchanged.) */
   private def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, sfDir)
-      .groupBy(to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("x"))
+    // two consumers (lag expansion + the global moment aggregate) — pin
+    // the days-bounded reduction so the corpus scans ONCE
+    val daily = Materialize.once(
+      Tables.events(spark, sfDir)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x")))
     val w = Window.orderBy($"day".asc)
     val withLeads = (1 to AcfMaxLag).foldLeft(daily)((d, k) =>
       d.withColumn(s"y$k", lead($"x", k).over(w)))
@@ -330,7 +333,56 @@ object TimeSeries extends QueryModule {
       .orderBy($"lag")
   }
 
+  /** Classical additive seasonal decomposition of the daily event-count
+    * series (the moving-average method STL descends from): trend =
+    * centered 7-day moving average (defined only where the full window
+    * exists — decomposition, not extrapolation), seasonal = day-of-week
+    * mean of the detrended series, residual = x − trend − seasonal. The
+    * diagnostic that separates "weekly cycle" from "real anomaly" before
+    * alerting on an ingest-volume series — the decomposition twin of
+    * [[tsAutocorr]] (which only detects the cycle) and
+    * [[tsCusumChangepoint]] (which a seasonal series false-alarms
+    * without this).
+    *
+    * Scale shape (100 TB): one corpus-sized partial+final daily count;
+    * the moving-average window, DOW aggregation, and seasonal
+    * broadcast-attach all run on the days-bounded frame.
+    *
+    * Determinism: the series is INTEGER counts; the trend is the exact
+    * 7-int window sum divided once and micro-quantized to BIGINT; DOW is
+    * epoch-day mod 7 (engine-neutral — dayofweek() origins differ);
+    * seasonal averages the BIGINT micro deviations (one division,
+    * micro-quantized); the residual is a BIGINT subtraction. No float
+    * accumulation anywhere. */
+  private def tsSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the trend frame feeds both the seasonal aggregate and the final
+    // join — pin the days-bounded reduction so the corpus scans ONCE
+    val daily = Materialize.once(
+      Tables.events(spark, sfDir)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x")))
+    val w = Window.orderBy($"day".asc).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("t_m",
+        when($"win_n" === 7,
+          floor(sum($"x").over(w).cast("double") / 7 * 1e6 + 0.5).cast("long")))
+      .withColumn("dow", datediff($"day", lit("1970-01-01").cast("date")) % 7)
+      .withColumn("dev_m", $"x" * 1000000L - $"t_m")
+    val seasonal = tr.filter($"t_m".isNotNull)
+      .groupBy($"dow")
+      .agg(floor(avg($"dev_m") + 0.5).cast("long").as("s_m"))
+    tr.join(broadcast(seasonal), Seq("dow"))
+      .select($"day", $"x",
+        ($"t_m" / 1e6).as("trend"),
+        ($"s_m" / 1e6).as("seasonal"),
+        (($"x" * 1000000L - $"t_m" - $"s_m") / 1e6).as("residual"))
+      .orderBy($"day")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "ts_seasonal_decompose" -> tsSeasonalDecompose,
     "ts_autocorr"          -> tsAutocorr,
     "ts_cusum_changepoint" -> tsCusumChangepoint,
     "ts_interpolate_linear" -> tsInterpolateLinear,
@@ -366,6 +418,23 @@ object TimeSeries extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1),
+        |tr AS MATERIALIZED (
+        |  SELECT day, x,
+        |    CASE WHEN count(*) OVER w = 7 THEN
+        |      CAST(floor(CAST(sum(x) OVER w AS DOUBLE) / 7 * 1e6 + 0.5) AS BIGINT)
+        |    END AS t_m,
+        |    (day - DATE '1970-01-01') % 7 AS dow
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |s AS (SELECT dow,
+        |        CAST(floor(avg(x * 1000000 - t_m) + 0.5) AS BIGINT) AS s_m
+        |      FROM tr WHERE t_m IS NOT NULL GROUP BY 1)
+        |SELECT day, x, t_m / 1e6 AS trend, s_m / 1e6 AS seasonal,
+        |       (x * 1000000 - t_m - s_m) / 1e6 AS residual
+        |FROM tr JOIN s USING (dow) ORDER BY day""".stripMargin,
     "ts_autocorr" -> acfOracle,
     "ts_cusum_changepoint" ->
       """WITH daily AS (

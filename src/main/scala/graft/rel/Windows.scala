@@ -198,7 +198,34 @@ object Windows extends QueryModule {
       .orderBy($"d")
   }
 
+  /** Gaps-and-islands: each user's maximal streaks of CONSECUTIVE active
+    * days (start, end, length) — the classic SQL idiom (island key =
+    * day − row_number(), constant within a consecutive run) and the
+    * engagement-streak feature behind retention analyses; the calendar
+    * twin of [[session]]'s timestamp-gap sessionization.
+    *
+    * Scale shape (100 TB): facts dedup to (user, day) in one
+    * partial-aggregated pass (bounded by users × days, far smaller than
+    * events); the row_number window and the island groupBy share ONE
+    * user-clustered exchange (user is a prefix of the island grouping
+    * key, so the final aggregate re-uses the window's partitioning —
+    * PlanSpec gates exactly 2 hash exchanges). Nothing is quadratic, no
+    * self-join per gap. All-integer arithmetic. */
+  private def gapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d".asc)
+    ud.withColumn("grp", date_sub($"d", row_number().over(w)))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"d").as("streak_start"), max($"d").as("streak_end"),
+        count(lit(1)).as("len"))
+      .select($"user_id", $"streak_start", $"streak_end", $"len")
+      .orderBy($"user_id", $"streak_start")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "win_gaps_islands"   -> gapsIslands,
     "win_first_last"     -> firstLast,
     "win_rank_topn"      -> rankTopN,
     "win_lag_delta"      -> lagDelta,
@@ -213,6 +240,18 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT user_id, d,
+        |         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |                  AS INTEGER) AS grp
+        |  FROM ud)
+        |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+        |       count(*) AS len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start""".stripMargin,
     "win_first_last" ->
       """SELECT d, fv, lv, nv FROM (
         |  SELECT CAST(ts AS DATE) AS d,

@@ -36,7 +36,8 @@ object ExplainDump {
     "sim_ann_recall_eval", "text_segment_dedup", "sim_ann_ivf_pq",
     "graph_degree_hist", "dedup_lsh_candidate_eval", "sim_ann_ivf_cell_stats",
     "mine_assoc_rules", "ts_autocorr", "dq_drift_psi", "agg_entropy",
-    "embed_cluster_purity")
+    "embed_cluster_purity", "graph_kcore", "win_gaps_islands",
+    "ts_seasonal_decompose")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

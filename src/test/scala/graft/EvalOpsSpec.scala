@@ -66,6 +66,47 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("win_gaps_islands: streaks are maximal consecutive runs covering all active days") {
+    import org.apache.spark.sql.functions._
+    val rows = run("win_gaps_islands")
+    assert(rows.nonEmpty)
+    val activeDays = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    var covered = 0L
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, streaks) =>
+      val sorted = streaks.sortBy(_.getAs[java.sql.Date]("streak_start").toLocalDate.toEpochDay)
+      sorted.foreach { s =>
+        val a = s.getAs[java.sql.Date]("streak_start").toLocalDate.toEpochDay
+        val b = s.getAs[java.sql.Date]("streak_end").toLocalDate.toEpochDay
+        assert(s.getAs[Long]("len") === b - a + 1, "streak is dense")
+        covered += b - a + 1
+      }
+      // maximality: consecutive streaks are separated by a gap > 1 day
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val xe = pair(0).getAs[java.sql.Date]("streak_end").toLocalDate.toEpochDay
+        val ys = pair(1).getAs[java.sql.Date]("streak_start").toLocalDate.toEpochDay
+        assert(ys > xe + 1, "adjacent streaks must be separated by a gap")
+      }
+    }
+    assert(covered === activeDays, "islands partition the active-day set")
+  }
+
+  test("ts_seasonal_decompose: x = trend + seasonal + residual wherever trend is defined") {
+    val rows = run("ts_seasonal_decompose")
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val nullTrend = rows.count(_.isNullAt(rows.head.fieldIndex("trend")))
+    assert(nullTrend === 6, "exactly the 3 edge days on each end lack a full window")
+    rows.filterNot(_.isNullAt(rows.head.fieldIndex("trend"))).foreach { r =>
+      val x = r.getAs[Long]("x").toDouble
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(x - sum) < 1e-5, s"${r.getAs[java.sql.Date]("day")}: $x vs $sum")
+    }
+    assert(n >= 7)
+  }
+
   test("embed_cluster_purity: purity = n_majority/n_vecs in (1/k, 1]; sizes cover the corpus") {
     val rows = run("embed_cluster_purity")
     assert(rows.nonEmpty)

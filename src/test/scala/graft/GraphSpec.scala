@@ -66,4 +66,34 @@ class GraphSpec extends SparkSpec {
       .count { case Seq(a, b) => (adj(a) & adj(b)).nonEmpty }
     assert(out.size === expected, "missing focus pairs with shared suppliers")
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    Graph.kcoreOf(sym, k, rounds).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+  }
+
+  test("k-core peel cascades: tail chain peels link by link, triangle survives") {
+    // triangle 0-1-2 with a chain 2-3-4-5 hanging off it; k=2:
+    // round 1 removes 5, round 2 removes 4, round 3 removes 3 —
+    // the cascade needs MULTIPLE rounds, and the triangle is the 2-core.
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = core(g, 2, 4)
+    assert(out === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("k-core can peel everything (path graph has no 2-core)") {
+    val out = core(Seq((0L, 1L), (1L, 2L), (2L, 3L)), 2, 4)
+    assert(out.isEmpty)
+  }
+
+  test("graph_kcore on the fixture converges: every survivor has core degree >= k") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("core_deg") >= 8L,
+        s"${r.getAs[String]("node")} below k in the reported core")
+    }
+  }
 }

@@ -417,4 +417,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"per-cluster majority must be max(struct(n, -label)), not a window sort: $plan")
   }
+
+  test("graph_kcore peels with semi joins, never a cartesian") {
+    val plan = executed("graph_kcore")
+    assert(plan.contains("LeftSemi"),
+      s"alive-set membership must be a semi join: $plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("win_gaps_islands: window and island groupBy share one user exchange (2 total)") {
+    val plan = executed("win_gaps_islands")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"dedup pass + shared user clustering only: $plan")
+  }
+
+  test("ts_seasonal_decompose and ts_autocorr pin the daily reduction (corpus scans once at runtime)") {
+    // Both consumers must read the cached daily frame: every parquet scan
+    // in the printed plan sits UNDER an InMemoryRelation (the cache's
+    // recompute lineage, printed once per consumer), so at runtime the
+    // corpus materializes exactly once.
+    for (q <- Seq("ts_seasonal_decompose", "ts_autocorr")) {
+      val plan = executed(q)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q: the daily reduction must pin: $plan")
+      val firstScan = plan.indexOf("Scan parquet")
+      val firstCache = plan.indexOf("InMemoryTableScan")
+      assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+        s"$q: a consumer reads events directly instead of the pinned frame: $plan")
+    }
+  }
 }

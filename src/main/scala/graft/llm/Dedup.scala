@@ -821,7 +821,52 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, $assemble AS simhash FROM b)""".stripMargin
   }
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs over the bounded
+    * doc_id < 300 sample — the character-level rung of the dedup ladder
+    * (catches small in-place edits that shingle-level Jaccard dilutes
+    * and SimHash's token bag misses entirely; the OCR/typo-correction
+    * dedup case). A pair is reported when lev ≤ min(10, ⌊0.2·minlen⌋).
+    *
+    * Candidate generation is STAGGERED LENGTH BLOCKING: each doc lands
+    * in two gratings (⌊len/20⌋ and ⌊(len+10)/20⌋, kept disjoint by
+    * even/odd block ids). Two staggered width-20 gratings with
+    * boundaries 10 apart guarantee any pair within 10 length units
+    * co-buckets in at least one — and lev ≥ |Δlen|, so with the
+    * absolute cap at 10 the blocking is provably COMPLETE for every
+    * reportable pair (no LSH-style recall loss), while candidates stay
+    * bounded by per-block density.
+    *
+    * Scale shape (100 TB): the O(n·m) DP per pair is the irreducible
+    * cost of the metric, so production bounds BOTH sides — the sample
+    * bound here (the [[dedupClusters]] convention), the block equi-join
+    * for candidates (never all-pairs), and each pair scored once
+    * (pair-dedup BEFORE the DP, since the gratings can co-bucket a pair
+    * twice). Levenshtein is integer — deterministic cross-engine. */
+  private def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"text", $"n_chars")
+    val blocked = d.select($"doc_id", $"text", $"n_chars",
+      explode(array(
+        floor($"n_chars" / 20).cast("long") * 2,
+        floor(($"n_chars" + 10) / 20).cast("long") * 2 + 1)).as("blk"))
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.text").as("ta"), col("b.text").as("tb"),
+        least(col("a.n_chars"), col("b.n_chars")).as("ml"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("lev", levenshtein($"ta", $"tb"))
+      .filter($"lev" <= least(lit(10), floor($"ml" * 0.2)))
+      .select($"a_id", $"b_id", $"lev".cast("long").as("lev"),
+        graft.functions.PortableRound.pround($"lev" / $"ml", 6).as("rel"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_exact_id"      -> dedupExactId,
     "dedup_text_hash"     -> dedupTextHash,
     "dedup_substring"     -> dedupSubstring,
@@ -838,6 +883,24 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "dedup_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text, n_chars FROM documents
+        |           WHERE doc_id < 300),
+        |bl AS (
+        |  SELECT doc_id, CAST(floor(n_chars / 20) AS BIGINT) * 2 AS blk FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(floor((n_chars + 10) / 20) AS BIGINT) * 2 + 1 FROM d),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bl a JOIN bl b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT a_id, b_id, levenshtein(da.text, db.text) AS lev,
+        |         least(da.n_chars, db.n_chars) AS ml
+        |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+        |SELECT a_id, b_id, CAST(lev AS BIGINT) AS lev,
+        |       floor(lev * 1.0 / ml * 1e6 + 0.5) / 1e6 AS rel
+        |FROM p WHERE lev <= least(10, floor(ml * 0.2))
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_incremental_lsh" ->
       s"""$MinhashPipelineSql,
          |thr AS MATERIALIZED (

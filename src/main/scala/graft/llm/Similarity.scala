@@ -413,7 +413,7 @@ object Similarity extends QueryModule {
       .withColumn("d2", pround(pqDist2($"v", $"cvec"), 9))
       .groupBy($"vec_id", $"sub")
       .agg(min(struct($"d2", $"cid")).as("r"), first($"v").as("v"))
-      .select($"vec_id", $"sub", $"r.cid".as("cid"), $"v")
+      .select($"vec_id", $"sub", $"r.cid".as("cid"), $"r.d2".as("d2"), $"v")
   }
 
   /** Lloyd recenter step: per-(sub, cid, dim) mean, reassembled in dim
@@ -446,6 +446,37 @@ object Similarity extends QueryModule {
       .select($"sub", $"cid",
         floor(pqDist2($"qv", $"cvec") * 1e9 + 0.5).cast("long").as("nano"))
     (codes, dtab)
+  }
+
+  /** PQ quantization-DISTORTION evaluation: per subspace, the mean
+    * squared reconstruction error of the trained codebook (avg over
+    * vectors of d²(subvector, its assigned centroid)) — the acceptance
+    * metric that pairs with [[simAnnRecallEval]]'s recall (FAISS reports
+    * exactly these two when tuning M/k: distortion bounds the ADC score
+    * error, so a hot subspace with high MSE tells you where to spend
+    * codebook bits). Trains the SAME 2-iteration codebook as
+    * [[simAnnPq]] (same helpers, same seeds), so the reported distortion
+    * is the distortion of the codebook the ANN queries actually serve.
+    *
+    * Scale shape (100 TB): the assignment is the same broadcast-join +
+    * partial-agg argmin the encoder runs (the corpus never
+    * hash-shuffles); the eval reduces to M=4 rows in one more bounded
+    * aggregation. Determinism: per-(vec, sub) d² rounds once to 1e-9 (so
+    * the nano cast is exact), the per-subspace sum is a BIGINT, and the
+    * MSE is one double division. */
+  private def embedPqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val subs = pqSubs(Tables.embeddings(spark, sfDir))
+    val c0 = subs.filter($"vec_id" < PqK)
+      .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
+    val c1 = pqRecenter(pqAssign(subs, c0))
+    pqAssign(subs, c1)
+      .select($"sub", floor($"d2" * 1e9 + 0.5).cast("long").as("nano"))
+      .groupBy($"sub")
+      .agg(count(lit(1)).as("n_vecs"), sum($"nano").as("sum_nano"))
+      .select($"sub".cast("long").as("sub"), $"n_vecs",
+        pround($"sum_nano" / ($"n_vecs" * 1e9), 6).as("mse"))
+      .orderBy($"sub")
   }
 
   private def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
@@ -511,6 +542,7 @@ object Similarity extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "sim_ann_ivf_pq"     -> simAnnIvfPq,
     "sim_ann_pq"         -> simAnnPq,
+    "embed_pq_distortion" -> embedPqDistortion,
     "embed_quantize"     -> embedQuantize,
     "embed_random_projection" -> embedRandomProjection,
     "sim_topk_cosine"    -> simTopkCosine,
@@ -590,6 +622,48 @@ object Similarity extends QueryModule {
          |WHERE vec_id IN (SELECT vec_id FROM cand) AND vec_id <> 0
          |GROUP BY vec_id
          |ORDER BY adc_d2_nano, vec_id LIMIT 10""".stripMargin,
+    // The same 2-iteration codebook trajectory as sim_ann_pq, ending in
+    // the per-(vec, sub) min d2 instead of the ADC scoring.
+    "embed_pq_distortion" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, s.sub AS sub,
+         |         list_transform(embedding[s.sub*$PqSubDim+1 : s.sub*$PqSubDim+$PqSubDim],
+         |                        x -> CAST(x AS DOUBLE)) AS v
+         |  FROM e, (SELECT unnest(range(0, $PqM)) AS sub) s),
+         |c0 AS (SELECT sub, vec_id AS cid, v AS cvec FROM subs WHERE vec_id < $PqK),
+         |d1 AS (
+         |  SELECT subs.vec_id, subs.sub, c0.cid, subs.v,
+         |    floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (subs.v[i] - c0.cvec[i]) * (subs.v[i] - c0.cvec[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM subs JOIN c0 USING (sub)),
+         |a1 AS (SELECT vec_id, sub, cid, v FROM (
+         |    SELECT vec_id, sub, cid, v,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT sub, cid, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, cid, t.i AS pos,
+         |           floor(avg(v[t.i]) * 1e6 + 0.5) / 1e6 AS m
+         |    FROM a1, unnest(range(1, ${PqSubDim + 1})) AS t(i)
+         |    GROUP BY sub, cid, t.i)
+         |  GROUP BY sub, cid),
+         |d2s AS (
+         |  SELECT subs.vec_id, subs.sub, c1.cid,
+         |    floor(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (subs.v[i] - c1.cvec[i]) * (subs.v[i] - c1.cvec[i]))) * 1e9 + 0.5)
+         |      / 1e9 AS d2
+         |  FROM subs JOIN c1 USING (sub)),
+         |mn AS (SELECT vec_id, sub, d2 FROM (
+         |    SELECT vec_id, sub, d2,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM d2s) WHERE rn = 1)
+         |SELECT CAST(sub AS BIGINT) AS sub,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       floor(sum(CAST(floor(d2 * 1e9 + 0.5) AS BIGINT))
+         |             / (count(*) * 1e9) * 1e6 + 0.5) / 1e6 AS mse
+         |FROM mn GROUP BY sub ORDER BY sub""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |subs AS (

@@ -37,7 +37,7 @@ object ExplainDump {
     "graph_degree_hist", "dedup_lsh_candidate_eval", "sim_ann_ivf_cell_stats",
     "mine_assoc_rules", "ts_autocorr", "dq_drift_psi", "agg_entropy",
     "embed_cluster_purity", "graph_kcore", "win_gaps_islands",
-    "ts_seasonal_decompose")
+    "ts_seasonal_decompose", "embed_pq_distortion", "dedup_edit_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

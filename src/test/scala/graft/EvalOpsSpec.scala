@@ -107,6 +107,30 @@ class EvalOpsSpec extends SparkSpec {
     assert(n >= 7)
   }
 
+  test("embed_pq_distortion: one row per subspace, every subspace covers the corpus, MSE >= 0") {
+    val rows = run("embed_pq_distortion")
+    assert(rows.map(_.getAs[Long]("sub")).toSeq.sorted === (0L to 3L))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === nVecs)
+      assert(r.getAs[Double]("mse") >= 0.0)
+    }
+  }
+
+  test("dedup_edit_distance: reported pairs respect both caps and are ordered/unique") {
+    val rows = run("dedup_edit_distance")
+    assert(rows.nonEmpty)
+    val seen = collection.mutable.Set[(Long, Long)]()
+    rows.foreach { r =>
+      val a = r.getAs[Long]("a_id"); val b = r.getAs[Long]("b_id")
+      assert(a < b && a < 300 && b < 300)
+      assert(seen.add((a, b)), s"pair ($a,$b) reported twice")
+      val lev = r.getAs[Long]("lev")
+      assert(lev <= 10)
+      assert(r.getAs[Double]("rel") <= 0.2 + 1e-6)
+    }
+  }
+
   test("embed_cluster_purity: purity = n_majority/n_vecs in (1/k, 1]; sizes cover the corpus") {
     val rows = run("embed_cluster_purity")
     assert(rows.nonEmpty)

@@ -431,6 +431,21 @@ class PlanSpec extends SparkSpec {
       s"dedup pass + shared user clustering only: $plan")
   }
 
+  test("dedup_edit_distance: candidates from a block equi-join, never a cartesian") {
+    val plan = executed("dedup_edit_distance")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"length-grating candidates must join on blk: $plan")
+  }
+
+  test("embed_pq_distortion: codebook attach is a broadcast join, argmin is an aggregate") {
+    val plan = executed("embed_pq_distortion")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast onto the subvector frame: $plan")
+    assert(!plan.contains("Window"),
+      s"per-(vec,sub) argmin must be min(struct(d2,cid)), not a window: $plan")
+  }
+
   test("ts_seasonal_decompose and ts_autocorr pin the daily reduction (corpus scans once at runtime)") {
     // Both consumers must read the cached daily frame: every parquet scan
     // in the printed plan sits UNDER an InMemoryRelation (the cache's

@@ -33,6 +33,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Curation,
     llm.Similarity,
+    llm.Retrieval,
     llm.Clustering,
     llm.Text,
     llm.Multimodal,

@@ -320,6 +320,40 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Quality-ordered token-budget selection: fill a fixed training-token
+    * budget with the best documents first — the "assemble a 1B-token mix
+    * from the top of the quality ranking" step that closes every curation
+    * pipeline (the budgeted counterpart of [[sampleTemperature]]'s
+    * proportional mix). Quality proxy here is mean chars-per-token
+    * (Gopher's mean-word-length signal, deterministic and engine-portable);
+    * a doc is kept iff its FIRST token lands inside the budget (the
+    * [[packSequences]] boundary convention, so exactly one doc straddles
+    * the cut). Budget: 10k tokens.
+    *
+    * Scale shape (100 TB): the corpus collapses to one slim
+    * (doc_id, n_tok, score) row per doc in a single map pass; the prefix
+    * sum over the quality order is the two-phase distributed form
+    * ([[graft.rel.ScalableRank.withGlobalRunningSum]] — range shuffle +
+    * per-partition sums + a window over ≤ shuffle.partitions partial
+    * sums), NEVER a single-partition `sum over (order by score)` window.
+    * Selection is then a map-side filter on the cumsum. */
+  private def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 10000L
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        size(filter(split(trim($"text"), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("score", pround($"n_chars".cast("double") / $"n_tok", 4))
+      .select($"doc_id", $"n_tok", $"score")
+    graft.rel.ScalableRank
+      .withGlobalRunningSum(docs, $"n_tok", "cum", $"score".desc, $"doc_id".asc)
+      .filter($"cum" - $"n_tok" < budget)
+      .select($"doc_id", $"score", $"n_tok", $"cum")
+      .orderBy($"doc_id")
+  }
+
   /** The survivors of the full curation DAG, stage by stage — the
     * composition every component in this module exists for (and the
     * document-modality analog of the reference's curate job,
@@ -561,6 +595,7 @@ object Curation extends QueryModule {
     "curation_pipeline_e2e"   -> curationPipelineE2e,
     "curation_funnel"         -> curationFunnel,
     "curation_pack_sequences" -> packSequences,
+    "curation_token_budget"   -> tokenBudget,
     "sample_weighted"         -> sampleWeighted,
     "sample_temperature"      -> sampleTemperature,
     "sample_domain_mix"       -> sampleDomainMix,
@@ -670,6 +705,22 @@ object Curation extends QueryModule {
         |  UNION ALL SELECT 3, 'deduped', count(*) FROM dedup
         |  UNION ALL SELECT 4, 'mixed', count(*) FROM mixed)
         |ORDER BY stage""".stripMargin),
+    "curation_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tok,
+        |         floor(CAST(n_chars AS DOUBLE) / n_tok * 1e4 + 0.5) / 1e4 AS score
+        |  FROM d WHERE n_tok > 0),
+        |c AS (
+        |  SELECT doc_id, score, n_tok,
+        |         sum(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT doc_id, score, n_tok, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum - n_tok < 10000 ORDER BY doc_id""".stripMargin,
     "curation_pack_sequences" ->
       """SELECT doc_id, n_tok,
         |       CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS chunk

@@ -5,6 +5,7 @@ import graft.functions.PortableRound.pround
 import graft.functions.VectorFunctions._
 import graft.functions.VecDotNative.{vec_cosine_native, vec_dot_native, vec_norm_native}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embeddings (SURVEY.md §2.11 L3-L4 + north-star
@@ -42,7 +43,7 @@ object Similarity extends QueryModule {
   /** L3 — exact top-k cosine against the query vector (k parameterized:
     * 10 for the declared query, 5 as [[simAnnRecallEval]]'s ground
     * truth). */
-  private def topkCosine(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  private[llm] def topkCosine(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
       .crossJoin(broadcast(queryVec(spark, sfDir)))
@@ -79,6 +80,67 @@ object Similarity extends QueryModule {
     row("ivf", simAnnIvf(spark, sfDir))
       .unionByName(row("lsh", simAnnLsh(spark, sfDir)))
       .orderBy($"method")
+  }
+
+  /** Matryoshka-style truncation evaluation: recall@10 of the exact
+    * cosine top-10 computed on only the LEADING 32 of 64 dimensions
+    * against the full-dimension top-10 — the acceptance curve behind
+    * MRL/truncated-embedding serving (Kusupati et al. 2022: store the
+    * full vector once, serve a prefix; you pick the serving dimension
+    * by exactly this recall-vs-dims trade-off, the storage twin of
+    * [[simAnnRecallEval]]'s probe-count curve).
+    *
+    * Scale shape (100 TB): two brute-force branches, each a broadcast
+    * query + one linear corpus scan + TakeOrderedAndProject (top-10
+    * per partition, 10×partitions rows to the driver-side heap) — the
+    * truncated branch reads the SAME column and slices map-side, so
+    * there is no second copy of the corpus; the evaluation joins two
+    * 10-row frames. */
+  private def embedTruncateRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gt = topkCosine(spark, sfDir, 10).select($"vec_id")
+    val tr = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(queryVec(spark, sfDir)))
+      .withColumn("cos_sim", pround(
+        vec_cosine_native(slice($"embedding", 1, 32), slice($"qv", 1, 32)), 6))
+      .select($"vec_id", $"cos_sim")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+      .limit(10)
+      .select($"vec_id")
+    tr.join(broadcast(gt), Seq("vec_id"), "semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(64L).as("dims_full"), lit(32L).as("dims_trunc"),
+        lit(10L).as("k"), $"hits",
+        pround($"hits".cast("double") / 10, 6).as("recall"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each of the 3
+    * lowest-id query vectors, the 5 most-cosine-similar vectors whose
+    * label DIFFERS from the query's — the "looks alike, isn't" pairs
+    * that contrastive/embedding fine-tuning batches are built from
+    * (SimCSE/DPR-style in-batch negatives are upgraded with exactly
+    * this mined set).
+    *
+    * Scale shape (100 TB): the query set is tiny and broadcast; the
+    * corpus expands ×|queries| map-side (no corpus shuffle to build
+    * pairs), and the per-query top-5 goes through a rank window whose
+    * `rn <= 5` filter Spark rewrites into a WindowGroupLimit — each
+    * map partition forwards at most 5 rows per query, so the one
+    * q_id-keyed exchange carries ≤ 5·|queries|·partitions rows, never
+    * the scored corpus. */
+  private def sampleHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.orderBy($"vec_id").limit(3)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    e.crossJoin(broadcast(q))
+      .filter($"label" =!= $"q_label" && $"vec_id" =!= $"q_id")
+      .withColumn("cos_sim", pround(vec_cosine_native($"embedding", $"qv"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id", $"cos_sim")
+      .orderBy($"q_id", $"rn")
   }
 
   /** L4 — pairwise similarity join above a threshold, label-blocked:
@@ -551,10 +613,50 @@ object Similarity extends QueryModule {
     "sim_ann_lsh"        -> simAnnLsh,
     "sim_ann_ivf"        -> simAnnIvf,
     "sim_ann_ivf_cell_stats" -> simAnnIvfCellStats,
-    "sim_ann_recall_eval" -> simAnnRecallEval
+    "sim_ann_recall_eval" -> simAnnRecallEval,
+    "embed_truncate_recall" -> embedTruncateRecall,
+    "sample_hard_negatives" -> sampleHardNegatives
   )
 
   override def oracles: Map[String, String] = Map(
+    // Both branches replayed: the truncated branch slices the SAME
+    // widened-double lists the full branch reads ([1:32] = Spark's
+    // slice(v,1,32)), so any hash drift isolates to the slice itself.
+    "embed_truncate_recall" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+         |gt AS MATERIALIZED (SELECT vec_id FROM (
+         |${topkOracle(10)})),
+         |tr AS MATERIALIZED (SELECT vec_id FROM (
+         |  SELECT e.vec_id,
+         |         floor(list_dot_product((e.embedding::DOUBLE[])[1:32], q.qv[1:32]) /
+         |               (sqrt(list_dot_product((e.embedding::DOUBLE[])[1:32],
+         |                                      (e.embedding::DOUBLE[])[1:32])) *
+         |                sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))) * 1e6 + 0.5) / 1e6 AS cos_sim
+         |  FROM embeddings e, q
+         |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10))
+         |SELECT CAST(64 AS BIGINT) AS dims_full, CAST(32 AS BIGINT) AS dims_trunc,
+         |       CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits,
+         |       floor(CAST(count(*) AS DOUBLE) / 10 * 1e6 + 0.5) / 1e6 AS recall
+         |FROM tr WHERE vec_id IN (SELECT vec_id FROM gt)""".stripMargin,
+    // Identical query set (3 lowest vec_ids), identical cross-label
+    // scoring and (cos desc, vec_id) tie-break rank.
+    "sample_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+        |      FROM e ORDER BY vec_id LIMIT 3),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         floor(list_dot_product(e.v, q.qv) /
+        |               (sqrt(list_dot_product(e.v, e.v)) *
+        |                sqrt(list_dot_product(q.qv, q.qv))) * 1e6 + 0.5) / 1e6 AS cos_sim
+        |  FROM e, q
+        |  WHERE e.label <> q.q_label AND e.vec_id <> q.q_id)
+        |SELECT q_id, rn, vec_id, cos_sim FROM (
+        |  SELECT q_id, vec_id, cos_sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM s)
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // The full IVF-PQ trajectory replayed: identical coarse assignment
     // (double cosine, (dist, ccell) tiebreak), identical 4-cell probe,
     // identical codebook/codes/ADC table as sim_ann_pq.
@@ -810,7 +912,7 @@ object Similarity extends QueryModule {
 
   /** Exact top-k oracle, limit parameterized (10 = `sim_topk_cosine`,
     * 5 = the recall evaluation's ground truth). */
-  private def topkOracle(limit: Int): String =
+  private[llm] def topkOracle(limit: Int): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
        |SELECT vec_id,
        |       floor(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /

@@ -139,7 +139,7 @@ object Text extends QueryModule {
     * BOTH dialects: 1.2+1.0 lands within 1 ulp of a rounding boundary in
     * IEEE doubles, so computing it at runtime would make the cross-engine
     * hash ride on evaluation order. */
-  private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  private[llm] def bm25Top(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
     val queryTerms = Seq("join", "vector", "stream")
     // Per-doc lengths AND per-query-term frequencies in ONE aggregation
@@ -169,8 +169,11 @@ object Text extends QueryModule {
         expr("idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"))
       .groupBy($"doc_id").agg(pround(sum($"contrib"), 6).as("bm25"))
       .orderBy($"bm25".desc, $"doc_id".asc)
-      .limit(20)
+      .limit(k)
   }
+
+  private def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Top(spark, sfDir, 20)
 
   /** Fasttext-style linear quality-classifier INFERENCE over the corpus —
     * the model-based quality gate of the CCNet/LLaMA pipelines (a trained
@@ -546,6 +549,31 @@ object Text extends QueryModule {
     "text_rolling_hash" -> rollingHash
   )
 
+  /** The BM25 replay (identical tf/df/dl/avgdl trajectory and literal
+    * constants as [[bm25Top]]), limit-parameterized so [[Retrieval]]'s
+    * hybrid-fusion oracle provably ranks the same sparse list. */
+  private[llm] def bm25OracleSql(limit: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, w AS word
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
+       |       WHERE word IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id,
+       |  floor(sum(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       |        * 1e6 + 0.5) / 1e6 AS bm25
+       |FROM (
+       |  SELECT tf.doc_id, tf.tf, dl.dl, stats.avgdl,
+       |         ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf
+       |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $limit""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "text_segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -670,27 +698,7 @@ object Text extends QueryModule {
         |  FROM tf JOIN df USING (word) CROSS JOIN n)
         |WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
-    "text_bm25" ->
-      """WITH t AS (
-        |  SELECT doc_id, w AS word
-        |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
-        |        FROM documents)
-        |  WHERE w <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t
-        |       WHERE word IN ('join', 'vector', 'stream') GROUP BY 1, 2),
-        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
-        |SELECT doc_id,
-        |  floor(sum(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-        |        * 1e6 + 0.5) / 1e6 AS bm25
-        |FROM (
-        |  SELECT tf.doc_id, tf.tf, dl.dl, stats.avgdl,
-        |         ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf
-        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
-        |GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id
-        |LIMIT 20""".stripMargin,
+    "text_bm25" -> bm25OracleSql(20),
     "text_quality_classifier" ->
       """WITH t AS (
         |  SELECT doc_id, w AS word

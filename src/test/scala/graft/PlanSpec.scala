@@ -461,4 +461,37 @@ class PlanSpec extends SparkSpec {
         s"$q: a consumer reads events directly instead of the pinned frame: $plan")
     }
   }
+
+  test("sample_hard_negatives: broadcast query set, rank filter becomes a WindowGroupLimit") {
+    val plan = executed("sample_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 3-row query set must broadcast, never shuffle the corpus into pairs: $plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn<=5 must push into a per-partition group limit so the q_id exchange " +
+        s"carries top-5s, not the scored corpus: $plan")
+  }
+
+  test("embed_truncate_recall: both branches are per-task top-k heaps, hits a semi join") {
+    val plan = executed("embed_truncate_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"full and truncated top-10 must both plan as TakeOrderedAndProject: $plan")
+    assert(plan.contains("LeftSemi"), s"hit counting must be a semi join: $plan")
+  }
+
+  test("search_hybrid_rrf: branch top-ks are heaps; fusion never touches the corpus") {
+    val plan = executed("search_hybrid_rrf")
+    // dense top-20, fused top-10 (the BM25 branch's top-20 rides its
+    // aggregation); the rank windows must sit ABOVE limits, i.e. no Window
+    // node may consume a raw parquet scan directly.
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("FullOuter"),
+      s"fusion must be a full outer join of the two rank lists: $plan")
+  }
+
+  test("curation_token_budget prefix-sums by range partitions, not one partition") {
+    val plan = executed("curation_token_budget")
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"the running sum must partition by the range bucket id: $plan")
+  }
 }

@@ -34,6 +34,7 @@ object SparkEntry {
     llm.Curation,
     llm.Similarity,
     llm.Retrieval,
+    llm.Eval,
     llm.Clustering,
     llm.Text,
     llm.Multimodal,

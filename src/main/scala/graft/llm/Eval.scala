@@ -1,0 +1,143 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators over the corpus (north-star extension
+  * beside the monitoring tier in [[graft.rel.StatsAggs]]/
+  * [[graft.rel.DataQuality]]): before a quality score gates 100 TB of
+  * training data you measure how well it separates ([[qualityAuc]]) and
+  * whether its probabilities mean anything ([[calibrationBins]]) — the two
+  * standard acceptance checks for a filtering model (the reference's
+  * pipeline trusts its curation filters blindly, `glue/job_wiki_curate.py:
+  * 35-41`; at LLM-corpus scale the filter is a model and gets evaluated
+  * like one).
+  *
+  * Both run on the shared scored frame: score = mean chars-per-token (the
+  * deterministic quality proxy `curation_token_budget` ranks by), binary
+  * target y = (lang = 'en') — a stand-in labeling; a production run swaps
+  * in a trained score column with the plan shape unchanged.
+  */
+object Eval extends QueryModule {
+
+  /** One slim (score, y) row per doc, one map-side corpus pass. */
+  private def scored(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"n_chars", $"lang",
+        size(filter(split(trim($"text"), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .select(pround($"n_chars".cast("double") / $"n_tok", 4).as("score"),
+        ($"lang" === "en").cast("long").as("y"))
+  }
+
+  /** ROC-AUC of the quality score against the binary target, computed as
+    * the tie-corrected Mann-Whitney rank statistic:
+    * AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻), with midranks derived
+    * per DISTINCT-SCORE CELL (midrank = rows-below + (cellsize+1)/2), which
+    * is exactly the average-rank tie convention — verified cell-form ≡
+    * pairwise P(s⁺>s⁻)+½P(s⁺=s⁻) definition.
+    *
+    * Scale shape (100 TB): one corpus pass partial-aggregates to
+    * (score, n, n_pos) cells — bounded by the score's 1e4 quantization,
+    * not by rows; rows-below is the distributed prefix sum over cells
+    * ([[graft.rel.ScalableRank.withGlobalRunningSum]]); the final reduce is
+    * 3 sums over cells. ALL-INTEGER until the single closing division: the
+    * statistic is kept ×2 (rank_sum2 = Σ n_pos·(2·below + n + 1)) so no
+    * float ever sums across cells — cross-engine equality rides on one
+    * division, not on summation order. (Beyond ~3·10⁹ rows promote the
+    * ×2 products to DECIMAL(38,0); the shape is unchanged.) */
+  private def qualityAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = scored(spark, sfDir)
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+    graft.rel.ScalableRank
+      .withGlobalRunningSum(cells, $"n", "cum", $"score".asc)
+      .agg(sum($"n_pos").as("np"), sum($"n" - $"n_pos").as("nn"),
+        sum($"n_pos" * (lit(2) * ($"cum" - $"n") + $"n" + 1)).as("rank_sum2"))
+      .select($"np".as("n_pos"), $"nn".as("n_neg"),
+        pround(($"rank_sum2" - $"np" * ($"np" + 1)).cast("double") /
+          (lit(2.0) * $"np" * $"nn"), 6).as("auc"))
+  }
+
+  /** Reliability diagram: min-max-normalize the score, decile-bin it, and
+    * report per bin the count, positives, mean score, and empirical
+    * positive rate — the calibration curve read next to [[qualityAuc]]
+    * (a well-separating but miscalibrated filter still mis-sizes the kept
+    * corpus when thresholded by "probability").
+    *
+    * Scale shape (100 TB): the slim scored frame pins once
+    * ([[graft.rel.Materialize.once]]) and serves both consumers — the
+    * 1-row min/max reduce (broadcast back) and the binning aggregation to
+    * ≤10 cells. Mean score stays exact: the 1e4-quantized score is summed
+    * as an INTEGER (score·1e4 is integral by construction), so only the
+    * two closing divisions are floating. */
+  private def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.rel.Materialize.once(scored(spark, sfDir))
+    val mm = s.agg(min($"score").as("mn"), max($"score").as("mx"))
+    s.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(floor(($"score" - $"mn") / ($"mx" - $"mn") * 10), lit(9.0))
+          .cast("long"))
+      .withColumn("sc4", floor($"score" * 1e4 + 0.5).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum($"sc4").as("ssc4"))
+      .select($"bin", $"n", $"n_pos",
+        pround($"ssc4".cast("double") / ($"n" * 1e4), 6).as("mean_score"),
+        pround($"n_pos".cast("double") / $"n", 6).as("frac_pos"))
+      .orderBy($"bin")
+  }
+
+  override def queries: Map[String, QueryFn] = Map(
+    "eval_quality_auc"      -> qualityAuc,
+    "eval_calibration_bins" -> calibrationBins
+  )
+
+  /** Shared scored-frame CTE (identical score quantization and target). */
+  private val scoredSql: String =
+    """WITH d AS (
+      |  SELECT n_chars, lang,
+      |    len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT floor(CAST(n_chars AS DOUBLE) / n_tok * 1e4 + 0.5) / 1e4 AS score,
+      |         CAST(lang = 'en' AS BIGINT) AS y
+      |  FROM d WHERE n_tok > 0)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "eval_quality_auc" ->
+      s"""$scoredSql,
+         |cells AS (
+         |  SELECT score, count(*) AS n, sum(y) AS n_pos FROM s GROUP BY score),
+         |r AS (
+         |  SELECT n, n_pos,
+         |         coalesce(sum(n) OVER (ORDER BY score ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM cells),
+         |agg AS (
+         |  SELECT sum(n_pos) AS np, sum(n - n_pos) AS nn,
+         |         sum(n_pos * (2 * below + n + 1)) AS rank_sum2
+         |  FROM r)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |       floor(CAST(rank_sum2 - np * (np + 1) AS DOUBLE) /
+         |             (2.0 * np * nn) * 1e6 + 0.5) / 1e6 AS auc
+         |FROM agg""".stripMargin,
+    "eval_calibration_bins" ->
+      s"""$scoredSql,
+         |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+         |b AS (
+         |  SELECT CAST(least(floor((score - mn) / (mx - mn) * 10), 9) AS BIGINT) AS bin,
+         |         y, CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS sc4
+         |  FROM s, mm)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |       floor(CAST(sum(sc4) AS DOUBLE) / (count(*) * 1e4) * 1e6 + 0.5) / 1e6 AS mean_score,
+         |       floor(CAST(sum(y) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS frac_pos
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  )
+}

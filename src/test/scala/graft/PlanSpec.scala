@@ -494,4 +494,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__pid"),
       s"the running sum must partition by the range bucket id: $plan")
   }
+
+  test("eval_quality_auc: rank statistic prefix-sums score cells by range partitions") {
+    val plan = executed("eval_quality_auc")
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"midranks must come from the distributed prefix sum, never a " +
+        s"single-partition window over the cells: $plan")
+  }
+
+  test("eval_calibration_bins: scored frame pins once, min/max attaches by broadcast") {
+    val plan = executed("eval_calibration_bins")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the scored frame must pin for its two consumers: $plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row min/max frame must broadcast back: $plan")
+  }
 }

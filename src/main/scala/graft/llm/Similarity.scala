@@ -143,6 +143,47 @@ object Similarity extends QueryModule {
       .orderBy($"q_id", $"rn")
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985), k = 5, cosine
+    * distance, seeded at the lowest vec_id: each round picks the vector
+    * FARTHEST from the already-selected set — the classic 2-approximation
+    * whose selections are the maximally-diverse core subset ("what 5
+    * examples best cover this embedding space?"), the diversity-first
+    * counterpart of [[sampleHardNegatives]]'s similarity-first mining.
+    * Output: (sel_round, vec_id, mind) — mind is the selected point's
+    * distance to the prior set, i.e. the shrinking covering radius.
+    *
+    * Scale shape (100 TB): per round ONE linear pass over the pinned slim
+    * (vec_id, embedding, d) frame updates the running min-distance against
+    * the single broadcast newest center (no |corpus|×k re-scoring), and
+    * the argmax is a 1-row TakeOrderedAndProject; each round's frame pins
+    * so round r never recomputes rounds 1..r−1 (k bounded, small — the
+    * standard iterative trade; a cluster run checkpoints the same
+    * frames). Nothing is collected to the driver. */
+  private def coresetKcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val e = graft.rel.Materialize.once(
+      Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding"))
+    val seed = e.orderBy($"vec_id").limit(1)
+    var mind = graft.rel.Materialize.once(
+      e.crossJoin(broadcast(seed.select($"embedding".as("sv"))))
+        .select($"vec_id", $"embedding",
+          (lit(1.0) - vec_cosine_native($"embedding", $"sv")).as("d")))
+    var out = seed.select(lit(1L).as("sel_round"), $"vec_id",
+      lit(0.0).as("mind"))
+    for (r <- 2 to k) {
+      val nxt = mind.orderBy($"d".desc, $"vec_id".asc).limit(1)
+      out = out.unionByName(nxt.select(lit(r.toLong).as("sel_round"),
+        $"vec_id", pround($"d", 6).as("mind")))
+      if (r < k) mind = graft.rel.Materialize.once(
+        mind.crossJoin(broadcast(nxt.select($"embedding".as("sv"))))
+          .select($"vec_id", $"embedding",
+            least($"d", lit(1.0) - vec_cosine_native($"embedding", $"sv"))
+              .as("d")))
+    }
+    out.orderBy($"sel_round")
+  }
+
   /** L4 — pairwise similarity join above a threshold, label-blocked:
     * quadratic WITHIN a block, so it's the exact scorer for bounded blocks.
     * The unbounded 100-TB path is [[simThresholdLsh]] (`sim_threshold_lsh`),
@@ -615,10 +656,37 @@ object Similarity extends QueryModule {
     "sim_ann_ivf_cell_stats" -> simAnnIvfCellStats,
     "sim_ann_recall_eval" -> simAnnRecallEval,
     "embed_truncate_recall" -> embedTruncateRecall,
-    "sample_hard_negatives" -> sampleHardNegatives
+    "sample_hard_negatives" -> sampleHardNegatives,
+    "sample_coreset_kcenter" -> coresetKcenter
   )
 
+  /** The greedy k-center trajectory unrolled: round CTEs chain
+    * p2→d2→p3→…, each referenced by the next round AND the final union —
+    * ALL MATERIALIZED (the CTE-inlining lesson: un-materialized, the
+    * d-chain re-evaluates its prefix 2^k times). */
+  private def coresetOracle(k: Int): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "d1" else s"d${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT vec_id, v, d FROM $prev ORDER BY d DESC, vec_id ASC LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT $prev.vec_id, $prev.v,
+         |  least($prev.d, 1.0 - ${cos(s"$prev.v", s"p$r.v")}) AS d FROM $prev, p$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to k).map { r =>
+      s"UNION ALL SELECT $r, vec_id, floor(d * 1e6 + 0.5) / 1e6 FROM p$r"
+    }.mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT e.vec_id, e.v, 1.0 - ${cos("e.v", "s1.v")} AS d FROM e, s1),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, 0.0 AS mind FROM s1
+       |$unions
+       |ORDER BY sel_round""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "sample_coreset_kcenter" -> coresetOracle(5),
     // Both branches replayed: the truncated branch slices the SAME
     // widened-double lists the full branch reads ([1:32] = Spark's
     // slice(v,1,32)), so any hash drift isolates to the slice itself.

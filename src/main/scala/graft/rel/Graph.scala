@@ -395,7 +395,50 @@ object Graph extends QueryModule {
     edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Newman modularity Q of the NATION partition over the customer–
+    * supplier trade graph — "is trade clustered within nations?" — the
+    * community-QUALITY metric that closes the community loop the same way
+    * `embed_cluster_purity` closes k-means and `sim_ann_recall_eval`
+    * closes ANN: given any node partition (here the nation attribute; a
+    * detected community column drops in unchanged), per community c
+    * report e_c (within edges), d_c (degree sum) and the contribution
+    * e_c/m − (d_c/2m)², whose sum is Q (Newman & Girvan 2004).
+    *
+    * Scale shape (100 TB): the edge list is the one orders⋈lineitem
+    * join + distinct (pagerank's construction); nation labels attach by
+    * two co-partitioned key joins; then EVERYTHING aggregates — degree
+    * cells by an explode to (community) keys, within-edges by a filtered
+    * count — to ≤|nations| rows, and m broadcasts back as one row. No
+    * iteration, no quadratic term, bounded output. */
+  private def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Materialize.once(
+      Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
+        .distinct()
+        .join(Tables.customer(spark, sfDir)
+          .select($"c_custkey".as("ck"), $"c_nationkey".as("cn")), "ck")
+        .join(Tables.supplier(spark, sfDir)
+          .select($"s_suppkey".as("sk"), $"s_nationkey".as("sn")), "sk")
+        .select($"cn", $"sn"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(explode(array($"cn", $"sn")).as("c"))
+      .groupBy($"c").agg(count(lit(1)).as("d_c"))
+    val win = e.filter($"cn" === $"sn")
+      .groupBy($"cn".as("c")).agg(count(lit(1)).as("e_c"))
+    deg.join(win, Seq("c"), "left_outer")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .withColumn("half", $"d_c".cast("double") / (lit(2.0) * $"m"))
+      .select($"c".as("nationkey"), $"e_c", $"d_c",
+        pround($"e_c".cast("double") / $"m" - $"half" * $"half", 6)
+          .as("q_contrib"))
+      .orderBy($"nationkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> modularity,
     "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
     "graph_degree_hist" -> degreeHist,
@@ -406,6 +449,28 @@ object Graph extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // e is MATERIALIZED: referenced three times (m, degrees, within).
+    "graph_modularity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+        |  FROM (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        |        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) p
+        |  JOIN customer c ON p.ck = c.c_custkey
+        |  JOIN supplier s ON p.sk = s.s_suppkey),
+        |m AS (SELECT count(*) AS m FROM e),
+        |deg AS (
+        |  SELECT c, count(*) AS d_c FROM (
+        |    SELECT unnest([cn, sn]) AS c FROM e) GROUP BY c),
+        |win AS (SELECT cn AS c, count(*) AS e_c FROM e WHERE cn = sn GROUP BY cn)
+        |SELECT deg.c AS nationkey,
+        |       CAST(coalesce(win.e_c, 0) AS BIGINT) AS e_c,
+        |       CAST(deg.d_c AS BIGINT) AS d_c,
+        |       floor((CAST(coalesce(win.e_c, 0) AS DOUBLE) / m.m -
+        |              (CAST(deg.d_c AS DOUBLE) / (2.0 * m.m)) *
+        |              (CAST(deg.d_c AS DOUBLE) / (2.0 * m.m))) * 1e6 + 0.5) / 1e6
+        |         AS q_contrib
+        |FROM deg LEFT JOIN win USING (c) CROSS JOIN m
+        |ORDER BY nationkey""".stripMargin,
     // Peel rounds unrolled; every alive/edge CTE MATERIALIZED (each is
     // referenced twice — membership test on both endpoints — so plain
     // CTE inlining would re-evaluate geometrically across rounds).

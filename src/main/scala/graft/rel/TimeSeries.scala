@@ -381,7 +381,31 @@ object TimeSeries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** Seasonal-naive forecast backtest: forecast(day) = count(day − 7) —
+    * the no-skill baseline every real forecaster must beat (and the
+    * standard denominator of the MASE metric), evaluated in-sample as
+    * per-day absolute error. Complements [[tsSeasonalDecompose]]: the
+    * decomposition EXPLAINS the weekly cycle, this one exploits it as a
+    * predictor and measures the residual ingest-volume surprise.
+    *
+    * Scale shape (100 TB): one corpus pass partial-aggregates to the
+    * days-bounded daily frame; the lag-7 window and the error projection
+    * run on ≤ days rows (single-partition BY CONSTRUCTION, the module's
+    * daily-series convention). All-integer end to end. */
+  private def tsForecastSnaive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"d")
+    daily.withColumn("fc", lag($"n", 7).over(w))
+      .filter($"fc".isNotNull)
+      .select($"d", $"n", $"fc", abs($"n" - $"fc").as("abs_err"))
+      .orderBy($"d")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "ts_forecast_snaive"   -> tsForecastSnaive,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
     "ts_autocorr"          -> tsAutocorr,
     "ts_cusum_changepoint" -> tsCusumChangepoint,
@@ -418,6 +442,12 @@ object TimeSeries extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "ts_forecast_snaive" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
+        |f AS (SELECT d, n, lag(n, 7) OVER (ORDER BY d) AS fc FROM daily)
+        |SELECT d, n, fc, abs(n - fc) AS abs_err
+        |FROM f WHERE fc IS NOT NULL ORDER BY d""".stripMargin,
     "ts_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1),

@@ -510,4 +510,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"the 1-row min/max frame must broadcast back: $plan")
   }
+
+  test("sample_coreset_kcenter: rounds read pinned frames, argmax is a 1-row heap") {
+    val plan = executed("sample_coreset_kcenter")
+    assert(plan.contains("InMemoryTableScan"),
+      s"each round must consume the pinned prior-round frame: $plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the farthest-point argmax must be a per-task heap, not a global sort: $plan")
+  }
+
+  test("graph_modularity: everything aggregates partial+final, m attaches by broadcast") {
+    val plan = executed("graph_modularity")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row edge count must broadcast back: $plan")
+  }
+
+  test("ts_forecast_snaive: daily reduction aggregates partial+final before the lag window") {
+    val plan = executed("ts_forecast_snaive")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
 }

@@ -184,6 +184,54 @@ object Similarity extends QueryModule {
     out.orderBy($"sel_round")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein SIGIR'98)
+    * of the dense top-20: select 5 results maximizing
+    * 0.7·relevance − 0.3·max-similarity-to-already-selected — the
+    * diversity-aware final stage of a retrieval stack (every RAG reranker
+    * exposes exactly this λ knob), applying [[coresetKcenter]]'s
+    * farthest-point idea WITHIN a relevance-bounded candidate pool
+    * instead of over the whole corpus.
+    *
+    * Scale shape (100 TB): the corpus appears only in the candidate
+    * top-20 (broadcast query + linear scan + TakeOrderedAndProject —
+    * [[topkCosine]]'s story); every MMR round then runs on the pinned
+    * ≤20-row pool with a broadcast newest selection — re-rank cost is
+    * O(k·pool), independent of corpus size. Relevance enters the MMR
+    * objective pre-rounded (1e-6), so the cross-engine argmax compares
+    * identical doubles. */
+  private def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val cand = graft.rel.Materialize.once(
+      Tables.embeddings(spark, sfDir)
+        .crossJoin(broadcast(queryVec(spark, sfDir)))
+        .withColumn("rel", pround(vec_cosine_native($"embedding", $"qv"), 6))
+        .select($"vec_id", $"embedding", $"rel")
+        .orderBy($"rel".desc, $"vec_id".asc)
+        .limit(20))
+    val first = cand.orderBy($"rel".desc, $"vec_id".asc).limit(1)
+    var out = first.select(lit(1L).as("sel_round"), $"vec_id",
+      pround($"rel", 6).as("mmr"))
+    var st = cand
+      .crossJoin(broadcast(first.select($"embedding".as("sv"), $"vec_id".as("sid"))))
+      .filter($"vec_id" =!= $"sid")
+      .select($"vec_id", $"embedding", $"rel",
+        vec_cosine_native($"embedding", $"sv").as("ms"))
+    for (r <- 2 to k) {
+      val scored = st.withColumn("mmr_raw",
+        lit(0.7) * $"rel" - lit(0.3) * $"ms")
+      val nxt = scored.orderBy($"mmr_raw".desc, $"vec_id".asc).limit(1)
+      out = out.unionByName(nxt.select(lit(r.toLong).as("sel_round"),
+        $"vec_id", pround($"mmr_raw", 6).as("mmr")))
+      if (r < k) st = st
+        .crossJoin(broadcast(nxt.select($"embedding".as("sv"), $"vec_id".as("sid"))))
+        .filter($"vec_id" =!= $"sid")
+        .select($"vec_id", $"embedding", $"rel",
+          greatest($"ms", vec_cosine_native($"embedding", $"sv")).as("ms"))
+    }
+    out.orderBy($"sel_round")
+  }
+
   /** L4 — pairwise similarity join above a threshold, label-blocked:
     * quadratic WITHIN a block, so it's the exact scorer for bounded blocks.
     * The unbounded 100-TB path is [[simThresholdLsh]] (`sim_threshold_lsh`),
@@ -657,8 +705,44 @@ object Similarity extends QueryModule {
     "sim_ann_recall_eval" -> simAnnRecallEval,
     "embed_truncate_recall" -> embedTruncateRecall,
     "sample_hard_negatives" -> sampleHardNegatives,
-    "sample_coreset_kcenter" -> coresetKcenter
+    "sample_coreset_kcenter" -> coresetKcenter,
+    "sim_mmr_rerank" -> mmrRerank
   )
+
+  /** The MMR trajectory unrolled over the candidate CTE — same chained
+    * ALL-MATERIALIZED discipline as [[coresetOracle]]; each round drops
+    * the picked row and folds its similarity into the running max. */
+  private def mmrOracle(k: Int): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "t1" else s"t${r - 1}"
+      val drop = if (r < k)
+        s""",
+           |t$r AS MATERIALIZED (SELECT $prev.vec_id, $prev.v, $prev.rel,
+           |  greatest($prev.ms, ${cos(s"$prev.v", s"p$r.v")}) AS ms
+           |  FROM $prev, p$r WHERE $prev.vec_id <> p$r.vec_id)""".stripMargin
+      else ""
+      s"""p$r AS MATERIALIZED (SELECT vec_id, v, 0.7 * rel - 0.3 * ms AS mmr_raw
+         |  FROM $prev ORDER BY mmr_raw DESC, vec_id ASC LIMIT 1)$drop""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to k).map { r =>
+      s"UNION ALL SELECT $r, vec_id, floor(mmr_raw * 1e6 + 0.5) / 1e6 FROM p$r"
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |         floor(${cos("e.v", "q.qv")} * 1e6 + 0.5) / 1e6 AS rel
+       |  FROM e, q ORDER BY rel DESC, vec_id ASC LIMIT 20),
+       |p1 AS MATERIALIZED (SELECT vec_id, v, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |t1 AS MATERIALIZED (SELECT c.vec_id, c.v, c.rel, ${cos("c.v", "p1.v")} AS ms
+       |  FROM cand c, p1 WHERE c.vec_id <> p1.vec_id),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, rel AS mmr FROM p1
+       |$unions
+       |ORDER BY sel_round""".stripMargin
+  }
 
   /** The greedy k-center trajectory unrolled: round CTEs chain
     * p2→d2→p3→…, each referenced by the next round AND the final union —
@@ -687,6 +771,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "sample_coreset_kcenter" -> coresetOracle(5),
+    "sim_mmr_rerank" -> mmrOracle(5),
     // Both branches replayed: the truncated branch slices the SAME
     // widened-double lists the full branch reads ([1:32] = Spark's
     // slice(v,1,32)), so any hash drift isolates to the slice itself.

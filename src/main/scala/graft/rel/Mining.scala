@@ -2,7 +2,7 @@ package graft.rel
 
 import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Frequent-itemset mining (market-basket co-occurrence) — the classic
@@ -149,9 +149,44 @@ object Mining extends QueryModule {
     sup.crossJoin(broadcast(nb))
   }
 
+  /** Sequential-pattern counting over each user's time-ordered event
+    * stream — MATCH_RECOGNIZE-lite: the per-user journey collapses to a
+    * string of event-type initials (c/e/p/s/v, ordered by ts then
+    * event_id — a total order), and adjacency patterns count by exact
+    * substring arithmetic ((len − len(remove(seq, pat))) / |pat| — no
+    * regex engine, so both dialects count the identical non-overlapping
+    * occurrences). Reported: click→purchase and signup→purchase
+    * adjacencies, the "did the journey convert immediately" signal next
+    * to [[graft.rel.Subqueries]]' funnel (which checks ORDER, this
+    * checks ADJACENCY).
+    *
+    * Scale shape (100 TB): ONE shuffle of (user_id, 1-char initial)
+    * pairs — the narrowest possible representation of the stream; the
+    * per-user aggregation state is that user's journey string, bounded
+    * by per-entity activity exactly like sessionization state. Pattern
+    * counting is map-side string math on the aggregated row. */
+  private def seqPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(seq: Column, pat: String): Column =
+      ((length(seq) - length(expr(s"replace(seq, '$pat', '')"))) / pat.length)
+        .cast("long")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+        substring($"event_type", 1, 1).as("i"))
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"ts", $"event_id", $"i"))),
+          x => x("i")), "").as("seq"))
+      .select($"user_id", length($"seq").cast("long").as("seq_len"),
+        cnt($"seq", "cp").as("n_click_purchase"),
+        cnt($"seq", "sp").as("n_signup_purchase"))
+      .orderBy($"user_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "mine_frequent_pairs" -> frequentPairs,
-    "mine_assoc_rules"    -> assocRules
+    "mine_assoc_rules"    -> assocRules,
+    "mine_seq_pattern"    -> seqPattern
   )
 
   /** Shared pair-support CTE prefix ending in `s` (p1, p2, support, c1,
@@ -175,6 +210,17 @@ object Mining extends QueryModule {
        |n AS (SELECT count(DISTINCT ok) AS nb FROM b)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "mine_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST((length(seq) - length(replace(seq, 'cp', ''))) / 2 AS BIGINT)
+        |         AS n_click_purchase,
+        |       CAST((length(seq) - length(replace(seq, 'sp', ''))) / 2 AS BIGINT)
+        |         AS n_signup_purchase
+        |FROM s ORDER BY user_id""".stripMargin,
     "mine_frequent_pairs" -> (PairSupportCtes +
       """
         |SELECT p1, p2, CAST(support AS BIGINT) AS support,

@@ -530,4 +530,20 @@ class PlanSpec extends SparkSpec {
     val plan = executed("ts_forecast_snaive")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("sim_mmr_rerank: corpus appears only via the pinned candidate top-20") {
+    val plan = executed("sim_mmr_rerank")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the candidate pool must pin: $plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the candidate selection must be a per-task heap: $plan")
+  }
+
+  test("mine_seq_pattern: one user-keyed exchange, pattern math above the aggregate") {
+    val plan = executed("mine_seq_pattern")
+    // the journey aggregation is the only data exchange; an extra join or
+    // window would show as a second hash exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 user-keyed exchange, got $exchanges: $plan")
+  }
 }

@@ -135,6 +135,29 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("sim_mmr_rerank: distinct picks from the top-20 pool, round 1 is the top hit") {
+    val rows = run("sim_mmr_rerank").sortBy(_.getAs[Long]("sel_round"))
+    assert(rows.map(_.getAs[Long]("sel_round")).toSeq === (1L to 5L))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 5)
+    // round 1 maximizes pure relevance — the query vector itself (cos=1)
+    val pool = run("sim_topk_cosine").map(_.getAs[Long]("vec_id")).toSet
+    assert(pool.contains(rows.head.getAs[Long]("vec_id")))
+    // MMR scores after round 1 are penalized, so none can exceed round 1's
+    val m1 = rows.head.getAs[Double]("mmr")
+    rows.drop(1).foreach(r => assert(r.getAs[Double]("mmr") <= m1 + 1e-9))
+  }
+
+  test("mine_seq_pattern: journey lengths sum to the event count, counts bounded") {
+    val rows = run("mine_seq_pattern")
+    val total = rows.map(_.getAs[Long]("seq_len")).sum
+    assert(total === Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val len = r.getAs[Long]("seq_len")
+      assert(r.getAs[Long]("n_click_purchase") <= len / 2)
+      assert(r.getAs[Long]("n_signup_purchase") <= len / 2)
+    }
+  }
+
   test("curation_token_budget matches a driver-side greedy replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

@@ -37,7 +37,11 @@ object ExplainDump {
     "graph_degree_hist", "dedup_lsh_candidate_eval", "sim_ann_ivf_cell_stats",
     "mine_assoc_rules", "ts_autocorr", "dq_drift_psi", "agg_entropy",
     "embed_cluster_purity", "graph_kcore", "win_gaps_islands",
-    "ts_seasonal_decompose", "embed_pq_distortion", "dedup_edit_distance")
+    "ts_seasonal_decompose", "embed_pq_distortion", "dedup_edit_distance",
+    "search_hybrid_rrf", "embed_truncate_recall", "sample_hard_negatives",
+    "curation_token_budget", "eval_quality_auc", "eval_calibration_bins",
+    "sample_coreset_kcenter", "graph_modularity", "ts_forecast_snaive",
+    "sim_mmr_rerank", "mine_seq_pattern")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -372,7 +372,45 @@ object Clustering extends QueryModule {
       .orderBy($"cluster")
   }
 
+  /** Embedding-distribution drift between ingest shards — the VECTOR
+    * analog of `dq_drift_psi` (which monitors scalar histograms): per
+    * label, the cosine between the mean embeddings of the even- and
+    * odd-id halves. A healthy re-ingest keeps per-label centroids nearly
+    * parallel (cos ≈ 1); an encoder version bump or upstream content
+    * shift shows up as centroid rotation long before downstream metrics
+    * move — the standard embedding-pipeline canary.
+    *
+    * Scale shape (100 TB): ONE corpus pass partial-aggregates the
+    * exploded (label, half, dim) cells — bounded by labels × 2 × dim,
+    * never by vectors; the centroid join and cosine reduce run entirely
+    * on those cells. Determinism: each mean micro-quantizes at 1e-9
+    * (float-sum order noise is ~1e-15, far below the quantum), so the
+    * cells are cross-engine identical before the 64-term cosine sums. */
+  private def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.embeddings(spark, sfDir)
+      .select($"label", ($"vec_id" % 2).as("half"),
+        posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"half", $"dim")
+      .agg(sum($"x".cast("double")).as("s"), count(lit(1)).as("n"))
+      .select($"label", $"half", $"dim",
+        pround($"s" / $"n", 9).as("mu"), $"n")
+    val a = cells.filter($"half" === 0)
+      .select($"label", $"dim", $"mu".as("ma"), $"n".as("na"))
+    val b = cells.filter($"half" === 1)
+      .select($"label", $"dim", $"mu".as("mb"), $"n".as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(sum($"ma" * $"mb").as("dot"), sum($"ma" * $"ma").as("qa"),
+        sum($"mb" * $"mb").as("qb"), max($"na").as("n_a"), max($"nb").as("n_b"))
+      .select($"label", $"n_a", $"n_b",
+        pround($"dot" / (sqrt($"qa") * sqrt($"qb")), 6).as("centroid_cos"),
+        pround(lit(1.0) - $"dot" / (sqrt($"qa") * sqrt($"qb")), 6).as("drift"))
+      .orderBy($"label")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "embed_centroid_drift" -> centroidDrift,
     "embed_cluster_purity" -> clusterPurity,
     "embed_pca_power"   -> pcaPower,
     "embed_pca_project" -> pcaProject,
@@ -485,6 +523,29 @@ object Clustering extends QueryModule {
          |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // dim is a join-internal ordinal (0-based in Spark's posexplode,
+    // 1-based in WITH ORDINALITY) — consistent within each engine, never
+    // output. Means micro-quantize identically before the cosine sums.
+    "embed_centroid_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS half, t.dim AS dim,
+        |         CAST(embedding[t.dim] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)),
+        |cells AS (
+        |  SELECT label, half, dim,
+        |         floor(sum(v) / count(*) * 1e9 + 0.5) / 1e9 AS mu,
+        |         count(*) AS n
+        |  FROM x GROUP BY 1, 2, 3),
+        |a AS (SELECT label, dim, mu AS ma, n AS na FROM cells WHERE half = 0),
+        |b AS (SELECT label, dim, mu AS mb, n AS nb FROM cells WHERE half = 1),
+        |j AS (
+        |  SELECT label, sum(ma * mb) AS dot, sum(ma * ma) AS qa,
+        |         sum(mb * mb) AS qb, max(na) AS n_a, max(nb) AS n_b
+        |  FROM a JOIN b USING (label, dim) GROUP BY label)
+        |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       floor(dot / (sqrt(qa) * sqrt(qb)) * 1e6 + 0.5) / 1e6 AS centroid_cos,
+        |       floor((1.0 - dot / (sqrt(qa) * sqrt(qb))) * 1e6 + 0.5) / 1e6 AS drift
+        |FROM j ORDER BY label""".stripMargin,
     "embed_cluster_purity" -> (KmeansCtes +
       """,
         |cells AS (SELECT a2.cid, e2.label, count(*) AS n

@@ -865,7 +865,57 @@ object Dedup extends QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Incremental-ingest BLOOM SCREEN: before a new delta batch runs any
+    * dedup machinery against the accumulated corpus, a bloom filter built
+    * over the history's document fingerprints (md5 of the first-8-token
+    * prefix — the leading-shingle fingerprint that catches near-identical
+    * docs differing only in tails) screens the delta map-side; only bloom
+    * HITS reach the exact verify join. The probabilistic layer is purely
+    * a pruner: false positives are eliminated by the verify join, false
+    * negatives are impossible (bloom guarantee), so the OUTPUT is exactly
+    * the delta↔history fingerprint matches — which is what the oracle
+    * checks (the same contract as `join_runtime_bloom`: bloom affects
+    * cost, never results).
+    *
+    * Scale shape (100 TB): history fingerprints aggregate into ONE
+    * 64 KiB bloom row, broadcast to every delta partition — the delta
+    * never shuffles to discover "definitely new" (the overwhelming
+    * majority at steady state); only the screened sliver joins history.
+    * This is the cheap front of the [[dedupIncrementalLsh]] ladder. */
+  private def dedupBloomScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(array_join(
+        slice(filter(split(trim($"text"), " "), t => t =!= ""), 1, 8), " "))
+        .as("h"))
+    val hist = docs.filter($"doc_id" < 300).select($"doc_id".as("hist_id"), $"h")
+    val delta = docs.filter($"doc_id" >= 300)
+    // BloomFilterAggregate/BloomFilterMightContain are the engine's own
+    // runtime-filter expressions (what `join_runtime_bloom`'s rewrite
+    // injects); they are not SQL-registered, so the library builds them
+    // through the catalyst bridge.
+    import org.apache.spark.sql.GraftSqlBridge.{column => cexpr, expression => eexpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloom = hist.agg(cexpr(new BloomFilterAggregate(
+      eexpr(xxhash64($"h")), Literal(1000L), Literal(65536L))
+      .toAggregateExpression()).as("bf"))
+    // might_contain requires the filter as a scalar subquery (the same
+    // shape the engine's own InjectRuntimeFilter rewrite produces): the
+    // 1-row bloom plan executes once and broadcasts as a literal to
+    // every delta partition.
+    delta
+      .filter(cexpr(BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.analyzed),
+        eexpr(xxhash64($"h")))))
+      .select($"doc_id", $"h")
+      .join(hist, "h")
+      .select($"doc_id", $"hist_id", $"h")
+      .orderBy($"doc_id", $"hist_id")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
+    "dedup_bloom_screen"  -> dedupBloomScreen,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_exact_id"      -> dedupExactId,
     "dedup_text_hash"     -> dedupTextHash,
@@ -945,6 +995,21 @@ object Dedup extends QueryModule {
     "dedup_text_hash" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    // The bloom layer is cost-only (verify join removes false positives,
+    // no false negatives exist), so the oracle is the plain fingerprint
+    // join the screen provably preserves.
+    "dedup_bloom_screen" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      (list_filter(string_split(trim(text), ' '), x -> x <> ''))[1:8],
+        |      ' ')) AS h
+        |  FROM documents),
+        |hist AS (SELECT doc_id AS hist_id, h FROM d WHERE doc_id < 300),
+        |delta AS (SELECT doc_id, h FROM d WHERE doc_id >= 300)
+        |SELECT delta.doc_id, hist.hist_id, h
+        |FROM delta JOIN hist USING (h)
+        |ORDER BY doc_id, hist_id""".stripMargin,
     "dedup_substring" ->
       """SELECT sub, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM (

@@ -539,6 +539,21 @@ class PlanSpec extends SparkSpec {
       s"the candidate selection must be a per-task heap: $plan")
   }
 
+  test("dedup_bloom_screen: the bloom probes the delta scan as a scalar-subquery runtime filter") {
+    val plan = executed("dedup_bloom_screen")
+    assert(plan.contains("might_contain"),
+      s"the delta side must be screened by the bloom before any join: $plan")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"the bloom must attach as a scalar subquery (one row, broadcast): $plan")
+  }
+
+  test("embed_centroid_drift: one explode pass to bounded cells, aggregates partial+final") {
+    val plan = executed("embed_centroid_drift")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Generate posexplode".r.findAllIn(plan).size <= 2,
+      s"the corpus must explode once per consumer path, not per metric: $plan")
+  }
+
   test("mine_seq_pattern: one user-keyed exchange, pattern math above the aggregate") {
     val plan = executed("mine_seq_pattern")
     // the journey aggregation is the only data exchange; an extra join or

@@ -158,6 +158,32 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("dedup_bloom_screen output equals the unscreened fingerprint join (bloom is cost-only)") {
+    import org.apache.spark.sql.functions._
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(array_join(
+        slice(filter(split(trim(col("text")), " "), t => t =!= ""), 1, 8), " ")).as("h"))
+    val expect = fp.filter(col("doc_id") >= 300)
+      .join(fp.filter(col("doc_id") < 300).select(col("doc_id").as("hist_id"), col("h")), "h")
+      .select(col("doc_id"), col("hist_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run("dedup_bloom_screen")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hist_id"))).toSet
+    assert(got === expect, "the bloom layer must never change results")
+  }
+
+  test("embed_centroid_drift: cosine in [-1,1], halves cover all vectors, self-drift is zero") {
+    val rows = run("embed_centroid_drift")
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+    assert(total === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("drift") - (1.0 - c)) < 2e-6)
+    }
+  }
+
   test("curation_token_budget matches a driver-side greedy replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

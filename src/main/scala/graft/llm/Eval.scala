@@ -94,9 +94,32 @@ object Eval extends QueryModule {
       .orderBy($"bin")
   }
 
+  /** Confusion matrix of the [[Text.langId]] heuristic against the true
+    * `lang` label — the acceptance check for a language-ID gate before it
+    * routes 100 TB of documents into per-language pipelines (fasttext's
+    * own reporting is exactly this table). One row per observed
+    * (true, guess) cell with the within-language rate; the guess space is
+    * the heuristic's {en, es, de}, so fr/zh rows expose its blind spots.
+    *
+    * Scale shape (100 TB): the per-doc guess is [[Text.langId]]'s map
+    * pass (Catalyst prunes its unused score columns); ONE partial+final
+    * aggregation lands on ≤ |langs|·|guesses| cells and the per-language
+    * totals derive from those cells, not from a second corpus scan. */
+  private def langidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Text.langId(spark, sfDir)
+      .groupBy($"lang", $"guess").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy($"lang").agg(sum($"n").as("tot"))
+    cells.join(broadcast(totals), "lang")
+      .select($"lang", $"guess", $"n",
+        pround($"n".cast("double") / $"tot", 6).as("frac"))
+      .orderBy($"lang", $"guess")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "eval_quality_auc"      -> qualityAuc,
-    "eval_calibration_bins" -> calibrationBins
+    "eval_calibration_bins" -> calibrationBins,
+    "eval_langid_confusion" -> langidConfusion
   )
 
   /** Shared scored-frame CTE (identical score quantization and target). */
@@ -111,6 +134,28 @@ object Eval extends QueryModule {
       |  FROM d WHERE n_tok > 0)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // Replays text_langid's guess rule verbatim (same stopword sets, same
+    // >= tie-breaks), then aggregates to cells; totals derive from cells.
+    "eval_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) * 1.0 / nullif(len(w), 0) AS r_en,
+        |         len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','por'], x))) * 1.0 / nullif(len(w), 0) AS r_es,
+        |         len(list_filter(w, x -> list_contains(['der','die','und','das','ein','zu','mit','ist'], x))) * 1.0 / nullif(len(w), 0) AS r_de
+        |  FROM t),
+        |g AS (
+        |  SELECT lang,
+        |         CASE WHEN r_en >= r_es AND r_en >= r_de THEN 'en'
+        |              WHEN r_es >= r_de THEN 'es' ELSE 'de' END AS guess
+        |  FROM s),
+        |c AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.lang AS lang, guess, CAST(n AS BIGINT) AS n,
+        |       floor(CAST(n AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS frac
+        |FROM c JOIN tot ON c.lang = tot.lang
+        |ORDER BY lang, guess""".stripMargin,
     "eval_quality_auc" ->
       s"""$scoredSql,
          |cells AS (

@@ -242,7 +242,7 @@ object Text extends QueryModule {
     * candidate language, argmax with deterministic tie-break. (On synthetic
     * word-soup this mostly answers 'en'; the operator shape — N marker
     * scans + argmax — is what a real n-gram classifier compiles to.) */
-  private def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  private[llm] def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val words = split(trim($"text"), " ")
     def ratio(markers: Seq[String]) =
@@ -258,6 +258,45 @@ object Text extends QueryModule {
           .when($"r_es" >= $"r_de", "es")
           .otherwise("de").as("guess"))
       .orderBy($"doc_id")
+  }
+
+  /** Collocation extraction by pointwise mutual information over adjacent
+    * word pairs (Church & Hanks 1990): PMI(a,b) = ln(c_ab·N / (c_a·c_b)),
+    * reported for bigrams with count ≥ 5, top-20 — the vocabulary-
+    * induction / multi-word-expression primitive (BPE merge selection is
+    * this same statistic family over character pairs).
+    *
+    * Scale shape (100 TB): the corpus tokenizes ONCE into a pinned slim
+    * (token, next-token) frame (next = null on the last token, so the
+    * unigram and bigram aggregations share the single scan); both counts
+    * are partial+final hash aggs bounded by vocabulary / observed-bigram
+    * cardinality, the unigram attach is a vocabulary-key join (NOT a
+    * broadcast — vocabulary can be large), and the 1-row token total
+    * broadcasts back. Products stay in doubles (c_a·1.0·c_b) so no
+    * BIGINT overflow at web-scale counts; one ln per surviving bigram. */
+  private def bigramPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = filter(split(trim($"text"), " "), w => w =!= "")
+    val toks = Materialize.once(
+      Tables.documents(spark, sfDir)
+        .withColumn("ws", words)
+        .withColumn("nxt", concat(slice($"ws", lit(2), size($"ws")),
+          array(lit(null).cast("string"))))
+        .select(explode(arrays_zip($"ws", $"nxt")).as("p"))
+        .select($"p.ws".as("a"), $"p.nxt".as("b")))
+    val uni = toks.groupBy($"a").agg(count(lit(1)).as("c"))
+    val nt = uni.agg(sum($"c").as("nt"))
+    toks.filter($"b".isNotNull)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 5)
+      .join(uni.select($"a", $"c".as("ca")), "a")
+      .join(uni.select($"a".as("b"), $"c".as("cb")), "b")
+      .crossJoin(broadcast(nt))
+      .select($"a", $"b", $"cab".as("n_ab"),
+        pround(log($"cab" * lit(1.0) * $"nt" / ($"ca" * lit(1.0) * $"cb")), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"a".asc, $"b".asc)
+      .limit(20)
   }
 
   /** North-star — document fingerprint: md5 over the sorted distinct token
@@ -544,6 +583,7 @@ object Text extends QueryModule {
     "text_lang_stats"   -> langStats,
     "text_quality"      -> qualityScore,
     "text_langid"       -> langId,
+    "text_bigram_pmi"   -> bigramPmi,
     "text_fingerprint"  -> fingerprint,
     "text_token_count"  -> tokenCount,
     "text_rolling_hash" -> rollingHash
@@ -743,6 +783,23 @@ object Text extends QueryModule {
         |       floor(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
         |             * 1000000 + 0.5) / 1000000 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Identical (token, next-token) stream (1-based list index k, next
+    // null on the last token) and identical double-product PMI shape.
+    "text_bigram_pmi" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |tok AS (
+        |  SELECT l[t.k] AS a, CASE WHEN t.k < len(l) THEN l[t.k + 1] END AS b
+        |  FROM w, unnest(range(1, len(l) + 1)) AS t(k)),
+        |uni AS (SELECT a, count(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT sum(c) AS nt FROM uni),
+        |bi AS (SELECT a, b, count(*) AS cab FROM tok
+        |       WHERE b IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bi.a AS a, bi.b AS b, CAST(cab AS BIGINT) AS n_ab,
+        |       floor(ln(cab * 1.0 * n.nt / (ua.c * 1.0 * ub.c)) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM bi JOIN uni ua ON bi.a = ua.a JOIN uni ub ON bi.b = ub.a CROSS JOIN n
+        |ORDER BY pmi DESC, bi.a ASC, bi.b ASC LIMIT 20""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),

@@ -554,6 +554,27 @@ class PlanSpec extends SparkSpec {
       s"the corpus must explode once per consumer path, not per metric: $plan")
   }
 
+  test("text_bigram_pmi: one pinned token scan feeds both aggregations; total broadcasts back") {
+    val plan = executed("text_bigram_pmi")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (token, next) frame must pin so unigrams and bigrams share one scan: $plan")
+    val firstScan = plan.indexOf("Scan parquet")
+    val firstCache = plan.indexOf("InMemoryTableScan")
+    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+      s"a consumer tokenizes the corpus a second time: $plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row token total must broadcast back: $plan")
+  }
+
+  test("eval_langid_confusion: totals derive from cells — exactly one corpus aggregation") {
+    val plan = executed("eval_langid_confusion")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // one Scan parquet of documents total: the totals side must consume
+    // the cell aggregation, not re-scan the corpus
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      s"per-language totals must not re-scan documents: $plan")
+  }
+
   test("mine_seq_pattern: one user-keyed exchange, pattern math above the aggregate") {
     val plan = executed("mine_seq_pattern")
     // the journey aggregation is the only data exchange; an extra join or

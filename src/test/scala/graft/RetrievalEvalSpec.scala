@@ -184,6 +184,34 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_pmi: counts consistent and PMI recomputes from them") {
+    import org.apache.spark.sql.functions._
+    val rows = run("text_bigram_pmi")
+    assert(rows.length === 20)
+    // recompute token totals and one bigram's PMI independently
+    val toks = Tables.documents(spark, sf)
+      .select(explode(filter(split(trim(col("text")), " "), t => t =!= "")).as("w"))
+    val nT = toks.count()
+    val uni = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      val expect = math.log(r.getAs[Long]("n_ab") * 1.0 * nT / (uni(a) * 1.0 * uni(b)))
+      assert(math.abs(r.getAs[Double]("pmi") - expect) < 1e-6)
+      assert(r.getAs[Long]("n_ab") >= 5)
+    }
+  }
+
+  test("eval_langid_confusion: cells partition the corpus, rates sum to 1 per language") {
+    val rows = run("eval_langid_confusion")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val fs = rs.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fs - 1.0) < 1e-4, s"per-language rates must sum to 1, got $fs")
+    }
+  }
+
   test("curation_token_budget matches a driver-side greedy replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

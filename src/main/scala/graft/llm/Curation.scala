@@ -35,6 +35,42 @@ object Curation extends QueryModule {
     * (a pure map-side filter; `sampleBy` needs a seeded partition RNG and
     * is not replayable cross-engine). Keep-rates: en 0.25 (majority class
     * downsampled 4x), de 0.5, everything else kept. */
+  /** Neyman-allocation design for stratified sampling (Neyman 1934):
+    * given a 1000-row sample budget over the event_type strata, allocate
+    * n_h ∝ N_h·S_h — more rows to big AND noisy strata — the
+    * variance-optimal design every serious estimation sample uses instead
+    * of proportional allocation ([[sampleStratifiedHash]] is the
+    * fixed-fraction cousin; compose this table with [[sampleGroupCap]]'s
+    * rank machinery to materialize the rows).
+    *
+    * Determinism (the hard part): S_h must be IDENTICAL cross-engine
+    * before the allocation rounds, and streaming stddev of doubles is
+    * summation-order-dependent — so values micro-quantize to 1e-4 units
+    * first, the variance comes from the exact integer moments
+    * (n·Σv² − (Σv)², in 38-digit decimals — BIGINT·BIGINT overflows at
+    * ~2k rows already), and every engine converts the same exact integer
+    * to the same double. Scale shape (100 TB): one partial+final pass to
+    * |strata| moment cells; the allocation math runs on those cells. */
+  private def sampleNeymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000L
+    val stats = Tables.events(spark, sfDir)
+      .select($"event_type", floor($"value" * 1e4 + 0.5).cast("long").as("q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_h"), sum($"q").as("sv"), sum($"q" * $"q").as("sq"))
+      .withColumn("s2",
+        ($"n_h".cast("decimal(38,0)") * $"sq".cast("decimal(38,0)") -
+          $"sv".cast("decimal(38,0)") * $"sv".cast("decimal(38,0)")).cast("double") /
+          ($"n_h".cast("double") * ($"n_h" - 1).cast("double")))
+      .withColumn("wq", floor($"n_h" * sqrt($"s2") + 0.5).cast("long"))
+    val w = stats.agg(sum($"wq").as("wsum"))
+    stats.crossJoin(broadcast(w))
+      .select($"event_type", $"n_h",
+        pround(sqrt($"s2") / 1e4, 4).as("sd"),
+        floor(lit(budget.toDouble) * $"wq" / $"wsum" + 0.5).cast("long").as("alloc"))
+      .orderBy($"event_type")
+  }
+
   private def sampleStratifiedHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
@@ -600,6 +636,7 @@ object Curation extends QueryModule {
     "sample_temperature"      -> sampleTemperature,
     "sample_domain_mix"       -> sampleDomainMix,
     "sample_stratified_hash"  -> sampleStratifiedHash,
+    "sample_neyman_alloc"     -> sampleNeymanAlloc,
     "sample_split"            -> sampleSplit,
     "curation_keep_best"      -> curationKeepBest,
     "text_chunk"              -> textChunk,
@@ -705,6 +742,30 @@ object Curation extends QueryModule {
         |  UNION ALL SELECT 3, 'deduped', count(*) FROM dedup
         |  UNION ALL SELECT 4, 'mixed', count(*) FROM mixed)
         |ORDER BY stage""".stripMargin),
+    // HUGEINT keeps the moment products exact (BIGINT² overflows);
+    // both engines then convert the SAME exact integer to double.
+    "sample_neyman_alloc" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n_h,
+        |         sum(q) AS sv, sum(q * q) AS sq
+        |  FROM (SELECT event_type,
+        |          CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q FROM events)
+        |  GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, n_h,
+        |         CAST(CAST(n_h AS HUGEINT) * CAST(sq AS HUGEINT) -
+        |              CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT) AS DOUBLE) /
+        |           (CAST(n_h AS DOUBLE) * CAST(n_h - 1 AS DOUBLE)) AS s2
+        |  FROM s),
+        |a AS (
+        |  SELECT event_type, n_h, s2,
+        |         CAST(floor(n_h * sqrt(s2) + 0.5) AS BIGINT) AS wq
+        |  FROM v),
+        |w AS (SELECT sum(wq) AS wsum FROM a)
+        |SELECT event_type, n_h,
+        |       floor(sqrt(s2) / 1e4 * 1e4 + 0.5) / 1e4 AS sd,
+        |       CAST(floor(1000.0 * wq / wsum + 0.5) AS BIGINT) AS alloc
+        |FROM a CROSS JOIN w ORDER BY event_type""".stripMargin,
     "curation_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,

@@ -156,6 +156,36 @@ object StatsAggs extends QueryModule {
     * frame (second groupBy over ≤ sources·langs rows). Proportions are
     * exact-BIGINT count ratios, so cross-engine drift is confined to ln
     * ulps under the 1e-6 rounding (the [[aggStats]] convention). */
+  /** Wilson 95% score interval on the daily error-event rate — the
+    * monitoring statistic a rate alert should use instead of the raw
+    * proportion (the naive ±1.96·√(p(1−p)/n) interval collapses to
+    * width 0 at p=0, silencing exactly the low-volume days that need the
+    * widest uncertainty; Wilson stays proper at the boundaries).
+    * z = 1.96 enters as a literal in both dialects.
+    *
+    * Scale shape (100 TB): one partial+final aggregation to the
+    * days-bounded (n, x) cells; the interval arithmetic is a handful of
+    * closed-form expressions per cell, written in the identical operation
+    * order in both engines so the doubles agree before rounding. */
+  private def aggRateCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val z = 1.96
+    val z2 = lit(z) * lit(z)
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"event_type" === "error").cast("long")).as("x"))
+      .withColumn("p", $"x".cast("double") / $"n")
+      .withColumn("ctr", ($"p" + z2 / (lit(2.0) * $"n")) / (lit(1.0) + z2 / $"n"))
+      .withColumn("half",
+        (lit(z) * sqrt($"p" * (lit(1.0) - $"p") / $"n" +
+          z2 / (lit(4.0) * $"n" * $"n"))) / (lit(1.0) + z2 / $"n"))
+      .select($"d", $"n", $"x", pround($"p", 6).as("rate"),
+        pround($"ctr" - $"half", 6).as("lo"),
+        pround($"ctr" + $"half", 6).as("hi"))
+      .orderBy($"d")
+  }
+
   private def aggEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // two consumers (totals + the proportion join) — pin the bounded
@@ -182,6 +212,7 @@ object StatsAggs extends QueryModule {
 
   override def queries: Map[String, QueryFn] = Map(
     "agg_entropy"      -> aggEntropy,
+    "agg_rate_ci"      -> aggRateCi,
     "agg_bool"         -> aggBool,
     "agg_stats"        -> aggStats,
     "agg_skew_kurt"    -> aggSkewKurt,
@@ -194,6 +225,23 @@ object StatsAggs extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_rate_ci" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+        |         sum(CAST(event_type = 'error' AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d, n, x, CAST(x AS DOUBLE) / n AS p,
+        |         (CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)) /
+        |           (1.0 + 1.96 * 1.96 / n) AS ctr,
+        |         (1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n +
+        |                      1.96 * 1.96 / (4.0 * n * n))) /
+        |           (1.0 + 1.96 * 1.96 / n) AS half
+        |  FROM c)
+        |SELECT d, n, x, floor(p * 1e6 + 0.5) / 1e6 AS rate,
+        |       floor((ctr - half) * 1e6 + 0.5) / 1e6 AS lo,
+        |       floor((ctr + half) * 1e6 + 0.5) / 1e6 AS hi
+        |FROM w ORDER BY d""".stripMargin,
     "agg_entropy" ->
       """WITH cells AS (
         |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),

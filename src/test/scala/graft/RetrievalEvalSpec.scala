@@ -212,6 +212,33 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("agg_rate_ci: interval brackets the rate, proper at boundaries, x <= n") {
+    val rows = run("agg_rate_ci")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, x) = (r.getAs[Long]("n"), r.getAs[Long]("x"))
+      assert(x >= 0 && x <= n)
+      val (rate, lo, hi) = (r.getAs[Double]("rate"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9)
+      // Wilson never collapses or escapes [0,1]
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9 && hi > lo)
+    }
+  }
+
+  test("sample_neyman_alloc: allocations track n_h*sd and sum to ~budget") {
+    val rows = run("sample_neyman_alloc")
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    // per-stratum half-up rounding drifts at most strata/2 from the budget
+    assert(math.abs(total - 1000L) <= rows.length,
+      s"allocation total $total strays from the 1000 budget")
+    val byWeight = rows.sortBy(r => -r.getAs[Long]("n_h") * r.getAs[Double]("sd"))
+    val byAlloc = rows.sortBy(r => -r.getAs[Long]("alloc"))
+    assert(byWeight.map(_.getAs[String]("event_type")).toSeq ===
+      byAlloc.map(_.getAs[String]("event_type")).toSeq,
+      "allocation order must follow the N_h*S_h weight order")
+  }
+
   test("curation_token_budget matches a driver-side greedy replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

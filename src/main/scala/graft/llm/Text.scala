@@ -299,6 +299,33 @@ object Text extends QueryModule {
       .limit(20)
   }
 
+  /** Zipf-law fit of the corpus rank–frequency curve: OLS of
+    * ln(freq) ~ ln(rank) over the top-1000 terms — natural text follows
+    * slope ≈ −1 (Zipf 1949), and deviation from it is a corpus-health
+    * signal (template/boilerplate floods flatten the head, spam inflates
+    * the tail) read next to [[bigramPmi]] and `text_top_terms`.
+    *
+    * Scale shape (100 TB): one pass to vocabulary-bounded (word, count)
+    * cells; the frequency rank is the DISTRIBUTED two-phase row number
+    * ([[graft.rel.ScalableRank]] — vocabulary can be huge; a
+    * single-partition rank window over it is the trap), the head filter
+    * keeps 1000 rows, and the regression is one aggregation over them. */
+  private def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(filter(split(trim($"text"), " "), w => w =!= "")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    graft.rel.ScalableRank
+      .withGlobalRowNumber(counts, "rn", "nv", $"c".desc, $"w".asc)
+      .filter($"rn" <= 1000)
+      .agg(count(lit(1)).as("n_terms"),
+        expr("regr_slope(ln(c), ln(rn))").as("rs"),
+        expr("regr_intercept(ln(c), ln(rn))").as("ri"),
+        expr("regr_r2(ln(c), ln(rn))").as("rr"))
+      .select($"n_terms", pround($"rs", 6).as("slope"),
+        pround($"ri", 6).as("intercept"), pround($"rr", 6).as("r2"))
+  }
+
   /** North-star — document fingerprint: md5 over the sorted distinct token
     * set (canonical content signature, order-insensitive). */
   private def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
@@ -584,6 +611,7 @@ object Text extends QueryModule {
     "text_quality"      -> qualityScore,
     "text_langid"       -> langId,
     "text_bigram_pmi"   -> bigramPmi,
+    "text_zipf_fit"     -> zipfFit,
     "text_fingerprint"  -> fingerprint,
     "text_token_count"  -> tokenCount,
     "text_rolling_hash" -> rollingHash
@@ -783,6 +811,18 @@ object Text extends QueryModule {
         |       floor(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
         |             * 1000000 + 0.5) / 1000000 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rn FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |       floor(regr_slope(ln(c), ln(rn)) * 1e6 + 0.5) / 1e6 AS slope,
+        |       floor(regr_intercept(ln(c), ln(rn)) * 1e6 + 0.5) / 1e6 AS intercept,
+        |       floor(regr_r2(ln(c), ln(rn)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM r WHERE rn <= 1000""".stripMargin,
     // Identical (token, next-token) stream (1-based list index k, next
     // null on the last token) and identical double-product PMI shape.
     "text_bigram_pmi" ->

@@ -2,7 +2,7 @@ package graft.rel
 
 import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as declarative join+aggregate rounds.
@@ -437,7 +437,49 @@ object Graph extends QueryModule {
       .orderBy($"nationkey")
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — "do hubs trade
+    * with hubs?" — the one-number structural summary that separates
+    * social-style graphs (r > 0) from technological/bipartite ones
+    * (r < 0; this customer–supplier graph is bipartite, so expect
+    * disassortative). Complements [[degreeHist]] (the marginal) with the
+    * joint.
+    *
+    * Scale shape (100 TB): the edge build is the shared one join +
+    * distinct; degrees are one partial-aggregated pass; the two degree
+    * attaches are node-key joins; then EVERYTHING reduces to one row of
+    * integer moments. Determinism: degrees are exact integers, the five
+    * moment sums are exact BIGINTs, and the closing Pearson formula runs
+    * on 38-digit-decimal products (BIGINT² overflows) converted to
+    * identical doubles in both engines — one sqrt, one division. */
+  private def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val sym = Materialize.once(pairs
+      .select(explode(array(
+        struct($"a".as("src"), $"b".as("dst")),
+        struct($"b".as("src"), $"a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst")))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("d"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    sym
+      .join(deg.select($"node".as("src"), $"d".as("dx")), "src")
+      .join(deg.select($"node".as("dst"), $"d".as("dy")), "dst")
+      .agg(count(lit(1)).as("m"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"), sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      .select($"m",
+        pround((dec($"m") * dec($"sxy") - dec($"sx") * dec($"sy")).cast("double") /
+          sqrt((dec($"m") * dec($"sxx") - dec($"sx") * dec($"sx")).cast("double") *
+               (dec($"m") * dec($"syy") - dec($"sy") * dec($"sy")).cast("double")),
+          6).as("assortativity"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> assortativity,
     "graph_modularity" -> modularity,
     "graph_kcore" -> kcore,
     "graph_link_predict" -> linkPredict,
@@ -449,6 +491,31 @@ object Graph extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // sym is MATERIALIZED (degree pass + two attaches); HUGEINT keeps
+    // the moment products exact before the one double conversion.
+    "graph_assortativity" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM p
+        |  UNION ALL SELECT b AS src, a AS dst FROM p),
+        |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+        |mm AS (
+        |  SELECT count(*) AS m, sum(dx.d) AS sx, sum(dy.d) AS sy,
+        |         sum(dx.d * dy.d) AS sxy, sum(dx.d * dx.d) AS sxx,
+        |         sum(dy.d * dy.d) AS syy
+        |  FROM sym JOIN deg dx ON sym.src = dx.node
+        |           JOIN deg dy ON sym.dst = dy.node)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |       floor(CAST(CAST(m AS HUGEINT) * CAST(sxy AS HUGEINT) -
+        |                  CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+        |             sqrt(CAST(CAST(m AS HUGEINT) * CAST(sxx AS HUGEINT) -
+        |                       CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) *
+        |                  CAST(CAST(m AS HUGEINT) * CAST(syy AS HUGEINT) -
+        |                       CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE))
+        |             * 1e6 + 0.5) / 1e6 AS assortativity
+        |FROM mm""".stripMargin,
     // e is MATERIALIZED: referenced three times (m, degrees, within).
     "graph_modularity" ->
       """WITH e AS MATERIALIZED (

@@ -575,6 +575,20 @@ class PlanSpec extends SparkSpec {
       s"per-language totals must not re-scan documents: $plan")
   }
 
+  test("graph_assortativity: degree attaches are joins, everything reduces to one moment row") {
+    val plan = executed("graph_assortativity")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the symmetrized edge list must pin for its two consumers: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("text_zipf_fit ranks the vocabulary by range partitions, not one partition") {
+    val plan = executed("text_zipf_fit")
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"the frequency rank must be the two-phase distributed row number: $plan")
+  }
+
   test("mine_seq_pattern: one user-keyed exchange, pattern math above the aggregate") {
     val plan = executed("mine_seq_pattern")
     // the journey aggregation is the only data exchange; an extra join or

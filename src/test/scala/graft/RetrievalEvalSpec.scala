@@ -239,6 +239,25 @@ class RetrievalEvalSpec extends SparkSpec {
       "allocation order must follow the N_h*S_h weight order")
   }
 
+  test("graph_assortativity: r in [-1,1], m counts both edge orientations") {
+    import org.apache.spark.sql.functions._
+    val row = run("graph_assortativity").head
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    assert(row.getAs[Long]("m") === 2 * pairs)
+  }
+
+  test("text_zipf_fit: head slope is negative, r2 in [0,1], head bounded by 1000") {
+    val row = run("text_zipf_fit").head
+    assert(row.getAs[Long]("n_terms") <= 1000)
+    assert(row.getAs[Double]("slope") < 0.0, "rank-frequency must decay")
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+  }
+
   test("curation_token_budget matches a driver-side greedy replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

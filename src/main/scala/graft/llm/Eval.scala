@@ -116,10 +116,44 @@ object Eval extends QueryModule {
       .orderBy($"lang", $"guess")
   }
 
+  /** Cohen's kappa (multi-class) of the langid heuristic against the true
+    * label — the chance-corrected agreement score that reports "how much
+    * better than guessing the marginals" (raw accuracy flatters any
+    * classifier on a skewed label mix; kappa is the acceptance number
+    * annotation pipelines quote). Closes over the same confusion cells as
+    * [[langidConfusion]].
+    *
+    * Scale shape (100 TB): the corpus is touched by exactly ONE
+    * aggregation (the pinned (lang, guess) cell frame — ≤ |langs|·|guesses|
+    * rows); observed/expected agreement and the marginal product all
+    * derive from cells. Determinism: every sum is an exact integer;
+    * po/pe/kappa are the same double op sequence in both engines. */
+  private def cohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = graft.rel.Materialize.once(
+      Text.langId(spark, sfDir)
+        .groupBy($"lang", $"guess").agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum($"n").as("nn"),
+      sum(when($"lang" === $"guess", $"n")).as("diag"))
+    val rowt = cells.groupBy($"lang").agg(sum($"n").as("rt"))
+      .select($"lang".as("k"), $"rt")
+    val colt = cells.groupBy($"guess").agg(sum($"n").as("ct"))
+      .select($"guess".as("k"), $"ct")
+    val prod = rowt.join(colt, "k").agg(sum($"rt" * $"ct").as("ps"))
+    def po = $"diag".cast("double") / $"nn"
+    def pe = $"ps".cast("double") / ($"nn" * $"nn")
+    tot.crossJoin(prod).select(
+      $"nn".as("n_docs"),
+      pround(po, 6).as("po"),
+      pround(pe, 6).as("pe"),
+      pround((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "eval_quality_auc"      -> qualityAuc,
     "eval_calibration_bins" -> calibrationBins,
-    "eval_langid_confusion" -> langidConfusion
+    "eval_langid_confusion" -> langidConfusion,
+    "eval_cohens_kappa"     -> cohensKappa
   )
 
   /** Shared scored-frame CTE (identical score quantization and target). */
@@ -133,29 +167,50 @@ object Eval extends QueryModule {
       |         CAST(lang = 'en' AS BIGINT) AS y
       |  FROM d WHERE n_tok > 0)""".stripMargin
 
+  /** Shared verbatim replay of text_langid's guess rule (same stopword
+    * sets, same >= tie-breaks) — both confusion and kappa close over it,
+    * so the two oracles cannot drift apart. */
+  private val langGuessSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) * 1.0 / nullif(len(w), 0) AS r_en,
+      |         len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','por'], x))) * 1.0 / nullif(len(w), 0) AS r_es,
+      |         len(list_filter(w, x -> list_contains(['der','die','und','das','ein','zu','mit','ist'], x))) * 1.0 / nullif(len(w), 0) AS r_de
+      |  FROM t),
+      |g AS (
+      |  SELECT lang,
+      |         CASE WHEN r_en >= r_es AND r_en >= r_de THEN 'en'
+      |              WHEN r_es >= r_de THEN 'es' ELSE 'de' END AS guess
+      |  FROM s)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    // Replays text_langid's guess rule verbatim (same stopword sets, same
-    // >= tie-breaks), then aggregates to cells; totals derive from cells.
     "eval_langid_confusion" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
-        |s AS (
-        |  SELECT lang,
-        |         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) * 1.0 / nullif(len(w), 0) AS r_en,
-        |         len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','por'], x))) * 1.0 / nullif(len(w), 0) AS r_es,
-        |         len(list_filter(w, x -> list_contains(['der','die','und','das','ein','zu','mit','ist'], x))) * 1.0 / nullif(len(w), 0) AS r_de
-        |  FROM t),
-        |g AS (
-        |  SELECT lang,
-        |         CASE WHEN r_en >= r_es AND r_en >= r_de THEN 'en'
-        |              WHEN r_es >= r_de THEN 'es' ELSE 'de' END AS guess
-        |  FROM s),
+      s"""$langGuessSql,
         |c AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY 1, 2),
         |tot AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
         |SELECT c.lang AS lang, guess, CAST(n AS BIGINT) AS n,
         |       floor(CAST(n AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS frac
         |FROM c JOIN tot ON c.lang = tot.lang
         |ORDER BY lang, guess""".stripMargin,
+    // c is MATERIALIZED: the cell frame has four consumers (total, diag,
+    // row marginals, column marginals).
+    "eval_cohens_kappa" ->
+      s"""$langGuessSql,
+        |c AS MATERIALIZED (SELECT lang, guess, count(*) AS n FROM g GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS nn,
+        |               sum(CASE WHEN lang = guess THEN n ELSE 0 END) AS diag
+        |        FROM c),
+        |rt AS (SELECT lang AS k, sum(n) AS rt FROM c GROUP BY 1),
+        |ct AS (SELECT guess AS k, sum(n) AS ct FROM c GROUP BY 1),
+        |pr AS (SELECT sum(rt.rt * ct.ct) AS ps FROM rt JOIN ct ON rt.k = ct.k)
+        |SELECT CAST(nn AS BIGINT) AS n_docs,
+        |       floor(CAST(diag AS DOUBLE) / nn * 1e6 + 0.5) / 1e6 AS po,
+        |       floor(CAST(ps AS DOUBLE) / (nn * nn) * 1e6 + 0.5) / 1e6 AS pe,
+        |       floor((CAST(diag AS DOUBLE) / nn - CAST(ps AS DOUBLE) / (nn * nn)) /
+        |             (1.0 - CAST(ps AS DOUBLE) / (nn * nn)) * 1e6 + 0.5) / 1e6 AS kappa
+        |FROM tot, pr""".stripMargin,
     "eval_quality_auc" ->
       s"""$scoredSql,
          |cells AS (

@@ -326,6 +326,39 @@ object Text extends QueryModule {
         pround($"ri", 6).as("intercept"), pround($"rr", 6).as("r2"))
   }
 
+  /** Vocabulary coverage curve: what fraction of the corpus token stream
+    * is covered by the top-K most frequent words, at K ∈ {100, 1000,
+    * 10000} — the tokenizer-design statistic (how big must a word-level
+    * vocab be before OOV rate is acceptable?) read next to
+    * [[zipfFit]]'s slope.
+    *
+    * Scale shape (100 TB): one token scan to vocabulary-bounded
+    * (word, count) cells; the frequency rank is the DISTRIBUTED two-phase
+    * row number ([[graft.rel.ScalableRank]]); all three cutoffs are
+    * conditional sums in ONE aggregation over the ranked cells (never one
+    * pass per cutoff), unpivoted to three rows by `stack` at the end.
+    * Counts are exact integers; the two closing ratios are one double
+    * division each. */
+  private def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(filter(split(trim($"text"), " "), w => w =!= "")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    def covered(k: Int) = coalesce(sum(when($"rn" <= k, $"c")), lit(0L))
+    graft.rel.ScalableRank
+      .withGlobalRowNumber(counts, "rn", "nv", $"c".desc, $"w".asc)
+      .agg(covered(100).as("k100"), covered(1000).as("k1000"),
+        covered(10000).as("k10000"), sum($"c").as("total"))
+      .select(expr("stack(3, 100, k100, 1000, k1000, 10000, k10000)")
+        .as(Seq("vocab_size", "covered_tokens")), $"total".as("total_tokens"))
+      .select($"vocab_size", $"covered_tokens", $"total_tokens",
+        pround($"covered_tokens".cast("double") / $"total_tokens", 6)
+          .as("coverage"),
+        pround(($"total_tokens" - $"covered_tokens").cast("double") /
+          $"total_tokens", 6).as("oov_rate"))
+      .orderBy($"vocab_size")
+  }
+
   /** North-star — document fingerprint: md5 over the sorted distinct token
     * set (canonical content signature, order-insensitive). */
   private def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
@@ -612,6 +645,7 @@ object Text extends QueryModule {
     "text_langid"       -> langId,
     "text_bigram_pmi"   -> bigramPmi,
     "text_zipf_fit"     -> zipfFit,
+    "text_vocab_coverage" -> vocabCoverage,
     "text_fingerprint"  -> fingerprint,
     "text_token_count"  -> tokenCount,
     "text_rolling_hash" -> rollingHash
@@ -811,6 +845,30 @@ object Text extends QueryModule {
         |       floor(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
         |             * 1000000 + 0.5) / 1000000 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // `a` is referenced by all three cutoff rows -> MATERIALIZED.
+    "text_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rn FROM c),
+        |a AS MATERIALIZED (
+        |  SELECT sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS k100,
+        |         sum(CASE WHEN rn <= 1000 THEN c ELSE 0 END) AS k1000,
+        |         sum(CASE WHEN rn <= 10000 THEN c ELSE 0 END) AS k10000,
+        |         sum(c) AS total
+        |  FROM r),
+        |u AS (
+        |  SELECT 100 AS vocab_size, k100 AS covered_tokens, total FROM a
+        |  UNION ALL SELECT 1000, k1000, total FROM a
+        |  UNION ALL SELECT 10000, k10000, total FROM a)
+        |SELECT CAST(vocab_size AS INT) AS vocab_size,
+        |       CAST(covered_tokens AS BIGINT) AS covered_tokens,
+        |       CAST(total AS BIGINT) AS total_tokens,
+        |       floor(CAST(covered_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS coverage,
+        |       floor(CAST(total - covered_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS oov_rate
+        |FROM u ORDER BY vocab_size""".stripMargin,
     "text_zipf_fit" ->
       """WITH t AS (
         |  SELECT w FROM (

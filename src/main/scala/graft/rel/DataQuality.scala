@@ -163,13 +163,68 @@ object DataQuality extends QueryModule {
       .orderBy($"event_type")
   }
 
+  private val UniqCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Candidate-key / uniqueness profile of `orders`: per column, the
+    * exact distinct count, null count, uniqueness ratio, and whether the
+    * column is a candidate key (unique ∧ non-null) — the schema-discovery
+    * primitive (which column can be a merge/upsert key?) that
+    * [[dqProfile]]'s stats don't answer directly.
+    *
+    * Scale shape (100 TB): the DUAL of dqProfile's Expand plan — unpivot
+    * FIRST (`stack` is a map-side generator: rows × |cols|, but slim
+    * 2-field rows), then ONE (col, value)-keyed aggregation whose partial
+    * step collapses duplicates before the shuffle, then a |cols|-keyed
+    * rollup of the cells. Multiple exact count-distincts never meet in one
+    * aggregate, so no Expand and no per-column re-scan; the shuffle is
+    * bounded by Σ per-column cardinality, not rows × aggregates. String
+    * casts only need injectivity WITHIN each engine (only counts cross
+    * engines), so double/timestamp formatting differences are immaterial. */
+  private def dqUniqueness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stacked = Tables.orders(spark, sfDir).select(expr(
+      s"stack(${UniqCols.length}, " +
+        UniqCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        ") AS (col, v)"))
+    stacked.groupBy($"col", $"v").agg(count(lit(1)).as("c"))
+      .groupBy($"col").agg(
+        sum($"c").as("n_rows"),
+        coalesce(sum(when($"v".isNull, $"c")), lit(0L)).as("n_nulls"),
+        count(when($"v".isNotNull, lit(1))).as("n_distinct"))
+      .select($"col", $"n_rows", $"n_nulls", $"n_distinct",
+        pround($"n_distinct".cast("double") / $"n_rows", 6).as("uniqueness"),
+        ($"n_nulls" === 0 && $"n_distinct" === $"n_rows").as("candidate_key"))
+      .orderBy($"col")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "dq_profile"     -> dqProfile,
     "dq_constraints" -> dqConstraints,
-    "dq_drift_psi"   -> dqDriftPsi
+    "dq_drift_psi"   -> dqDriftPsi,
+    "dq_uniqueness"  -> dqUniqueness
   )
 
   override def oracles: Map[String, String] = Map(
+    // Unpivot via UNION ALL branches (DuckDB's stack); counts are
+    // cast-format-independent, so VARCHAR casts here need not render
+    // identically to Spark's.
+    "dq_uniqueness" -> {
+      val branches = UniqCols.map(c =>
+        s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM orders")
+        .mkString("\n  UNION ALL ")
+      s"""WITH s AS (
+        |  $branches),
+        |g AS (SELECT col, v, count(*) AS c FROM s GROUP BY 1, 2)
+        |SELECT col, CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT) AS n_nulls,
+        |       CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+        |       floor(CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS DOUBLE)
+        |             / sum(c) * 1e6 + 0.5) / 1e6 AS uniqueness,
+        |       (coalesce(sum(CASE WHEN v IS NULL THEN c END), 0) = 0
+        |        AND count(CASE WHEN v IS NOT NULL THEN 1 END) = sum(c)) AS candidate_key
+        |FROM g GROUP BY col ORDER BY col""".stripMargin
+    },
     "dq_drift_psi" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value
         |           FROM events WHERE value IS NOT NULL),

@@ -114,23 +114,27 @@ object Graph extends QueryModule {
     * consumers each, no subtree recompute. The close step is an inner
     * equi-join (oriented edges are distinct, so multiplicity is exact),
     * never a nested loop. */
-  private def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+  private def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOf(coSupplyEdges(spark, sfDir))
+
+  /** Support-sampled co-supply projection (1-in-10 orders): the full
+    * projection of this SMALL dense fixture saturates to a complete
+    * graph (K1000 at sf0.1 ⇒ C(1000,3) ≈ 1.7e8 wedges — measured 312 s;
+    * no orientation can fix a clique). Real co-occurrence graphs bound
+    * density the same way — support thresholds or edge sampling
+    * (Doulion) — BEFORE triangle counting; the deterministic key slice
+    * keeps the oracle replayable. At sf0.1 this yields 107k edges /
+    * 6.9M oriented wedges / 1.79M triangles — a real sparse-graph load.
+    * Canonical undirected edge list: `u < v`, distinct, no self-loops.
+    * Shared by [[triangleCount]] and [[clusteringCoeff]]. */
+  private def coSupplyEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Support-sampled projection (1-in-10 orders): the full co-supply
-    // projection of this SMALL dense fixture saturates to a complete
-    // graph (K1000 at sf0.1 ⇒ C(1000,3) ≈ 1.7e8 wedges — measured 312 s;
-    // no orientation can fix a clique). Real co-occurrence graphs bound
-    // density the same way — support thresholds or edge sampling
-    // (Doulion) — BEFORE triangle counting; the deterministic key slice
-    // keeps the oracle replayable. At sf0.1 this yields 107k edges /
-    // 6.9M oriented wedges / 1.79M triangles — a real sparse-graph load.
     val li = Tables.lineitem(spark, sfDir)
       .filter($"l_orderkey" % 10 === 0)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("s")).distinct()
-    trianglesOf(
-      li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
-        .select(col("x.s").as("u"), col("y.s").as("v")).distinct())
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("u"), col("y.s").as("v")).distinct()
   }
 
   /** Degree-oriented triangle counting over a canonical undirected edge
@@ -162,6 +166,76 @@ object Graph extends QueryModule {
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
       .crossJoin(nTri)
+  }
+
+  /** Clustering coefficients over the co-supply graph — the density
+    * summary one level finer than [[triangleCount]]'s total: global
+    * transitivity 3T / Σ C(d,2) ("what fraction of wedges close?") and
+    * the average LOCAL coefficient 2t_v / d_v(d_v−1) (Watts–Strogatz
+    * 1998 — small-world detection; a high-transitivity graph with low
+    * average local CC is hub-closed, the classic supply-concentration
+    * signature).
+    *
+    * Scale shape (100 TB): identical degree-oriented wedge machinery as
+    * [[trianglesOf]] (Schank/Wagner orientation — wedge count O(|E|^1.5),
+    * hub-skew-proof), but the wedge keeps its pivot so the close join
+    * yields triangle NODE TRIPLES; those explode 3× and aggregate to
+    * per-node counts (rows = 3T, never touching the corpus), and both
+    * summaries reduce from the degree frame + the per-node counts.
+    * Determinism: T, W and all degrees are exact integers; each local
+    * coefficient is micro-quantized to 1e-6 units (identical one-division
+    * double op both engines) and SUMMED AS INTEGERS — a float sum over
+    * nodes would be partition-order-dependent. */
+  private def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringOf(coSupplyEdges(spark, sfDir))
+
+  /** Clustering coefficients over a canonical undirected edge list
+    * (`u < v`, distinct, no self-loops). Package-visible so tests can
+    * drive it with graphs of known clustering structure. */
+  private[graft] def clusteringOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = Materialize.once(edges)
+    val deg = Materialize.once(
+      pairs.select($"u".as("node"))
+        .unionByName(pairs.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg")))
+    val withDeg = pairs
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val oriented = Materialize.once(withDeg.select(
+      when(fwd, $"u").otherwise($"v").as("a"),
+      when(fwd, $"v").otherwise($"u").as("b"),
+      when(fwd, $"dv").otherwise($"du").as("db")))
+    // Pivot-carrying wedges: the close join emits (pivot, wb, wc) node
+    // triples instead of a bare count.
+    val tris = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") &&
+          (col("e1.db") < col("e2.db") ||
+            (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
+      .select(col("e1.a").as("p"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      .join(oriented, $"wb" === $"a" && $"wc" === $"b")
+    val triPerNode = tris
+      .select(explode(array($"p", $"wb", $"wc")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("t"))
+    // Local coefficients: micro-quantize each 2t/d(d-1) to 1e-6 integer
+    // units, sum exactly, divide once at the end.
+    val local = deg.join(triPerNode, Seq("node"), "left")
+      .filter($"deg" >= 2)
+      .select(
+        floor(lit(2.0) * coalesce($"t", lit(0L)) / ($"deg" * ($"deg" - 1))
+          * 1e6 + 0.5).as("q"))
+      .agg(sum($"q").as("qsum"), count(lit(1)).as("n_elig"))
+    val wedgesTotal = deg
+      .agg(count(lit(1)).as("n_nodes"),
+        sum($"deg" * ($"deg" - 1)).as("w2")) // = 2·Σ C(d,2)
+    val nTri = tris.agg(count(lit(1)).as("n_triangles"))
+    wedgesTotal.crossJoin(nTri).crossJoin(local)
+      .select($"n_nodes", $"n_triangles",
+        pround(lit(6.0) * $"n_triangles" / $"w2", 6).as("transitivity"),
+        pround($"qsum".cast("double") / lit(1e6) / $"n_elig", 6)
+          .as("avg_local_cc"))
   }
 
   private val BfsRounds = 3
@@ -486,6 +560,7 @@ object Graph extends QueryModule {
     "graph_degree_hist" -> degreeHist,
     "graph_pagerank" -> pagerank,
     "graph_triangle_count" -> triangleCount,
+    "graph_clustering_coeff" -> clusteringCoeff,
     "graph_bfs_distance" -> bfsDistance,
     "graph_label_propagation" -> labelPropagation
   )
@@ -672,6 +747,46 @@ object Graph extends QueryModule {
            |SELECT node, floor(r * 1000 * 1e6 + 0.5) / 1e6 AS r1000
            |FROM r$Rounds ORDER BY node""".stripMargin
     },
+    // Same degree-oriented wedge machinery as graph_triangle_count, with
+    // the pivot kept so triangles unnest to per-node counts. Every
+    // multi-consumer CTE is MATERIALIZED (DuckDB inlines otherwise).
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |            FROM lineitem WHERE l_orderkey % 10 = 0),
+        |pairs AS MATERIALIZED (SELECT DISTINCT x.s AS u, y.s AS v
+        |          FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s),
+        |deg AS MATERIALIZED (SELECT node, count(*) AS deg
+        |        FROM (SELECT u AS node FROM pairs
+        |              UNION ALL SELECT v FROM pairs) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+        |  FROM (SELECT pairs.u, pairs.v, d1.deg AS du, d2.deg AS dv
+        |        FROM pairs
+        |        JOIN deg d1 ON d1.node = pairs.u
+        |        JOIN deg d2 ON d2.node = pairs.v)),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS p, e1.b AS wb, e2.b AS wc
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a
+        |       AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+        |  JOIN o e3 ON e1.b = e3.a AND e2.b = e3.b),
+        |tn AS (SELECT node, count(*) AS t FROM (
+        |         SELECT p AS node FROM tri
+        |         UNION ALL SELECT wb FROM tri
+        |         UNION ALL SELECT wc FROM tri) GROUP BY 1),
+        |loc AS (
+        |  SELECT sum(CAST(floor(2.0 * coalesce(t, 0) / (deg * (deg - 1))
+        |                        * 1e6 + 0.5) AS BIGINT)) AS qsum,
+        |         count(*) AS n_elig
+        |  FROM deg LEFT JOIN tn ON deg.node = tn.node WHERE deg >= 2),
+        |tot AS (SELECT count(*) AS n_nodes, sum(deg * (deg - 1)) AS w2 FROM deg),
+        |nt AS (SELECT count(*) AS n_triangles FROM tri)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(n_triangles AS BIGINT) AS n_triangles,
+        |       floor(6.0 * n_triangles / w2 * 1e6 + 0.5) / 1e6 AS transitivity,
+        |       floor(CAST(qsum AS DOUBLE) / 1e6 / n_elig * 1e6 + 0.5) / 1e6 AS avg_local_cc
+        |FROM tot, nt, loc""".stripMargin,
     "graph_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
         |            FROM lineitem WHERE l_orderkey % 10 = 0),

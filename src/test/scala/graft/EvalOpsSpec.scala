@@ -144,4 +144,41 @@ class EvalOpsSpec extends SparkSpec {
       assert(p > 0.0 && p <= 1.0)
     }
   }
+
+  test("eval_cohens_kappa: kappa = (po-pe)/(1-pe), covers every doc, never beats accuracy") {
+    val r = run("eval_cohens_kappa").head
+    val (po, pe, k) = (r.getAs[Double]("po"), r.getAs[Double]("pe"),
+      r.getAs[Double]("kappa"))
+    assert(r.getAs[Long]("n_docs") ===
+      Tables.documents(spark, sf).count())
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-5)
+    assert(k <= po + 1e-9, "chance correction can only lower the score")
+  }
+
+  test("text_vocab_coverage: monotone in vocab size, coverage+oov = 1, bounded by total") {
+    val rows = run("text_vocab_coverage")
+    assert(rows.map(_.getAs[Int]("vocab_size")).toSeq === Seq(100, 1000, 10000))
+    val covs = rows.map(_.getAs[Double]("coverage")).toSeq
+    assert(covs === covs.sorted, "more vocab can only cover more")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(math.abs(r.getAs[Double]("coverage") + r.getAs[Double]("oov_rate") - 1.0) < 2e-6)
+    }
+  }
+
+  test("dq_uniqueness: o_orderkey is the candidate key; every column counts all rows") {
+    val rows = run("dq_uniqueness")
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_nulls") <= n + n)
+    }
+    val byCol = rows.map(r => r.getAs[String]("col") -> r).toMap
+    assert(byCol("o_orderkey").getAs[Boolean]("candidate_key"),
+      "the primary key must be detected")
+    assert(!byCol("o_orderstatus").getAs[Boolean]("candidate_key"),
+      "a 3-value enum cannot be a key")
+  }
 }

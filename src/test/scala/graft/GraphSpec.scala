@@ -96,4 +96,31 @@ class GraphSpec extends SparkSpec {
         s"${r.getAs[String]("node")} below k in the reported core")
     }
   }
+
+  private def clustering(edges: Seq[(Long, Long)]): (Double, Double) = {
+    val row = Graph.clusteringOf(edges.toDF("u", "v")).collect().head
+    (row.getAs[Double]("transitivity"), row.getAs[Double]("avg_local_cc"))
+  }
+
+  test("K5 clustering: transitivity 1, every local coefficient 1") {
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(clustering(k5) === ((1.0, 1.0)))
+  }
+
+  test("path graph clustering is zero on both summaries") {
+    assert(clustering(Seq((0L, 1L), (1L, 2L), (2L, 3L))) === ((0.0, 0.0)))
+  }
+
+  test("4-cycle with chord: transitivity 6/8, avg local = (1/3+1+1/3+1)/4") {
+    // degrees: 0→3, 1→2, 2→3, 3→2; triangles (0,1,2), (0,2,3);
+    // wedges Σ C(d,2) = 3+1+3+1 = 8; local cc: 2·2/6, 1, 2·2/6, 1.
+    val (t, l) = clustering(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 2L)))
+    assert(t === 0.75)
+    assert(math.abs(l - (1.0 / 3 + 1 + 1.0 / 3 + 1) / 4) < 2e-6)
+  }
+
+  test("star graph: hub closes nothing — transitivity 0, only the hub is degree-eligible") {
+    val (t, l) = clustering(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    assert(t === 0.0 && l === 0.0)
+  }
 }

@@ -589,6 +589,41 @@ class PlanSpec extends SparkSpec {
       s"the frequency rank must be the two-phase distributed row number: $plan")
   }
 
+  test("graph_clustering_coeff: pinned oriented frame, wedge close by equi-joins") {
+    val plan = executed("graph_clustering_coeff")
+    assert(plan.contains("InMemoryTableScan"),
+      s"pairs/deg/oriented are multi-consumer and must pin: $plan")
+    assert("HashJoin".r.findAllIn(plan).size >= 2,
+      s"wedge/close must be equi-joins, never a nested loop: $plan")
+  }
+
+  test("dq_uniqueness unpivots first — no multi-distinct Expand, two-level aggregation") {
+    val plan = executed("dq_uniqueness")
+    assert(!plan.contains("Expand"),
+      s"the stack-first shape must avoid the Expand row blowup: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"(col,value) cells then per-col rollup must both partial+final: $plan")
+  }
+
+  test("text_vocab_coverage: one token scan, distributed rank, all cutoffs in one aggregation") {
+    val plan = executed("text_vocab_coverage")
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"the frequency rank must be the two-phase distributed row number: $plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"the three cutoffs must share one ranked pass: $plan")
+  }
+
+  test("eval_cohens_kappa: marginals derive from the pinned cell frame, one corpus aggregation") {
+    val plan = executed("eval_cohens_kappa")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (lang, guess) cells have four consumers and must pin: $plan")
+    val firstScan = plan.indexOf("Scan parquet")
+    val firstCache = plan.indexOf("InMemoryTableScan")
+    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+      s"a marginal re-scans the corpus instead of the cells: $plan")
+  }
+
   test("mine_seq_pattern: one user-keyed exchange, pattern math above the aggregate") {
     val plan = executed("mine_seq_pattern")
     // the journey aggregation is the only data exchange; an extra join or

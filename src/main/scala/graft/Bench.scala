@@ -32,6 +32,7 @@ object Bench {
     // flood of storage-layer WARNs (BENCH_r04.json parsed=null). The metric
     // line must be the one thing this process reliably emits.
     spark.sparkContext.setLogLevel("ERROR")
+    Quiet.storageShutdownRace()
     // Warm the session once so the first timed queries don't absorb one-time
     // JVM/session init (measured 1.5-3.5 s on whichever queries happen to run
     // first): executor threads, codegen compiler, hadoop FS, parquet footers

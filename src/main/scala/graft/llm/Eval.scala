@@ -146,7 +146,9 @@ object Eval extends QueryModule {
       $"nn".as("n_docs"),
       pround(po, 6).as("po"),
       pround(pe, 6).as("pe"),
-      pround((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      // κ is undefined at pe = 1 (single-label degenerate corpus: the
+      // 0/0 would otherwise surface as NaN) — emit NULL, both dialects
+      pround(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
   override def queries: Map[String, QueryFn] = Map(
@@ -208,8 +210,10 @@ object Eval extends QueryModule {
         |SELECT CAST(nn AS BIGINT) AS n_docs,
         |       floor(CAST(diag AS DOUBLE) / nn * 1e6 + 0.5) / 1e6 AS po,
         |       floor(CAST(ps AS DOUBLE) / (nn * nn) * 1e6 + 0.5) / 1e6 AS pe,
-        |       floor((CAST(diag AS DOUBLE) / nn - CAST(ps AS DOUBLE) / (nn * nn)) /
-        |             (1.0 - CAST(ps AS DOUBLE) / (nn * nn)) * 1e6 + 0.5) / 1e6 AS kappa
+        |       CASE WHEN CAST(ps AS DOUBLE) / (nn * nn) < 1.0 THEN
+        |         floor((CAST(diag AS DOUBLE) / nn - CAST(ps AS DOUBLE) / (nn * nn)) /
+        |               (1.0 - CAST(ps AS DOUBLE) / (nn * nn)) * 1e6 + 0.5) / 1e6
+        |       END AS kappa
         |FROM tot, pr""".stripMargin,
     "eval_quality_auc" ->
       s"""$scoredSql,

@@ -280,6 +280,10 @@ object Text extends QueryModule {
     val toks = Materialize.once(
       Tables.documents(spark, sfDir)
         .withColumn("ws", words)
+        // empty/whitespace-only docs: arrays_zip([], [null]) would emit a
+        // (null,null) row, adding a phantom null-key unigram and inflating
+        // nt vs the oracle's unnest(range(...)), which emits nothing
+        .filter(size($"ws") > 0)
         .withColumn("nxt", concat(slice($"ws", lit(2), size($"ws")),
           array(lit(null).cast("string"))))
         .select(explode(arrays_zip($"ws", $"nxt")).as("p"))
@@ -312,9 +316,11 @@ object Text extends QueryModule {
     * keeps 1000 rows, and the regression is one aggregation over them. */
   private def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.documents(spark, sfDir)
+    // ScalableRank's two-phase rank consumes the frame twice — pin the
+    // vocabulary-bounded (word, count) cells so the token scan runs ONCE
+    val counts = graft.rel.Materialize.once(Tables.documents(spark, sfDir)
       .select(explode(filter(split(trim($"text"), " "), w => w =!= "")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .groupBy($"w").agg(count(lit(1)).as("c")))
     graft.rel.ScalableRank
       .withGlobalRowNumber(counts, "rn", "nv", $"c".desc, $"w".asc)
       .filter($"rn" <= 1000)
@@ -341,9 +347,10 @@ object Text extends QueryModule {
     * division each. */
   private def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.documents(spark, sfDir)
+    // pinned for the same two-consumer reason as [[zipfFit]]
+    val counts = graft.rel.Materialize.once(Tables.documents(spark, sfDir)
       .select(explode(filter(split(trim($"text"), " "), w => w =!= "")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .groupBy($"w").agg(count(lit(1)).as("c")))
     def covered(k: Int) = coalesce(sum(when($"rn" <= k, $"c")), lit(0L))
     graft.rel.ScalableRank
       .withGlobalRowNumber(counts, "rn", "nv", $"c".desc, $"w".asc)

@@ -57,6 +57,15 @@ object Mining extends QueryModule {
 
   private val MinConfidence = 0.08
 
+  /** Relative (production-form) thresholds: fractions of the basket
+    * count. Calibrated to land near the absolute cutoffs at sf0.01
+    * (≈15k baskets → item cut ceil(22.5)=23, pair cut ceil(1.95)=2) so
+    * the two forms are comparable on the fixture; at a replication-grown
+    * corpus these cutoffs scale with nb, which is the scale-safety the
+    * absolute form lacks. */
+  private val RelItemSupport = 0.0015
+  private val RelPairSupport = 0.00013
+
   private def frequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     frequentPairsOf(
@@ -119,19 +128,57 @@ object Mining extends QueryModule {
       .orderBy($"p1", $"p2")
   }
 
+  /** RELATIVE-minsup production form of the pair mine — the scale-safe
+    * variant the absolute-threshold scaladoc above points at: thresholds
+    * are fractions of the basket count (item ≥ 0.15 % of baskets, pair ≥
+    * 0.013 %), attached DECLARATIVELY from the 1-row basket-count
+    * aggregate (broadcast scalar attach — no driver-side action computes
+    * the cutoff), so on a corpus that grows by replication the cutoffs
+    * grow with it and the output stays distribution-determined instead of
+    * admitting every pair. Same two-shuffle A-Priori trajectory as
+    * [[frequentPairs]]. */
+  private def frequentPairsRel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    frequentPairsRelOf(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct(),
+      RelItemSupport, RelPairSupport)
+  }
+
+  private[graft] def frequentPairsRelOf(
+      basketsRaw: DataFrame, relItem: Double, relPair: Double): DataFrame = {
+    import basketsRaw.sparkSession.implicits._
+    pairSupportsThresholdedOf(basketsRaw,
+      nb => ceil(lit(relItem) * nb), nb => ceil(lit(relPair) * nb))
+      .select($"p1", $"p2", $"support".cast("bigint").as("support"),
+        pround($"support" * $"n_baskets" / ($"c1" * $"c2"), 6).as("lift"))
+      .orderBy($"p1", $"p2")
+  }
+
   /** Shared pair-support trajectory (both mining queries compose from it,
     * so pairs and rules provably use the SAME supports): columns
     * (p1, p2, support, c1, c2, n_baskets), p1 < p2, thresholds applied. */
   private def pairSupportsOf(
-      basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame = {
+      basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame =
+    pairSupportsThresholdedOf(basketsRaw, _ => lit(minItem), _ => lit(minPair))
+
+  /** Threshold-generalized core: cutoffs are FUNCTIONS of the basket
+    * count column, so absolute (constant) and relative (ceil(rel·nb))
+    * forms share one plan shape. The basket count enters each filter as a
+    * broadcast scalar attach — never a driver action. */
+  private def pairSupportsThresholdedOf(basketsRaw: DataFrame,
+      minItemOf: Column => Column, minPairOf: Column => Column): DataFrame = {
     val spark = basketsRaw.sparkSession
     import spark.implicits._
     // three consumers (item-support pass, prune join, basket-count
     // scalar) — pin once so the source scans once, not three times
     val baskets = Materialize.once(basketsRaw)
+    val nb = baskets.agg(countDistinct($"ok").as("n_baskets"))
     val freqItems = baskets.groupBy($"p")
       .agg(count(lit(1)).as("c"))
-      .filter($"c" >= minItem)
+      .crossJoin(broadcast(nb))
+      .filter($"c" >= minItemOf($"n_baskets"))
+      .drop("n_baskets")
     // pruned basket rows carry the item's support for the lift term
     val pruned = baskets.join(freqItems, Seq("p"))
     val lists = pruned.groupBy($"ok")
@@ -141,12 +188,11 @@ object Mining extends QueryModule {
         |  transform(slice(it, i + 2, size(it)), y ->
         |    struct(x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2))))""".stripMargin
     )).as("pr")).select($"pr.p1", $"pr.p2", $"pr.c1", $"pr.c2")
-    val sup = pairs.groupBy($"p1", $"p2")
+    pairs.groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("support"),
         max($"c1").as("c1"), max($"c2").as("c2")) // constant per key
-      .filter($"support" >= minPair)
-    val nb = baskets.agg(countDistinct($"ok").as("n_baskets"))
-    sup.crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nb))
+      .filter($"support" >= minPairOf($"n_baskets"))
   }
 
   /** Sequential-pattern counting over each user's time-ordered event
@@ -184,9 +230,10 @@ object Mining extends QueryModule {
   }
 
   override def queries: Map[String, QueryFn] = Map(
-    "mine_frequent_pairs" -> frequentPairs,
-    "mine_assoc_rules"    -> assocRules,
-    "mine_seq_pattern"    -> seqPattern
+    "mine_frequent_pairs"     -> frequentPairs,
+    "mine_frequent_pairs_rel" -> frequentPairsRel,
+    "mine_assoc_rules"        -> assocRules,
+    "mine_seq_pattern"        -> seqPattern
   )
 
   /** Shared pair-support CTE prefix ending in `s` (p1, p2, support, c1,
@@ -227,6 +274,28 @@ object Mining extends QueryModule {
         |       floor(support * nb * 1.0 / (c1 * c2) * 1e6 + 0.5) / 1e6
         |         AS lift
         |FROM s CROSS JOIN n ORDER BY p1, p2""".stripMargin),
+    // relative form: cutoffs derive from nb; the rel literals are CAST to
+    // DOUBLE so DuckDB's decimal-exact rel*nb (e.g. 0.0015*2000 = 3.0
+    // exact) can't ceil one below Spark's double product (3.0000…0006 → 4)
+    "mine_frequent_pairs_rel" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |           FROM lineitem),
+         |n AS (SELECT count(DISTINCT ok) AS nb FROM b),
+         |i AS (SELECT p, c FROM (SELECT p, count(*) AS c FROM b GROUP BY 1)
+         |      CROSS JOIN n
+         |      WHERE c >= ceil(CAST($RelItemSupport AS DOUBLE) * nb)),
+         |pb AS (SELECT b.ok, b.p, i.c FROM b JOIN i USING (p)),
+         |pr AS (SELECT x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2
+         |       FROM pb x JOIN pb y ON x.ok = y.ok AND x.p < y.p),
+         |s AS (SELECT p1, p2, count(*) AS support,
+         |             max(c1) AS c1, max(c2) AS c2
+         |      FROM pr GROUP BY 1, 2),
+         |f AS (SELECT s.*, nb FROM s CROSS JOIN n
+         |      WHERE support >= ceil(CAST($RelPairSupport AS DOUBLE) * nb))
+         |SELECT p1, p2, CAST(support AS BIGINT) AS support,
+         |       floor(support * nb * 1.0 / (c1 * c2) * 1e6 + 0.5) / 1e6
+         |         AS lift
+         |FROM f ORDER BY p1, p2""".stripMargin,
     "mine_assoc_rules" -> (PairSupportCtes +
       s""",
          |r AS (SELECT p1 AS antecedent, p2 AS consequent, support,

@@ -166,7 +166,12 @@ object StatsAggs extends QueryModule {
     * Scale shape (100 TB): one partial+final aggregation to the
     * days-bounded (n, x) cells; the interval arithmetic is a handful of
     * closed-form expressions per cell, written in the identical operation
-    * order in both engines so the doubles agree before rounding. */
+    * order in both engines so the doubles agree before rounding.
+    *
+    * Output convention: rate/lo/hi ship as exact micro-unit BIGINTs
+    * (×1e6 — the `curation_dsir`/`eval_quality_auc` integer convention)
+    * rather than rounded doubles, so the cross-engine hash contract is
+    * immune to float canonicalization differences downstream. */
   private def aggRateCi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val z = 1.96
@@ -180,9 +185,10 @@ object StatsAggs extends QueryModule {
       .withColumn("half",
         (lit(z) * sqrt($"p" * (lit(1.0) - $"p") / $"n" +
           z2 / (lit(4.0) * $"n" * $"n"))) / (lit(1.0) + z2 / $"n"))
-      .select($"d", $"n", $"x", pround($"p", 6).as("rate"),
-        pround($"ctr" - $"half", 6).as("lo"),
-        pround($"ctr" + $"half", 6).as("hi"))
+      .select($"d", $"n", $"x",
+        floor($"p" * lit(1e6) + lit(0.5)).cast("long").as("rate_micro"),
+        floor(($"ctr" - $"half") * lit(1e6) + lit(0.5)).cast("long").as("lo_micro"),
+        floor(($"ctr" + $"half") * lit(1e6) + lit(0.5)).cast("long").as("hi_micro"))
       .orderBy($"d")
   }
 
@@ -232,15 +238,16 @@ object StatsAggs extends QueryModule {
         |  FROM events GROUP BY 1),
         |w AS (
         |  SELECT d, n, x, CAST(x AS DOUBLE) / n AS p,
-        |         (CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)) /
-        |           (1.0 + 1.96 * 1.96 / n) AS ctr,
-        |         (1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n +
-        |                      1.96 * 1.96 / (4.0 * n * n))) /
-        |           (1.0 + 1.96 * 1.96 / n) AS half
+        |         (CAST(x AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * n)) /
+        |           (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n) AS ctr,
+        |         (CAST(1.96 AS DOUBLE) * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n) / n +
+        |                      CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * n * n))) /
+        |           (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n) AS half
         |  FROM c)
-        |SELECT d, n, x, floor(p * 1e6 + 0.5) / 1e6 AS rate,
-        |       floor((ctr - half) * 1e6 + 0.5) / 1e6 AS lo,
-        |       floor((ctr + half) * 1e6 + 0.5) / 1e6 AS hi
+        |SELECT d, n, x,
+        |       CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS rate_micro,
+        |       CAST(floor((ctr - half) * 1e6 + 0.5) AS BIGINT) AS lo_micro,
+        |       CAST(floor((ctr + half) * 1e6 + 0.5) AS BIGINT) AS hi_micro
         |FROM w ORDER BY d""".stripMargin,
     "agg_entropy" ->
       """WITH cells AS (

@@ -41,7 +41,11 @@ object ExplainDump {
     "search_hybrid_rrf", "embed_truncate_recall", "sample_hard_negatives",
     "curation_token_budget", "eval_quality_auc", "eval_calibration_bins",
     "sample_coreset_kcenter", "graph_modularity", "ts_forecast_snaive",
-    "sim_mmr_rerank", "mine_seq_pattern")
+    "sim_mmr_rerank", "mine_seq_pattern",
+    "agg_rate_ci", "sample_neyman_alloc", "graph_assortativity",
+    "text_zipf_fit", "dq_uniqueness", "eval_cohens_kappa",
+    "graph_clustering_coeff", "text_vocab_coverage",
+    "mine_frequent_pairs_rel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

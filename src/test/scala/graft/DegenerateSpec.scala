@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial VALUE-level degenerate cases for the eval/monitoring tier —
+  * the cases [[EmptyInputSpec]]'s zero-row/all-null sweeps can't reach
+  * because they need specific pathological distributions, not missing
+  * data: a day with zero (or only) error events, a single-label corpus
+  * where chance agreement is total (κ's 0/0), an edgeless graph. Each
+  * asserts the mathematically honest OUTPUT, not just execution. */
+class DegenerateSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic events table: day 1 has 10 events with ZERO errors, day 2
+    * has 10 events ALL errors, day 3 has a single event (n=1 boundary). */
+  private lazy val rateDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_rate").toString
+    val rows = (1 to 10).map(i =>
+        (i.toLong, s"2024-01-01 00:0${i % 10}:00", i.toLong, "view", 1.0, "{}")) ++
+      (11 to 20).map(i =>
+        (i.toLong, s"2024-01-02 00:0${i % 10}:00", i.toLong, "error", 1.0, "{}")) ++
+      Seq((21L, "2024-01-03 00:00:00", 21L, "error", 1.0, "{}"))
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("agg_rate_ci: Wilson interval is proper at p=0, p=1, and n=1") {
+    val rows = SparkEntry.queries("agg_rate_ci")(spark, rateDir)
+      .orderBy("d").collect()
+    assert(rows.length === 3)
+    val Array(d1, d2, d3) = rows
+    // p = 0: rate 0, lower bound EXACTLY 0 (Wilson, never negative), but
+    // the upper bound stays OPEN — the low-volume day keeps uncertainty
+    assert(d1.getAs[Long]("rate_micro") === 0L)
+    assert(d1.getAs[Long]("lo_micro") === 0L)
+    assert(d1.getAs[Long]("hi_micro") > 0L)
+    // p = 1: mirror image
+    assert(d2.getAs[Long]("rate_micro") === 1000000L)
+    assert(d2.getAs[Long]("hi_micro") === 1000000L)
+    assert(d2.getAs[Long]("lo_micro") < 1000000L)
+    // n = 1, x = 1: interval is wide but still inside [0, 1]
+    assert(d3.getAs[Long]("lo_micro") >= 0L)
+    assert(d3.getAs[Long]("hi_micro") === 1000000L)
+    assert(d3.getAs[Long]("hi_micro") - d3.getAs[Long]("lo_micro") > 500000L)
+  }
+
+  /** Single-label corpus: every document is confident English, so the
+    * langid guess agrees with the label on every row → pe = 1 and κ is
+    * the undefined 0/0 — the honest output is NULL, never NaN. */
+  private lazy val kappaDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_kappa").toString
+    (1 to 20).map(i => (i.toLong, "the a of and to in is on the of", "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("eval_cohens_kappa: single-label total agreement yields po=pe=1, kappa NULL") {
+    val r = SparkEntry.queries("eval_cohens_kappa")(spark, kappaDir).collect().head
+    assert(r.getAs[Long]("n_docs") === 20L)
+    assert(r.getAs[Double]("po") === 1.0)
+    assert(r.getAs[Double]("pe") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")), "kappa must be NULL at pe=1, not NaN")
+  }
+
+  test("graph clustering on an edgeless graph executes and reports 0 nodes") {
+    val r = graft.rel.Graph.clusteringOf(
+      Seq.empty[(Long, Long)].toDF("u", "v")).collect().head
+    assert(r.getAs[Long]("n_nodes") === 0L)
+    assert(r.getAs[Long]("n_triangles") === 0L)
+  }
+
+  test("mine_frequent_pairs_rel: relative cutoffs track the basket count") {
+    // 100 replicated baskets {1,2}: rel item cut ceil(0.0015*100)=1,
+    // pair cut ceil(0.00013*100)=1 → the pair survives with support 100
+    // and lift = 100*100/(100*100) = 1
+    val b100 = (1 to 100).flatMap(ok => Seq((ok.toLong, 1L), (ok.toLong, 2L)))
+      .toDF("ok", "p")
+    val r = graft.rel.Mining.frequentPairsRelOf(b100, 0.0015, 0.00013).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("support") === 100L)
+    assert(r.head.getAs[Double]("lift") === 1.0)
+    // same DISTRIBUTION replicated 100× more: cutoffs scale with nb, so
+    // the output is IDENTICAL support-fractions — the scale-safety the
+    // absolute form lacks (it would admit noise pairs as volume grows)
+    val b10k = (1 to 10000).flatMap(ok => Seq((ok.toLong, 1L), (ok.toLong, 2L)))
+      .toDF("ok", "p")
+    val r2 = graft.rel.Mining.frequentPairsRelOf(b10k, 0.0015, 0.00013).collect()
+    assert(r2.length === 1)
+    assert(r2.head.getAs[Long]("support") === 10000L)
+    assert(r2.head.getAs[Double]("lift") === 1.0)
+  }
+}

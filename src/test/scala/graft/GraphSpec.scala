@@ -111,12 +111,12 @@ class GraphSpec extends SparkSpec {
     assert(clustering(Seq((0L, 1L), (1L, 2L), (2L, 3L))) === ((0.0, 0.0)))
   }
 
-  test("4-cycle with chord: transitivity 6/8, avg local = (1/3+1+1/3+1)/4") {
+  test("4-cycle with chord: transitivity 6/8, avg local = (2/3+1+2/3+1)/4") {
     // degrees: 0→3, 1→2, 2→3, 3→2; triangles (0,1,2), (0,2,3);
-    // wedges Σ C(d,2) = 3+1+3+1 = 8; local cc: 2·2/6, 1, 2·2/6, 1.
+    // wedges Σ C(d,2) = 3+1+3+1 = 8; local cc: 2·2/6 = 2/3, 1, 2/3, 1.
     val (t, l) = clustering(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 2L)))
     assert(t === 0.75)
-    assert(math.abs(l - (1.0 / 3 + 1 + 1.0 / 3 + 1) / 4) < 2e-6)
+    assert(math.abs(l - (2.0 / 3 + 1 + 2.0 / 3 + 1) / 4) < 2e-6)
   }
 
   test("star graph: hub closes nothing — transitivity 0, only the hub is degree-eligible") {

@@ -610,8 +610,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), plan)
     assert(plan.contains("windowspecdefinition(__pid"),
       s"the frequency rank must be the two-phase distributed row number: $plan")
-    assert("Scan parquet".r.findAllIn(plan).size <= 1,
-      s"the three cutoffs must share one ranked pass: $plan")
+    // the (word, count) cells pin; every parquet-scan occurrence in the
+    // rendering must sit INSIDE an InMemoryRelation (the cached token
+    // pass renders its plan per consumer — occurrences ≠ executions; an
+    // unpinned second scan would appear BEFORE the first cache node)
+    val firstScan = plan.indexOf("Scan parquet")
+    val firstCache = plan.indexOf("InMemoryTableScan")
+    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+      s"a cutoff re-scans the corpus instead of the pinned counts: $plan")
   }
 
   test("eval_cohens_kappa: marginals derive from the pinned cell frame, one corpus aggregation") {
@@ -622,6 +628,29 @@ class PlanSpec extends SparkSpec {
     val firstCache = plan.indexOf("InMemoryTableScan")
     assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
       s"a marginal re-scans the corpus instead of the cells: $plan")
+  }
+
+  test("text_zipf_fit: one token scan feeds the distributed rank (the vocab_coverage gate)") {
+    val plan = executed("text_zipf_fit")
+    assert(plan.contains("rangepartitioning"), plan)
+    val firstScan = plan.indexOf("Scan parquet")
+    val firstCache = plan.indexOf("InMemoryTableScan")
+    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+      s"the regression must run over one ranked pass of the pinned counts: $plan")
+  }
+
+  test("mine_frequent_pairs_rel: relative cutoffs attach as broadcast scalars, no extra item shuffle") {
+    val plan = executed("mine_frequent_pairs_rel")
+    // same two-shuffle A-Priori trajectory as the absolute form: the
+    // basket-count scalar must enter both threshold filters by broadcast
+    // (BroadcastNestedLoopJoin of a 1-row frame), never a hash exchange
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl >= 2, s"expected >=2 broadcast scalar attaches (item + pair cut): $plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val firstScan = plan.indexOf("Scan parquet")
+    val firstCache = plan.indexOf("InMemoryTableScan")
+    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+      s"baskets must pin once for the three consumers: $plan")
   }
 
   test("mine_seq_pattern: one user-keyed exchange, pattern math above the aggregate") {

@@ -218,10 +218,11 @@ class RetrievalEvalSpec extends SparkSpec {
     rows.foreach { r =>
       val (n, x) = (r.getAs[Long]("n"), r.getAs[Long]("x"))
       assert(x >= 0 && x <= n)
-      val (rate, lo, hi) = (r.getAs[Double]("rate"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))
-      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9)
-      // Wilson never collapses or escapes [0,1]
-      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9 && hi > lo)
+      val (rate, lo, hi) = (r.getAs[Long]("rate_micro"),
+        r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro"))
+      assert(lo <= rate && rate <= hi)
+      // Wilson never collapses or escapes [0,1] (micro-units: [0, 1e6])
+      assert(lo >= 0L && hi <= 1000000L && hi > lo)
     }
   }
 

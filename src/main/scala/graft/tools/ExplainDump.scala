@@ -79,6 +79,28 @@ object ExplainDump {
         case (k, None)    => spark.conf.unset(k)
       }
     }
+    // Compact plan fingerprint for EVERY declared query (headline keys
+    // included) — one greppable line per key so PLANS.md carries plan
+    // evidence for the full surface, not just the formatted headliners.
+    // Counts are over the executedPlan STRING: cached-plan renderings
+    // inflate scan counts (occurrences ≠ executions), so `cached>0`
+    // contextualizes `scans`.
+    println("\n===== PLAN FINGERPRINTS (all declared queries) =====")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).size
+        println(s"FPRINT $name exchanges=${n("Exchange hashpartitioning")}" +
+          s" range=${n("Exchange rangepartitioning")}" +
+          s" single=${n("Exchange SinglePartition")}" +
+          s" scans=${n("Scan parquet")} cached=${n("InMemoryTableScan")}" +
+          s" bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}" +
+          s" bnlj=${n("BroadcastNestedLoopJoin")} win=${n("Window")}" +
+          s" topk=${n("TakeOrderedAndProject")}")
+      } catch { case e: Throwable =>
+        println(s"FPRINT $name ERROR ${e.getMessage.take(80)}")
+      }
+    }
     println(s"\nTOTAL_DECLARED_QUERIES=${SparkEntry.queries.size}")
     println(s"ORACLE_QUERIES=${SparkEntry.oracleSql.size}")
     spark.stop()

@@ -73,6 +73,36 @@ class DegenerateSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") === 0L)
   }
 
+  /** Paired corpora: identical 30 real documents, one of them plus an
+    * empty doc, a whitespace-only doc, and a single-space doc. The PMI
+    * token stream must be IDENTICAL (the oracle's unnest emits nothing
+    * for them; Spark's arrays_zip([], [null]) used to add a phantom
+    * null-key unigram that shifted every PMI value). */
+  private lazy val (pmiCleanDir, pmiDirtyDir): (String, String) = {
+    val texts = (1 to 30).map(i =>
+      s"alpha beta gamma delta tok$i alpha beta epsilon zeta eta")
+    val clean = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "web", t.length.toLong) }
+    val dirty = clean ++ Seq(
+      (100L, "", "en", "web", 0L),
+      (101L, "   ", "en", "web", 3L),
+      (102L, " ", "en", "web", 1L))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_pmi_clean").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_pmi_dirty").toString
+    clean.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    dirty.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    (d1, d2)
+  }
+
+  test("text_bigram_pmi: empty/whitespace-only documents leave every PMI value unchanged") {
+    def rows(dir: String) =
+      SparkEntry.queries("text_bigram_pmi")(spark, dir).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("n_ab"), r.getAs[Double]("pmi"))).toSeq
+    assert(rows(pmiDirtyDir) === rows(pmiCleanDir))
+  }
+
   test("mine_frequent_pairs_rel: relative cutoffs track the basket count") {
     // 100 replicated baskets {1,2}: rel item cut ceil(0.0015*100)=1,
     // pair cut ceil(0.00013*100)=1 → the pair survives with support 100

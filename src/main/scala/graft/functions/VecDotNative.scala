@@ -210,8 +210,17 @@ object VecDotNative {
   def vec_norm_native(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot_native(a, a))
 
-  def vec_cosine_native(a: Column, b: Column): Column =
-    vec_dot_native(a, b) / (vec_norm_native(a) * vec_norm_native(b))
+  /** Cosine with a zero vector is DEFINED as 0 (no direction ⇒ no
+    * similarity), never the naive 0/0 = NaN: Spark orders NaN ABOVE every
+    * double in a DESC sort, so an unguarded dead/padded embedding (all
+    * zeros — common in production corpora) would rank at the TOP of every
+    * cosine top-k. NULL inputs still propagate NULL (a null norm-product
+    * fails the `=== 0` test into the division branch, which is null). */
+  def vec_cosine_native(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{when, lit}
+    val nn = vec_norm_native(a) * vec_norm_native(b)
+    when(nn === 0d, lit(0d)).otherwise(vec_dot_native(a, b) / nn)
+  }
 
   /** Register the native vector functions for SQL callers (library
     * surface): `SELECT vec_dot_native(embedding, embedding) FROM ...`,

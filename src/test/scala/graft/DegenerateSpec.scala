@@ -103,6 +103,33 @@ class DegenerateSpec extends SparkSpec {
     assert(rows(pmiDirtyDir) === rows(pmiCleanDir))
   }
 
+  /** Zero-norm embeddings (dead/padded vectors — common in production
+    * corpora): naive cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every
+    * double in a DESC order, so an unguarded zero vector would top every
+    * cosine top-k. The library defines cosine-with-zero as 0. */
+  private lazy val zeroVecDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_vec").toString
+    val dim = 64
+    val rows = (1 to 30).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f), i % 3)
+    } :+ ((99L, Array.fill(dim)(0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("sim_topk_cosine: a zero-norm embedding scores 0, never NaN-tops the ranking") {
+    val rows = SparkEntry.queries("sim_topk_cosine")(spark, zeroVecDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(!c.isNaN, s"NaN cosine leaked into the top-k: $r")
+    }
+    // the zero vector must not win the ranking (top row is a real match)
+    assert(rows.head.getAs[Long]("vec_id") !== 99L,
+      "the dead embedding NaN-topped the ranking")
+  }
+
   test("mine_frequent_pairs_rel: relative cutoffs track the basket count") {
     // 100 replicated baskets {1,2}: rel item cut ceil(0.0015*100)=1,
     // pair cut ceil(0.00013*100)=1 → the pair survives with support 100

@@ -60,8 +60,11 @@ object Eval extends QueryModule {
       .agg(sum($"n_pos").as("np"), sum($"n" - $"n_pos").as("nn"),
         sum($"n_pos" * (lit(2) * ($"cum" - $"n") + $"n" + 1)).as("rank_sum2"))
       .select($"np".as("n_pos"), $"nn".as("n_neg"),
-        pround(($"rank_sum2" - $"np" * ($"np" + 1)).cast("double") /
-          (lit(2.0) * $"np" * $"nn"), 6).as("auc"))
+        // AUC is undefined on a single-class corpus (np or nn = 0): the
+        // 0/0 would surface as NaN — emit NULL, both dialects
+        pround(when($"np" > 0 && $"nn" > 0,
+          ($"rank_sum2" - $"np" * ($"np" + 1)).cast("double") /
+            (lit(2.0) * $"np" * $"nn")), 6).as("auc"))
   }
 
   /** Reliability diagram: min-max-normalize the score, decile-bin it, and
@@ -81,8 +84,12 @@ object Eval extends QueryModule {
     val s = graft.rel.Materialize.once(scored(spark, sfDir))
     val mm = s.agg(min($"score").as("mn"), max($"score").as("mx"))
     s.crossJoin(broadcast(mm))
+      // constant-score corpus (mx = mn): the normalization is 0/0 = NaN,
+      // which casts to a NULL bin — define it as bin 0, both dialects
       .withColumn("bin",
-        least(floor(($"score" - $"mn") / ($"mx" - $"mn") * 10), lit(9.0))
+        when($"mx" > $"mn",
+          least(floor(($"score" - $"mn") / ($"mx" - $"mn") * 10), lit(9.0)))
+          .otherwise(lit(0.0))
           .cast("long"))
       .withColumn("sc4", floor($"score" * 1e4 + 0.5).cast("long"))
       .groupBy($"bin")
@@ -229,14 +236,18 @@ object Eval extends QueryModule {
          |         sum(n_pos * (2 * below + n + 1)) AS rank_sum2
          |  FROM r)
          |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-         |       floor(CAST(rank_sum2 - np * (np + 1) AS DOUBLE) /
-         |             (2.0 * np * nn) * 1e6 + 0.5) / 1e6 AS auc
+         |       CASE WHEN np > 0 AND nn > 0 THEN
+         |         floor(CAST(rank_sum2 - np * (np + 1) AS DOUBLE) /
+         |               (2.0 * np * nn) * 1e6 + 0.5) / 1e6
+         |       END AS auc
          |FROM agg""".stripMargin,
     "eval_calibration_bins" ->
       s"""$scoredSql,
          |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
          |b AS (
-         |  SELECT CAST(least(floor((score - mn) / (mx - mn) * 10), 9) AS BIGINT) AS bin,
+         |  SELECT CAST(CASE WHEN mx > mn
+         |              THEN least(floor((score - mn) / (mx - mn) * 10), 9)
+         |              ELSE 0 END AS BIGINT) AS bin,
          |         y, CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS sc4
          |  FROM s, mm)
          |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,

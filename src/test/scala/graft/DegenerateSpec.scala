@@ -103,6 +103,21 @@ class DegenerateSpec extends SparkSpec {
     assert(rows(pmiDirtyDir) === rows(pmiCleanDir))
   }
 
+  test("eval_quality_auc: a single-class corpus yields NULL AUC, never NaN") {
+    // kappaDir: every doc is English → y = 1 for all rows → n_neg = 0
+    val r = SparkEntry.queries("eval_quality_auc")(spark, kappaDir).collect().head
+    assert(r.getAs[Long]("n_neg") === 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")), "AUC must be NULL with one class, not NaN")
+  }
+
+  test("eval_calibration_bins: a constant-score corpus lands in bin 0, never a NULL bin") {
+    // kappaDir: identical text → identical chars-per-token score → mx = mn
+    val rows = SparkEntry.queries("eval_calibration_bins")(spark, kappaDir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("bin") === 0L)
+    assert(rows.head.getAs[Long]("n") === 20L)
+  }
+
   /** Zero-norm embeddings (dead/padded vectors — common in production
     * corpora): naive cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every
     * double in a DESC order, so an unguarded zero vector would top every

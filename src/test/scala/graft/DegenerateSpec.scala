@@ -165,4 +165,19 @@ class DegenerateSpec extends SparkSpec {
     assert(r2.head.getAs[Long]("support") === 10000L)
     assert(r2.head.getAs[Double]("lift") === 1.0)
   }
+
+  test("relative and absolute mines agree when the cutoffs coincide") {
+    // structured baskets: items 1..6; basket i of 60 contains item j iff
+    // j divides i — support(j) = 60/j, co-support patterns are exact
+    val b = (1 to 60).flatMap(ok =>
+        (1 to 6).filter(j => ok % j == 0).map(j => (ok.toLong, j.toLong)))
+      .toDF("ok", "p")
+    // nb = 60: relItem 0.24 → ceil(14.4) = 15; relPair 0.09 → ceil(5.4) = 6
+    // (cutoff fractions chosen OFF integer products — 0.1·60 in doubles is
+    // 6.0000000000000009, which would ceil to 7 and diverge by design)
+    val rel = graft.rel.Mining.frequentPairsRelOf(b, 0.24, 0.09).collect()
+    val abs = graft.rel.Mining.frequentPairsOf(b, 15L, 6L).collect()
+    assert(rel.map(_.toString).toSeq === abs.map(_.toString).toSeq)
+    assert(rel.nonEmpty)
+  }
 }

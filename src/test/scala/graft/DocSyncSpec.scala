@@ -25,4 +25,16 @@ class DocSyncSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracle entries without a query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
+
+  test("the declared/oracle COUNTS in SURVEY.md and README.md match the code") {
+    // rounds 6 and 7 both shipped stale "N declared" lines — assert the
+    // numbers, not just the key names
+    val nQ = SparkEntry.queries.size
+    val nO = SparkEntry.oracleSql.size
+    val survey = read("SURVEY.md")
+    assert(survey.contains(s"Final: $nQ declared queries, $nO oracle-checked"),
+      s"SURVEY.md 'Final: N declared' line is stale — code has $nQ declared / $nO oracle-checked")
+    assert(read("README.md").contains(s"$nQ declared operators, $nO hash-verified"),
+      s"README.md operator-count line is stale — code has $nQ declared / $nO oracle-checked")
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** Partition-count invariance: a declared query's RESULT must be
+  * identical under a different `spark.sql.shuffle.partitions` — the
+  * at-scale determinism trap this locks out is a non-total ORDER BY /
+  * rank qualifier whose ties break by partition layout (fine at 4
+  * partitions locally, silently reshuffled answers at 200 on a cluster).
+  * Exercises the families most at risk: top-k limits, the two-phase
+  * distributed rank ([[graft.rel.ScalableRank]] — its per-partition
+  * row_number + broadcast offsets MUST compose to the same global rank
+  * under any range partitioning), hash-based sampling, seeded LSH, and
+  * grouped top-N.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val keys = Seq(
+    "topk_orderby_limit", "win_rank_topn", "win_ntile", "text_top_terms",
+    "topk_other_bucket", "sample_stratified_hash", "dedup_minhash",
+    "sim_topk_cosine", "agg_daily_top_titles", "text_vocab_coverage",
+    "mine_frequent_pairs_rel", "eval_quality_auc")
+
+  test("declared results are invariant under a different shuffle partition count") {
+    // a sibling session shares the catalog/runtime but carries its own
+    // SQL conf — the declared queries take the session explicitly, so
+    // both runs read the same tables through different shuffle layouts
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val diffs = keys.flatMap { k =>
+      val base = SparkEntry.queries(k)(spark, sf).collect().map(_.toString).toSeq
+      val other = SparkEntry.queries(k)(alt, sf).collect().map(_.toString).toSeq
+      if (base == other) None
+      else Some(s"$k: ${base.size} vs ${other.size} rows, first diff at " +
+        base.zip(other).indexWhere { case (a, b) => a != b })
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+
+  test("declared results are invariant with adaptive execution disabled") {
+    // AQE rewrites shuffles/joins at runtime; results must not depend on
+    // whether it ran (coalesced partitions change tie-visit order)
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.adaptive.enabled", "false")
+    val diffs = keys.take(6).flatMap { k =>
+      val base = SparkEntry.queries(k)(spark, sf).collect().map(_.toString).toSeq
+      val other = SparkEntry.queries(k)(alt, sf).collect().map(_.toString).toSeq
+      if (base == other) None else Some(k)
+    }
+    assert(diffs.isEmpty, s"AQE-sensitive results: ${diffs.mkString(", ")}")
+  }
+}

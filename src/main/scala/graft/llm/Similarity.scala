@@ -713,8 +713,7 @@ object Similarity extends QueryModule {
     * ALL-MATERIALIZED discipline as [[coresetOracle]]; each round drops
     * the picked row and folds its similarity into the running max. */
   private def mmrOracle(k: Int): String = {
-    def cos(a: String, b: String) =
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def cos(a: String, b: String) = cosSql(a, b)
     val rounds = (2 to k).map { r =>
       val prev = if (r == 2) "t1" else s"t${r - 1}"
       val drop = if (r < k)
@@ -749,8 +748,7 @@ object Similarity extends QueryModule {
     * ALL MATERIALIZED (the CTE-inlining lesson: un-materialized, the
     * d-chain re-evaluates its prefix 2^k times). */
   private def coresetOracle(k: Int): String = {
-    def cos(a: String, b: String) =
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def cos(a: String, b: String) = cosSql(a, b)
     val rounds = (2 to k).map { r =>
       val prev = if (r == 2) "d1" else s"d${r - 1}"
       s"""p$r AS MATERIALIZED (SELECT vec_id, v, d FROM $prev ORDER BY d DESC, vec_id ASC LIMIT 1),
@@ -781,10 +779,7 @@ object Similarity extends QueryModule {
          |${topkOracle(10)})),
          |tr AS MATERIALIZED (SELECT vec_id FROM (
          |  SELECT e.vec_id,
-         |         floor(list_dot_product((e.embedding::DOUBLE[])[1:32], q.qv[1:32]) /
-         |               (sqrt(list_dot_product((e.embedding::DOUBLE[])[1:32],
-         |                                      (e.embedding::DOUBLE[])[1:32])) *
-         |                sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))) * 1e6 + 0.5) / 1e6 AS cos_sim
+         |         floor(${cosSql("(e.embedding::DOUBLE[])[1:32]", "q.qv[1:32]")} * 1e6 + 0.5) / 1e6 AS cos_sim
          |  FROM embeddings e, q
          |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10))
          |SELECT CAST(64 AS BIGINT) AS dims_full, CAST(32 AS BIGINT) AS dims_trunc,
@@ -794,14 +789,12 @@ object Similarity extends QueryModule {
     // Identical query set (3 lowest vec_ids), identical cross-label
     // scoring and (cos desc, vec_id) tie-break rank.
     "sample_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
         |      FROM e ORDER BY vec_id LIMIT 3),
         |s AS (
         |  SELECT q.q_id, e.vec_id,
-        |         floor(list_dot_product(e.v, q.qv) /
-        |               (sqrt(list_dot_product(e.v, e.v)) *
-        |                sqrt(list_dot_product(q.qv, q.qv))) * 1e6 + 0.5) / 1e6 AS cos_sim
+        |         floor(${cosSql("e.v", "q.qv")} * 1e6 + 0.5) / 1e6 AS cos_sim
         |  FROM e, q
         |  WHERE e.label <> q.q_label AND e.vec_id <> q.q_id)
         |SELECT q_id, rn, vec_id, cos_sim FROM (
@@ -820,16 +813,12 @@ object Similarity extends QueryModule {
          |casg AS (SELECT vec_id, ccell FROM (
          |    SELECT ev.vec_id, cc.ccell,
          |           row_number() OVER (PARTITION BY ev.vec_id ORDER BY
-         |             1.0 - list_dot_product(ev.v, cc.cv) /
-         |                   (sqrt(list_dot_product(ev.v, ev.v)) *
-         |                    sqrt(list_dot_product(cc.cv, cc.cv))) ASC, cc.ccell ASC) AS rn
+         |             1.0 - ${cosSql("ev.v", "cc.cv")} ASC, cc.ccell ASC) AS rn
          |    FROM ev, cc) WHERE rn = 1),
          |qc AS (
          |  SELECT cc.ccell
          |  FROM ev, cc WHERE ev.vec_id = 0
-         |  ORDER BY 1.0 - list_dot_product(ev.v, cc.cv) /
-         |             (sqrt(list_dot_product(ev.v, ev.v)) *
-         |              sqrt(list_dot_product(cc.cv, cc.cv))) ASC, cc.ccell ASC
+         |  ORDER BY 1.0 - ${cosSql("ev.v", "cc.cv")} ASC, cc.ccell ASC
          |  LIMIT $IvfPqProbes),
          |cand AS (SELECT vec_id FROM casg WHERE ccell IN (SELECT ccell FROM qc)),
          |subs AS (
@@ -1063,14 +1052,23 @@ object Similarity extends QueryModule {
     "sim_ann_lsh" -> annLshOracle
   )
 
+  /** DuckDB cosine mirroring [[graft.functions.VecDotNative.vec_cosine_native]]'s
+    * zero-vector ⇒ 0 convention (a dead embedding must not NaN-top the
+    * DESC ordering in EITHER engine; NULL inputs still propagate NULL).
+    * Used by every oracle where cosine is an output or ordering key over
+    * unfiltered rows; `cos >= τ` threshold predicates stay naive — 0 and
+    * NaN both fail the comparison, so those sites already agree. */
+  private[llm] def cosSql(a: String, b: String): String =
+    s"(CASE WHEN list_dot_product($a, $a) * list_dot_product($b, $b) = 0 THEN 0.0" +
+      s" ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) *" +
+      s" sqrt(list_dot_product($b, $b))) END)"
+
   /** Exact top-k oracle, limit parameterized (10 = `sim_topk_cosine`,
     * 5 = the recall evaluation's ground truth). */
   private[llm] def topkOracle(limit: Int): String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
        |SELECT vec_id,
-       |       floor(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
-       |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-       |              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
+       |       floor(${cosSql("e.embedding::DOUBLE[]", "q.qv::DOUBLE[]")} * 1000000 + 0.5) / 1000000 AS cos_sim
        |FROM embeddings e, q
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT $limit""".stripMargin
 
@@ -1078,26 +1076,22 @@ object Similarity extends QueryModule {
     * shared prefix of the search and cell-stats oracles, so both provably
     * read the same inverted lists. */
   private def annIvfAsgCtes: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
       |a AS (
       |  SELECT vec_id, v, cid,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
       |  FROM (SELECT e.vec_id, e.v, c.cid,
-      |               1.0 - list_dot_product(e.v, c.cv) /
-      |                     (sqrt(list_dot_product(e.v, e.v)) *
-      |                      sqrt(list_dot_product(c.cv, c.cv))) AS dist
+      |               1.0 - ${cosSql("e.v", "c.cv")} AS dist
       |        FROM e, c)),
       |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1)""".stripMargin
 
   private def annIvfOracle: String =
     annIvfAsgCtes +
-      """,
+      s""",
         |q AS (SELECT v AS qv, cid AS qcid FROM asg ORDER BY vec_id LIMIT 1)
         |SELECT asg.vec_id,
-        |       floor(list_dot_product(asg.v, q.qv) /
-        |             (sqrt(list_dot_product(asg.v, asg.v)) *
-        |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |       floor(${cosSql("asg.v", "q.qv")} * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM asg, q
         |WHERE asg.cid = q.qcid
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
@@ -1127,9 +1121,7 @@ object Similarity extends QueryModule {
        |  FROM e),
        |q AS (SELECT v AS qv, sig AS qsig FROM s ORDER BY vec_id LIMIT 1)
        |SELECT s.vec_id,
-       |       floor(list_dot_product(s.v, q.qv) /
-       |             (sqrt(list_dot_product(s.v, s.v)) *
-       |              sqrt(list_dot_product(q.qv, q.qv))) * 1000000 + 0.5) / 1000000 AS cos_sim
+       |       floor(${cosSql("s.v", "q.qv")} * 1000000 + 0.5) / 1000000 AS cos_sim
        |FROM s, q
        |WHERE s.sig = q.qsig
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin

@@ -42,8 +42,9 @@ import org.apache.spark.sql.functions._
   * part keyspace with volume, so supports stay constant):
   * `MinItemSupport` 25 prunes a real fraction of items,
   * `MinPairSupport` 2 keeps ~3.4k stable pairs at either SF. Production
-  * mining instead uses RELATIVE minsup (support / n_baskets — pass the
-  * scaled absolute to [[frequentPairsOf]]): on a corpus that grows by
+  * mining instead uses RELATIVE minsup (support / n_baskets —
+  * [[frequentPairsRelOf]] / the declared `mine_frequent_pairs_rel`, whose
+  * cutoffs resolve in-plan from the basket count): on a corpus that grows by
   * replication (the 10× probe: fixed keyspace, supports ×10) an absolute
   * threshold admits every pair — output is data-determined, and the
   * probe confirms runtime stays input+output-linear through that regime
@@ -148,11 +149,28 @@ object Mining extends QueryModule {
   private[graft] def frequentPairsRelOf(
       basketsRaw: DataFrame, relItem: Double, relPair: Double): DataFrame = {
     import basketsRaw.sparkSession.implicits._
-    pairSupportsThresholdedOf(basketsRaw,
-      nb => ceil(lit(relItem) * nb), nb => ceil(lit(relPair) * nb))
+    pairSupportsThresholdedOf(basketsRaw, RelCut(relItem), RelCut(relPair))
       .select($"p1", $"p2", $"support".cast("bigint").as("support"),
         pround($"support" * $"n_baskets" / ($"c1" * $"c2"), 6).as("lift"))
       .orderBy($"p1", $"p2")
+  }
+
+  /** Support cutoff: a constant count, or a fraction of the basket count
+    * resolved in-plan (ceil(frac·nb), the nb row attached by broadcast —
+    * never a driver action). Absolute cutoffs filter WITHOUT the scalar
+    * attach, so the original two-join plan shape is preserved for them. */
+  private sealed trait Cut
+  private final case class AbsCut(v: Long) extends Cut
+  private final case class RelCut(frac: Double) extends Cut
+
+  private def cutFilter(df: DataFrame, countCol: Column, cut: Cut,
+      nb: DataFrame): DataFrame = cut match {
+    case AbsCut(v) => df.filter(countCol >= v)
+    case RelCut(f) =>
+      import df.sparkSession.implicits._
+      df.crossJoin(broadcast(nb))
+        .filter(countCol >= ceil(lit(f) * $"n_baskets"))
+        .drop("n_baskets")
   }
 
   /** Shared pair-support trajectory (both mining queries compose from it,
@@ -160,25 +178,20 @@ object Mining extends QueryModule {
     * (p1, p2, support, c1, c2, n_baskets), p1 < p2, thresholds applied. */
   private def pairSupportsOf(
       basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame =
-    pairSupportsThresholdedOf(basketsRaw, _ => lit(minItem), _ => lit(minPair))
+    pairSupportsThresholdedOf(basketsRaw, AbsCut(minItem), AbsCut(minPair))
 
-  /** Threshold-generalized core: cutoffs are FUNCTIONS of the basket
-    * count column, so absolute (constant) and relative (ceil(rel·nb))
-    * forms share one plan shape. The basket count enters each filter as a
-    * broadcast scalar attach — never a driver action. */
+  /** Threshold-generalized core: absolute (constant) and relative
+    * (ceil(frac·nb)) cutoff forms share one A-Priori plan trajectory. */
   private def pairSupportsThresholdedOf(basketsRaw: DataFrame,
-      minItemOf: Column => Column, minPairOf: Column => Column): DataFrame = {
+      minItem: Cut, minPair: Cut): DataFrame = {
     val spark = basketsRaw.sparkSession
     import spark.implicits._
     // three consumers (item-support pass, prune join, basket-count
     // scalar) — pin once so the source scans once, not three times
     val baskets = Materialize.once(basketsRaw)
     val nb = baskets.agg(countDistinct($"ok").as("n_baskets"))
-    val freqItems = baskets.groupBy($"p")
-      .agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(nb))
-      .filter($"c" >= minItemOf($"n_baskets"))
-      .drop("n_baskets")
+    val freqItems = cutFilter(
+      baskets.groupBy($"p").agg(count(lit(1)).as("c")), $"c", minItem, nb)
     // pruned basket rows carry the item's support for the lift term
     val pruned = baskets.join(freqItems, Seq("p"))
     val lists = pruned.groupBy($"ok")
@@ -188,11 +201,14 @@ object Mining extends QueryModule {
         |  transform(slice(it, i + 2, size(it)), y ->
         |    struct(x.p AS p1, y.p AS p2, x.c AS c1, y.c AS c2))))""".stripMargin
     )).as("pr")).select($"pr.p1", $"pr.p2", $"pr.c1", $"pr.c2")
-    pairs.groupBy($"p1", $"p2")
+    val sup = pairs.groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("support"),
         max($"c1").as("c1"), max($"c2").as("c2")) // constant per key
-      .crossJoin(broadcast(nb))
-      .filter($"support" >= minPairOf($"n_baskets"))
+      .crossJoin(broadcast(nb)) // n_baskets rides along for the lift term
+    minPair match {
+      case AbsCut(v) => sup.filter($"support" >= v)
+      case RelCut(f) => sup.filter($"support" >= ceil(lit(f) * $"n_baskets"))
+    }
   }
 
   /** Sequential-pattern counting over each user's time-ordered event

@@ -86,7 +86,9 @@ object ExplainDump {
     // inflate scan counts (occurrences ≠ executions), so `cached>0`
     // contextualizes `scans`.
     println("\n===== PLAN FINGERPRINTS (all declared queries) =====")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(p).size
@@ -95,10 +97,10 @@ object ExplainDump {
           s" single=${n("Exchange SinglePartition")}" +
           s" scans=${n("Scan parquet")} cached=${n("InMemoryTableScan")}" +
           s" bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}" +
-          s" bnlj=${n("BroadcastNestedLoopJoin")} win=${n("Window")}" +
-          s" topk=${n("TakeOrderedAndProject")}")
+          s" bnlj=${n("BroadcastNestedLoopJoin")} win=${n("Window \\[")}" +
+          s" wgl=${n("WindowGroupLimit")} topk=${n("TakeOrderedAndProject")}")
       } catch { case e: Throwable =>
-        println(s"FPRINT $name ERROR ${e.getMessage.take(80)}")
+        println(s"FPRINT $name ERROR ${e.toString.take(120)}")
       }
     }
     println(s"\nTOTAL_DECLARED_QUERIES=${SparkEntry.queries.size}")

@@ -19,32 +19,40 @@ class DeterminismSpec extends SparkSpec {
     "sim_topk_cosine", "agg_daily_top_titles", "text_vocab_coverage",
     "mine_frequent_pairs_rel", "eval_quality_auc")
 
-  test("declared results are invariant under a different shuffle partition count") {
-    // a sibling session shares the catalog/runtime but carries its own
-    // SQL conf — the declared queries take the session explicitly, so
-    // both runs read the same tables through different shuffle layouts
+  /** Sessions share one CacheManager: a subtree pinned (Materialize.once)
+    * during the base run would be SERVED FROM CACHE in the alt run,
+    * making the variation vacuous for everything below the pin — drop
+    * all cached plans and pinned blocks between runs so the alt session
+    * re-executes the full plan under its own conf. */
+  private def uncacheAll(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  private def compareUnder(conf: (String, String)): Seq[String] = {
     val alt = spark.newSession()
-    alt.conf.set("spark.sql.shuffle.partitions", "7")
-    val diffs = keys.flatMap { k =>
+    alt.conf.set(conf._1, conf._2)
+    keys.flatMap { k =>
+      uncacheAll()
       val base = SparkEntry.queries(k)(spark, sf).collect().map(_.toString).toSeq
+      uncacheAll()
       val other = SparkEntry.queries(k)(alt, sf).collect().map(_.toString).toSeq
       if (base == other) None
       else Some(s"$k: ${base.size} vs ${other.size} rows, first diff at " +
         base.zip(other).indexWhere { case (a, b) => a != b })
     }
+  }
+
+  test("declared results are invariant under a different shuffle partition count") {
+    val diffs = compareUnder("spark.sql.shuffle.partitions" -> "7")
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
 
   test("declared results are invariant with adaptive execution disabled") {
     // AQE rewrites shuffles/joins at runtime; results must not depend on
     // whether it ran (coalesced partitions change tie-visit order)
-    val alt = spark.newSession()
-    alt.conf.set("spark.sql.adaptive.enabled", "false")
-    val diffs = keys.take(6).flatMap { k =>
-      val base = SparkEntry.queries(k)(spark, sf).collect().map(_.toString).toSeq
-      val other = SparkEntry.queries(k)(alt, sf).collect().map(_.toString).toSeq
-      if (base == other) None else Some(k)
-    }
-    assert(diffs.isEmpty, s"AQE-sensitive results: ${diffs.mkString(", ")}")
+    val diffs = compareUnder("spark.sql.adaptive.enabled" -> "false")
+    assert(diffs.isEmpty, s"AQE-sensitive results:\n${diffs.mkString("\n")}")
   }
 }

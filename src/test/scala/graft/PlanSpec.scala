@@ -12,6 +12,16 @@ class PlanSpec extends SparkSpec {
   private def executed(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Number of REAL (uncached) source scans in the plan: cache
+    * substitution turns every pinned subtree into an InMemoryRelation
+    * LEAF, so scans surviving in `withCachedData` are exactly the ones
+    * that will hit the parquet again — the plan-STRING count can't tell
+    * (each cached rendering re-prints its internal scan). */
+  private def uncachedScans(name: String): Int =
+    SparkEntry.queries(name)(spark, sf).queryExecution.withCachedData.collect {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => 1
+    }.size
+
   test("filter_range pushes predicates into the parquet scan") {
     val plan = executed("filter_range")
     assert(plan.contains("PushedFilters: ["), plan)
@@ -610,13 +620,9 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), plan)
     assert(plan.contains("windowspecdefinition(__pid"),
       s"the frequency rank must be the two-phase distributed row number: $plan")
-    // the (word, count) cells pin; every parquet-scan occurrence in the
-    // rendering must sit INSIDE an InMemoryRelation (the cached token
-    // pass renders its plan per consumer — occurrences ≠ executions; an
-    // unpinned second scan would appear BEFORE the first cache node)
-    val firstScan = plan.indexOf("Scan parquet")
-    val firstCache = plan.indexOf("InMemoryTableScan")
-    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+    // the (word, count) cells pin — after cache substitution ZERO scans
+    // may remain (an unpinned consumer would re-tokenize the corpus)
+    assert(uncachedScans("text_vocab_coverage") === 0,
       s"a cutoff re-scans the corpus instead of the pinned counts: $plan")
   }
 
@@ -624,18 +630,14 @@ class PlanSpec extends SparkSpec {
     val plan = executed("eval_cohens_kappa")
     assert(plan.contains("InMemoryTableScan"),
       s"the (lang, guess) cells have four consumers and must pin: $plan")
-    val firstScan = plan.indexOf("Scan parquet")
-    val firstCache = plan.indexOf("InMemoryTableScan")
-    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+    assert(uncachedScans("eval_cohens_kappa") === 0,
       s"a marginal re-scans the corpus instead of the cells: $plan")
   }
 
   test("text_zipf_fit: one token scan feeds the distributed rank (the vocab_coverage gate)") {
     val plan = executed("text_zipf_fit")
     assert(plan.contains("rangepartitioning"), plan)
-    val firstScan = plan.indexOf("Scan parquet")
-    val firstCache = plan.indexOf("InMemoryTableScan")
-    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+    assert(uncachedScans("text_zipf_fit") === 0,
       s"the regression must run over one ranked pass of the pinned counts: $plan")
   }
 
@@ -647,9 +649,7 @@ class PlanSpec extends SparkSpec {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnl >= 2, s"expected >=2 broadcast scalar attaches (item + pair cut): $plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    val firstScan = plan.indexOf("Scan parquet")
-    val firstCache = plan.indexOf("InMemoryTableScan")
-    assert(firstCache >= 0 && (firstScan < 0 || firstCache < firstScan),
+    assert(uncachedScans("mine_frequent_pairs_rel") === 0,
       s"baskets must pin once for the three consumers: $plan")
   }
 

@@ -38,7 +38,11 @@ object Joins extends QueryModule {
     Tables.lineitem(spark, sfDir)
       .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"l_linenumber", $"p_brand", $"p_type")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (the
+      // generator reuses line numbers) — order by every output column so
+      // the total order the cross-engine compare needs actually exists;
+      // rows equal on all four are interchangeable, so this IS total
+      .orderBy($"l_orderkey", $"l_linenumber", $"p_brand", $"p_type")
   }
 
   /** J3 — multi-way star join (6 tables): revenue by region. */
@@ -494,7 +498,7 @@ object Joins extends QueryModule {
     "join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_brand, p_type
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, p_brand, p_type""".stripMargin,
     "join_star" ->
       """SELECT r_name, count(*) AS n_items,
         |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue

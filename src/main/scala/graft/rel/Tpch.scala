@@ -364,9 +364,17 @@ object Tpch extends QueryModule {
       .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
-      .agg(pround(sum(
-        $"l_extendedprice" * (lit(1) - $"l_discount") -
-          lit(0.6) * $"p_retailprice" * $"l_quantity"), 2).as("sum_profit"))
+      // profit sums as an EXACT BIGINT in 1e-4-dollar units (prices/
+      // discounts are 2-decimal by construction, quantity integral), so
+      // the group total is order-independent — a double sum's accumulation
+      // noise crossed the 0.01 rounding quantum at the 10× replica volume
+      .agg(sum(
+        round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")) -
+        lit(60L) * round($"p_retailprice" * 100).cast("long") *
+          round($"l_quantity").cast("long")).as("px4"))
+      .select($"nation", $"o_year",
+        (floor($"px4" / lit(100.0) + lit(0.5)) / lit(100.0)).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
   }
 
@@ -582,8 +590,10 @@ object Tpch extends QueryModule {
         |ORDER BY o_year""".stripMargin,
     "tpch_q9" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  floor(sum(l_extendedprice * (1 - l_discount) -
-        |            0.6 * p_retailprice * l_quantity) * 100 + 0.5) / 100 AS sum_profit
+        |  floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |              (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+        |            60 * CAST(round(p_retailprice * 100) AS BIGINT) *
+        |              CAST(round(l_quantity) AS BIGINT)) / 100.0 + 0.5) / 100.0 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
         |JOIN orders ON l_orderkey = o_orderkey

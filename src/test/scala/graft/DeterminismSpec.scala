@@ -17,7 +17,11 @@ class DeterminismSpec extends SparkSpec {
     "topk_orderby_limit", "win_rank_topn", "win_ntile", "text_top_terms",
     "topk_other_bucket", "sample_stratified_hash", "dedup_minhash",
     "sim_topk_cosine", "agg_daily_top_titles", "text_vocab_coverage",
-    "mine_frequent_pairs_rel", "eval_quality_auc")
+    "mine_frequent_pairs_rel", "eval_quality_auc",
+    // round-8 regression gates: join_broadcast's ORDER BY was not total
+    // (ties broke by partition layout until all output columns joined the
+    // sort); tpch_q9's profit sum is the exact-integer rebuild
+    "join_broadcast", "tpch_q9")
 
   /** Sessions share one CacheManager: a subtree pinned (Materialize.once)
     * during the base run would be SERVED FROM CACHE in the alt run,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{abs, floor, lit, when}
 
 /** Engine-portable rounding for doubles that must hash-match the DuckDB
   * oracle (SURVEY.md §5 determinism contract).
@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions.{floor, lit}
   * `floor(x * 100 + 0.5) / 100`.
   */
 object PortableRound {
+  /** Non-finite inputs pass through unrounded: Spark's `floor(double)`
+    * returns BIGINT, which would collapse NaN to 0 and ±Inf to
+    * Long.Max/Min — silently masking dirty numerics that DuckDB's
+    * double-typed floor propagates (found by the round-8 NaN/Inf corpus
+    * audit: a NaN bucket average surfaced as 0.0 on the Spark side only).
+    * The guard is `abs(c) < ∞`, which is false for NaN and ±Inf; NULL
+    * stays NULL through both branches. Finite values are bit-identical
+    * to the unguarded form, so fixture hashes are unchanged. */
   def pround(c: Column, digits: Int): Column = {
     val f = math.pow(10, digits)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
+    when(abs(c) < lit(Double.PositiveInfinity),
+      floor(c * lit(f) + lit(0.5)) / lit(f)).otherwise(c)
   }
 }

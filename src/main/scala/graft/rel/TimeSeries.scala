@@ -122,7 +122,13 @@ object TimeSeries extends QueryModule {
   private def tsZscoreOutlier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
-    val stats = e.groupBy($"event_type")
+    // moments over the FINITE domain only (robust-statistics convention,
+    // both dialects): one NaN/Inf observation would otherwise poison mu/
+    // sigma for the whole type — and DuckDB's stddev errors outright on
+    // ±Inf. Non-finite rows still SCORE (z = ±Inf emitted, NaN excluded
+    // by the threshold compare) — identical in both engines.
+    val stats = e.filter(abs($"value") < lit(Double.PositiveInfinity))
+      .groupBy($"event_type")
       .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"))
     e.join(stats, Seq("event_type"))
       .withColumn("z", pround(($"value" - $"mu") / $"sigma", 4))
@@ -176,8 +182,14 @@ object TimeSeries extends QueryModule {
   private def tsMadOutlier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
-    val med = e.groupBy($"event_type").agg(median($"value").as("med"))
-    val stats = e.join(broadcast(med), "event_type")
+    // median/MAD over the FINITE domain (the [[tsZscoreOutlier]]
+    // convention): engines order NaN/Inf differently inside quantiles,
+    // and a robust estimator poisoned by the values it exists to resist
+    // is self-defeating; non-finite rows still score against the finite
+    // center
+    val fin = e.filter(abs($"value") < lit(Double.PositiveInfinity))
+    val med = fin.groupBy($"event_type").agg(median($"value").as("med"))
+    val stats = fin.join(broadcast(med), "event_type")
       .groupBy($"event_type")
       .agg(median(abs($"value" - $"med")).as("mad"), min($"med").as("med"))
     e.join(broadcast(stats), "event_type")
@@ -263,6 +275,9 @@ object TimeSeries extends QueryModule {
   private def tsCusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.events(spark, sfDir)
+      // finite domain (the [[tsZscoreOutlier]] convention): one Inf
+      // observation would overflow the micro-quantized long under ANSI
+      .filter(abs($"value") < lit(Double.PositiveInfinity))
       .groupBy($"event_type", to_date($"ts").as("day"))
       .agg(floor(avg($"value") * 1e6 + 0.5).cast("long").as("x_m"))
     val stats = daily.groupBy($"event_type")
@@ -470,7 +485,7 @@ object TimeSeries extends QueryModule {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |         CAST(floor(avg(value) * 1e6 + 0.5) AS BIGINT) AS x_m
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE isfinite(value) GROUP BY 1, 2),
         |stats AS (
         |  SELECT event_type,
         |         CAST(floor(avg(x_m) + 0.5) AS BIGINT) AS mu_m,
@@ -569,12 +584,13 @@ object TimeSeries extends QueryModule {
         |FROM cov c JOIN days USING (wd)
         |GROUP BY 1 ORDER BY wd""".stripMargin,
     "ts_mad_outlier" ->
-      """WITH med AS (
-        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      """WITH fin AS (SELECT * FROM events WHERE isfinite(value)),
+        |med AS (
+        |  SELECT event_type, median(value) AS med FROM fin GROUP BY 1),
         |stats AS (
         |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
         |         min(m.med) AS med
-        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |  FROM fin e JOIN med m USING (event_type) GROUP BY 1)
         |SELECT event_id, event_type,
         |  floor(value * 1e4 + 0.5) / 1e4 AS value,
         |  floor(0.6745 * (value - med) / mad * 1e4 + 0.5) / 1e4 AS mz
@@ -584,7 +600,7 @@ object TimeSeries extends QueryModule {
     "ts_zscore_outlier" ->
       """WITH stats AS (
         |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
-        |  FROM events GROUP BY 1)
+        |  FROM events WHERE isfinite(value) GROUP BY 1)
         |SELECT event_id, event_type,
         |  floor(value * 1e4 + 0.5) / 1e4 AS value,
         |  floor((value - mu) / sigma * 1e4 + 0.5) / 1e4 AS z

@@ -118,6 +118,56 @@ class DegenerateSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n") === 20L)
   }
 
+  /** Dirty numerics: NaN and ±Infinity in `events.value` (sensor glitches,
+    * bad parses — routine at ingest scale). The monitoring tier must (a)
+    * never crash on them (cusum's micro-quantized long overflowed under
+    * ANSI before the finite-domain filter), (b) compute its moments over
+    * the FINITE domain so one bad value can't poison a whole type's
+    * center, and (c) propagate non-finite values through the portable
+    * rounding instead of collapsing them (Spark's BIGINT floor turned a
+    * NaN bucket average into 0.0 — masking the dirt). */
+  private lazy val nanDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_nan").toString
+    val rows = (0 until 200).map { i =>
+      val v =
+        if (i % 29 == 0) Double.NaN
+        else if (i % 31 == 0) Double.PositiveInfinity
+        else if (i % 37 == 0) Double.NegativeInfinity
+        else (i % 100) * 10.0
+      (i.toLong, f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00", i.toLong % 20,
+        Seq("click", "view", "purchase", "signup", "error")(i % 5), v, "{}")
+    }
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("monitoring tier on NaN/Inf values: no crash, finite moments, dirt visible") {
+    // cusum used to throw ARITHMETIC_OVERFLOW here; now the daily series
+    // is defined over finite observations
+    assert(SparkEntry.queries("ts_cusum_changepoint")(spark, nanDir).count() > 0)
+    // z-scores: sigma comes from finite values only, so finite outliers
+    // are still detected; non-finite observations surface as outliers
+    // (both engines compare NaN as greater-than, so a NaN value flags)
+    // rather than vanishing or poisoning the moments
+    val z = SparkEntry.queries("ts_zscore_outlier")(spark, nanDir).collect()
+    assert(z.nonEmpty)
+    assert(z.forall(r =>
+      !r.getAs[Double]("z").isNaN || r.getAs[Double]("value").isNaN),
+      "a FINITE value must never score NaN once the moments are finite")
+    assert(z.exists(r => r.getAs[Double]("value").isPosInfinity),
+      "an Inf observation must surface as an outlier, not vanish")
+    // resample: a bucket containing NaN reports a NaN average (pround
+    // passes non-finite through) — the dirt stays VISIBLE downstream
+    val rs = SparkEntry.queries("ts_resample")(spark, nanDir).collect()
+    assert(rs.exists(r => r.getAs[Double]("avg_value").isNaN),
+      "a NaN observation must poison its own bucket average, not round to 0.0")
+    // MAD: the robust center is computed over finite values only
+    assert(SparkEntry.queries("ts_mad_outlier")(spark, nanDir).count() >= 0)
+  }
+
   /** Zero-norm embeddings (dead/padded vectors — common in production
     * corpora): naive cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every
     * double in a DESC order, so an unguarded zero vector would top every

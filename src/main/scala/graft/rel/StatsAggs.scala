@@ -234,7 +234,7 @@ object StatsAggs extends QueryModule {
     "agg_rate_ci" ->
       """WITH c AS (
         |  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
-        |         sum(CAST(event_type = 'error' AS BIGINT)) AS x
+        |         CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS x
         |  FROM events GROUP BY 1),
         |w AS (
         |  SELECT d, n, x, CAST(x AS DOUBLE) / n AS p,

@@ -39,6 +39,38 @@ def canon(cell):
     return repr(cell)
 
 
+def type_audit(con, name, sql, spark_parquet_glob, budget=None):
+    """Arrow-schema audit: DuckDB integer aggregates widen silently
+    (sum(BIGINT) -> HUGEINT = arrow decimal128(38,0)) while Spark emits
+    int64, so a type-tagged driver hash fails even when every VALUE matches
+    — the repr-based compare below cannot see it (the round-7/8 agg_rate_ci
+    incident). Fail any oracle output column whose arrow type is a decimal
+    where the Spark side emits an integer/float. Returns [] if clean."""
+    timer = None
+    if budget:
+        timer = threading.Timer(budget, con.interrupt)
+        timer.daemon = True
+        timer.start()
+    try:
+        o_schema = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").arrow().schema
+        s_schema = con.execute(
+            f"SELECT * FROM read_parquet('{spark_parquet_glob}') LIMIT 0").arrow().schema
+    finally:
+        if timer:
+            timer.cancel()
+    s_types = {f.name: f.type for f in s_schema}
+    import pyarrow.types as pat
+    bad = []
+    for f in o_schema:
+        st = s_types.get(f.name)
+        if st is None:
+            continue  # column-name drift is caught by the value compare
+        if pat.is_decimal(f.type) and (pat.is_integer(st) or pat.is_floating(st)):
+            bad.append(f"{f.name}: oracle={f.type} vs spark={st} "
+                       f"(wrap the oracle expr in CAST(... AS BIGINT/DOUBLE))")
+    return bad
+
+
 def fetch(con, sql, budget=None):
     timer = None
     if budget:
@@ -95,6 +127,19 @@ def main():
                 con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: spark parquet load error: {e}")
+            n_fail += 1
+            continue
+        try:
+            type_bad = type_audit(con, name, oracles[name],
+                                  f"{out_dir}/{name}/*.parquet",
+                                  budget=ORACLE_BUDGET_SEC)
+        except Exception as e:
+            print(f"FAIL {name}: type audit error: {e}")
+            n_fail += 1
+            continue
+        if type_bad:
+            print(f"FAIL {name}: oracle output type leak (driver hash is "
+                  f"type-tagged): {'; '.join(type_bad)}")
             n_fail += 1
             continue
         if o_cols != s_cols:

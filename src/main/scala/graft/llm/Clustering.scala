@@ -116,7 +116,7 @@ object Clustering extends QueryModule {
     * [[Similarity]]'s threshold join (measured 3× there). */
   private def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VecDotNative.{vec_dot_native, vec_norm_native}
+    import graft.functions.VecDotNative.vec_norm_native
     val tau = 0.35
     val a2 = graft.rel.Materialize.pin(
       assignments(spark, sfDir).withColumn("nrm", vec_norm_native($"emb")))._1
@@ -124,7 +124,8 @@ object Clustering extends QueryModule {
     val b = a2.select($"cid", $"vec_id".as("b_id"), $"emb".as("vb"), $"nrm".as("nb"))
     val close = a.join(b, Seq("cid"))
       .filter($"a_id" < $"b_id")
-      .withColumn("cos", vec_dot_native($"va", $"vb") / ($"na" * $"nb"))
+      .withColumn("cos",
+        graft.functions.VecDotNative.vec_cosine_prenorm($"va", $"vb", $"na", $"nb"))
       .filter($"cos" >= tau)
     val verdict = close.groupBy($"b_id".as("vec_id"))
       .agg(count(lit(1)).as("n_close"),
@@ -593,19 +594,15 @@ object Clustering extends QueryModule {
         |       floor(d2 * 1e6 + 0.5) / 1e6 AS d2
         |FROM a2 ORDER BY vec_id""".stripMargin),
     "dedup_semantic" -> (KmeansCtes +
-      """,
+      s""",
         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (
         |  SELECT aa.vec_id AS a_id, bb.vec_id AS b_id,
-        |         list_dot_product(va.v, vb.v) /
-        |           (sqrt(list_dot_product(va.v, va.v)) *
-        |            sqrt(list_dot_product(vb.v, vb.v))) AS cos
+        |         ${Similarity.cosSql("va.v", "vb.v")} AS cos
         |  FROM a2 aa JOIN a2 bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
         |  JOIN ev va ON va.vec_id = aa.vec_id
         |  JOIN ev vb ON vb.vec_id = bb.vec_id
-        |  WHERE list_dot_product(va.v, vb.v) /
-        |          (sqrt(list_dot_product(va.v, va.v)) *
-        |           sqrt(list_dot_product(vb.v, vb.v))) >= 0.35),
+        |  WHERE ${Similarity.cosSql("va.v", "vb.v")} >= 0.35),
         |v AS (
         |  SELECT b_id AS vec_id, CAST(count(*) AS BIGINT) AS n_close,
         |         min(a_id) AS dup_of,

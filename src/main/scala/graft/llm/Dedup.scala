@@ -747,7 +747,7 @@ object Dedup extends QueryModule {
     * sign-bit candidates → exact verify), not the blocked cross join. */
   private def dedupEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VecDotNative.{vec_dot_native, vec_norm_native}
+    import graft.functions.VecDotNative.vec_norm_native
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("nrm", vec_norm_native($"embedding"))
     val a = e.select($"vec_id".as("a_id"), $"label".as("a_label"),
@@ -755,7 +755,8 @@ object Dedup extends QueryModule {
     val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
       $"embedding".as("vb"), $"nrm".as("nb"))
     val dups = a.join(b, $"a_label" === $"b_label" && $"a_id" < $"b_id")
-      .filter(vec_dot_native($"va", $"vb") / ($"na" * $"nb") >= 0.9)
+      .filter(graft.functions.VecDotNative
+        .vec_cosine_prenorm($"va", $"vb", $"na", $"nb") >= 0.9)
       .select($"b_id".as("vec_id")).distinct()
     e.join(dups, Seq("vec_id"), "left_anti")
       .select($"vec_id")
@@ -1021,12 +1022,11 @@ object Dedup extends QueryModule {
         |GROUP BY sub HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY sub""".stripMargin,
     "dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |dups AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9)
+        |  WHERE ${Similarity.cosSql("a.v", "b.v")} >= 0.9)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
         |ORDER BY vec_id""".stripMargin,

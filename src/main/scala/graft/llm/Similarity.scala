@@ -248,7 +248,8 @@ object Similarity extends QueryModule {
     val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
       $"embedding".as("vb"), $"nrm".as("nb"))
     a.join(b, $"a_label" === $"b_label" && $"a_id" < $"b_id")
-      .withColumn("cos_sim", vec_dot_native($"va", $"vb") / ($"na" * $"nb"))
+      .withColumn("cos_sim",
+        graft.functions.VecDotNative.vec_cosine_prenorm($"va", $"vb", $"na", $"nb"))
       .filter($"cos_sim" >= 0.35)
       .select($"a_id", $"b_id", pround($"cos_sim", 6).as("cos_sim"))
       .orderBy($"a_id", $"b_id")
@@ -359,7 +360,8 @@ object Similarity extends QueryModule {
     cand
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"nrm".as("na")), Seq("a_id"))
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("vb"), $"nrm".as("nb")), Seq("b_id"))
-      .withColumn("cos_sim", vec_dot_native($"va", $"vb") / ($"na" * $"nb"))
+      .withColumn("cos_sim",
+        graft.functions.VecDotNative.vec_cosine_prenorm($"va", $"vb", $"na", $"nb"))
       .filter($"cos_sim" >= 0.35)
       .select($"a_id", $"b_id", pround($"cos_sim", 6).as("cos_sim"))
       .orderBy($"a_id", $"b_id")
@@ -387,9 +389,7 @@ object Similarity extends QueryModule {
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("cid"), $"embedding".as("cv"))
     e.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        lit(1.0) - vec_dot_native($"embedding", $"cv") /
-          (vec_norm_native($"embedding") * vec_norm_native($"cv")))
+      .withColumn("dist", lit(1.0) - vec_cosine_native($"embedding", $"cv"))
       .groupBy($"vec_id")
       .agg(min_by(struct($"cid", $"embedding"), struct($"dist", $"cid")).as("m"))
       .select($"vec_id", $"m.embedding".as("embedding"), $"m.cid".as("cid"))
@@ -666,15 +666,11 @@ object Similarity extends QueryModule {
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("ccell"), $"embedding".as("cv"))
     val coarse = e.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        lit(1.0) - vec_dot_native($"embedding", $"cv") /
-          (vec_norm_native($"embedding") * vec_norm_native($"cv")))
+      .withColumn("dist", lit(1.0) - vec_cosine_native($"embedding", $"cv"))
       .groupBy($"vec_id")
       .agg(min_by($"ccell", struct($"dist", $"ccell")).as("ccell"))
     val qcells = e.filter($"vec_id" === 0).crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        lit(1.0) - vec_dot_native($"embedding", $"cv") /
-          (vec_norm_native($"embedding") * vec_norm_native($"cv")))
+      .withColumn("dist", lit(1.0) - vec_cosine_native($"embedding", $"cv"))
       .orderBy($"dist".asc, $"ccell".asc)
       .limit(IvfPqProbes)
       .select($"ccell")
@@ -1022,23 +1018,17 @@ object Similarity extends QueryModule {
          |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
          |  FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
          |SELECT c.a_id, c.b_id,
-         |       floor(list_dot_product(a.v, b.v) /
-         |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-         |             * 1000000 + 0.5) / 1000000 AS cos_sim
+         |       floor(${cosSql("a.v", "b.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
          |FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id
-         |WHERE list_dot_product(a.v, b.v) /
-         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.35
          |ORDER BY a_id, b_id""".stripMargin
     },
     "sim_threshold_join" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |       floor(list_dot_product(a.v, b.v) /
-        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-        |             * 1000000 + 0.5) / 1000000 AS cos_sim
+        |       floor(${cosSql("a.v", "b.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        |WHERE ${cosSql("a.v", "b.v")} >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
     // IVF is deterministic end-to-end (leading-16 centroids, double cosine
     // arithmetic bit-exact across engines, cid tiebreak), so the oracle
@@ -1055,11 +1045,17 @@ object Similarity extends QueryModule {
   /** DuckDB cosine mirroring [[graft.functions.VecDotNative.vec_cosine_native]]'s
     * zero-vector ⇒ 0 convention (a dead embedding must not NaN-top the
     * DESC ordering in EITHER engine; NULL inputs still propagate NULL).
-    * Used by every oracle where cosine is an output or ordering key over
-    * unfiltered rows; `cos >= τ` threshold predicates stay naive — 0 and
-    * NaN both fail the comparison, so those sites already agree. */
+    * Used by EVERY oracle cosine — output columns, ordering keys, AND
+    * `cos >= τ` threshold predicates: both engines compare NaN GREATER
+    * than any double, so an unguarded 0/0 = NaN cosine would PASS the
+    * threshold and match a dead embedding against every row in its block.
+    * The guard is the NORM-product test (`sqrt(aa)·sqrt(bb) = 0`), the
+    * exact form `vec_cosine_native` evaluates — a raw dot-product-product
+    * test would diverge where ‖v‖² underflows (each ≲ 1e-154: product of
+    * squared norms hits 0 while the norm product stays > 0). */
   private[llm] def cosSql(a: String, b: String): String =
-    s"(CASE WHEN list_dot_product($a, $a) * list_dot_product($b, $b) = 0 THEN 0.0" +
+    s"(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0" +
+      s" THEN 0.0" +
       s" ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) *" +
       s" sqrt(list_dot_product($b, $b))) END)"
 

@@ -84,12 +84,17 @@ object ExplainDump {
     // evidence for the full surface, not just the formatted headliners.
     // Counts are over the executedPlan STRING: cached-plan renderings
     // inflate scan counts (occurrences ≠ executions), so `cached>0`
-    // contextualizes `scans`.
+    // contextualizes `scans`. The cache is CLEARED before each
+    // fingerprint: Materialize.once/pin blocks pinned by earlier queries
+    // would otherwise leak into later plans as InMemoryTableScans, making
+    // scans/cached iteration-order-dependent and piling pinned blocks
+    // across the whole surface.
     println("\n===== PLAN FINGERPRINTS (all declared queries) =====")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
+        spark.sharedState.cacheManager.clearCache()
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(p).size
         println(s"FPRINT $name exchanges=${n("Exchange hashpartitioning")}" +

@@ -164,8 +164,21 @@ class DegenerateSpec extends SparkSpec {
     val rs = SparkEntry.queries("ts_resample")(spark, nanDir).collect()
     assert(rs.exists(r => r.getAs[Double]("avg_value").isNaN),
       "a NaN observation must poison its own bucket average, not round to 0.0")
-    // MAD: the robust center is computed over finite values only
-    assert(SparkEntry.queries("ts_mad_outlier")(spark, nanDir).count() >= 0)
+    // MAD: the robust center is computed over finite values only — every
+    // non-finite observation scores non-finite against the FINITE center
+    // and flags; finite values score finite (a NaN-poisoned med/MAD would
+    // instead flag ALL 200 rows with NaN mz)
+    val mad = SparkEntry.queries("ts_mad_outlier")(spark, nanDir).collect()
+    val expectNonFinite =
+      (0 until 200).count(i => i % 29 == 0 || i % 31 == 0 || i % 37 == 0)
+    val nonFinite = mad.filter(r => !java.lang.Double.isFinite(r.getAs[Double]("value")))
+    assert(nonFinite.length === expectNonFinite,
+      "every non-finite observation must flag against the finite center")
+    assert(nonFinite.forall(r => !java.lang.Double.isFinite(r.getAs[Double]("mz"))))
+    assert(mad.filter(r => java.lang.Double.isFinite(r.getAs[Double]("value")))
+      .forall(r => !r.getAs[Double]("mz").isNaN),
+      "a finite value must never score a NaN modified z-score")
+    assert(mad.length < 200, "the finite bulk must not flag — the center is finite")
   }
 
   /** Zero-norm embeddings (dead/padded vectors — common in production
@@ -193,6 +206,21 @@ class DegenerateSpec extends SparkSpec {
     // the zero vector must not win the ranking (top row is a real match)
     assert(rows.head.getAs[Long]("vec_id") !== 99L,
       "the dead embedding NaN-topped the ranking")
+  }
+
+  test("threshold similarity: a zero-norm embedding matches NOTHING in its block") {
+    // Pre-guard, the dead vector's 0/0 = NaN cosine PASSED `>= tau` in
+    // BOTH engines (each compares NaN greater than any double), matching
+    // it against every row of its label block. The zero-vector ⇒ 0
+    // convention must hold in threshold predicates, not just rankings.
+    val pairs = SparkEntry.queries("sim_threshold_join")(spark, zeroVecDir).collect()
+    assert(pairs.forall(r => r.getAs[Long]("a_id") != 99L && r.getAs[Long]("b_id") != 99L),
+      "the dead embedding NaN-matched into the threshold join")
+    assert(pairs.forall(r => !r.getAs[Double]("cos_sim").isNaN))
+    // and the cosine-dedup must KEEP the zero vector (similar-to-nothing)
+    val kept = SparkEntry.queries("dedup_embed_cosine")(spark, zeroVecDir)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(kept.contains(99L), "the dead embedding was NaN-deduped away")
   }
 
   test("mine_frequent_pairs_rel: relative cutoffs track the basket count") {

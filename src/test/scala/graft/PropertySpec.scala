@@ -20,17 +20,6 @@ class PropertySpec extends SparkSpec {
   private val vecGen: Gen[Seq[Float]] =
     Gen.listOfN(8, Gen.chooseNum(-10f, 10f)).map(_.toSeq)
 
-  test("approx rolling distinct tracks the exact WAU within the sketch bound") {
-    val exact = SparkEntry.queries("ts_rolling_distinct")(spark, sf)
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("ts_rolling_distinct_approx")(spark, sf)
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    for ((d, a) <- approx; ex = exact(d))
-      assert(math.abs(a - ex) <= math.max(2L, (ex * 0.05).toLong),
-        s"day $d: approx $a vs exact $ex")
-  }
-
   test("cosine similarity is bounded in [-1,1] and reflexive (generated vectors)") {
     val vecs = samples(vecGen, 20).filter(_.exists(_ != 0f))
     val df = vecs.zip(vecs.reverse).toDF("a", "b")
@@ -75,33 +64,9 @@ class PropertySpec extends SparkSpec {
     assert(t20.take(10) === t10)
   }
 
-  test("approx_count_distinct stays within 5% of the exact count (HLL++ bound)") {
-    val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    SparkEntry.queries("agg_approx_distinct")(spark, sf).collect().foreach { r =>
-      val (flag, approx) = (r.getString(0), r.getLong(1))
-      val e = exact(flag).toDouble
-      assert(math.abs(approx - e) / e <= 0.05, s"$flag: approx=$approx exact=$e")
-    }
-  }
-
-  test("approx_percentile stays within 2% of exact percentile_cont") {
-    val exact = SparkEntry.queries("agg_percentile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    SparkEntry.queries("agg_approx_quantile")(spark, sf).collect().foreach { r =>
-      val (st, approx) = (r.getString(0), r.getDouble(1))
-      val e = exact(st)
-      assert(math.abs(approx - e) / e <= 0.02, s"$st: approx=$approx exact=$e")
-    }
-  }
-
-  test("seeded sample is deterministic across runs and roughly the right size") {
-    val a = SparkEntry.queries("scan_sample")(spark, sf).collect().map(_.getLong(0)).toSeq
-    val b = SparkEntry.queries("scan_sample")(spark, sf).collect().map(_.getLong(0)).toSeq
-    assert(a === b)
-    val total = Tables.documents(spark, sf).count()
-    assert(a.length > total * 0.1 && a.length < total * 0.3)
-  }
+  // (the approx/seeded bound tests — approx distinct/percentile, seeded
+  // sample, MG top-terms, rolling-HLL — live in ApproxContractSpec, the
+  // one spec enumerating every oracle-exempt key with its explicit bound)
 
   test("star-contraction CC converges on a chain with diameter far past the old 64-round cap") {
     // A path graph 0-1-2-...-N is the worst case for plain min-label
@@ -142,17 +107,6 @@ class PropertySpec extends SparkSpec {
         assert(got === expected)
       }
     }
-  }
-
-  test("text_top_terms_approx equals the exact top terms (MG candidates + exact recount)") {
-    // the MG candidate union provably contains every word with global
-    // count > n_lang/256; the recount is exact over candidates — so the
-    // approx twin must agree exactly with text_top_terms on the fixtures.
-    val exact = SparkEntry.queries("text_top_terms")(spark, sf)
-      .collect().map(_.toSeq).toSeq
-    val approx = SparkEntry.queries("text_top_terms_approx")(spark, sf)
-      .collect().map(_.toSeq).toSeq
-    assert(approx === exact)
   }
 
   test("graph_bfs_distance: source at 0, every edge spans at most one level") {

@@ -35,6 +35,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vec_cosine_prenorm equals vec_cosine_native, including zero-vector pairs") {
+    // the pair-join form (norms precomputed before the join) must be
+    // bit-identical to the self-contained guarded cosine — same division,
+    // same zero-vector => 0 convention
+    val vecs = samples(vecGen, 30) :+ Seq.fill(8)(0f)
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+      .withColumn("na", VecDotNative.vec_norm_native($"a"))
+      .withColumn("nb", VecDotNative.vec_norm_native($"b"))
+    val out = df.select(
+      VecDotNative.vec_cosine_native($"a", $"b").as("c1"),
+      VecDotNative.vec_cosine_prenorm($"a", $"b", $"na", $"nb").as("c2")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0,
+        s"prenorm ${r.getDouble(1)} != native ${r.getDouble(0)}")
+    }
+    assert(out.exists(_.getDouble(0) === 0.0), "a zero-vector pair must be present and score 0")
+  }
+
   test("keepLatest is idempotent: dedup(dedup(x)) == dedup(x)") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 100L)))
     samples(gen, 10).filter(_.nonEmpty).foreach { rows =>

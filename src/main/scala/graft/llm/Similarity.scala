@@ -385,11 +385,16 @@ object Similarity extends QueryModule {
     * (the search) and [[simAnnIvfCellStats]] (the diagnostic). */
   private def ivfAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // norms precompute per ROW before the N×16 cross join (the prenorm
+    // pattern): inside the join the guarded cosine would redo both
+    // dot(v,v) dots per pair — 16× redundant on the vector side
     val e = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", vec_norm_native($"embedding"))
     val centroids = e.orderBy($"vec_id").limit(16)
-      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+      .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cnrm"))
     e.crossJoin(broadcast(centroids))
-      .withColumn("dist", lit(1.0) - vec_cosine_native($"embedding", $"cv"))
+      .withColumn("dist", lit(1.0) - graft.functions.VecDotNative
+        .vec_cosine_prenorm($"embedding", $"cv", $"nrm", $"cnrm"))
       .groupBy($"vec_id")
       .agg(min_by(struct($"cid", $"embedding"), struct($"dist", $"cid")).as("m"))
       .select($"vec_id", $"m.embedding".as("embedding"), $"m.cid".as("cid"))
@@ -663,14 +668,17 @@ object Similarity extends QueryModule {
   private def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", vec_norm_native($"embedding"))
     val centroids = e.orderBy($"vec_id").limit(16)
-      .select($"vec_id".as("ccell"), $"embedding".as("cv"))
+      .select($"vec_id".as("ccell"), $"embedding".as("cv"), $"nrm".as("cnrm"))
+    def cdist = lit(1.0) - graft.functions.VecDotNative
+      .vec_cosine_prenorm($"embedding", $"cv", $"nrm", $"cnrm")
     val coarse = e.crossJoin(broadcast(centroids))
-      .withColumn("dist", lit(1.0) - vec_cosine_native($"embedding", $"cv"))
+      .withColumn("dist", cdist)
       .groupBy($"vec_id")
       .agg(min_by($"ccell", struct($"dist", $"ccell")).as("ccell"))
     val qcells = e.filter($"vec_id" === 0).crossJoin(broadcast(centroids))
-      .withColumn("dist", lit(1.0) - vec_cosine_native($"embedding", $"cv"))
+      .withColumn("dist", cdist)
       .orderBy($"dist".asc, $"ccell".asc)
       .limit(IvfPqProbes)
       .select($"ccell")

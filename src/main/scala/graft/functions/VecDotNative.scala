@@ -216,11 +216,8 @@ object VecDotNative {
     * zeros — common in production corpora) would rank at the TOP of every
     * cosine top-k. NULL inputs still propagate NULL (a null norm-product
     * fails the `=== 0` test into the division branch, which is null). */
-  def vec_cosine_native(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.{when, lit}
-    val nn = vec_norm_native(a) * vec_norm_native(b)
-    when(nn === 0d, lit(0d)).otherwise(vec_dot_native(a, b) / nn)
-  }
+  def vec_cosine_native(a: Column, b: Column): Column =
+    vec_cosine_prenorm(a, b, vec_norm_native(a), vec_norm_native(b))
 
   /** [[vec_cosine_native]]'s guarded cosine for the PAIR-JOIN pattern
     * where per-row norms were precomputed before the join (recomputing
@@ -229,7 +226,12 @@ object VecDotNative {
     * NaN compares GREATER than any double in Spark AND DuckDB, so an
     * unguarded 0/0 cosine would PASS every `>= τ` threshold and match a
     * dead embedding against its whole block. `na`/`nb` must be the
-    * [[vec_norm_native]] norms of `a`/`b`. */
+    * [[vec_norm_native]] norms of `a`/`b`.
+    *
+    * This is THE Scala-side guard definition — [[vec_cosine_native]]
+    * delegates here, so the zero-vector convention has exactly two
+    * sources of truth: this expression and the oracle-side
+    * `Similarity.cosSql` (kept form-identical, norm-product test). */
   def vec_cosine_prenorm(a: Column, b: Column, na: Column, nb: Column): Column = {
     import org.apache.spark.sql.functions.{when, lit}
     val nn = na * nb

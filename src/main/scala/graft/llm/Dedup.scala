@@ -1113,7 +1113,7 @@ object Dedup extends QueryModule {
          |         a.simhash AS sa, b.simhash AS sb
          |  FROM blocks a JOIN blocks b
          |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, bit_count(xor(sa, sb)) AS hamming
+         |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand
          |WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,

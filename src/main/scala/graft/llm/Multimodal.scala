@@ -309,7 +309,7 @@ object Multimodal extends QueryModule {
       """SELECT doc_id,
         |       octet_length(encode(text)) AS n_bytes,
         |       base64(encode(substr(text, 1, 48))) AS b64,
-        |       ascii(text) AS head_byte
+        |       CAST(ascii(text) AS BIGINT) AS head_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The decode STUB's features are pure byte arithmetic (length, first /
     // last byte, byte-sum checksum), so the oracle recomputes them from the

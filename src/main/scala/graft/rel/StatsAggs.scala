@@ -303,7 +303,7 @@ object StatsAggs extends QueryModule {
         |  floor(regr_slope(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS slope,
         |  floor(regr_intercept(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4 AS intercept,
         |  floor(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS r2,
-        |  regr_count(l_extendedprice, l_quantity) AS n,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
         |  floor(regr_avgx(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS avgx,
         |  floor(regr_avgy(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4 AS avgy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

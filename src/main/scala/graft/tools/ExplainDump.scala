@@ -84,17 +84,20 @@ object ExplainDump {
     // evidence for the full surface, not just the formatted headliners.
     // Counts are over the executedPlan STRING: cached-plan renderings
     // inflate scan counts (occurrences ≠ executions), so `cached>0`
-    // contextualizes `scans`. The cache is CLEARED before each
-    // fingerprint: Materialize.once/pin blocks pinned by earlier queries
-    // would otherwise leak into later plans as InMemoryTableScans, making
-    // scans/cached iteration-order-dependent and piling pinned blocks
-    // across the whole surface.
+    // contextualizes `scans`. BOTH cache layers are cleared before each
+    // fingerprint: cacheManager covers Materialize.once (Dataset persist
+    // → InMemoryTableScan leaking into later plans), while Materialize.pin
+    // persists a raw RDD the cacheManager does NOT track — those blocks
+    // need the explicit getPersistentRDDs unpersist or they accumulate
+    // monotonically across the ~all-query sweep.
     println("\n===== PLAN FINGERPRINTS (all declared queries) =====")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(p).size
         println(s"FPRINT $name exchanges=${n("Exchange hashpartitioning")}" +

@@ -39,13 +39,37 @@ def canon(cell):
     return repr(cell)
 
 
+def _type_class(t):
+    """Collapse an arrow type to the VALUE CLASS the driver's type-tagged
+    hash distinguishes. Width differences inside a class (int8/int32/
+    uint32 vs int64) are empirically benign — three such columns shipped
+    driver-green for rounds — while cross-class mismatches (decimal128 vs
+    int64, the round-7/8 agg_rate_ci incident) fail the driver hash even
+    on identical values."""
+    import pyarrow.types as pat
+    for cls, pred in [
+            ("decimal", pat.is_decimal), ("integer", pat.is_integer),
+            ("floating", pat.is_floating), ("boolean", pat.is_boolean),
+            ("string", lambda x: pat.is_string(x) or pat.is_large_string(x)),
+            ("binary", lambda x: pat.is_binary(x) or pat.is_large_binary(x)),
+            ("date", pat.is_date), ("timestamp", pat.is_timestamp),
+            ("list", lambda x: pat.is_list(x) or pat.is_large_list(x)),
+            ("struct", pat.is_struct), ("map", pat.is_map),
+            ("null", pat.is_null)]:
+        if pred(t):
+            return cls
+    return str(t)
+
+
 def type_audit(con, name, sql, spark_parquet_glob, budget=None):
-    """Arrow-schema audit: DuckDB integer aggregates widen silently
-    (sum(BIGINT) -> HUGEINT = arrow decimal128(38,0)) while Spark emits
-    int64, so a type-tagged driver hash fails even when every VALUE matches
-    — the repr-based compare below cannot see it (the round-7/8 agg_rate_ci
-    incident). Fail any oracle output column whose arrow type is a decimal
-    where the Spark side emits an integer/float. Returns [] if clean."""
+    """Arrow-schema audit: DuckDB's SQL dialect silently lands in different
+    arrow types than the engine's parquet output (sum(BIGINT) -> HUGEINT =
+    decimal128(38,0); regr_count -> uint32; ...), and a type-tagged driver
+    hash fails on a class mismatch even when every VALUE matches — the
+    repr-based compare below cannot see it. Fail any oracle output column
+    whose arrow VALUE CLASS differs from the Spark side's (a `null`-class
+    oracle column — a bare NULL literal — is exempt: it carries no type
+    information and hashes by value). Returns [] if clean."""
     timer = None
     if budget:
         timer = threading.Timer(budget, con.interrupt)
@@ -59,15 +83,15 @@ def type_audit(con, name, sql, spark_parquet_glob, budget=None):
         if timer:
             timer.cancel()
     s_types = {f.name: f.type for f in s_schema}
-    import pyarrow.types as pat
     bad = []
     for f in o_schema:
         st = s_types.get(f.name)
         if st is None:
             continue  # column-name drift is caught by the value compare
-        if pat.is_decimal(f.type) and (pat.is_integer(st) or pat.is_floating(st)):
-            bad.append(f"{f.name}: oracle={f.type} vs spark={st} "
-                       f"(wrap the oracle expr in CAST(... AS BIGINT/DOUBLE))")
+        oc, sc = _type_class(f.type), _type_class(st)
+        if oc != sc and oc != "null":
+            bad.append(f"{f.name}: oracle={f.type} ({oc}) vs spark={st} ({sc}) "
+                       f"(CAST the oracle expr to the Spark output class)")
     return bad
 
 

@@ -17,9 +17,15 @@ object Verify {
     // k=v confs, e.g. SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false"
     // lets the audit diff dumps with AQE off / different knobs
     val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
-      .split(";").filter(_.contains("=")).map { kv =>
+      .split(";").filter(_.nonEmpty).map { kv =>
+        // Fail loudly on a malformed entry: silently dropping e.g.
+        // "spark.sql.adaptive.enabled:false" would make an invariance
+        // audit compare the baseline against itself and pass vacuously.
+        require(kv.contains("="),
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
         val Array(k, v) = kv.split("=", 2); (k, v)
       }
+    extra.foreach { case (k, v) => System.err.println(s"[verify] conf $k=$v") }
     val spark = extra.foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)

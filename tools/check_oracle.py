@@ -47,6 +47,11 @@ def _type_class(t):
     int64, the round-7/8 agg_rate_ci incident) fail the driver hash even
     on identical values."""
     import pyarrow.types as pat
+    # A dictionary-encoded column hashes by its VALUES — unwrap to the
+    # value type so e.g. dictionary<string> classes as "string" instead of
+    # spuriously failing an exact-string compare against plain string.
+    if pat.is_dictionary(t):
+        t = t.value_type
     for cls, pred in [
             ("decimal", pat.is_decimal), ("integer", pat.is_integer),
             ("floating", pat.is_floating), ("boolean", pat.is_boolean),
@@ -61,7 +66,7 @@ def _type_class(t):
     return str(t)
 
 
-def type_audit(con, name, sql, spark_parquet_glob, budget=None):
+def type_audit(o_schema, s_schema):
     """Arrow-schema audit: DuckDB's SQL dialect silently lands in different
     arrow types than the engine's parquet output (sum(BIGINT) -> HUGEINT =
     decimal128(38,0); regr_count -> uint32; ...), and a type-tagged driver
@@ -69,19 +74,11 @@ def type_audit(con, name, sql, spark_parquet_glob, budget=None):
     repr-based compare below cannot see it. Fail any oracle output column
     whose arrow VALUE CLASS differs from the Spark side's (a `null`-class
     oracle column — a bare NULL literal — is exempt: it carries no type
-    information and hashes by value). Returns [] if clean."""
-    timer = None
-    if budget:
-        timer = threading.Timer(budget, con.interrupt)
-        timer.daemon = True
-        timer.start()
-    try:
-        o_schema = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").arrow().schema
-        s_schema = con.execute(
-            f"SELECT * FROM read_parquet('{spark_parquet_glob}') LIMIT 0").arrow().schema
-    finally:
-        if timer:
-            timer.cancel()
+    information and hashes by value). Schemas come from the SAME arrow
+    result `fetch` already materialized — no second SQL execution (a
+    LIMIT-0 re-run still materializes AS MATERIALIZED CTEs and roughly
+    doubled wall-time for the heavy unrolled oracles). Returns [] if
+    clean."""
     s_types = {f.name: f.type for f in s_schema}
     bad = []
     for f in o_schema:
@@ -96,22 +93,26 @@ def type_audit(con, name, sql, spark_parquet_glob, budget=None):
 
 
 def fetch(con, sql, budget=None):
+    """Execute once, return (sorted cols, canonical rows, arrow schema).
+    The arrow result feeds BOTH the value compare and the type audit, so
+    each oracle SQL runs exactly once."""
     timer = None
     if budget:
         timer = threading.Timer(budget, con.interrupt)
         timer.daemon = True
         timer.start()
     try:
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
+        tbl = con.execute(sql).arrow()
     except duckdb.InterruptException:
         raise TimeoutError(f"oracle exceeded {budget:.0f}s wall-time budget")
     finally:
         if timer:
             timer.cancel()
+    cols = tbl.schema.names
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+    names = [cols[i] for i in order]
+    rows = [tuple(canon(d[c]) for c in names) for d in tbl.to_pylist()]
+    return names, rows, tbl.schema
 
 
 def main():
@@ -137,7 +138,8 @@ def main():
             n_fail += 1
             continue
         try:
-            o_cols, o_rows = fetch(con, oracles[name], budget=ORACLE_BUDGET_SEC)
+            o_cols, o_rows, o_schema = fetch(con, oracles[name],
+                                             budget=ORACLE_BUDGET_SEC)
         except TimeoutError as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -147,16 +149,14 @@ def main():
             n_fail += 1
             continue
         try:
-            s_cols, s_rows = fetch(
+            s_cols, s_rows, s_schema = fetch(
                 con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: spark parquet load error: {e}")
             n_fail += 1
             continue
         try:
-            type_bad = type_audit(con, name, oracles[name],
-                                  f"{out_dir}/{name}/*.parquet",
-                                  budget=ORACLE_BUDGET_SEC)
+            type_bad = type_audit(o_schema, s_schema)
         except Exception as e:
             print(f"FAIL {name}: type audit error: {e}")
             n_fail += 1

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** THE contract spec for every oracle-exempt query — the 8 declared keys
+/** THE contract spec for every oracle-exempt query — the 9 declared keys
   * whose outputs are approximate/seeded BY DESIGN and therefore carry no
   * DuckDB oracle row in CORRECTNESS_r*.json (the driver records a weaker
   * rows-only check). Exemption is not exemption from verification: each
@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *   6. scan_sample              — seeded Bernoulli: deterministic + Chernoff size
   *   7. text_top_terms_approx    — Misra-Gries candidate SUPERSET ⇒ exact equality
   *   8. ts_rolling_distinct_approx — HLL per window, max(2, 5%·exact)
+  *   9. dq_profile_approx        — HLL ±5% per column; all non-distinct
+  *                                 cells EXACTLY equal the exact twin
   */
 class ApproxContractSpec extends SparkSpec {
   import SparkSpec.session.implicits._
@@ -151,5 +153,29 @@ class ApproxContractSpec extends SparkSpec {
     for ((d, a) <- approx; ex = exact(d))
       assert(math.abs(a - ex) <= math.max(2L, (ex * 0.05).toLong),
         s"day $d: approx $a vs exact $ex")
+  }
+
+  /** The at-scale profile twin: `dq_profile_approx` replaces each exact
+    * count(DISTINCT) with HLL++ at rsd 0.02 (so the asserted 5% band is
+    * 2.5σ — a ~99% interval, robust for a deterministic-hash sketch) and
+    * changes NOTHING else — so per column the distinct estimate must sit
+    * within max(2, 5%·exact) of `dq_profile`'s (itself oracle-green), and
+    * every other cell (null counts, min/max) must be cell-for-cell EQUAL:
+    * the sketch swap may only touch the column it sketches. */
+  test("dq_profile_approx: HLL distinct within max(2, 5% of exact) per column; all other cells exact") {
+    val exact = SparkEntry.queries("dq_profile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = SparkEntry.queries("dq_profile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((c, a) <- approx; ex = exact(c)) {
+      val (ad, ed) = (a.getLong(2), ex.getLong(2))
+      assert(math.abs(ad - ed) <= math.max(2L, (ed * 0.05).toLong),
+        s"col $c: approx distinct $ad vs exact $ed")
+      // every non-sketched cell identical (positions: col, n_null,
+      // n_distinct, min_num, max_num, min_str, max_str)
+      for (i <- Seq(1, 3, 4, 5, 6))
+        assert(a.get(i) == ex.get(i), s"col $c field $i: ${a.get(i)} vs ${ex.get(i)}")
+    }
   }
 }

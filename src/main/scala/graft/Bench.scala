@@ -73,8 +73,12 @@ object Bench {
     // eviction/GC bill. Safe between queries: results are already counted.
     var sinceGc = 0
     def dropPinnedBlocks(): Unit = {
+      // Exempt the cross-query shared-input pins (rel.PinnedInputs): those
+      // play "materialized table" for whole families and must survive the
+      // per-query cleanup; everything else is a dead intermediate.
+      val keep = graft.rel.PinnedInputs.pinnedRddIds(spark)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .filterNot(r => keep(r.id)).foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
       // Drain the ContextCleaner periodically: broadcasts (bloom filters,
       // hash relations, plane literals) are reclaimed via weak references,

@@ -45,9 +45,12 @@ object Verify {
       }
       // free blocks the query pinned (Materialize.once persists lazily and
       // queries never unpersist) — without this the storage pool carries
-      // every prior query's intermediates across the ~180-query run.
+      // every prior query's intermediates across the ~180-query run. The
+      // cross-query shared-input pins (rel.PinnedInputs) are exempt: they
+      // play "materialized table" for whole families.
+      val keep = graft.rel.PinnedInputs.pinnedRddIds(spark)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .filterNot(r => keep(r.id)).foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

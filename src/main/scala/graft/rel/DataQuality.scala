@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   *    plan an Expand (one duplicated row per distinct-aggregate), trading
   *    a 6× shuffle-row blowup for the single scan — the standard plan.
   *    At 100 TB swap `countDistinct` for `approx_count_distinct` and the
-  *    Expand collapses to mergeable HLL partials (the
-  *    `ts_rolling_distinct_approx` pattern); exact is kept here because
-  *    the driver's oracle hash-compares values.
+  *    Expand collapses to mergeable HLL partials — that form ships as the
+  *    declared query `dq_profile_approx` ([[dqProfileApprox]]); exact is
+  *    kept here because the driver's oracle hash-compares values.
   *  - Constraint evaluation is pure map-side `sum(CASE …)` partials —
   *    bytes shuffled = one row per partition regardless of input size.
   *  - Fixture caveat (not a plan property): the driver's sf0.1 events

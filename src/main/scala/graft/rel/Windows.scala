@@ -143,20 +143,58 @@ object Windows extends QueryModule {
       .orderBy($"w_start", $"event_type")
   }
 
-  /** T6 — gap-based sessionization (30-min inactivity), the lag + cumulative
-    * sum linear formulation; epoch-µs arithmetic for engine parity. */
+  /** T6 — gap-based sessionization (30-min inactivity), in the SKEW-SAFE
+    * two-phase form: the classic one-window formulation partitions by
+    * `user_id` alone, so one hot user's entire history sorts in ONE task —
+    * measured ×2.7 degradation at the 100×-Zipf probe, where the top user
+    * owns ~10% of all events (real event data IS that skewed: the
+    * reference's own dashboard shows a 22,724-edit top title vs a 941,690
+    * "Other" bucket). Here:
+    *
+    *  - Phase 1 partitions by (user, day-bucket): within a bucket the
+    *    lag + cumulative-sum sessionizer runs unchanged, so a hot user's
+    *    events spread over as many tasks as days — per-task work is
+    *    bounded by events-per-user-day, not events-per-user.
+    *  - Phase 2 merges ACROSS buckets on per-bucket SESSION SUMMARIES
+    *    (start/end µs, count): sessions ordered by start are also ordered
+    *    by end (bucket ranges are disjoint, in-bucket sessions disjoint),
+    *    so one lag(prev end) window over session rows — orders of
+    *    magnitude fewer than events; a dense user compresses to ~1
+    *    session per bucket — chains boundary-crossing sessions, and a
+    *    final (user, sid) aggregate re-assembles counts and bounds.
+    *
+    * The result is IDENTICAL to the one-window form (sid = per-user
+    * time-ordinal; the oracle pins it cell-exact): a session's events are
+    * never > gap apart, so a session crosses a bucket edge only via
+    * boundary-adjacent sub-sessions, exactly what phase 2 re-joins. Worst
+    * case (every event its own session) degrades to the classic cost; the
+    * bucket width is a constant trade (smaller = more parallel, more
+    * merge rows). Epoch-µs arithmetic for engine parity. */
   private def session(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wOrd = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, sfDir)
+    val gapUs = 1800000000L
+    val bucketUs = 86400000000L // 1 day
+    val wB = Window.partitionBy($"user_id", $"bk").orderBy($"us".asc, $"event_id".asc)
+    val wBCum = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = Tables.events(spark, sfDir)
       .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("bk", floor($"us" / bucketUs))
       .withColumn("new_sess",
-        when(lag($"us", 1).over(wOrd).isNull ||
-             $"us" - lag($"us", 1).over(wOrd) > 1800000000L, 1L).otherwise(0L))
-      .withColumn("sid", sum($"new_sess").over(wCum))
+        when(lag($"us", 1).over(wB).isNull ||
+             $"us" - lag($"us", 1).over(wB) > gapUs, 1L).otherwise(0L))
+      .withColumn("lsid", sum($"new_sess").over(wBCum))
+      .groupBy($"user_id", $"bk", $"lsid")
+      .agg(count(lit(1)).as("n"), min($"ts").as("t_start"), max($"ts").as("t_end"),
+        min($"us").as("us_s"), max($"us").as("us_e"))
+    val wU = Window.partitionBy($"user_id").orderBy($"us_s".asc)
+    val wUCum = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("new_sess",
+        when(lag($"us_e", 1).over(wU).isNull ||
+             $"us_s" - lag($"us_e", 1).over(wU) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_sess").over(wUCum))
       .groupBy($"user_id", $"sid")
-      .agg(count(lit(1)).as("n_events"), min($"ts").as("t_start"), max($"ts").as("t_end"))
+      .agg(sum($"n").as("n_events"), min($"t_start").as("t_start"), max($"t_end").as("t_end"))
       .orderBy($"user_id", $"sid")
   }
 

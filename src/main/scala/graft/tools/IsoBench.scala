@@ -32,8 +32,10 @@ object IsoBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def dropPinnedBlocks(): Unit = {
+      // shared-input pins survive (same exemption as Bench/Verify)
+      val keep = graft.rel.PinnedInputs.pinnedRddIds(spark)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .filterNot(r => keep(r.id)).foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
     }
 

@@ -1,0 +1,91 @@
+package graft.tools
+
+import graft.{Tables, Quiet}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming THROUGHPUT probe (SCALE.md streaming row): drives the two
+  * stateful streaming paths over a replica-scale events set as a
+  * file-source stream — micro-batches of real parquet files, the same
+  * source shape the library's ingest uses — and reports rows/sec plus
+  * state-store size from the engine's own progress metrics.
+  *
+  *  - `running_totals`: `transformWithState` (RocksDB state store) per-user
+  *    (count, sum) — unbounded keyed state, the hardest state shape.
+  *  - `session_window`: watermarked `session_window` aggregation — the
+  *    streaming twin of `win_session`, with state bounded by the watermark.
+  *
+  * Usage: runMain graft.tools.StreamBench [srcDir] [filesPerTrigger]
+  *   (default /tmp/scale10x — the 10× replica set, 1M events)
+  *
+  * Methodology: the events table is staged once into 32 parquet files;
+  * `Trigger.AvailableNow` + `maxFilesPerTrigger` processes them as a
+  * bounded sequence of micro-batches (8 batches at the default 4), so the
+  * measured wall includes per-batch planning/commit overhead — streaming
+  * throughput, not batch throughput. Sink is `noop`: no write cost in the
+  * measurement.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/tmp/scale10x")
+    val perTrigger = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Quiet.storageShutdownRace()
+    import spark.implicits._
+
+    val work = java.nio.file.Files.createTempDirectory("streambench").toString
+    val stageDir = s"$work/in"
+    // watermarks require TIMESTAMP (with zone); the fixture's NTZ maps 1:1
+    // under the session's UTC zone
+    val ev = Tables.events(spark, src)
+      .select($"user_id", $"value", $"ts".cast("timestamp").as("ts"))
+    ev.repartition(32).write.parquet(stageDir)
+    val nRows = spark.read.parquet(stageDir).count()
+    val schema = spark.read.parquet(stageDir).schema
+
+    def run(name: String)(start: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
+      val t0 = System.nanoTime()
+      val q = start(stream)
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress
+      val state = progress.reverseIterator
+        .flatMap(_.stateOperators.headOption).find(_ => true)
+      val stateRows = state.map(_.numRowsTotal).getOrElse(-1L)
+      val stateBytes = state.map(_.memoryUsedBytes).getOrElse(-1L)
+      println(f"""{"probe":"$name","rows":$nRows,"sec":$sec%.2f,""" +
+        f""""rows_per_sec":${(nRows / sec).toLong},"batches":${progress.length},""" +
+        f""""state_rows":$stateRows,"state_bytes":$stateBytes}""")
+    }
+
+    run("running_totals") { stream =>
+      StreamOps.runningTotals(
+          stream.select($"user_id".as[Long], $"value".as[Double]))
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt_rt")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    run("session_window") { stream =>
+      stream.withWatermark("ts", "1 hour")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt_sw")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    spark.stop()
+  }
+}

@@ -92,32 +92,77 @@ def type_audit(o_schema, s_schema):
     return bad
 
 
-def fetch(con, sql, budget=None):
-    """Execute once, return (sorted cols, canonical rows, arrow schema).
-    The arrow result feeds BOTH the value compare and the type audit, so
-    each oracle SQL runs exactly once."""
-    timer = None
-    if budget:
-        timer = threading.Timer(budget, con.interrupt)
-        timer.daemon = True
-        timer.start()
+BATCH_ROWS = 65536
+
+
+def row_stream(reader, names):
+    """Canonical row tuples (columns in sorted-name order) from a pyarrow
+    RecordBatchReader, one batch in memory at a time."""
+    for batch in reader:
+        for d in batch.to_pylist():
+            yield tuple(canon(d[c]) for c in names)
+
+
+def compare_one(con, con_s, name, sql, spark_glob, budget):
+    """Order-sensitive streaming compare of one oracle vs one Spark dump.
+
+    Both sides stream as arrow record batches (bounded memory — the 100×
+    replica surface includes 60M-row dumps that would need ~40 GB/side
+    fully materialized) on SEPARATE connections (a duckdb connection
+    allows one active streaming result). The budget timer spans the whole
+    per-query compare and interrupts both connections.
+
+    Returns (ok: bool, message: str)."""
+    timer = threading.Timer(budget, lambda: (con.interrupt(), con_s.interrupt()))
+    timer.daemon = True
+    timer.start()
     try:
-        tbl = con.execute(sql).arrow()
+        o_reader = con.execute(sql).fetch_record_batch(BATCH_ROWS)
+        s_reader = con_s.execute(
+            f"SELECT * FROM read_parquet('{spark_glob}')"
+        ).fetch_record_batch(BATCH_ROWS)
+        type_bad = type_audit(o_reader.schema, s_reader.schema)
+        if type_bad:
+            return False, ("oracle output type leak (driver hash is "
+                           f"type-tagged): {'; '.join(type_bad)}")
+        o_cols = sorted(o_reader.schema.names)
+        s_cols = sorted(s_reader.schema.names)
+        if o_cols != s_cols:
+            return False, f"columns differ: oracle={o_cols} spark={s_cols}"
+        sentinel = object()
+        import itertools
+        n = n_bad = 0
+        first = None
+        for a, b in itertools.zip_longest(
+                row_stream(o_reader, o_cols), row_stream(s_reader, s_cols),
+                fillvalue=sentinel):
+            if a is sentinel or b is sentinel:
+                side = "spark" if a is sentinel else "oracle"
+                return False, (f"rowcount differs: {side} has extra rows "
+                               f"beyond {n} (first extra: "
+                               f"{b if a is sentinel else a})")
+            if a != b:
+                n_bad += 1
+                if first is None:
+                    first = (n, a, b)
+            n += 1
+        if n_bad:
+            i, a, b = first
+            return False, (f"{n_bad}/{n} rows differ; first at {i}:\n"
+                           f"      cols : {o_cols}\n"
+                           f"      oracle: {a}\n"
+                           f"      spark : {b}")
+        return True, f"({n} rows)"
     except duckdb.InterruptException:
-        raise TimeoutError(f"oracle exceeded {budget:.0f}s wall-time budget")
+        return False, f"oracle exceeded {budget:.0f}s wall-time budget"
     finally:
-        if timer:
-            timer.cancel()
-    cols = tbl.schema.names
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    rows = [tuple(canon(d[c]) for c in names) for d in tbl.to_pylist()]
-    return names, rows, tbl.schema
+        timer.cancel()
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    con_s = duckdb.connect()  # spark-dump side of the streaming compare
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -138,53 +183,18 @@ def main():
             n_fail += 1
             continue
         try:
-            o_cols, o_rows, o_schema = fetch(con, oracles[name],
-                                             budget=ORACLE_BUDGET_SEC)
-        except TimeoutError as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
-            continue
+            ok, msg = compare_one(con, con_s, name, oracles[name],
+                                  f"{out_dir}/{name}/*.parquet",
+                                  ORACLE_BUDGET_SEC)
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        try:
-            s_cols, s_rows, s_schema = fetch(
-                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        except Exception as e:
-            print(f"FAIL {name}: spark parquet load error: {e}")
-            n_fail += 1
-            continue
-        try:
-            type_bad = type_audit(o_schema, s_schema)
-        except Exception as e:
-            print(f"FAIL {name}: type audit error: {e}")
-            n_fail += 1
-            continue
-        if type_bad:
-            print(f"FAIL {name}: oracle output type leak (driver hash is "
-                  f"type-tagged): {'; '.join(type_bad)}")
-            n_fail += 1
-            continue
-        if o_cols != s_cols:
-            print(f"FAIL {name}: columns differ: oracle={o_cols} spark={s_cols}")
-            n_fail += 1
-            continue
-        if len(o_rows) != len(s_rows):
-            print(f"FAIL {name}: rowcount differs: oracle={len(o_rows)} spark={len(s_rows)}")
-            n_fail += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(o_rows, s_rows)) if a != b]
-        if bad:
-            i, a, b = bad[0]
-            print(f"FAIL {name}: {len(bad)}/{len(o_rows)} rows differ; first at {i}:")
-            print(f"      cols : {o_cols}")
-            print(f"      oracle: {a}")
-            print(f"      spark : {b}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(o_rows)} rows)")
+            ok, msg = False, f"oracle SQL error: {e}"
+        if ok:
+            print(f"PASS {name} {msg}")
             n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+        sys.stdout.flush()
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -22,11 +22,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // same invariance/cluster-layout hook as Verify (driver never sets it):
+    // semicolon-separated k=v confs, malformed entries fail loudly
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.nonEmpty).map { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    extra.foreach { case (k, v) => System.err.println(s"[bench] conf $k=$v") }
+    val spark = extra.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     // ERROR, not WARN: round-4's driver capture lost the metric line in a
     // flood of storage-layer WARNs (BENCH_r04.json parsed=null). The metric

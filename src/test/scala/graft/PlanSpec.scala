@@ -383,6 +383,19 @@ class PlanSpec extends SparkSpec {
       s"per-(node,label) counts must partial-aggregate: $plan")
   }
 
+  test("win_session sessionizes in two phases: bucket-partitioned event window + summary merge") {
+    val plan = executed("win_session")
+    // phase 1 must partition the EVENT window by (user, day-bucket) — a
+    // user-only window puts a hot user's whole history in one task (the
+    // 100×-Zipf probe's measured ×2.7 straggler); phase 2's user-only
+    // window runs over per-bucket session SUMMARIES, so two Window
+    // operators with the bucket key present is the skew-safe shape
+    assert("Window".r.findAllIn(plan).size >= 2,
+      s"two-phase sessionization needs both windows: $plan")
+    assert(plan.contains("bk#"),
+      s"phase-1 window must include the day-bucket key: $plan")
+  }
+
   test("sim_ann_recall_eval joins tiny top-k frames (TakeOrderedAndProject + semi joins)") {
     val plan = executed("sim_ann_recall_eval")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * size k — a deliberately duplicate-heavy corpus that stresses the dedup
   * candidate-pair paths quadratically per group, the worst realistic shape.
   *
-  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> <k> [zipf]
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> <k> [zipf|uniqtext]
   *
   * `zipf` mode: same k× replication, but the SKEW-BEARING attribute keys
   * are re-drawn from a bounded-Pareto(s=1.1) distribution instead of
@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   *     the star join's skewed shuffle key)
   * Draws are deterministic (xxhash64 of the row's replicated PK), so the
   * fixture is reproducible run-to-run.
+  *
+  * `uniqtext` mode: same k× replication, but replica i > 0 gets MUTATED
+  * text (a per-replica suffix) and a rotated embedding vector — a 100×
+  * corpus with REALISTIC duplicate density (only the base copies remain
+  * near-dups) instead of exact-duplicate groups of k. The pairwise
+  * similarity/dedup family's candidate count is input-shaped (×k² per
+  * duplicate group BY DESIGN — the plain replica set makes those
+  * operators output-bound at k=100, measured: sim_threshold_lsh spills
+  * out of disk); this fixture proves the same operators at 100× VOLUME
+  * under the density real corpora have.
   */
 object ScaleGen {
 
@@ -45,7 +55,9 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val k = args(2).toInt
-    val zipf = args.length > 3 && args(3) == "zipf"
+    val mode = if (args.length > 3) args(3) else ""
+    val zipf = mode == "zipf"
+    val uniq = mode == "uniqtext"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -63,16 +75,31 @@ object ScaleGen {
     }
 
     def replicate(t: String, keyShifts: Map[String, Long],
+                  perCopy: (DataFrame, Int) => DataFrame = (df, _) => df,
                   remap: DataFrame => DataFrame = identity): Unit = {
       val base = Tables.table(spark, src, t)
       val copies = (0 until k).map { i =>
-        keyShifts.foldLeft(base) { case (df, (c, stride)) =>
+        perCopy(keyShifts.foldLeft(base) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(i * stride))
-        }
+        }, i)
       }
       remap(copies.reduce(_ unionByName _))
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scalegen] $t x$k" + (if (zipf) " (zipf)" else ""))
+      println(s"[scalegen] $t x$k" + (if (mode.nonEmpty) s" ($mode)" else ""))
+    }
+
+    // uniqtext per-copy mutators: replica 0 stays pristine; replica i>0
+    // gets a text suffix (breaks exact/near-dup groups) and a rotated
+    // embedding (rotation is a permutation — norms preserved, cosines
+    // between rotated copies decorrelate)
+    def mutText(df: DataFrame, i: Int): DataFrame =
+      if (!uniq || i == 0) df
+      else df.withColumn("text", concat($"text", lit(s" u$i")))
+    def mutVec(df: DataFrame, i: Int): DataFrame = {
+      val r = i % 64
+      if (!uniq || r == 0) df
+      else df.withColumn("embedding",
+        concat(slice($"embedding", r + 1, 64 - r), slice($"embedding", 1, r)))
     }
 
     if (zipf) {
@@ -82,12 +109,13 @@ object ScaleGen {
       // facts replicate with shifted PKs; the skew-bearing FK/attribute
       // keys are re-drawn Pareto(1.1) from the replicated PK's hash
       replicate("lineitem", Map("l_orderkey" -> 1000000000L),
-        _.withColumn("l_suppkey",
+        remap = _.withColumn("l_suppkey",
           zipfKey(xxhash64($"l_orderkey", $"l_linenumber"), sN, sLo)))
       replicate("orders", Map("o_orderkey" -> 1000000000L),
-        _.withColumn("o_custkey", zipfKey(xxhash64($"o_orderkey"), cN, cLo)))
+        remap = _.withColumn("o_custkey",
+          zipfKey(xxhash64($"o_orderkey"), cN, cLo)))
       replicate("events", Map("event_id" -> 1000000000L),
-        _.withColumn("user_id",
+        remap = _.withColumn("user_id",
           zipfKey(xxhash64($"event_id"), uN * k, uLo)))
     } else {
       // facts replicate with shifted keys; dims copy as-is (their
@@ -96,8 +124,8 @@ object ScaleGen {
       replicate("orders", Map("o_orderkey" -> 1000000000L))
       replicate("events", Map("event_id" -> 1000000000L, "user_id" -> 1000000L))
     }
-    replicate("documents", Map("doc_id" -> 1000000L))
-    replicate("embeddings", Map("vec_id" -> 1000000L))
+    replicate("documents", Map("doc_id" -> 1000000L), mutText)
+    replicate("embeddings", Map("vec_id" -> 1000000L), mutVec)
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       Tables.table(spark, src, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

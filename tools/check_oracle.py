@@ -103,6 +103,120 @@ def row_stream(reader, names):
             yield tuple(canon(d[c]) for c in names)
 
 
+# Row-count threshold above which the per-row Python compare switches to
+# the in-DuckDB multiset-hash compare (the driver's own strategy). The
+# streaming repr() loop tops out around 50k rows/s/side — a 60M-row dump
+# (the 100× replica scan/proj/scalar families) cannot finish inside any
+# sane budget, while DuckDB hashes it in seconds. Default: disabled
+# (exact row compare everywhere, the strictest form).
+ORACLE_HASH_MIN_ROWS = float(os.environ.get("ORACLE_HASH_MIN_ROWS", "inf"))
+
+_SQL_CLASS = [
+    ("decimal", ("DECIMAL", "HUGEINT", "UHUGEINT")),
+    ("integer", ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                 "USMALLINT", "UINTEGER", "UBIGINT", "INT")),
+    ("floating", ("FLOAT", "REAL", "DOUBLE")),
+    ("boolean", ("BOOLEAN",)),
+    ("string", ("VARCHAR", "CHAR", "TEXT", "ENUM")),
+    ("binary", ("BLOB", "BYTEA")),
+    ("date", ("DATE",)),
+    ("timestamp", ("TIMESTAMP", "DATETIME")),
+    ("struct", ("STRUCT",)),
+    ("map", ("MAP",)),
+]
+
+
+def _sql_type_class(t):
+    """DuckDB type-name → the same value classes _type_class derives from
+    arrow types (HUGEINT lands in arrow as decimal128, hence 'decimal')."""
+    u = t.upper()
+    if u.endswith("[]"):
+        return "list"
+    for cls, names in _SQL_CLASS:
+        if any(u.startswith(n) for n in names):
+            return cls
+    return u
+
+
+def _canon_cast(col, t):
+    """Canonical per-class cast so width differences inside a value class
+    (int32 vs int64, float vs double, µs vs ns timestamps) hash alike —
+    the same widths the driver's type-tagged hash treats as one class."""
+    q, u = f'"{col}"', t.upper()
+    cls = _sql_type_class(t)
+    if cls == "integer":
+        return f"CAST({q} AS BIGINT)"
+    if cls == "floating":
+        return f"CAST({q} AS DOUBLE)"
+    if cls == "timestamp":
+        return f"CAST({q} AS TIMESTAMP)"
+    if cls == "list":
+        inner = _sql_type_class(u[:-2])
+        if inner == "integer":
+            return f"CAST({q} AS BIGINT[])"
+        if inner == "floating":
+            return f"CAST({q} AS DOUBLE[])"
+    return q
+
+
+def compare_hash(con, name, sql, spark_glob, budget):
+    """Multiset-hash compare for dumps too large for the Python row loop:
+    both sides materialize as DuckDB temp tables, then compare
+    (count, sum-of-row-hashes) over canonically-cast columns — all inside
+    DuckDB's vectorized engine. sum(hash) is ORDER-INSENSITIVE (duplicates
+    still count: sums add, unlike xor): row ordering is separately
+    guaranteed by the total-order ORDER BY convention and checked exactly
+    by the row compare at the smaller SFs; this mode proves value/multiset
+    equality at volumes the row loop cannot reach. Type audit runs on the
+    raw (pre-cast) DuckDB types with the same value-class rules."""
+    timer = threading.Timer(budget, con.interrupt)
+    timer.daemon = True
+    timer.start()
+    try:
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _go AS {sql}")
+        con.execute("CREATE OR REPLACE TEMP TABLE _gs AS "
+                    f"SELECT * FROM read_parquet('{spark_glob}')")
+        o_info = con.execute("PRAGMA table_info('_go')").fetchall()
+        s_info = con.execute("PRAGMA table_info('_gs')").fetchall()
+        o_types = {r[1]: r[2] for r in o_info}
+        s_types = {r[1]: r[2] for r in s_info}
+        if sorted(o_types) != sorted(s_types):
+            return False, (f"columns differ: oracle={sorted(o_types)} "
+                           f"spark={sorted(s_types)}")
+        bad = []
+        for c in sorted(o_types):
+            oc, sc = _sql_type_class(o_types[c]), _sql_type_class(s_types[c])
+            if oc != sc and o_types[c].upper() != "NULL":
+                bad.append(f"{c}: oracle={o_types[c]} ({oc}) vs "
+                           f"spark={s_types[c]} ({sc})")
+        if bad:
+            return False, ("oracle output type leak (driver hash is "
+                           f"type-tagged): {'; '.join(bad)}")
+        def side(tbl, types):
+            exprs = ", ".join(_canon_cast(c, types[c]) for c in sorted(types))
+            return con.execute(
+                f"SELECT count(*), sum(CAST(hash({exprs}) AS HUGEINT)) "
+                f"FROM {tbl}").fetchone()
+        on, oh = side("_go", o_types)
+        sn, sh = side("_gs", s_types)
+        if on != sn:
+            return False, f"rowcount differs: oracle={on} spark={sn}"
+        if oh != sh:
+            return False, (f"multiset hash differs over {on} rows "
+                           f"(values differ; run the exact row compare "
+                           f"at a smaller SF to localize)")
+        return True, f"({on} rows, multiset-hash)"
+    except duckdb.InterruptException:
+        return False, f"oracle exceeded {budget:.0f}s wall-time budget"
+    finally:
+        timer.cancel()
+        try:
+            con.execute("DROP TABLE IF EXISTS _go")
+            con.execute("DROP TABLE IF EXISTS _gs")
+        except Exception:
+            pass
+
+
 def compare_one(con, con_s, name, sql, spark_glob, budget):
     """Order-sensitive streaming compare of one oracle vs one Spark dump.
 
@@ -183,11 +297,22 @@ def main():
             n_fail += 1
             continue
         try:
-            ok, msg = compare_one(con, con_s, name, oracles[name],
-                                  f"{out_dir}/{name}/*.parquet",
-                                  ORACLE_BUDGET_SEC)
+            glob_pat = f"{out_dir}/{name}/*.parquet"
+            # parquet-metadata row count (no scan) picks the compare mode
+            n_spark = con_s.execute(
+                f"SELECT count(*) FROM read_parquet('{glob_pat}')").fetchone()[0]
+            if n_spark >= ORACLE_HASH_MIN_ROWS:
+                ok, msg = compare_hash(con, name, oracles[name], glob_pat,
+                                       ORACLE_BUDGET_SEC)
+            else:
+                ok, msg = compare_one(con, con_s, name, oracles[name],
+                                      glob_pat, ORACLE_BUDGET_SEC)
         except Exception as e:
-            ok, msg = False, f"oracle SQL error: {e}"
+            if "INTERRUPT" in str(e).upper():
+                msg = f"oracle exceeded {ORACLE_BUDGET_SEC:.0f}s wall-time budget"
+            else:
+                msg = f"oracle SQL error: {e}"
+            ok = False
         if ok:
             print(f"PASS {name} {msg}")
             n_pass += 1

@@ -161,25 +161,27 @@ def _canon_cast(col, t):
 
 def compare_hash(con, name, sql, spark_glob, budget):
     """Multiset-hash compare for dumps too large for the Python row loop:
-    both sides materialize as DuckDB temp tables, then compare
-    (count, sum-of-row-hashes) over canonically-cast columns — all inside
-    DuckDB's vectorized engine. sum(hash) is ORDER-INSENSITIVE (duplicates
-    still count: sums add, unlike xor): row ordering is separately
-    guaranteed by the total-order ORDER BY convention and checked exactly
-    by the row compare at the smaller SFs; this mode proves value/multiset
-    equality at volumes the row loop cannot reach. Type audit runs on the
-    raw (pre-cast) DuckDB types with the same value-class rules."""
+    each side reduces to (count, sum-of-row-hashes) over canonically-cast
+    columns in ONE streaming DuckDB aggregate — no materialization (a
+    first temp-table version spilled ~50 GB of wide-string 60M-row
+    intermediates and OOM-killed the process; an aggregate over a
+    subquery streams in constant memory, and DuckDB drops the subquery's
+    now-unobservable ORDER BY, skipping the 60M-row sort entirely).
+    sum(hash) is ORDER-INSENSITIVE (duplicates still count: sums add,
+    unlike xor): row ordering is separately guaranteed by the total-order
+    ORDER BY convention and checked exactly by the row compare at the
+    smaller SFs; this mode proves value/multiset equality at volumes the
+    row loop cannot reach. Type audit runs on the raw (pre-cast) DuckDB
+    types — from plan-only DESCRIBEs — with the same value-class rules."""
     timer = threading.Timer(budget, con.interrupt)
     timer.daemon = True
     timer.start()
     try:
-        con.execute(f"CREATE OR REPLACE TEMP TABLE _go AS {sql}")
-        con.execute("CREATE OR REPLACE TEMP TABLE _gs AS "
-                    f"SELECT * FROM read_parquet('{spark_glob}')")
-        o_info = con.execute("PRAGMA table_info('_go')").fetchall()
-        s_info = con.execute("PRAGMA table_info('_gs')").fetchall()
-        o_types = {r[1]: r[2] for r in o_info}
-        s_types = {r[1]: r[2] for r in s_info}
+        spark_sql = f"SELECT * FROM read_parquet('{spark_glob}')"
+        o_types = {r[0]: r[1]
+                   for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+        s_types = {r[0]: r[1]
+                   for r in con.execute(f"DESCRIBE ({spark_sql})").fetchall()}
         if sorted(o_types) != sorted(s_types):
             return False, (f"columns differ: oracle={sorted(o_types)} "
                            f"spark={sorted(s_types)}")
@@ -192,13 +194,13 @@ def compare_hash(con, name, sql, spark_glob, budget):
         if bad:
             return False, ("oracle output type leak (driver hash is "
                            f"type-tagged): {'; '.join(bad)}")
-        def side(tbl, types):
+        def side(q, types):
             exprs = ", ".join(_canon_cast(c, types[c]) for c in sorted(types))
             return con.execute(
                 f"SELECT count(*), sum(CAST(hash({exprs}) AS HUGEINT)) "
-                f"FROM {tbl}").fetchone()
-        on, oh = side("_go", o_types)
-        sn, sh = side("_gs", s_types)
+                f"FROM ({q}) _q").fetchone()
+        on, oh = side(sql, o_types)
+        sn, sh = side(spark_sql, s_types)
         if on != sn:
             return False, f"rowcount differs: oracle={on} spark={sn}"
         if oh != sh:
@@ -210,11 +212,6 @@ def compare_hash(con, name, sql, spark_glob, budget):
         return False, f"oracle exceeded {budget:.0f}s wall-time budget"
     finally:
         timer.cancel()
-        try:
-            con.execute("DROP TABLE IF EXISTS _go")
-            con.execute("DROP TABLE IF EXISTS _gs")
-        except Exception:
-            pass
 
 
 def compare_one(con, con_s, name, sql, spark_glob, budget):

@@ -65,10 +65,19 @@ object Aggs extends QueryModule {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag", $"l_linestatus")
+      // money sums as EXACT BIGINTs in cent / 1e-4-dollar units (prices and
+      // discounts are 2-decimal by construction): a double sum's
+      // accumulation noise crossed the 0.01 rounding quantum at the 100×
+      // replica volume (60M rows — 11th significant digit), the same class
+      // tpch_q9 hit at 10× in round 8. Integer sums are order-independent,
+      // so the result is partition-count- and engine-invariant.
       .agg(
         pround(sum($"l_quantity"), 2).as("sum_qty"),
-        pround(sum($"l_extendedprice"), 2).as("sum_base"),
-        pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc"),
+        (sum(round($"l_extendedprice" * 100).cast("long")) / lit(100.0))
+          .as("sum_base"),
+        (floor(sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) / lit(100.0)
+          + lit(0.5)) / lit(100.0)).as("sum_disc"),
         pround(avg($"l_quantity"), 2).as("avg_qty"),
         count(lit(1)).as("n"),
         min($"l_shipdate").as("min_ship"),
@@ -108,7 +117,9 @@ object Aggs extends QueryModule {
         (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority"))
           .cast("long").as("g"),
         count(lit(1)).as("n"),
-        pround(sum($"o_totalprice"), 2).as("total"))
+        // exact cent-unit sum — see aggMulti's money-sum note
+        (sum(round($"o_totalprice" * 100).cast("long")) / lit(100.0))
+          .as("total"))
       .orderBy($"g".asc, $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -272,8 +283,10 @@ object Aggs extends QueryModule {
     "agg_multi" ->
       """SELECT l_returnflag, l_linestatus,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
-        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
-        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base,
+        |       floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                       (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |             / 100.0 + 0.5) / 100.0 AS sum_disc,
         |       floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
         |       count(*) AS n,
         |       min(l_shipdate) AS min_ship,
@@ -317,7 +330,8 @@ object Aggs extends QueryModule {
     "agg_rollup" ->
       """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS g,
         |       o_orderstatus, o_orderpriority,
-        |       count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY g ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->

@@ -161,7 +161,10 @@ object Formats extends QueryModule {
         count(lit(1)).as("n_rows"),
         sum($"l_extendedprice".isNotNull.cast("long")).as("n_with_price"),
         pround(sum($"l_quantity"), 2).as("sum_qty"),
-        pround(sum($"l_extendedprice"), 2).as("sum_price"))
+        // exact cent-unit sum (null-safe: round(null)=null, sum skips it) —
+        // the double form crossed the 0.01 quantum at 100×; see Aggs.aggMulti
+        (sum(round($"l_extendedprice" * 100).cast("long")) / lit(100.0))
+          .as("sum_price"))
   }
 
   override def queries: Map[String, QueryFn] = Map(
@@ -181,8 +184,9 @@ object Formats extends QueryModule {
         |  CAST(sum(CASE WHEN l_orderkey % 20 = 10 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_with_price,
         |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
-        |  floor(sum(CASE WHEN l_orderkey % 20 = 10 THEN l_extendedprice END)
-        |        * 100 + 0.5) / 100 AS sum_price
+        |  CAST(sum(CASE WHEN l_orderkey % 20 = 10 THEN
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT)
+        |    / 100.0 AS sum_price
         |FROM lineitem
         |WHERE l_orderkey % 20 IN (0, 10)""".stripMargin,
     "scan_text_roundtrip" ->

@@ -55,9 +55,13 @@ object Joins extends QueryModule {
       .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
+      // exact 1e-4-dollar-unit sum (order-independent BIGINT — the double
+      // form crossed the 0.01 quantum at 100×; see Aggs.aggMulti)
       .agg(
         count(lit(1)).as("n_items"),
-        pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        (floor(sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) / lit(100.0)
+          + lit(0.5)) / lit(100.0)).as("revenue"))
       .orderBy($"r_name")
   }
 
@@ -453,7 +457,12 @@ object Joins extends QueryModule {
     spark.table(lt)
       .join(spark.table(ot), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n"), pround(sum($"l_extendedprice"), 2).as("rev"))
+      // exact cent-unit sum (order-independent BIGINT — the double form's
+      // accumulation noise crossed the 0.01 quantum at the 100× volume;
+      // see Aggs.aggMulti's money-sum note)
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"l_extendedprice" * 100).cast("long")) / lit(100.0))
+          .as("rev"))
       .orderBy($"o_orderstatus")
   }
 
@@ -488,7 +497,7 @@ object Joins extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS rev
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_inner" ->
@@ -501,7 +510,9 @@ object Joins extends QueryModule {
         |ORDER BY l_orderkey, l_linenumber, p_brand, p_type""".stripMargin,
     "join_star" ->
       """SELECT r_name, count(*) AS n_items,
-        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |       floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                       (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |             / 100.0 + 0.5) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

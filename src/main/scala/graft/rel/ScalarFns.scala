@@ -332,15 +332,26 @@ object ScalarFns extends QueryModule {
     * expansion never shuffles raw rows, only the 3-row aggregate states. */
   private def genInline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // charge amounts as EXACT BIGINTs in 1e-6-dollar units (prices,
+    // discounts and tax are 2-decimal by construction), so every group
+    // total is an order-independent integer sum — the double form's
+    // accumulation noise crossed the 0.01 rounding quantum at the 100×
+    // replica volume (60M rows; same class as aggMulti / tpch q9)
     Tables.lineitem(spark, sfDir)
       .select(expr(
         "inline(array(" +
-          "struct('gross' AS kind, l_extendedprice AS amt), " +
-          "struct('disc' AS kind, l_extendedprice * (1 - l_discount) AS amt), " +
+          "struct('gross' AS kind," +
+          " CAST(round(l_extendedprice * 100) AS BIGINT) * 10000 AS amt), " +
+          "struct('disc' AS kind," +
+          " CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT)) * 100 AS amt), " +
           "struct('charged' AS kind," +
-          " l_extendedprice * (1 - l_discount) * (1 + l_tax) AS amt)))"))
+          " CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))" +
+          " * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS amt)))"))
       .groupBy($"kind")
-      .agg(count(lit(1)).as("n"), pround(sum($"amt"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum($"amt") / lit(10000.0) + lit(0.5)) / lit(100.0)).as("total"))
       .orderBy($"kind")
   }
 
@@ -452,14 +463,19 @@ object ScalarFns extends QueryModule {
         |       lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) LIKE 'e%' AS sw_ci
         |FROM documents ORDER BY doc_id""".stripMargin,
     "gen_inline" ->
-      """SELECT kind, count(*) AS n, floor(sum(amt) * 100 + 0.5) / 100 AS total
+      """SELECT kind, count(*) AS n,
+        |       floor(CAST(sum(amt) AS BIGINT) / 10000.0 + 0.5) / 100.0 AS total
         |FROM (
-        |  SELECT 'gross' AS kind, l_extendedprice AS amt FROM lineitem
+        |  SELECT 'gross' AS kind,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) * 10000 AS amt
+        |  FROM lineitem
         |  UNION ALL
-        |  SELECT 'disc', l_extendedprice * (1 - l_discount) FROM lineitem
+        |  SELECT 'disc', CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) * 100 FROM lineitem
         |  UNION ALL
-        |  SELECT 'charged',
-        |    l_extendedprice * (1 - l_discount) * (1 + l_tax) FROM lineitem)
+        |  SELECT 'charged', CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    * (100 + CAST(round(l_tax * 100) AS BIGINT)) FROM lineitem)
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "gen_stack" ->
       """SELECT doc_id, k, v FROM (

@@ -222,7 +222,12 @@ object TimeSeries extends QueryModule {
     val known = e.filter($"user_id" % 97 === 0)
       .groupBy(window($"ts", "1 hour").getField("start").as("bucket"),
         $"event_type")
-      .agg(pround(avg($"value"), 4).as("v"))
+      // exact mean: per-ROW micro-round to BIGINT, integer sum, one
+      // division — a double avg's accumulation noise flipped the 1e-4
+      // quantum on boundary cells at the 100× replica volume (the
+      // round-then-aggregate order is what makes it order-independent)
+      .agg((floor(sum(round($"value" * 1e6).cast("long")) /
+          (count(lit(1)) * lit(100.0)) + lit(0.5)) / lit(10000.0)).as("v"))
     val spine = e
       .agg(date_trunc("hour", min($"ts")).as("lo"),
         date_trunc("hour", max($"ts")).as("hi"))
@@ -508,7 +513,8 @@ object TimeSeries extends QueryModule {
     "ts_interpolate_linear" ->
       """WITH known AS (
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
-        |         floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
+        |         floor(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |               / (count(*) * 100.0) + 0.5) / 10000.0 AS v
         |  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
         |spine AS (
         |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),

@@ -31,12 +31,20 @@ object Tpch extends QueryModule {
     Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
+      // money sums as EXACT BIGINTs in cent / 1e-4 / 1e-6-dollar units
+      // (see aggMulti / q9: double accumulation noise crossed the 0.01
+      // quantum at the 100× replica volume) — order-independent integers
       .agg(
         pround(sum($"l_quantity"), 2).as("sum_qty"),
-        pround(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-        pround(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2)
-          .as("sum_charge"),
+        (sum(round($"l_extendedprice" * 100).cast("long")) / lit(100.0))
+          .as("sum_base_price"),
+        (floor(sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) / lit(100.0)
+          + lit(0.5)) / lit(100.0)).as("sum_disc_price"),
+        (floor(sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long")) *
+            (lit(100L) + round($"l_tax" * 100).cast("long"))) / lit(10000.0)
+          + lit(0.5)) / lit(100.0)).as("sum_charge"),
         pround(avg($"l_quantity"), 4).as("avg_qty"),
         pround(avg($"l_extendedprice"), 4).as("avg_price"),
         pround(avg($"l_discount"), 4).as("avg_disc"),
@@ -233,8 +241,11 @@ object Tpch extends QueryModule {
     Tables.lineitem(spark, sfDir)
       .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
       .filter(bracket1 || bracket2 || bracket3)
-      .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
-        .as("revenue"))
+      // exact 1e-4-dollar-unit sum (see q1/q9: double accumulation noise
+      // crossed the 0.01 quantum at the 100× volume)
+      .agg((floor(sum(round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))) / lit(100.0)
+        + lit(0.5)) / lit(100.0)).as("revenue"))
   }
 
   /** Q22 shape — global-customer sanity: customers above the positive-mean
@@ -674,9 +685,14 @@ object Tpch extends QueryModule {
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
-        |  floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
-        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
-        |  floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS sum_charge,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |  floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |        / 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                  (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+        |                  (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+        |        / 10000.0 + 0.5) / 100.0 AS sum_charge,
         |  floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
         |  floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
         |  floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
@@ -767,7 +783,9 @@ object Tpch extends QueryModule {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
     "tpch_q19" ->
-      """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+      """SELECT floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                       (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |             / 100.0 + 0.5) / 100.0 AS revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)

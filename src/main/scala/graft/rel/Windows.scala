@@ -139,7 +139,11 @@ object Windows extends QueryModule {
     Tables.events(spark, sfDir)
       .groupBy(window($"ts", "6 hours", "3 hours").getField("start").as("w_start"),
         $"event_type")
-      .agg(count(lit(1)).as("n"), pround(avg($"value"), 4).as("avg_value"))
+      // exact mean: per-row micro-round → BIGINT sum → one division (the
+      // double avg flipped the 1e-4 quantum on 2 of 1205 cells at 100×)
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(round($"value" * 1e6).cast("long")) /
+          (count(lit(1)) * lit(100.0)) + lit(0.5)) / lit(10000.0)).as("avg_value"))
       .orderBy($"w_start", $"event_type")
   }
 
@@ -347,7 +351,8 @@ object Windows extends QueryModule {
         |         event_type, value
         |  FROM events)
         |SELECT w_start, event_type, count(*) AS n,
-        |       floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_value
+        |       floor(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |             / (count(*) * 100.0) + 0.5) / 10000.0 AS avg_value
         |FROM cov GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "win_session" ->
       """WITH t AS (

@@ -776,7 +776,7 @@ object Dedup extends QueryModule {
       |                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
       |         ELSE w END) AS s
       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
-      |h AS (
+      |h AS MATERIALIZED (
       |  SELECT doc_id,
       |         ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1,
       |         ('0x' || substr(md5(s), 11, 10))::BIGINT AS h2
@@ -792,7 +792,8 @@ object Dedup extends QueryModule {
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM band a JOIN band b
       |    ON a.band = b.band AND a.bm = b.bm AND a.doc_id < b.doc_id),
-      |grams AS (SELECT doc_id, list(DISTINCT h1) AS g FROM h GROUP BY doc_id)""".stripMargin
+      |grams AS MATERIALIZED (SELECT doc_id, list(DISTINCT h1) AS g
+      |  FROM h GROUP BY doc_id)""".stripMargin
 
   private val MinhashPipelineSql: String =
     s"""$MinhashBaseSql,

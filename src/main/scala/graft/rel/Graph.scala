@@ -707,15 +707,20 @@ object Graph extends QueryModule {
     // arithmetic; float sum-order differences sit ~1e-15, far from the
     // 6-decimal reporting boundary.
     "graph_pagerank" -> {
+      // e0/edges/deg/nv are consumed by EVERY unrolled round below —
+      // without MATERIALIZED, DuckDB re-inlines the 60M-row orders ⋈
+      // lineitem build per consumer and exhausted 60+ GB of temp disk at
+      // the 100× replica set (the multi-consumer convention the other
+      // graph oracles already follow).
       val base =
-        """WITH e0 AS (
+        """WITH e0 AS MATERIALIZED (
           |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-          |edges AS (
+          |edges AS MATERIALIZED (
           |  SELECT a AS src, b AS dst FROM e0
           |  UNION ALL SELECT b AS src, a AS dst FROM e0),
-          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-          |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+          |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          |nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
           |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r
           |       FROM deg CROSS JOIN nv)""".stripMargin
       val rounds = (1 to Rounds).map { i =>

@@ -274,6 +274,20 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     con_s = duckdb.connect()  # spark-dump side of the streaming compare
+    # Giant-replay knobs (100×-replica runs): by default DuckDB spills to
+    # .tmp under cwd — which filled the root partition mid-oracle on the
+    # unrolled graph replays — and sizes its memory limit from the host.
+    # ORACLE_TEMP_DIR points the spill at a volume with headroom;
+    # ORACLE_MEMORY_LIMIT (e.g. "48GB") caps the hash tables so the heavy
+    # oracles spill instead of OOM-killing the process.
+    tmp_dir = os.environ.get("ORACLE_TEMP_DIR")
+    mem_lim = os.environ.get("ORACLE_MEMORY_LIMIT")
+    for c in (con, con_s):
+        if tmp_dir:
+            os.makedirs(tmp_dir, exist_ok=True)
+            c.execute(f"SET temp_directory='{tmp_dir}'")
+        if mem_lim:
+            c.execute(f"SET memory_limit='{mem_lim}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):

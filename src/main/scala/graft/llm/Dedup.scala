@@ -3,7 +3,7 @@ package graft.llm
 import graft.{QueryModule, Tables}
 import graft.functions.PortableRound.pround
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY.md §2.11 L1-L2 + north-star extensions):
@@ -419,6 +419,66 @@ object Dedup extends QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The 120-bit widening of [[simhashSigs]]: two 60-bit signature words
+    * from disjoint md5 halves (chars 1-15 and 17-31 — the same hash
+    * family, so cross-engine determinism carries over unchanged). One
+    * groupBy carries 120 map-side-combinable ±1 tallies; the shuffle is
+    * still one row of ints per doc at any scale. */
+  private def simhashWideSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+      .withColumn("h1", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5($"w"), 17, 15), 16, 10).cast("long"))
+    def bitSums(h: Column, tag: String): Seq[Column] = (0 until 60).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"$tag$i"))
+    def assemble(tag: String): Column = (0 until 60)
+      .map(i => when(col(s"$tag$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokens.groupBy($"doc_id")
+      .agg((bitSums($"h1", "a") ++ bitSums($"h2", "b")).head,
+           (bitSums($"h1", "a") ++ bitSums($"h2", "b")).tail: _*)
+      .select($"doc_id", assemble("a").as("s1"), assemble("b").as("s2"))
+  }
+
+  /** North-star — [[dedupSimhashHamming]] at its SCALE geometry: the
+    * 32-bit fingerprint's 4×8-bit blocks are right for the gate corpora
+    * but quadratic-by-law at a 100× corpus (random block collisions are
+    * n²·(d+1)/2^(w+1); measured as the executor-killing spill —
+    * SCALE.md round-10, `tools/ProfSimhashScale`). Block width cannot
+    * grow at fixed fingerprint width without breaking the pigeonhole
+    * guarantee (Hamming ≤ d forces d+1 disjoint blocks), so the scale
+    * knob is the FINGERPRINT: 120 bits in 4×30-bit blocks keeps the
+    * identical guarantee (Hamming ≤ 3 ⇒ exact agreement on ≥ 1 block)
+    * and drops the random term to ~5×10² at n=500k — candidate mass is
+    * then bounded by TRUE near-duplicates, the output-bound regime a
+    * production dedup wants. Same candidate-then-verify shape; the
+    * verify is bit_count(xor) summed over both words. Oracle-checked at
+    * sf0.01 AND at the 100× uniqtext corpus, where the 32-bit form
+    * cannot complete. */
+  private def dedupSimhashWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.rel.Materialize.pin(simhashWideSigs(spark, sfDir))._1
+    val mask = (1L << 30) - 1
+    val blocked = sigs.select($"doc_id", $"s1", $"s2",
+      posexplode(array(
+        $"s1".bitwiseAND(mask),
+        shiftright($"s1", 30).bitwiseAND(mask),
+        $"s2".bitwiseAND(mask),
+        shiftright($"s2", 30).bitwiseAND(mask))).as(Seq("blk", "bv")))
+    val cand = blocked
+      .select($"blk", $"bv", $"doc_id".as("a_id"), $"s1".as("sa1"), $"s2".as("sa2"))
+      .join(blocked.select($"blk", $"bv", $"doc_id".as("b_id"),
+        $"s1".as("sb1"), $"s2".as("sb2")), Seq("blk", "bv"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"sa1", $"sa2", $"sb1", $"sb2").distinct()
+    val ham = bit_count($"sa1".bitwiseXOR($"sb1")) +
+      bit_count($"sa2".bitwiseXOR($"sb2"))
+    cand.filter(ham <= 3)
+      .select($"a_id", $"b_id", ham.cast("long").as("hamming"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** North-star — word-3-gram Jaccard similarity scoring: for each doc in a
     * bounded slice, the best Jaccard score against any other doc in the
     * slice. Exact all-pairs is deliberately bounded (doc_id < 300) — the
@@ -823,6 +883,33 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, $assemble AS simhash FROM b)""".stripMargin
   }
 
+  /** DuckDB replay of [[simhashWideSigs]], ending in CTE
+    * `s(doc_id, s1, s2)` — the 120-bit twin of [[SimhashPipelineSql]]
+    * (two 60-bit words from disjoint md5 halves; identical arithmetic
+    * both engines). `h` and `s` are MATERIALIZED: both are multi-consumer
+    * downstream (the 120 tallies, then both sides of the block join). */
+  private val SimhashWidePipelineSql: String = {
+    def bitSums(h: String, tag: String) = (0 until 60).map(i =>
+      s"sum(CASE WHEN ($h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS $tag$i")
+    def assemble(tag: String) = (0 until 60)
+      .map(i => s"CASE WHEN $tag$i >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+       |         ('0x' || substr(md5(w), 17, 15))::BIGINT AS h2
+       |  FROM tok),
+       |b AS (
+       |  SELECT doc_id,
+       |  ${(bitSums("h1", "a") ++ bitSums("h2", "b")).mkString(",\n  ")}
+       |  FROM h GROUP BY doc_id),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, ${assemble("a")} AS s1, ${assemble("b")} AS s2
+       |  FROM b)""".stripMargin
+  }
+
   /** Edit-distance (Levenshtein) near-duplicate pairs over the bounded
     * doc_id < 300 sample — the character-level rung of the dedup ladder
     * (catches small in-place edits that shingle-level Jaccard dilutes
@@ -925,6 +1012,7 @@ object Dedup extends QueryModule {
     "dedup_minhash"       -> dedupMinhash,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_simhash_hamming" -> dedupSimhashHamming,
+    "dedup_simhash_wide"  -> dedupSimhashWide,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_lsh_candidate_eval" -> dedupLshCandidateEval,
     "dedup_incremental_lsh" -> dedupIncrementalLsh,
@@ -1117,6 +1205,27 @@ object Dedup extends QueryModule {
          |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand
          |WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+    // The 120-bit widening: identical block machinery over 4×30-bit keys.
+    "dedup_simhash_wide" ->
+      s"""$SimhashWidePipelineSql,
+         |blocks AS (
+         |  SELECT doc_id, s1, s2, blk,
+         |         CASE blk WHEN 0 THEN s1 & 1073741823
+         |                  WHEN 1 THEN (s1 >> 30) & 1073741823
+         |                  WHEN 2 THEN s2 & 1073741823
+         |                  ELSE (s2 >> 30) & 1073741823 END AS bv
+         |  FROM s CROSS JOIN (SELECT unnest(range(4)) AS blk)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.s1 AS sa1, a.s2 AS sa2, b.s1 AS sb1, b.s2 AS sb2
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |       CAST(bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2))
+         |            AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH grams AS (

@@ -86,6 +86,41 @@ class LlmSpec extends SparkSpec {
         s"exact dup pair ($a,$b) missing")
   }
 
+  test("simhash wide (120-bit): blocked join equals an independent brute force") {
+    val pairs = SparkEntry.queries("dedup_simhash_wide")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall(_._3 <= 3), "verify bound")
+    // independent 120-bit signature computation — plain Scala from first
+    // principles (MessageDigest md5, same disjoint hex halves), so the
+    // proof does not share a single line with the pipeline under test
+    def sig(text: String): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val t1 = Array.fill(60)(0); val t2 = Array.fill(60)(0)
+      for (w <- text.trim.split(" ", -1)) {
+        val h = md.digest(w.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val h1 = java.lang.Long.parseLong(h.substring(0, 15), 16)
+        val h2 = java.lang.Long.parseLong(h.substring(16, 31), 16)
+        for (i <- 0 until 60) {
+          if (((h1 >> i) & 1) == 1) t1(i) += 1 else t1(i) -= 1
+          if (((h2 >> i) & 1) == 1) t2(i) += 1 else t2(i) -= 1
+        }
+      }
+      def asm(t: Array[Int]) = (0 until 60).map(i => if (t(i) >= 0) 1L << i else 0L).sum
+      (asm(t1), asm(t2))
+    }
+    val sigs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> sig(r.getString(1))).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d = java.lang.Long.bitCount(sigs(ids(i))._1 ^ sigs(ids(j))._1) +
+        java.lang.Long.bitCount(sigs(ids(i))._2 ^ sigs(ids(j))._2)
+      if d <= 3
+    } yield (ids(i), ids(j), d.toLong)
+    assert(pairs.toSet === brute.toSet,
+      "120-bit blocked join must equal the independent brute force")
+  }
+
   test("cosine is bounded, reflexive, and symmetric on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"))

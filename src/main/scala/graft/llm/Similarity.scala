@@ -307,16 +307,24 @@ object Similarity extends QueryModule {
   private val ThreshBands = 8
   private val ThreshRows = 8
 
-  /** All 8 sign-bands of an embedding against [[threshPlanes]] as one
-    * array<long> — a single [[graft.functions.VecSignBandsExpr]] pass.
-    * (The per-band formulation — 64 separate `vec_dot_native` columns —
-    * generated one huge Janino method past HotSpot's JIT bytecode
-    * threshold: the whole signature projection ran INTERPRETED, ~10 µs per
-    * dot. One compact nested-loop expression JIT-compiles and computes the
-    * identical doubles — measured 5x on the full query, tools/ProfLsh.) */
-  private def bandSigs(v: Column): Column =
-    graft.functions.VecDotNative.vec_sign_bands(
-      v, typedLit(threshPlanes.flatten), ThreshBands, ThreshRows)
+  /** The SCALE geometry's hyperplanes: 8 bands × 24 rows (r ≈ log₂ n for
+    * corpora in the 10⁵-10⁷ range — the ladder measured in SCALE.md
+    * round-10, `tools/ProfLshScale`). Same seed stream, so the first 64
+    * planes coincide with [[threshPlanes]]. */
+  private lazy val threshPlanesWide: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(WideBands * WideRows)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+  }
+  private val WideBands = 8
+  private val WideRows = 24
+
+  // (All sign-bands of an embedding come from a single
+  // [[graft.functions.VecSignBandsExpr]] pass inside thresholdLshPairs —
+  // the per-band formulation, 64 separate `vec_dot_native` columns,
+  // generated one huge Janino method past HotSpot's JIT bytecode
+  // threshold and ran INTERPRETED, ~10 µs per dot; one compact
+  // nested-loop expression JIT-compiles and computes the identical
+  // doubles — measured 5x on the full query, tools/ProfLsh.)
 
   /** The UNBOUNDED threshold join: LSH candidates → exact verify — the
     * scale path that replaces [[simThresholdJoin]]'s label blocking (and
@@ -339,7 +347,24 @@ object Similarity extends QueryModule {
     * carrying IDS ONLY; full vectors re-attach to the (small) candidate
     * set for the exact verify. The whole pipeline is deterministic, so the
     * oracle replays it end-to-end exactly like `dedup_minhash`. */
-  private def simThresholdLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  private def simThresholdLsh(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdLshPairs(spark, sfDir, threshPlanes, ThreshBands, ThreshRows)
+
+  /** [[simThresholdLsh]] at its SCALE geometry: same pipeline, r = 24
+    * rows per band. The fixture geometry's random-collision term
+    * n²·b·2⁻ʳ⁻¹ is right at the gate corpora but quadratic-by-law at a
+    * 100× corpus (measured as the executor-killing spill the SCALE.md
+    * round-10 ladder replaces); r ≈ log₂(n) restores the near-linear
+    * candidate budget, and the recall cost at fixed τ is the documented
+    * b-for-recall trade (a production deployment grows b alongside —
+    * linear cost, exponential candidate suppression). Oracle-checked at
+    * sf0.01 AND the 100× uniqtext corpus, where the r=8 geometry cannot
+    * complete. */
+  private def simThresholdLshWide(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdLshPairs(spark, sfDir, threshPlanesWide, WideBands, WideRows)
+
+  private def thresholdLshPairs(spark: SparkSession, sfDir: String,
+      planes: Seq[Seq[Float]], bands: Int, rows: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("nrm", vec_norm_native($"embedding"))
@@ -351,7 +376,8 @@ object Similarity extends QueryModule {
     // standard persist-signatures-then-join shape (lineage kept: a lost
     // block recomputes instead of killing the job).
     val banded = graft.rel.Materialize.pin(e
-      .select($"vec_id", bandSigs($"embedding").as("sb"))
+      .select($"vec_id", graft.functions.VecDotNative.vec_sign_bands(
+        $"embedding", typedLit(planes.flatten), bands, rows).as("sb"))
       .select($"vec_id", posexplode($"sb").as(Seq("band", "bv"))))._1
     val cand = banded.select($"band", $"bv", $"vec_id".as("a_id"))
       .join(banded.select($"band", $"bv", $"vec_id".as("b_id")), Seq("band", "bv"))
@@ -703,6 +729,7 @@ object Similarity extends QueryModule {
     "sim_topk_cosine"    -> simTopkCosine,
     "sim_threshold_join" -> simThresholdJoin,
     "sim_threshold_lsh"  -> simThresholdLsh,
+    "sim_threshold_lsh_wide" -> simThresholdLshWide,
     "sim_ann_lsh"        -> simAnnLsh,
     "sim_ann_ivf"        -> simAnnIvf,
     "sim_ann_ivf_cell_stats" -> simAnnIvfCellStats,
@@ -1010,27 +1037,11 @@ object Similarity extends QueryModule {
     // Full LSH-threshold replay: identical band signatures (exact widened
     // float plane literals), identical candidate pairs, identical exact
     // verify — survivor pair sets must match row for row.
-    "sim_threshold_lsh" -> {
-      def bexpr(bi: Int): String = (0 until ThreshRows).map { j =>
-        val lits = threshPlanes(bi * ThreshRows + j)
-          .map(_.toDouble.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1L << (ThreshRows - 1 - j)} ELSE 0 END)"
-      }.mkString(" + ")
-      val bands = (0 until ThreshBands)
-        .map(bi => s"SELECT vec_id, $bi AS band, ${bexpr(bi)} AS bv FROM e")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (
-         |  $bands),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-         |  FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
-         |SELECT c.a_id, c.b_id,
-         |       floor(${cosSql("a.v", "b.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
-         |FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id
-         |WHERE ${cosSql("a.v", "b.v")} >= 0.35
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "sim_threshold_lsh" ->
+      thresholdLshOracle(threshPlanes, ThreshBands, ThreshRows),
+    // The same replay at the scale geometry (8×24 plane literals).
+    "sim_threshold_lsh_wide" ->
+      thresholdLshOracle(threshPlanesWide, WideBands, WideRows),
     "sim_threshold_join" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1049,6 +1060,34 @@ object Similarity extends QueryModule {
     // recomputes the identical 8-bit signature.
     "sim_ann_lsh" -> annLshOracle
   )
+
+  /** DuckDB replay of [[thresholdLshPairs]] at any geometry: band
+    * signatures from inlined plane literals (Float→Double widening is
+    * exact and Double.toString round-trips, so DuckDB recomputes
+    * bit-identical signatures), candidate equi-join on (band, bucket),
+    * exact guarded-cosine verify. */
+  private def thresholdLshOracle(
+      planes: Seq[Seq[Float]], nBands: Int, nRows: Int): String = {
+    def bexpr(bi: Int): String = (0 until nRows).map { j =>
+      val lits = planes(bi * nRows + j)
+        .map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1L << (nRows - 1 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    val bands = (0 until nBands)
+      .map(bi => s"SELECT vec_id, $bi AS band, ${bexpr(bi)} AS bv FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+       |SELECT c.a_id, c.b_id,
+       |       floor(${cosSql("a.v", "b.v")} * 1000000 + 0.5) / 1000000 AS cos_sim
+       |FROM cand c JOIN e a ON a.vec_id = c.a_id JOIN e b ON b.vec_id = c.b_id
+       |WHERE ${cosSql("a.v", "b.v")} >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** DuckDB cosine mirroring [[graft.functions.VecDotNative.vec_cosine_native]]'s
     * zero-vector ⇒ 0 convention (a dead embedding must not NaN-top the

@@ -161,6 +161,10 @@ class LlmSpec extends SparkSpec {
     // every LSH-found pair really is over threshold (precision = 1: the
     // exact verify runs on candidates); recall < 1 by design
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+    // the scale geometry (r=24) obeys the identical contract: exact
+    // verify on candidates => still a subset of the true threshold set
+    val wide = SparkEntry.queries("sim_threshold_lsh_wide")(spark, sf).collect()
+    assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
   }
 
   test("sim_ann_ivf: query's own inverted list contains it; subset of brute force") {

@@ -45,6 +45,15 @@ object PinnedInputs {
   def pinnedRddIds(spark: SparkSession): Set[Int] =
     cache.collect { case ((s, _, _), (_, rdd)) if s eq spark => rdd.id }.toSet
 
+  /** Build-once registry entry point for query families: the first caller
+    * per (session, sfDir, key) computes and pins `build`; every later
+    * caller gets the already-materialized frame. Callers own the contract
+    * stated above: deterministic in sfDir, and sized so a session-lifetime
+    * pin is acceptable (MEMORY_AND_DISK spills, but never drops). */
+  def pinned(spark: SparkSession, sfDir: String, key: String)
+            (build: => DataFrame): DataFrame =
+    get(spark, sfDir, key)(build)
+
   private def get(spark: SparkSession, sfDir: String, key: String)
                  (build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, key), Materialize.pin(build))._1

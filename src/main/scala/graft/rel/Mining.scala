@@ -67,13 +67,22 @@ object Mining extends QueryModule {
   private val RelItemSupport = 0.0015
   private val RelPairSupport = 0.00013
 
-  private def frequentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    frequentPairsOf(
+  /** The distinct (order, part) basket-item set — the input all three
+    * declared mining queries derive their supports from, rebuilt
+    * identically by each before this pin. Session-lifetime via
+    * [[PinnedInputs]] (deterministic in sfDir; two longs per row, ~115k
+    * rows at sf0.1): on a production lakehouse the basket table is a
+    * materialized ingest product, same argument as the graph family's
+    * tradePairs and the minhash signature pins. */
+  private def basketItems(spark: SparkSession, sfDir: String): DataFrame =
+    PinnedInputs.pinned(spark, sfDir, "mine_baskets") {
+      import spark.implicits._
       Tables.lineitem(spark, sfDir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct(),
-      MinItemSupport, MinPairSupport)
-  }
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    }
+
+  private def frequentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    frequentPairsOf(basketItems(spark, sfDir), MinItemSupport, MinPairSupport)
 
   /** Association rules (the second A-Priori stage, Agrawal/Srikant
     * VLDB'94 §1.1): each frequent pair {a, b} yields BOTH directed rules
@@ -88,13 +97,9 @@ object Mining extends QueryModule {
     * Confidence is one double division of exact BIGINT counts → identical
     * bits cross-engine; no rounding tolerance needed, but pround(6) keeps
     * the hash-compare convention. */
-  private def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    assocRulesOf(
-      Tables.lineitem(spark, sfDir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct(),
+  private def assocRules(spark: SparkSession, sfDir: String): DataFrame =
+    assocRulesOf(basketItems(spark, sfDir),
       MinItemSupport, MinPairSupport, MinConfidence)
-  }
 
   /** Rule derivation over [[pairSupportsOf]] — package-visible so tests
     * can drive basket sets with known confidence structure. */
@@ -138,13 +143,8 @@ object Mining extends QueryModule {
     * grow with it and the output stays distribution-determined instead of
     * admitting every pair. Same two-shuffle A-Priori trajectory as
     * [[frequentPairs]]. */
-  private def frequentPairsRel(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    frequentPairsRelOf(
-      Tables.lineitem(spark, sfDir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct(),
-      RelItemSupport, RelPairSupport)
-  }
+  private def frequentPairsRel(spark: SparkSession, sfDir: String): DataFrame =
+    frequentPairsRelOf(basketItems(spark, sfDir), RelItemSupport, RelPairSupport)
 
   private[graft] def frequentPairsRelOf(
       basketsRaw: DataFrame, relItem: Double, relPair: Double): DataFrame = {

@@ -958,9 +958,15 @@ object Dedup extends QueryModule {
         col("a.text").as("ta"), col("b.text").as("tb"),
         least(col("a.n_chars"), col("b.n_chars")).as("ml"))
       .dropDuplicates("a_id", "b_id")
+    // Banded DP: the absolute cap is 10, so the threshold form computes
+    // an O(threshold·n) diagonal band instead of the full O(n·m) matrix
+    // (~100× less DP work on ~2k-char docs) and returns the EXACT
+    // distance whenever it is ≤ 10 — precisely the only values this
+    // query reports. Above-threshold pairs come back as -1, so the
+    // filter must exclude negatives explicitly.
     cand
-      .withColumn("lev", levenshtein($"ta", $"tb"))
-      .filter($"lev" <= least(lit(10), floor($"ml" * 0.2)))
+      .withColumn("lev", levenshtein($"ta", $"tb", 10))
+      .filter($"lev" >= 0 && $"lev" <= least(lit(10), floor($"ml" * 0.2)))
       .select($"a_id", $"b_id", $"lev".cast("long").as("lev"),
         graft.functions.PortableRound.pround($"lev" / $"ml", 6).as("rel"))
       .orderBy($"a_id", $"b_id")

@@ -46,42 +46,45 @@ object DataQuality extends QueryModule {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
-    def nulls(c: String) = sum(col(c).isNull.cast("long"))
-    val agg = e.agg(
-      nulls("event_id").as("id_nul"), countDistinct($"event_id").as("id_dis"),
-      min($"event_id").cast("double").as("id_min"), max($"event_id").cast("double").as("id_max"),
-      nulls("ts").as("ts_nul"), countDistinct($"ts_us").as("ts_dis"),
-      min($"ts_us").cast("double").as("ts_min"), max($"ts_us").cast("double").as("ts_max"),
-      nulls("user_id").as("us_nul"), countDistinct($"user_id").as("us_dis"),
-      min($"user_id").cast("double").as("us_min"), max($"user_id").cast("double").as("us_max"),
-      nulls("value").as("va_nul"), countDistinct($"value").as("va_dis"),
-      min($"value").as("va_min"), max($"value").as("va_max"),
-      nulls("event_type").as("et_nul"), countDistinct($"event_type").as("et_dis"),
-      min($"event_type").as("et_min"), max($"event_type").as("et_max"),
-      nulls("props").as("pr_nul"), countDistinct($"props").as("pr_dis"),
-      min($"props").as("pr_min"), max($"props").as("pr_max"))
-    agg.select(expr(
+    // Unpivot FIRST (the dq_uniqueness trick): six count(DISTINCT col) in
+    // one aggregate make Catalyst Expand-duplicate every event row once
+    // per distinct aggregate (6× shuffle volume, two shuffle stages of
+    // it). Stacking to (col, vnum, vstr, isnull) rows carries the same
+    // data ONCE, and the single remaining countDistinct plans as the
+    // ordinary two-level distinct aggregation — partial (col, value)
+    // reduce map-side, no Expand. Numeric columns canonicalize to DOUBLE
+    // (event_id/user_id/ts_us are all < 2^53 — exact), string columns
+    // ride vstr; the struct(vnum, vstr) distinct key is null-gated by
+    // isnull so null cells don't count as a value, matching
+    // count(DISTINCT col) semantics.
+    val un = e.select(expr(
       """stack(6,
-        |  'event_id',   id_nul, id_dis, id_min, id_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'ts',         ts_nul, ts_dis, ts_min, ts_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'user_id',    us_nul, us_dis, us_min, us_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'value',      va_nul, va_dis, va_min, va_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'event_type', et_nul, et_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), et_min, et_max,
-        |  'props',      pr_nul, pr_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), pr_min, pr_max)
-        |AS (col, n_null, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+        |  'event_id',   cast(event_id as double), CAST(NULL AS STRING), event_id IS NULL,
+        |  'ts',         cast(ts_us as double),    CAST(NULL AS STRING), ts IS NULL,
+        |  'user_id',    cast(user_id as double),  CAST(NULL AS STRING), user_id IS NULL,
+        |  'value',      value,                    CAST(NULL AS STRING), value IS NULL,
+        |  'event_type', CAST(NULL AS DOUBLE),     event_type,           event_type IS NULL,
+        |  'props',      CAST(NULL AS DOUBLE),     props,                props IS NULL)
+        |AS (col, vnum, vstr, isnull)""".stripMargin))
+    un.groupBy($"col").agg(
+        sum($"isnull".cast("long")).as("n_null"),
+        countDistinct(when(!$"isnull", struct($"vnum", $"vstr"))).as("n_distinct"),
+        min($"vnum").as("min_num"), max($"vnum").as("max_num"),
+        min($"vstr").as("min_str"), max($"vstr").as("max_str"))
       .orderBy($"col")
   }
 
   /** The 100-TB form of [[dqProfile]], promoted from prose to an
     * executable declared query: identical output shape, but every exact
     * `count(DISTINCT col)` becomes `approx_count_distinct` (HLL++,
-    * rsd 0.02). The profile's only scale liability disappears with the
-    * swap — the exact form's Expand duplicates every row once per
-    * distinct-aggregate (6× shuffle volume) and the shuffled rows grow
-    * with the distinct-VALUE volume, while the HLL partials are fixed-size
-    * mergeable registers, so the shuffle is ≤ partitions × 6 sketches no
-    * matter how many distinct values 100 TB holds (measured at the 100×
-    * replica set: exact ×6.3 vs data, approx flat). Oracle-exempt BY
+    * rsd 0.02). The exact form (now unpivot-first, single two-level
+    * distinct aggregation — no Expand) still shuffles the distinct-VALUE
+    * volume: its partial state is the (col, value) set itself, growing
+    * with cardinality. The HLL partials are fixed-size mergeable
+    * registers, so the shuffle is ≤ partitions × 6 sketches no matter
+    * how many distinct values 100 TB holds — the sketch stays the
+    * 100-TB form even after the exact form's round-10 restructure.
+    * Oracle-exempt BY
     * DESIGN (HLL estimates differ from DuckDB's); the ±5%-per-column band
     * vs the exact twin is asserted in ApproxContractSpec. */
   private def dqProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {

@@ -82,7 +82,7 @@ object Mining extends QueryModule {
     }
 
   private def frequentPairs(spark: SparkSession, sfDir: String): DataFrame =
-    frequentPairsOf(basketItems(spark, sfDir), MinItemSupport, MinPairSupport)
+    frequentPairsFrom(pairSupportsAbs(spark, sfDir))
 
   /** Association rules (the second A-Priori stage, Agrawal/Srikant
     * VLDB'94 §1.1): each frequent pair {a, b} yields BOTH directed rules
@@ -98,15 +98,28 @@ object Mining extends QueryModule {
     * bits cross-engine; no rounding tolerance needed, but pround(6) keeps
     * the hash-compare convention. */
   private def assocRules(spark: SparkSession, sfDir: String): DataFrame =
-    assocRulesOf(basketItems(spark, sfDir),
-      MinItemSupport, MinPairSupport, MinConfidence)
+    assocRulesFrom(pairSupportsAbs(spark, sfDir), MinConfidence)
+
+  /** The thresholded pair-support trajectory at the declared ABSOLUTE
+    * cutoffs, pinned once per session: both declared absolute-form
+    * queries (`mine_frequent_pairs`, `mine_assoc_rules`) project from
+    * this one frame — which is also the semantic guarantee the scaladoc
+    * promises (rules and pairs use the SAME supports), now enforced by
+    * construction. ~3.4k rows at either gate SF; deterministic in sfDir. */
+  private def pairSupportsAbs(spark: SparkSession, sfDir: String): DataFrame =
+    PinnedInputs.pinned(spark, sfDir, "mine_pair_supports") {
+      pairSupportsOf(basketItems(spark, sfDir), MinItemSupport, MinPairSupport)
+    }
 
   /** Rule derivation over [[pairSupportsOf]] — package-visible so tests
     * can drive basket sets with known confidence structure. */
   private[graft] def assocRulesOf(basketsRaw: DataFrame, minItem: Long,
-      minPair: Long, minConf: Double): DataFrame = {
-    import basketsRaw.sparkSession.implicits._
-    pairSupportsOf(basketsRaw, minItem, minPair)
+      minPair: Long, minConf: Double): DataFrame =
+    assocRulesFrom(pairSupportsOf(basketsRaw, minItem, minPair), minConf)
+
+  private def assocRulesFrom(ps: DataFrame, minConf: Double): DataFrame = {
+    import ps.sparkSession.implicits._
+    ps
       .select(explode(array(
         struct($"p1".as("antecedent"), $"p2".as("consequent"),
           $"support", $"c1".as("ca"), $"c2".as("cc"), $"n_baskets"),
@@ -126,10 +139,12 @@ object Mining extends QueryModule {
     * Package-visible so tests can drive basket sets with known frequent
     * pairs. Output: (p1, p2, support, lift), totally ordered. */
   private[graft] def frequentPairsOf(
-      basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame = {
-    import basketsRaw.sparkSession.implicits._
-    pairSupportsOf(basketsRaw, minItem, minPair)
-      .select($"p1", $"p2", $"support".cast("bigint").as("support"),
+      basketsRaw: DataFrame, minItem: Long, minPair: Long): DataFrame =
+    frequentPairsFrom(pairSupportsOf(basketsRaw, minItem, minPair))
+
+  private def frequentPairsFrom(ps: DataFrame): DataFrame = {
+    import ps.sparkSession.implicits._
+    ps.select($"p1", $"p2", $"support".cast("bigint").as("support"),
         pround($"support" * $"n_baskets" / ($"c1" * $"c2"), 6).as("lift"))
       .orderBy($"p1", $"p2")
   }

@@ -36,35 +36,106 @@ object PipelineQueries extends QueryModule {
     f.delete(): Unit
   }
 
-  /** S11 — keep-latest upsert semantics: latest event per
-    * (user_id, event_type), ties broken by event_id. */
+  /** Timestamp splitting the fixture into "already-committed base" and
+    * "incoming merge batch" for the table-format-routed upsert family —
+    * mid-month, so both halves are substantial at every scale factor. */
+  private val MergeCutoff = "2024-01-16"
+
+  private val builtTables = scala.collection.concurrent.TrieMap.empty[(String, String), graft.table.GraftTable]
+
+  /** Build (once per JVM, sfDir) a [[graft.table.GraftTable]] at a fresh
+    * tmp location via `build`, so the upsert family's declared queries
+    * exercise the REAL transactional write path (immutable data files,
+    * manifest commit, snapshot isolation) and the oracle verifies the
+    * whole write→read round trip, not just the merge plan. */
+  private def builtTable(spark: SparkSession, sfDir: String, tag: String)(
+      build: String => graft.table.GraftTable): graft.table.GraftTable =
+    builtTables.getOrElseUpdate((sfDir, tag), {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_tbl_${tag}_${ProcessHandle.current.pid}_${sfDir.hashCode.toHexString}"
+      deleteRecursively(new java.io.File(dir))
+      build(dir)
+    })
+
+  /** The two-version keep-latest table behind `upsert_keep_latest` and
+    * `scan_time_travel`: v1 = keep-latest state of events before
+    * [[MergeCutoff]], v2 = transactional upsert of the rest. Equivalent to
+    * keep-latest over ALL events (last-writer-wins is associative), which
+    * is what the oracle recomputes. */
+  private def mergedEventsTable(spark: SparkSession, sfDir: String): graft.table.GraftTable =
+    builtTable(spark, sfDir, "kl") { dir =>
+      import spark.implicits._
+      val keys = Seq("user_id", "event_type")
+      val ordering = Seq($"ts".desc, $"event_id".desc)
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      val cut = lit(MergeCutoff).cast("timestamp")
+      val base = KeepLatest.keepLatest(ev.filter($"ts" < cut), keys, ordering)
+      val t = graft.table.GraftTable.create(spark, dir, base, "create_base")
+      t.upsertKeepLatest(ev.filter($"ts" >= cut), keys, ordering)
+      t
+    }
+
+  /** S11 — keep-latest upsert, routed through the engine-native versioned
+    * table format: the declared result is the table's LATEST SNAPSHOT after
+    * a real two-commit history (base create + transactional merge commit),
+    * so the oracle's keep-latest-over-all-events hash verifies manifest
+    * resolution, immutable-file snapshot isolation, and the merge itself
+    * end-to-end. */
   private def upsertKeepLatest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    KeepLatest.keepLatest(
-        Tables.events(spark, sfDir),
-        keys = Seq("user_id", "event_type"),
-        ordering = Seq($"ts".desc, $"event_id".desc))
+    mergedEventsTable(spark, sfDir).read()
       .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
       .orderBy($"user_id", $"event_type")
   }
 
-  /** S11c — CDC apply: materialize the final table state from an
-    * insert/update/delete change stream — the lakehouse MERGE-from-CDC
-    * pattern (Debezium → Delta/Iceberg). Ops derive deterministically from
-    * the fixture ('error' events are deletes of the key, everything else
-    * upserts); per key only the LAST op in (ts, event_id) order decides:
-    * survived upserts keep their payload, a trailing delete removes the
-    * key. Same single keep-latest shuffle as [[upsertKeepLatest]] — the
-    * delete filter is row-local after the window, so CDC apply costs
-    * exactly what last-writer-wins costs. */
+  /** S13 — TIME TRAVEL over the versioned table: read version 1 (the
+    * pre-merge base snapshot) and version 2 (post-merge) of the SAME table
+    * in one query and report per-version aggregates. Version 1 must still
+    * be byte-identical AFTER the merge commit — immutable data files +
+    * per-version manifests are exactly what makes a training-data corpus
+    * pinned "as of version N" reproducible at 100 TB. The oracle
+    * recomputes both snapshots from the raw events (base = keep-latest of
+    * rows before the cutoff; latest = keep-latest of all rows). */
+  private def scanTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = mergedEventsTable(spark, sfDir)
+    Seq(1L, 2L).map { v =>
+      t.read(v).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(floor($"value" * 1e6 + 0.5).cast("long")).as("value_micro_sum"),
+          max($"event_id").as("max_event_id"))
+        .select(lit(v).as("version"), $"n_rows", $"n_users",
+          $"value_micro_sum", $"max_event_id")
+    }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+
+  /** S11c — CDC apply, routed through the versioned table format: an
+    * insert/update/delete change stream ('error' events are deletes of the
+    * key, everything else upserts — the lakehouse MERGE-from-CDC pattern,
+    * Debezium → Delta/Iceberg) is applied as TWO time-ordered transactional
+    * commits (changes before/after [[MergeCutoff]]) onto an empty table,
+    * and the declared result is the final snapshot. Time-ordered CDC
+    * batches compose (the last op per key overall decides), so the oracle
+    * is the single-pass form: keep-latest over all changes, drop keys whose
+    * last op is a delete. Each commit is one keyed keep-latest shuffle —
+    * the delete filter is row-local after the window. */
   private def upsertCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cdc = Tables.events(spark, sfDir)
-      .withColumn("op",
-        when($"event_type" === "error", lit("D")).otherwise(lit("U")))
-    KeepLatest.keepLatest(cdc, keys = Seq("user_id"),
-        ordering = Seq($"ts".desc, $"event_id".desc))
-      .filter($"op" =!= "D")
+    val t = builtTable(spark, sfDir, "cdc") { dir =>
+      val cdc = Tables.events(spark, sfDir)
+        .withColumn("op",
+          when($"event_type" === "error", lit("D")).otherwise(lit("U")))
+        .select($"user_id", $"event_id", $"ts", $"value", $"op")
+      val cut = lit(MergeCutoff).cast("timestamp")
+      val ordering = Seq($"ts".desc, $"event_id".desc)
+      val tb = graft.table.GraftTable.createEmpty(
+        spark, dir, cdc.drop("op").schema)
+      tb.cdcApply(cdc.filter($"ts" < cut), Seq("user_id"), ordering)
+      tb.cdcApply(cdc.filter($"ts" >= cut), Seq("user_id"), ordering)
+      tb
+    }
+    t.read()
       .select($"user_id", $"event_id", $"ts", $"value")
       .orderBy($"user_id")
   }
@@ -106,22 +177,39 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id")
   }
 
-  /** S11b — SCD Type-2 history build: the keep-HISTORY twin of
-    * [[upsertKeepLatest]]'s last-writer-wins. Each user's attribute stream
-    * becomes versioned rows with [valid_from, valid_to) ranges and an
-    * is_current flag — one lead() window partitioned by the dimension key,
-    * a single shuffle; at 100 TB the same window maintains history
-    * incrementally per merge batch (only touched keys re-window). */
+  /** S11b — SCD Type-2 history build, routed through the versioned table
+    * format: the keep-HISTORY twin of [[upsertKeepLatest]]'s
+    * last-writer-wins. Version 1 is the windowed history of the pre-cutoff
+    * events; version 2 is [[graft.table.GraftTable.scd2Apply]]'s
+    * INCREMENTAL merge of the rest — closed rows pass through, touched
+    * keys' current rows are closed at the key's first batch timestamp, and
+    * only the BATCH is windowed (at 100 TB the history dwarfs any day's
+    * batch, so this is the form that scales; TableFormatSpec asserts it
+    * equals the full-history window, which is why the oracle below is the
+    * simple one-window form). */
   private def upsertScd2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(spark, sfDir)
-      .select($"user_id", $"event_type", $"ts", $"event_id")
-      .withColumn("valid_to", lead($"ts", 1).over(w))
-      .withColumn("is_current", $"valid_to".isNull)
+    val t = builtTable(spark, sfDir, "scd2") { dir =>
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+      val cut = lit(MergeCutoff).cast("timestamp")
+      // Version 1: full-history window over the pre-cutoff half.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val hist1 = ev.filter($"ts" < cut)
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .withColumn("is_current", $"valid_to".isNull)
+        .withColumnRenamed("ts", "valid_from")
+      val tb = graft.table.GraftTable.create(spark, dir, hist1, "scd2_init")
+      // Version 2: INCREMENTAL transactional merge of the later half —
+      // closes only touched keys' current rows, windows only the batch.
+      tb.scd2Apply(ev.filter($"ts" >= cut), keys = Seq("user_id"),
+        tsCol = "ts", tieCols = Seq("event_id"))
+      tb
+    }
+    t.read()
       .select($"user_id", $"event_type", $"event_id",
-        $"ts".as("valid_from"), $"valid_to", $"is_current")
+        $"valid_from", $"valid_to", $"is_current")
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
@@ -193,6 +281,7 @@ object PipelineQueries extends QueryModule {
 
   override def queries: Map[String, QueryFn] = Map(
     "ctas_daily_top_titles"  -> ctasDailyTopTitles,
+    "scan_time_travel"       -> scanTimeTravel,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
@@ -246,6 +335,33 @@ object PipelineQueries extends QueryModule {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    "scan_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT user_id, value, event_id FROM (
+        |    SELECT user_id, value, event_id,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+        |  WHERE rn = 1),
+        |v2 AS (
+        |  SELECT user_id, value, event_id FROM (
+        |    SELECT user_id, value, event_id,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_micro_sum,
+        |       max(event_id) AS max_event_id
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(count(DISTINCT user_id) AS BIGINT),
+        |       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT),
+        |       max(event_id)
+        |FROM v2
+        |ORDER BY version""".stripMargin,
     "upsert_keep_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

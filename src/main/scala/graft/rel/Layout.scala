@@ -33,8 +33,10 @@ object Layout extends QueryModule {
   private val Bits = 8
 
   /** Morton-interleave two 8-bit ints: x bits at even positions, y at
-    * odd. Pure integer shift/mask — bit-identical in any engine. */
-  private def morton(x: Column, y: Column): Column =
+    * odd. Pure integer shift/mask — bit-identical in any engine. Shared
+    * with [[graft.table.GraftTable.zorderBy]], the physical rewrite that
+    * actually lays files out in this order. */
+  private[graft] def morton(x: Column, y: Column): Column =
     (0 until Bits).map { k =>
       shiftleft(shiftright(x, k).bitwiseAND(lit(1)), 2 * k) +
         shiftleft(shiftright(y, k).bitwiseAND(lit(1)), 2 * k + 1)

@@ -1,0 +1,209 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.table.{ConcurrentCommitException, GraftTable}
+
+/** The versioned table format's transactional contract (round-10 verdict
+  * task 1): snapshot isolation via immutable files + manifests, atomic
+  * create-if-absent commits, optimistic concurrency (exactly one of two
+  * racing writers on the same parent wins), time travel, incremental
+  * SCD2/CDC merge equivalence, compaction/z-order rewrites, and vacuum.
+  */
+class TableFormatSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_tfs_$tag").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def events = Tables.events(spark, sf)
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  test("create + append: versions accumulate, snapshots are stable") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("app"), spark.range(10).toDF("id"))
+    assert(t.latestVersion == 1)
+    t.append(spark.range(10, 15).toDF("id"))
+    assert(t.latestVersion == 2)
+    assert(t.read(1).count() == 10)
+    assert(t.read(2).count() == 15)
+    assert(t.read().as[Long].collect().sorted.toSeq == (0L until 15L))
+    val c2 = t.commitAt(2)
+    assert(c2.parent == 1 && c2.operation == "append")
+    assert(c2.files.map(_.rows).sum == 15)
+  }
+
+  test("time travel: version N-1 is byte-identical after the merge commit") {
+    import spark.implicits._
+    val root = tmpRoot("tt")
+    val ev = events.select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+    val cut = lit("2024-01-03").cast("timestamp")
+    val keys = Seq("user_id", "event_type")
+    val ord = Seq($"ts".desc, $"event_id".desc)
+    val base = graft.upsert.KeepLatest.keepLatest(ev.filter($"ts" < cut), keys, ord)
+    val t = GraftTable.create(spark, root, base)
+    val v1Before = sortedRows(t.read(1))
+    t.upsertKeepLatest(ev.filter($"ts" >= cut), keys, ord)
+    assert(t.latestVersion == 2)
+    // the merge never touched version 1's files
+    assert(sortedRows(t.read(1)) == v1Before)
+    // and the merged snapshot equals keep-latest over ALL events
+    val expect = sortedRows(graft.upsert.KeepLatest.keepLatest(ev, keys, ord))
+    assert(sortedRows(t.read(2)) == expect)
+  }
+
+  test("optimistic concurrency: exactly one of two racing writers wins") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("occ"), spark.range(5).toDF("id"))
+    val parent = t.latestVersion
+    val schema = t.commitAt(parent).schema
+    val files = t.commitAt(parent).files
+    val latch = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          latch.await(5, TimeUnit.SECONDS)
+          try Right(t.commit(parent, s"writer_$i", files, schema))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    }
+    latch.countDown()
+    val outcomes = results.map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(outcomes.count(_.isRight) == 1, s"expected exactly one winner, got $outcomes")
+    assert(outcomes.collect { case Left(e) => e }
+      .forall(_.isInstanceOf[ConcurrentCommitException]))
+    assert(t.latestVersion == parent + 1)
+  }
+
+  test("append retries through a conflict; both writers' rows survive") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("ret"), spark.range(1).toDF("id"))
+    val pool = Executors.newFixedThreadPool(2)
+    val latch = new CountDownLatch(1)
+    val futures = Seq(100L, 200L).map { start =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val df = spark.range(start, start + 3).toDF("id")
+          latch.await(5, TimeUnit.SECONDS)
+          t.append(df)
+        }
+      })
+    }
+    latch.countDown()
+    val versions = futures.map(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.toSet == Set(2L, 3L))
+    val ids = t.read().as[Long].collect().toSet
+    assert(Set(0L, 100L, 101L, 102L, 200L, 201L, 202L).subsetOf(ids))
+    assert(ids.size == 7)
+  }
+
+  test("uncommitted data files are invisible (crashed-writer safety)") {
+    import spark.implicits._
+    val root = tmpRoot("crash")
+    val t = GraftTable.create(spark, root, spark.range(4).toDF("id"))
+    // simulate a writer that died after writing data but before committing
+    spark.range(100, 110).toDF("id").write.parquet(s"$root/data/d-orphan")
+    assert(t.read().count() == 4)
+    // vacuum reclaims the orphans without touching live files
+    t.vacuum(retainFrom = 1)
+    assert(!new File(s"$root/data/d-orphan").listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(t.read().count() == 4)
+  }
+
+  test("cdcApply: two time-ordered half-batches equal the single-pass apply") {
+    import spark.implicits._
+    val cdc = events
+      .withColumn("op", when($"event_type" === "error", lit("D")).otherwise(lit("U")))
+      .select($"user_id", $"event_id", $"ts", $"value", $"op")
+    val cut = lit("2024-01-03").cast("timestamp")
+    val ord = Seq($"ts".desc, $"event_id".desc)
+    val t = GraftTable.createEmpty(spark, tmpRoot("cdc"), cdc.drop("op").schema)
+    t.cdcApply(cdc.filter($"ts" < cut), Seq("user_id"), ord)
+    t.cdcApply(cdc.filter($"ts" >= cut), Seq("user_id"), ord)
+    val expect = sortedRows(
+      graft.upsert.KeepLatest.keepLatest(cdc, Seq("user_id"), ord)
+        .filter($"op" =!= "D").drop("op"))
+    assert(sortedRows(t.read()) == expect)
+    assert(t.latestVersion == 3)
+  }
+
+  test("scd2Apply: incremental merge equals the full-history window") {
+    import spark.implicits._
+    val ev = events.select($"user_id", $"event_type", $"ts", $"event_id")
+    val cut = lit("2024-01-03").cast("timestamp")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .withColumnRenamed("ts", "valid_from")
+    val t = GraftTable.create(spark, tmpRoot("scd2"), windowed(ev.filter($"ts" < cut)))
+    t.scd2Apply(ev.filter($"ts" >= cut), Seq("user_id"), "ts", Seq("event_id"))
+    val expect = sortedRows(windowed(ev))
+    assert(sortedRows(t.read()) == expect)
+  }
+
+  test("compact: bin-packs small files; prior version keeps the old layout") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("cpt"),
+      spark.range(1000).toDF("id").repartition(8))
+    assert(t.commitAt(1).files.size == 8)
+    t.compact(targetRows = 600)
+    val c2 = t.commitAt(2)
+    assert(c2.operation == "compact")
+    // 8 × 125 rows first-fit at 600 → ceil(1000/600)-ish bins, far fewer files
+    assert(c2.files.size < 8)
+    assert(c2.files.map(_.rows).sum == 1000)
+    assert(t.read(2).as[Long].collect().sorted.toSeq == (0L until 1000L))
+    // old version still resolves to the original 8 files
+    assert(t.commitAt(1).files.size == 8)
+    assert(t.read(1).count() == 1000)
+  }
+
+  test("zorderBy: output files hold disjoint z-ranges (either-dim pruning)") {
+    import spark.implicits._
+    val df = events.select($"user_id", $"ts", $"event_id")
+    val t = GraftTable.create(spark, tmpRoot("zo"), df)
+    t.zorderBy(($"user_id" % 256).cast("int"), dayofmonth($"ts"), nFiles = 4)
+    val c = t.commitAt(2)
+    assert(c.operation == "zorder")
+    assert(c.files.map(_.rows).sum == df.count())
+    // per-file z-ranges must not overlap: that is the range-partition
+    // property parquet footer stats need to prune on either dimension
+    val ranges = c.files.map { f =>
+      val one = spark.read.parquet(s"${t.root}/${f.path}")
+        .withColumn("z", graft.rel.Layout
+          .morton(($"user_id" % 256).cast("int"), dayofmonth($"ts")).cast("long"))
+        .agg(min($"z"), max($"z")).head()
+      (one.getLong(0), one.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping z-ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("vacuum drops pre-retention versions and their exclusive files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("vac"), spark.range(10).toDF("id"))
+    t.overwrite(spark.range(20).toDF("id"), parent = 1, operation = "rewrite")
+    val v1Files = t.commitAt(1).files
+    t.vacuum(retainFrom = 2)
+    assert(t.versions == Seq(2L))
+    v1Files.foreach(f => assert(!new File(s"${t.root}/${f.path}").exists()))
+    assert(t.read().count() == 20)
+  }
+}

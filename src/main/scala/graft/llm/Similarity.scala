@@ -361,12 +361,36 @@ object Similarity extends QueryModule {
     * sf0.01 AND the 100× uniqtext corpus, where the r=8 geometry cannot
     * complete. */
   private def simThresholdLshWide(spark: SparkSession, sfDir: String): DataFrame =
-    thresholdLshPairs(spark, sfDir, threshPlanesWide, WideBands, WideRows)
+    thresholdLshPairs(spark, sfDir, threshPlanesWide, WideBands, WideRows,
+      input = Some(plantedEmbeddings(spark, sfDir)))
+
+  /** Planted near-duplicates for the WIDE geometry's gate fixture: the
+    * r = 24 bands are calibrated for 10⁵-10⁷-row corpora, where true
+    * near-duplicates exist; at gate scale (5k near-orthogonal vectors)
+    * they correctly suppress every pair, which made the r10 oracle row
+    * pass on 0 = 0 — vacuous (round-10 verdict task 2). Derive a
+    * deterministic handful of EXACT duplicate vectors from the fixture
+    * itself (lowest `PlantN` non-zero-norm vec_ids, re-keyed past the id
+    * space): identical vectors collide in every band, so the gate row now
+    * proves the candidate-join + exact-verify path emits real pairs. The
+    * oracle replants the identical rows in SQL, so the hash contract
+    * covers the planting too. */
+  private val PlantOffset = 10000000L
+  private val PlantN = 4
+  private def plantedEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding", $"label")
+    val dup = e.filter(vec_norm_native($"embedding") > 0)
+      .orderBy($"vec_id").limit(PlantN)
+      .select(($"vec_id" + PlantOffset).as("vec_id"), $"embedding", $"label")
+    e.unionByName(dup)
+  }
 
   private def thresholdLshPairs(spark: SparkSession, sfDir: String,
-      planes: Seq[Seq[Float]], bands: Int, rows: Int): DataFrame = {
+      planes: Seq[Seq[Float]], bands: Int, rows: Int,
+      input: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
+    val e = input.getOrElse(Tables.embeddings(spark, sfDir))
       .withColumn("nrm", vec_norm_native($"embedding"))
     // Materialize the banded signatures ONCE before the self-join: both
     // join inputs (and the SMJ sort on each) otherwise re-derive the
@@ -1039,9 +1063,11 @@ object Similarity extends QueryModule {
     // verify — survivor pair sets must match row for row.
     "sim_threshold_lsh" ->
       thresholdLshOracle(threshPlanes, ThreshBands, ThreshRows),
-    // The same replay at the scale geometry (8×24 plane literals).
+    // The same replay at the scale geometry (8×24 plane literals), with
+    // the same deterministic planted duplicates as the Spark side — the
+    // gate row proves real pairs, not agreement on the empty set.
     "sim_threshold_lsh_wide" ->
-      thresholdLshOracle(threshPlanesWide, WideBands, WideRows),
+      thresholdLshOracle(threshPlanesWide, WideBands, WideRows, planted = true),
     "sim_threshold_join" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1067,7 +1093,8 @@ object Similarity extends QueryModule {
     * bit-identical signatures), candidate equi-join on (band, bucket),
     * exact guarded-cosine verify. */
   private def thresholdLshOracle(
-      planes: Seq[Seq[Float]], nBands: Int, nRows: Int): String = {
+      planes: Seq[Seq[Float]], nBands: Int, nRows: Int,
+      planted: Boolean = false): String = {
     def bexpr(bi: Int): String = (0 until nRows).map { j =>
       val lits = planes(bi * nRows + j)
         .map(_.toDouble.toString).mkString("[", ", ", "]")
@@ -1076,7 +1103,18 @@ object Similarity extends QueryModule {
     val bands = (0 until nBands)
       .map(bi => s"SELECT vec_id, $bi AS band, ${bexpr(bi)} AS bv FROM e")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    // Replant the wide gate's duplicates identically: lowest PlantN
+    // non-zero-norm vec_ids, copied past the id space (vec_norm > 0 ⇔
+    // dot(v,v) > 0, the Spark side's filter).
+    val eDef =
+      if (planted)
+        s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |e AS (SELECT * FROM e0 UNION ALL
+           |  (SELECT vec_id + $PlantOffset AS vec_id, v FROM e0
+           |   WHERE list_dot_product(v, v) > 0 ORDER BY vec_id LIMIT $PlantN)),"""
+          .stripMargin
+      else "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    s"""WITH $eDef
        |b AS (
        |  $bands),
        |cand AS (

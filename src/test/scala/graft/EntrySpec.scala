@@ -24,14 +24,12 @@ class EntrySpec extends SparkSpec {
   }
 
   // Scale-geometry operators whose EMPTINESS at the toy corpus is the
-  // design claim itself: sim_threshold_lsh_wide runs r=24 sign-bands
-  // (r ≈ log₂ n for real corpora), so at n=20 vectors the per-band hit
-  // probability for a τ=0.35 pair is p²⁴ ≈ 10⁻⁵ — zero pairs is the
-  // candidate-suppression law working, not a dead query (its substantive
-  // contract is oracle-checked at sf0.01 and at the 100× uniqtext corpus,
-  // 76,887 pairs — SCALE.md round-10). These keys must still RUN and
-  // produce their declared schema.
-  private val emptyOkAtToyScale = Set("sim_threshold_lsh_wide")
+  // design claim itself (r ≈ log₂ n band rows suppress every toy-scale
+  // pair). Empty since round 11: sim_threshold_lsh_wide now plants
+  // deterministic duplicate vectors into its gate fixture precisely so
+  // its oracle row proves pairs instead of the empty set (round-10
+  // verdict task 2) — it returns ≥ 1 row at every scale.
+  private val emptyOkAtToyScale = Set.empty[String]
 
   test("every declared query runs and returns rows on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -162,9 +162,21 @@ class LlmSpec extends SparkSpec {
     // exact verify runs on candidates); recall < 1 by design
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
     // the scale geometry (r=24) obeys the identical contract: exact
-    // verify on candidates => still a subset of the true threshold set
+    // verify on candidates => still a subset of the true threshold set.
+    // Its gate fixture plants PlantN exact-duplicate vectors (ids past
+    // 10M) so the gate row is non-vacuous (round-10 verdict task 2):
+    // planted pairs must surface with cos ≈ 1; organic pairs must still
+    // be a subset of the true threshold set.
     val wide = SparkEntry.queries("sim_threshold_lsh_wide")(spark, sf).collect()
-    assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+    val plantOffset = 10000000L
+    val (plantedPairs, organic) = wide.partition(r => r.getLong(1) >= plantOffset)
+    assert(organic.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+    assert(plantedPairs.nonEmpty, "planted duplicates must collide in every band")
+    plantedPairs.foreach { r =>
+      assert(r.getLong(1) - plantOffset == r.getLong(0),
+        "a planted copy must pair with its own original")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
   }
 
   test("sim_ann_ivf: query's own inverted list contains it; subset of brute force") {

@@ -121,7 +121,10 @@ object Graph extends QueryModule {
     * equi-join (oriented edges are distinct, so multiplicity is exact),
     * never a nested loop. */
   private def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
-    trianglesOf(coSupplyEdges(spark, sfDir))
+    trianglesFrom(
+      PinnedInputs.coSupplyPairs(spark, sfDir),
+      PinnedInputs.coSupplyDeg(spark, sfDir),
+      PinnedInputs.coSupplyOriented(spark, sfDir))
 
   /** Support-sampled co-supply projection (1-in-10 orders): the full
     * projection of this SMALL dense fixture saturates to a complete
@@ -133,7 +136,7 @@ object Graph extends QueryModule {
     * 6.9M oriented wedges / 1.79M triangles — a real sparse-graph load.
     * Canonical undirected edge list: `u < v`, distinct, no self-loops.
     * Shared by [[triangleCount]] and [[clusteringCoeff]]. */
-  private def coSupplyEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def coSupplyEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
       .filter($"l_orderkey" % 10 === 0)
@@ -143,24 +146,48 @@ object Graph extends QueryModule {
       .select(col("x.s").as("u"), col("y.s").as("v")).distinct()
   }
 
-  /** Degree-oriented triangle counting over a canonical undirected edge
-    * list (`u < v`, distinct, no self-loops). Package-visible so tests
-    * can drive it with graphs of known triangle structure. */
-  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  /** Degree frame of a canonical undirected edge list: one partial+final
+    * agg over both endpoint projections. */
+  private[graft] def degOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    val pairs = Materialize.once(edges)
-    val deg = pairs.select($"u".as("node"))
+    pairs.select($"u".as("node"))
       .unionByName(pairs.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Schank–Wagner degree orientation of a canonical undirected edge list:
+    * each edge directed low-degree → high-degree (ties by node id), carrying
+    * the head's degree for the wedge-ordering predicate. The shared
+    * trajectory of the whole triangle family — built once per session via
+    * [[PinnedInputs.coSupplyOriented]] for the declared queries. */
+  private[graft] def orientOf(pairs: DataFrame, deg: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val withDeg = pairs
       .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
       .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
     val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    val oriented = Materialize.once(withDeg.select(
+    withDeg.select(
       when(fwd, $"u").otherwise($"v").as("a"),
       when(fwd, $"v").otherwise($"u").as("b"),
-      when(fwd, $"dv").otherwise($"du").as("db")))
+      when(fwd, $"dv").otherwise($"du").as("db"))
+  }
+
+  /** Degree-oriented triangle counting over a canonical undirected edge
+    * list (`u < v`, distinct, no self-loops). Package-visible so tests
+    * can drive it with graphs of known triangle structure. */
+  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
+    val pairs = Materialize.once(edges)
+    val deg = degOf(pairs)
+    trianglesFrom(pairs, deg, Materialize.once(orientOf(pairs, deg)))
+  }
+
+  /** Triangle count from pre-built (ideally session-pinned) inputs. */
+  private def trianglesFrom(pairs: DataFrame, deg: DataFrame,
+                            oriented: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.a") === col("e2.a") &&
           (col("e1.db") < col("e2.db") ||
@@ -193,27 +220,23 @@ object Graph extends QueryModule {
     * double op both engines) and SUMMED AS INTEGERS — a float sum over
     * nodes would be partition-order-dependent. */
   private def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
-    clusteringOf(coSupplyEdges(spark, sfDir))
+    clusteringFrom(
+      PinnedInputs.coSupplyDeg(spark, sfDir),
+      PinnedInputs.coSupplyOriented(spark, sfDir))
 
   /** Clustering coefficients over a canonical undirected edge list
     * (`u < v`, distinct, no self-loops). Package-visible so tests can
     * drive it with graphs of known clustering structure. */
   private[graft] def clusteringOf(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val pairs = Materialize.once(edges)
-    val deg = Materialize.once(
-      pairs.select($"u".as("node"))
-        .unionByName(pairs.select($"v".as("node")))
-        .groupBy($"node").agg(count(lit(1)).as("deg")))
-    val withDeg = pairs
-      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
-      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
-    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    val oriented = Materialize.once(withDeg.select(
-      when(fwd, $"u").otherwise($"v").as("a"),
-      when(fwd, $"v").otherwise($"u").as("b"),
-      when(fwd, $"dv").otherwise($"du").as("db")))
+    val deg = Materialize.once(degOf(pairs))
+    clusteringFrom(deg, Materialize.once(orientOf(pairs, deg)))
+  }
+
+  /** Clustering summaries from pre-built (ideally session-pinned) inputs. */
+  private def clusteringFrom(deg: DataFrame, oriented: DataFrame): DataFrame = {
+    val spark = deg.sparkSession
+    import spark.implicits._
     // Pivot-carrying wedges: the close join emits (pivot, wb, wc) node
     // triples instead of a bare count.
     val tris = oriented.as("e1").join(oriented.as("e2"),

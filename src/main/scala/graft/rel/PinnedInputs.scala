@@ -72,4 +72,24 @@ object PinnedInputs {
         .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
         .distinct()
     }
+
+  /** Canonical co-supply edge list (support-sampled supplier co-occurrence
+    * projection, `u < v`, distinct) — shared input of the triangle family
+    * (`graph_triangle_count`, `graph_clustering_coeff`); ≤ ~107k rows at
+    * sf0.1. Round-10 verdict task 4: each query previously rebuilt this
+    * projection AND its orientation per run. */
+  def coSupplyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "coSupplyPairs")(Graph.coSupplyEdges(spark, sfDir))
+
+  /** Degree frame of [[coSupplyPairs]] — node-sized (≤ suppliers). */
+  def coSupplyDeg(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "coSupplyDeg")(
+      Graph.degOf(coSupplyPairs(spark, sfDir)))
+
+  /** Schank–Wagner degree-oriented encoding of [[coSupplyPairs]] — the
+    * wedge joins' probe side, built once per session instead of once per
+    * triangle-family query. Edge-sized. */
+  def coSupplyOriented(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "coSupplyOriented")(
+      Graph.orientOf(coSupplyPairs(spark, sfDir), coSupplyDeg(spark, sfDir)))
 }

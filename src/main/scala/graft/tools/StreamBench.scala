@@ -66,8 +66,10 @@ object StreamBench {
         .flatMap(_.stateOperators.headOption).find(_ => true)
       val stateRows = state.map(_.numRowsTotal).getOrElse(-1L)
       val stateBytes = state.map(_.memoryUsedBytes).getOrElse(-1L)
+      val outRows = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
       println(f"""{"probe":"$name","rows":$nRows,"sec":$sec%.2f,""" +
         f""""rows_per_sec":${(nRows / sec).toLong},"batches":${progress.length},""" +
+        f""""out_rows":$outRows,""" +
         f""""state_rows":$stateRows,"state_bytes":$stateBytes}""")
     }
 
@@ -84,6 +86,27 @@ object StreamBench {
         .agg(count(lit(1)).as("n_events"))
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", s"$work/ckpt_sw")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // Watermark-bounded stream-stream INNER join (StreamOps.streamStreamJoin
+    // — the ad-impression⋈click attribution shape): left = the full event
+    // stream, right = a deterministic 10% key slice standing in for the
+    // sparse "click" stream, joined on user within a 30-minute event-time
+    // window. The time bound + 1 h watermark is what lets the symmetric
+    // hash join EVICT matched/expired rows, so reported state is the
+    // in-flight window, not the corpus (both sides share one state
+    // operator; rows/bytes below are the two sides combined).
+    run("stream_stream_join") { stream =>
+      val clicks = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(stageDir)
+        .filter($"user_id" % 10 === 0)
+        .select($"user_id".as("r_user"), $"ts".as("r_ts"))
+      StreamOps.streamStreamJoin(
+          stream.select($"user_id", $"ts"), clicks,
+          "user_id = r_user AND r_ts >= ts AND r_ts <= ts + interval 30 minutes",
+          "ts", "r_ts")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt_ssj")
         .trigger(Trigger.AvailableNow()).start()
     }
     spark.stop()

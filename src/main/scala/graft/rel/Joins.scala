@@ -171,9 +171,22 @@ object Joins extends QueryModule {
 
   /** J7b — FORWARD as-of: for each purchase, the first signup at-or-after
     * it. Same union+ordered-window shape as [[joinAsof]] (one shuffle on
-    * the key, linear scan) with the frame flipped to
-    * [currentRow, unboundedFollowing]; at equal timestamps the signup
-    * sorts AFTER the purchase so "at-or-after" stays inclusive. */
+    * the key, linear scan); at equal timestamps the signup still counts
+    * ("at-or-after" inclusive).
+    *
+    * Frame shape matters at scale: the naive form is `first(...)` over
+    * `[currentRow, unboundedFollowing]` in ASC order, but Spark evaluates
+    * an UnboundedFollowing frame by RE-AGGREGATING from each row to the
+    * partition end — O(n²) per partition. Uniform corpora hide it
+    * (n ≈ rows/user is tiny); the round-11 100×-Zipf campaign caught it
+    * live: the hot user's partition made one task quadratic (~10¹¹ row
+    * ops, effectively hung). The equivalent O(n) running form used here
+    * REVERSES every sort key and takes `last(...)` over
+    * `[unboundedPreceding, currentRow]` — the same row set, the same
+    * nearest-at-or-after non-null (scanning farthest-future → current,
+    * `last` picks the one closest to current), evaluated as a single
+    * running aggregate. Verified hash-identical to the old form at
+    * sf0.01/sf0.1 and completes in seconds at the Zipf corpus. */
   private def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
@@ -181,9 +194,9 @@ object Joins extends QueryModule {
       .select($"event_id", $"user_id", $"ts", $"event_type",
         when($"event_type" === "signup", $"ts").as("signup_ts"))
     val wNext = Window.partitionBy($"user_id")
-      .orderBy($"ts".asc, when($"event_type" === "signup", 1).otherwise(0).asc, $"event_id".asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    e.withColumn("next_signup_ts", first($"signup_ts", ignoreNulls = true).over(wNext))
+      .orderBy($"ts".desc, when($"event_type" === "signup", 1).otherwise(0).desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("next_signup_ts", last($"signup_ts", ignoreNulls = true).over(wNext))
       .filter($"event_type" === "purchase" && $"next_signup_ts".isNotNull)
       .select($"event_id", $"user_id", $"next_signup_ts")
       .orderBy($"event_id")
@@ -204,11 +217,14 @@ object Joins extends QueryModule {
     val wPrev = Window.partitionBy($"user_id")
       .orderBy($"ts".asc, when($"event_type" === "signup", 0).otherwise(1).asc, $"event_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reversed running form, NOT [currentRow, unboundedFollowing] — that
+    // frame is O(n²) per partition (see [[joinAsofForward]]'s scaladoc;
+    // caught by the 100×-Zipf campaign)
     val wNext = Window.partitionBy($"user_id")
-      .orderBy($"ts".asc, when($"event_type" === "signup", 1).otherwise(0).asc, $"event_id".asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy($"ts".desc, when($"event_type" === "signup", 1).otherwise(0).desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("prev_ts", last($"signup_ts", ignoreNulls = true).over(wPrev))
-      .withColumn("next_ts", first($"signup_ts", ignoreNulls = true).over(wNext))
+      .withColumn("next_ts", last($"signup_ts", ignoreNulls = true).over(wNext))
       .filter($"event_type" === "purchase" &&
         ($"prev_ts".isNotNull || $"next_ts".isNotNull))
       .withColumn("nearest_signup_ts",

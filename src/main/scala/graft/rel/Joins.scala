@@ -109,16 +109,32 @@ object Joins extends QueryModule {
   }
 
   /** J6 — range (non-equi) join: events following a signup within one hour,
-    * equi-blocked on user_id so the theta predicate only runs within a key
-    * group (not a full nested loop). */
+    * blocked on the COMPOSITE (user_id, hour-bucket) key.
+    *
+    * User-only blocking ("theta runs within a key group") is correct but
+    * quadratic IN THE KEY GROUP: the round-11 100×-Zipf campaign caught
+    * the hot user's group degenerating to |signups|·|events| ≈ 3×10¹¹
+    * per-pair predicate evaluations on one task — invisible at uniform
+    * corpora, fatal under skew. Adding the [[joinRangeBinned]] time
+    * bucket to the equi key bounds every group by one user-HOUR: each
+    * signup interval (a_ts, a_ts+1h] covers exactly two hour buckets
+    * (exploded copies), each event belongs to exactly one, so every
+    * qualifying pair meets exactly once (no dedup) and the exact theta
+    * filters inside micro-groups. Hot keys now split like any equi key
+    * (AQE skew-split applies); semantics and oracle unchanged. */
   private def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
+    val BinSeconds = 3600L
     val a = e.filter($"event_type" === "signup")
       .select($"event_id".as("a_id"), $"user_id".as("a_user"), $"ts".as("a_ts"))
-    val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"))
+      .withColumn("a_bucket", explode(sequence(
+        floor(unix_timestamp($"a_ts") / BinSeconds),
+        floor((unix_timestamp($"a_ts") + BinSeconds) / BinSeconds))))
+    val b = e.select($"user_id".as("b_user"), $"ts".as("b_ts"),
+      floor(unix_timestamp($"ts") / BinSeconds).as("b_bucket"))
     a.join(b,
-        $"a_user" === $"b_user" &&
+        $"a_user" === $"b_user" && $"a_bucket" === $"b_bucket" &&
         $"b_ts" > $"a_ts" &&
         $"b_ts" <= $"a_ts" + expr("INTERVAL 1 HOUR"))
       .groupBy($"a_id")

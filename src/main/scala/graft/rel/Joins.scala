@@ -526,6 +526,65 @@ object Joins extends QueryModule {
     "join_bucketed"  -> joinBucketed
   )
 
+  /** Window-form as-of oracle replays (round-11 oracle-capability fix):
+    * the original pair-join replays (`p JOIN s ON user AND s.ts <= p.ts`
+    * then argmin/argmax) are quadratic IN THE KEY GROUP — at the
+    * 100×-Zipf corpus the hot user's |purchases|·|signups| intermediate
+    * exploded past 50 GB of DuckDB spill and ENOSPC'd the campaign (the
+    * same skew law that bit the Spark side's unbounded-following frame).
+    * These mirror the Spark plans' linear formulation instead: one
+    * windowed pass with running max (backward) / frame min (forward) —
+    * DuckDB evaluates aggregate windows with segment trees, O(n log n)
+    * regardless of skew. Tie keys mirror the Spark windows exactly
+    * (signup sorts before purchase at equal ts for at-or-BEFORE, after
+    * for at-or-AFTER, then event_id). */
+  private val AsofEventsCte =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+      |  FROM events WHERE event_type IN ('signup', 'purchase')),
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(signup_ts) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+      |    min(signup_ts) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      |  FROM e)""".stripMargin
+
+  private val AsofBackwardSql =
+    s"""$AsofEventsCte
+       |SELECT event_id, user_id, prev_ts AS last_signup_ts
+       |FROM w WHERE event_type = 'purchase' AND prev_ts IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
+  private val AsofForwardSql =
+    s"""$AsofEventsCte
+       |SELECT event_id, user_id, next_ts AS next_signup_ts
+       |FROM w WHERE event_type = 'purchase' AND next_ts IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
+  private val AsofToleranceSql =
+    s"""$AsofEventsCte
+       |SELECT event_id, user_id, prev_ts AS last_signup_ts
+       |FROM w WHERE event_type = 'purchase' AND prev_ts IS NOT NULL
+       |  AND prev_ts >= ts - INTERVAL 72 HOUR
+       |ORDER BY event_id""".stripMargin
+
+  private val AsofNearestSql =
+    s"""$AsofEventsCte
+       |SELECT event_id, user_id,
+       |  CASE WHEN prev_ts IS NULL THEN next_ts
+       |       WHEN next_ts IS NULL THEN prev_ts
+       |       WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+       |       ELSE next_ts END AS nearest_signup_ts
+       |FROM w WHERE event_type = 'purchase'
+       |  AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)
+       |ORDER BY event_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n,
@@ -606,84 +665,14 @@ object Joins extends QueryModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "join_asof" ->
-      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id, p.user_id
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_native" ->
-      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id, p.user_id
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_native_forward" ->
-      """SELECT p.event_id, p.user_id, min(s.ts) AS next_signup_ts
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts >= p.ts AND s.event_type = 'signup'
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id, p.user_id
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_native_nearest" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
-        |prev AS (
-        |  SELECT p.event_id, max(s.ts) AS pts FROM p JOIN s
-        |    ON s.user_id = p.user_id AND s.ts <= p.ts GROUP BY p.event_id),
-        |nxt AS (
-        |  SELECT p.event_id, min(s.ts) AS nts FROM p JOIN s
-        |    ON s.user_id = p.user_id AND s.ts >= p.ts GROUP BY p.event_id)
-        |SELECT p.event_id, p.user_id,
-        |  CASE WHEN pts IS NULL THEN nts
-        |       WHEN nts IS NULL THEN pts
-        |       WHEN p.ts - pts <= nts - p.ts THEN pts
-        |       ELSE nts END AS nearest_signup_ts
-        |FROM p LEFT JOIN prev USING (event_id) LEFT JOIN nxt USING (event_id)
-        |WHERE pts IS NOT NULL OR nts IS NOT NULL
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_native_tolerance" ->
-      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id, p.user_id, p.ts
-        |HAVING max(s.ts) >= p.ts - INTERVAL 72 HOUR
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_tolerance" ->
-      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts <= p.ts AND s.event_type = 'signup'
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id, p.user_id, p.ts
-        |HAVING max(s.ts) >= p.ts - INTERVAL 72 HOUR
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_forward" ->
-      """SELECT p.event_id, p.user_id, min(s.ts) AS next_signup_ts
-        |FROM events p JOIN events s
-        |  ON p.user_id = s.user_id AND s.ts >= p.ts AND s.event_type = 'signup'
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY p.event_id, p.user_id
-        |ORDER BY p.event_id""".stripMargin,
-    "join_asof_nearest" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
-        |prev AS (
-        |  SELECT p.event_id, max(s.ts) AS pts FROM p JOIN s
-        |    ON s.user_id = p.user_id AND s.ts <= p.ts GROUP BY p.event_id),
-        |nxt AS (
-        |  SELECT p.event_id, min(s.ts) AS nts FROM p JOIN s
-        |    ON s.user_id = p.user_id AND s.ts >= p.ts GROUP BY p.event_id)
-        |SELECT p.event_id, p.user_id,
-        |  CASE WHEN pts IS NULL THEN nts
-        |       WHEN nts IS NULL THEN pts
-        |       WHEN p.ts - pts <= nts - p.ts THEN pts
-        |       ELSE nts END AS nearest_signup_ts
-        |FROM p LEFT JOIN prev USING (event_id) LEFT JOIN nxt USING (event_id)
-        |WHERE pts IS NOT NULL OR nts IS NOT NULL
-        |ORDER BY p.event_id""".stripMargin,
+    "join_asof" -> AsofBackwardSql,
+    "join_asof_native" -> AsofBackwardSql,
+    "join_asof_native_forward" -> AsofForwardSql,
+    "join_asof_native_nearest" -> AsofNearestSql,
+    "join_asof_native_tolerance" -> AsofToleranceSql,
+    "join_asof_tolerance" -> AsofToleranceSql,
+    "join_asof_forward" -> AsofForwardSql,
+    "join_asof_nearest" -> AsofNearestSql,
     "join_skew_salted" ->
       """SELECT o_orderkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

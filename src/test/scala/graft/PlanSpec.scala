@@ -355,12 +355,18 @@ class PlanSpec extends SparkSpec {
       s"base and delta must each partial+final aggregate: $plan")
   }
 
-  test("graph_triangle_count closes wedges with hash joins, never a nested loop") {
+  test("graph_triangle_count closes wedges with equi-joins, never a nested loop") {
     val plan = executed("graph_triangle_count")
     assert(!plan.contains("NestedLoop") ||
       "BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, // scalar attach crossJoins only
       s"wedge/close joins must be equi-joins: $plan")
-    assert("HashJoin".r.findAllIn(plan).size >= 2, plan)
+    // The oriented edge list is a session pin (stats-less LogicalRDD by
+    // design — PinnedInputs doc), so the wedge/close equi-joins plan as
+    // SortMergeJoin rather than broadcast: exactly what a 100-TB edge
+    // list would do. Equi-join of either physical flavor qualifies.
+    assert("HashJoin|SortMergeJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"pairs/deg/oriented must read from the session pin: $plan")
   }
 
   test("embed_pca_power scatter is the Gram UDAF, not an explode (one Generate: the mean pass)") {
@@ -614,10 +620,15 @@ class PlanSpec extends SparkSpec {
 
   test("graph_clustering_coeff: pinned oriented frame, wedge close by equi-joins") {
     val plan = executed("graph_clustering_coeff")
-    assert(plan.contains("InMemoryTableScan"),
-      s"pairs/deg/oriented are multi-consumer and must pin: $plan")
-    assert("HashJoin".r.findAllIn(plan).size >= 2,
+    // Since the round-11 pin promotion the shared pairs/deg/oriented frames
+    // are RDD-level session pins (Scan ExistingRDD), not plan-level caches:
+    // the harness clears the cacheManager between queries, which would
+    // silently de-materialize an InMemoryTableScan pin.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"pairs/deg/oriented are multi-consumer and must read the pin: $plan")
+    assert("HashJoin|SortMergeJoin".r.findAllIn(plan).size >= 2,
       s"wedge/close must be equi-joins, never a nested loop: $plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("dq_uniqueness unpivots first — no multi-distinct Expand, two-level aggregation") {

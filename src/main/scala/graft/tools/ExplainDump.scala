@@ -45,7 +45,12 @@ object ExplainDump {
     "agg_rate_ci", "sample_neyman_alloc", "graph_assortativity",
     "text_zipf_fit", "dq_uniqueness", "eval_cohens_kappa",
     "graph_clustering_coeff", "text_vocab_coverage",
-    "mine_frequent_pairs_rel")
+    "mine_frequent_pairs_rel",
+    // round-11 additions: the GraftTable-routed reads and the two
+    // Zipf-campaign plan rewrites (linear as-of frames, composite
+    // hour-bucket range blocking).
+    "scan_time_travel", "upsert_keep_latest",
+    "join_asof_forward", "join_asof_nearest", "join_range")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -110,6 +110,54 @@ object PipelineQueries extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy($"version")
   }
 
+  /** The two-version APPEND-ONLY table behind `scan_table_changes`: v1 =
+    * raw events before [[MergeCutoff]], v2 = plain append of the rest —
+    * no rewrite between the versions, so the incremental read's manifest
+    * test proves v1's files are all still live in v2. */
+  private def appendedEventsTable(spark: SparkSession, sfDir: String): graft.table.GraftTable =
+    builtTable(spark, sfDir, "ap") { dir =>
+      import spark.implicits._
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      val cut = lit(MergeCutoff).cast("timestamp")
+      val t = graft.table.GraftTable.create(spark, dir, ev.filter($"ts" < cut), "create_base")
+      t.append(ev.filter($"ts" >= cut), "append_increment")
+      t
+    }
+
+  /** S14 — INCREMENTAL READ, append-only fast path
+    * ([[graft.table.GraftTable.changesBetween]]): the rows version 2 added
+    * over version 1, resolved from the MANIFESTS alone — the plan scans
+    * exactly the appended files, touches zero base bytes, and shuffles
+    * nothing (PlanSpec gates no-hash-exchange). This is how a downstream
+    * pipeline consumes a 100-TB append table: O(delta) per increment,
+    * never a rescan. The oracle replays the append predicate on the raw
+    * fixture. */
+  private def scanTableChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    appendedEventsTable(spark, sfDir).changesBetween(1L, 2L)
+      .orderBy($"user_id", $"event_type", $"event_id", $"ts", $"value",
+        $"_change_type")
+  }
+
+  /** S14b — INCREMENTAL READ, snapshot-diff fallback: the keep-latest
+    * merge commit REWRITES the file set, so file identity says nothing and
+    * [[graft.table.GraftTable.changesBetween]] falls back to the full-row
+    * multiset diff — updates surface as delete(pre-image) + insert
+    * (post-image), new keys as inserts: the change-data-feed rendering
+    * (Delta CDF's `table_changes`). Cost is one all-column hash shuffle
+    * per direction — the honest price of diffing arbitrary rewrites
+    * without a row-level change log; at 100 TB a merge-heavy table
+    * records changes at write time instead, and this is the
+    * version-agnostic fallback. The oracle diffs the two recomputed
+    * keep-latest snapshots with EXCEPT ALL. */
+  private def scanTableChangesDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mergedEventsTable(spark, sfDir).changesBetween(1L, 2L)
+      .orderBy($"user_id", $"event_type", $"event_id", $"ts", $"value",
+        $"_change_type")
+  }
+
   /** S11c — CDC apply, routed through the versioned table format: an
     * insert/update/delete change stream ('error' events are deletes of the
     * key, everything else upserts — the lakehouse MERGE-from-CDC pattern,
@@ -282,6 +330,8 @@ object PipelineQueries extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "ctas_daily_top_titles"  -> ctasDailyTopTitles,
     "scan_time_travel"       -> scanTimeTravel,
+    "scan_table_changes"     -> scanTableChanges,
+    "scan_table_changes_diff" -> scanTableChangesDiff,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
@@ -362,6 +412,32 @@ object PipelineQueries extends QueryModule {
         |       max(event_id)
         |FROM v2
         |ORDER BY version""".stripMargin,
+    "scan_table_changes" ->
+      """SELECT user_id, event_type, event_id, ts, value,
+        |       'insert' AS _change_type
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |ORDER BY user_id, event_type, event_id, ts, value, _change_type""".stripMargin,
+    "scan_table_changes_diff" ->
+      """WITH v1 AS MATERIALIZED (
+        |  SELECT user_id, event_type, event_id, ts, value FROM (
+        |    SELECT user_id, event_type, event_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+        |  WHERE rn = 1),
+        |v2 AS MATERIALIZED (
+        |  SELECT user_id, event_type, event_id, ts, value FROM (
+        |    SELECT user_id, event_type, event_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT *, 'insert' AS _change_type FROM
+        |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        |UNION ALL
+        |SELECT *, 'delete' AS _change_type FROM
+        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+        |ORDER BY user_id, event_type, event_id, ts, value, _change_type""".stripMargin,
     "upsert_keep_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

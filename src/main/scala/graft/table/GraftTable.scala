@@ -141,6 +141,49 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       spark.read.schema(c.schema).parquet(c.files.map(f => s"$root/${f.path}"): _*)
   }
 
+  /** Incremental read — the rows that changed between two committed
+    * versions, tagged `_change_type` ('insert' | 'delete'); an update
+    * surfaces as delete(pre-image) + insert(post-image), the classic
+    * change-data-feed rendering (Delta CDF / Iceberg incremental scan).
+    *
+    * Two physical strategies, picked from the MANIFESTS alone:
+    *  - '''Append-only fast path.''' If every file of `vFrom` is still
+    *    listed by `vTo`, the delta IS the added files: read exactly those,
+    *    tag 'insert', touch zero base bytes and shuffle nothing. This is
+    *    what makes incremental consumption of an append table O(delta) at
+    *    100 TB — the downstream pipeline re-reads a day's files, never the
+    *    table (Iceberg's incremental scan works the same way, from
+    *    snapshot metadata).
+    *  - '''Snapshot multiset diff.''' If any `vFrom` file was rewritten
+    *    (merge/compaction/zorder between the versions), file identity says
+    *    nothing about row identity, so fall back to the full-row diff:
+    *    `vTo EXCEPT ALL vFrom` as inserts, `vFrom EXCEPT ALL vTo` as
+    *    deletes — one hash shuffle over all columns per direction, the
+    *    honest cost of diffing arbitrary rewrites (a production CDF avoids
+    *    it by RECORDING row-level changes at merge time; diff-of-snapshots
+    *    is the version-agnostic fallback that needs no extra log state).
+    */
+  def changesBetween(vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"changesBetween($vFrom, $vTo): versions must ascend")
+    val from = commitAt(vFrom)
+    val to = commitAt(vTo)
+    val fromPaths = from.files.map(_.path).toSet
+    val appendOnly = fromPaths.subsetOf(to.files.map(_.path).toSet)
+    if (appendOnly) {
+      val added = to.files.filterNot(f => fromPaths.contains(f.path))
+      val rows =
+        if (added.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
+        else spark.read.schema(to.schema)
+          .parquet(added.map(f => s"$root/${f.path}"): _*)
+      rows.withColumn("_change_type", lit("insert"))
+    } else {
+      read(vTo).exceptAll(read(vFrom)).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          read(vFrom).exceptAll(read(vTo)).withColumn("_change_type", lit("delete")))
+    }
+  }
+
   /** Write `df` as new immutable data files under `data/<uuid>/`; return
     * their manifest entries (relative paths + footer row counts). Not yet
     * visible to readers — files only become live when a manifest commits. */

@@ -684,4 +684,28 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected <=1 user-keyed exchange, got $exchanges: $plan")
   }
+
+  test("scan_table_changes: the incremental read is a bare scan of the delta (no hash exchange)") {
+    val plan = executed("scan_table_changes")
+    // The append-only fast path resolves the delta from the manifests
+    // driver-side: the executed plan is one parquet scan of the appended
+    // files plus the declared ORDER BY's range exchange — any
+    // hashpartitioning exchange would mean the read joined/aggregated/
+    // diffed table data to find the delta, which is exactly what O(delta)
+    // incremental consumption must never do.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"incremental fast path must not shuffle on data: $plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan (the appended files): $plan")
+  }
+
+  test("scan_table_changes_diff: snapshot diff aggregates partial+final, never a nested loop") {
+    val plan = executed("scan_table_changes_diff")
+    // the exceptAll fallback compares full rows by hash: aggregates (or
+    // AQE-chosen joins) on the row columns — any nested loop would be an
+    // all-pairs comparison.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"multiset diff must stay hash-based: $plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }

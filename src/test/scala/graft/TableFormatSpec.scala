@@ -62,6 +62,48 @@ class TableFormatSpec extends SparkSpec {
     assert(sortedRows(t.read(2)) == expect)
   }
 
+  test("changesBetween append-only fast path: exactly the added files, no shuffle") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("chg"), spark.range(10).toDF("id"))
+    t.append(spark.range(10, 14).toDF("id"))
+    val chg = t.changesBetween(1, 2)
+    // plan proof of the O(delta) claim: the incremental read is a bare
+    // scan of the appended files — no Exchange of any kind, and none of
+    // version 1's data files appear as inputs.
+    val plan = chg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast path must not shuffle: $plan")
+    val v1Files = t.commitAt(1).files.map(_.path.split('/').last).toSet
+    assert(!v1Files.exists(plan.contains),
+      s"fast path must not read base files: $plan")
+    assert(chg.filter($"_change_type" === "insert").count() == 4)
+    assert(chg.select($"id").as[Long].collect().sorted.toSeq == (10L until 14L))
+    // self-diff of any version is empty
+    assert(t.changesBetween(2, 2).isEmpty)
+  }
+
+  test("changesBetween diff path: update = delete(pre) + insert(post); compaction is change-free") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("cdf"),
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    // merge commit rewrites the file set -> manifest test fails the
+    // append-only check -> multiset-diff fallback
+    t.upsertKeepLatest(Seq((2L, 21L), (3L, 30L)).toDF("k", "v"),
+      keys = Seq("k"), ordering = Seq($"v".desc))
+    val chg = t.changesBetween(1, 2)
+      .select($"k", $"v", $"_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    assert(chg == Set((2L, 20L, "delete"),   // pre-image of the update
+                      (2L, 21L, "insert"),   // post-image
+                      (3L, 30L, "insert")))  // new key
+    // a compaction rewrites files but changes no rows: its CDF is empty
+    t.compact(targetRows = 100)
+    assert(t.changesBetween(2, 3).isEmpty)
+    // and spanning the compaction still reports only the logical changes
+    assert(t.changesBetween(1, 3)
+      .select($"k", $"v", $"_change_type").as[(Long, Long, String)]
+      .collect().toSet == chg)
+  }
+
   test("optimistic concurrency: exactly one of two racing writers wins") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpRoot("occ"), spark.range(5).toDF("id"))

@@ -50,7 +50,8 @@ object ExplainDump {
     // Zipf-campaign plan rewrites (linear as-of frames, composite
     // hour-bucket range blocking).
     "scan_time_travel", "upsert_keep_latest",
-    "join_asof_forward", "join_asof_nearest", "join_range")
+    "join_asof_forward", "join_asof_nearest", "join_range",
+    "scan_table_changes", "scan_table_changes_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -158,6 +158,50 @@ object PipelineQueries extends QueryModule {
         $"_change_type")
   }
 
+  /** The zordered table behind `scan_file_skipping`: v1 = raw events,
+    * v2 = Z-order rewrite on (user-scaled-to-8-bit, day) into 32
+    * z-range files. Scaling user_id by its max keeps the Morton x
+    * monotone in the RAW column, so each file's footer min/max on
+    * user_id bounds a tight range at ANY scale factor — the rank-bucket
+    * trick production ZORDER BY applies to every dimension. */
+  private def zorderedEventsTable(spark: SparkSession, sfDir: String): graft.table.GraftTable =
+    builtTable(spark, sfDir, "zo") { dir =>
+      import spark.implicits._
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      val t = graft.table.GraftTable.create(spark, dir, ev, "create_raw")
+      // max of a zero-event fixture is NULL — rank-scale degenerates to 0
+      val maxU = Option(ev.agg(max($"user_id")).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      t.zorderBy(($"user_id" * 256L / (maxU + 1L)).cast("int"),
+        dayofmonth($"ts"), nFiles = 32)
+      t
+    }
+
+  /** S15 — MANIFEST-LEVEL FILE SKIPPING over the zordered table
+    * ([[graft.table.GraftTable.readPruned]]): a selective user_id range
+    * resolves which of the 32 z-range files can contain qualifying rows
+    * from the MANIFEST's per-file min/max alone — skipped files cost
+    * zero IO, the Delta/Iceberg data-skipping read path. The real
+    * predicate still applies on top (skipping is an optimization, never
+    * a filter), so the oracle is simply the predicate on raw events;
+    * what the key proves cross-engine is that pruning loses no rows.
+    * The range bounds derive from max(user_id) with floor() on both
+    * sides, so the query is self-scaling across fixtures. PlanSpec
+    * gates that the declared frame reads a strict subset of the
+    * version's files. */
+  private def scanFileSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = zorderedEventsTable(spark, sfDir)
+    val maxU = Option(t.read(2).agg(max($"user_id")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val lo = BigDecimal(math.floor(0.10 * maxU).toLong)
+    val hi = BigDecimal(math.floor(0.20 * maxU).toLong)
+    t.readPruned(2L, Seq(("user_id", lo, hi)))
+      .filter($"user_id" >= lo.toLong && $"user_id" <= hi.toLong)
+      .orderBy($"user_id", $"event_type", $"event_id", $"ts", $"value")
+  }
+
   /** S11c — CDC apply, routed through the versioned table format: an
     * insert/update/delete change stream ('error' events are deletes of the
     * key, everything else upserts — the lakehouse MERGE-from-CDC pattern,
@@ -332,6 +376,7 @@ object PipelineQueries extends QueryModule {
     "scan_time_travel"       -> scanTimeTravel,
     "scan_table_changes"     -> scanTableChanges,
     "scan_table_changes_diff" -> scanTableChangesDiff,
+    "scan_file_skipping"     -> scanFileSkipping,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
@@ -412,6 +457,11 @@ object PipelineQueries extends QueryModule {
         |       max(event_id)
         |FROM v2
         |ORDER BY version""".stripMargin,
+    "scan_file_skipping" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM events
+        |WHERE user_id >= (SELECT CAST(floor(0.10 * max(user_id)) AS BIGINT) FROM events)
+        |  AND user_id <= (SELECT CAST(floor(0.20 * max(user_id)) AS BIGINT) FROM events)
+        |ORDER BY user_id, event_type, event_id, ts, value""".stripMargin,
     "scan_table_changes" ->
       """SELECT user_id, event_type, event_id, ts, value,
         |       'insert' AS _change_type

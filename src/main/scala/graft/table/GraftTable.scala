@@ -19,11 +19,27 @@ import graft.upsert.KeepLatest
   */
 final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** Per-column min/max of one data file, lifted from the parquet footer at
+  * write time. `kind` is "long" or "double"; bounds are serialized as
+  * strings so 64-bit integers survive JSON round-trips exactly. A column
+  * appears only when EVERY row group of the file carries non-null
+  * statistics for it — absent stats mean "cannot skip", never "empty". */
+final case class ColStat(kind: String, min: String, max: String) {
+  private def asBig(s: String): BigDecimal = BigDecimal(s)
+  /** Could any row of this file fall in [lo, hi]? */
+  def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean =
+    !(asBig(max) < lo || asBig(min) > hi)
+}
+
 /** One data file entry in a version manifest. `path` is RELATIVE to the
   * table root (manifests survive a table move/copy); `rows` is the exact
   * row count from the parquet footer — enough metadata for bin-packed
-  * compaction planning without listing or opening data files. */
-final case class ManifestFile(path: String, rows: Long)
+  * compaction planning without listing or opening data files; `stats`
+  * carries per-column min/max for manifest-level file skipping
+  * (Delta/Iceberg-style data skipping without changing the log
+  * protocol — exactly the extension the class doc promises). */
+final case class ManifestFile(path: String, rows: Long,
+                              stats: Map[String, ColStat] = Map.empty)
 
 /** One committed table version: the FULL file list as of this version (no
   * log replay needed — a reader resolves any snapshot from exactly one
@@ -115,7 +131,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val n = mapper.readTree(Files.readAllBytes(manifestPath(version).toPath))
     val files = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
     n.get("files").forEach { f =>
-      files += ManifestFile(f.get("path").asText(), f.get("rows").asLong())
+      val stats = Option(f.get("stats")).map { s =>
+        val m = scala.collection.mutable.Map.empty[String, ColStat]
+        s.fields().forEachRemaining { e =>
+          m(e.getKey) = ColStat(e.getValue.get("kind").asText(),
+            e.getValue.get("min").asText(), e.getValue.get("max").asText())
+        }
+        m.toMap
+      }.getOrElse(Map.empty[String, ColStat])
+      files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(), stats)
     }
     TableCommit(
       version = n.get("version").asLong(),
@@ -199,9 +223,85 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try r.getRecordCount finally r.close()
-        ManifestFile(s"$sub/${f.getName}", rows)
+        val (rows, stats) =
+          try (r.getRecordCount, footerStats(r.getFooter)) finally r.close()
+        ManifestFile(s"$sub/${f.getName}", rows, stats)
       }.toSeq
+  }
+
+  /** Aggregate per-column min/max across a file's row groups from the
+    * parquet footer (already open for the row count — stats collection
+    * costs zero extra IO). Numeric physical types only; a column is kept
+    * iff EVERY row group has non-null statistics for it, so a pruning
+    * decision can never be optimistic. Timestamps surface through their
+    * INT64 physical representation (micros) — order-preserving, so range
+    * pruning on the raw value stays correct. */
+  private def footerStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Map[String, ColStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val acc = scala.collection.mutable.Map.empty[String, ColStat]
+    val bad = scala.collection.mutable.Set.empty[String]
+    footer.getBlocks.forEach { b =>
+      b.getColumns.forEach { c =>
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        val parsed: Option[ColStat] =
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else c.getPrimitiveType.getPrimitiveTypeName match {
+            case INT64 => Some(ColStat("long",
+              st.genericGetMin.asInstanceOf[java.lang.Long].toString,
+              st.genericGetMax.asInstanceOf[java.lang.Long].toString))
+            case INT32 => Some(ColStat("long",
+              st.genericGetMin.asInstanceOf[java.lang.Integer].toString,
+              st.genericGetMax.asInstanceOf[java.lang.Integer].toString))
+            case DOUBLE => Some(ColStat("double",
+              st.genericGetMin.asInstanceOf[java.lang.Double].toString,
+              st.genericGetMax.asInstanceOf[java.lang.Double].toString))
+            case FLOAT => Some(ColStat("double",
+              st.genericGetMin.asInstanceOf[java.lang.Float].toString,
+              st.genericGetMax.asInstanceOf[java.lang.Float].toString))
+            case _ => None
+          }
+        parsed match {
+          case Some(s) if !bad.contains(name) =>
+            acc.get(name) match {
+              case None => acc(name) = s
+              case Some(prev) => acc(name) = ColStat(s.kind,
+                if (BigDecimal(s.min) < BigDecimal(prev.min)) s.min else prev.min,
+                if (BigDecimal(s.max) > BigDecimal(prev.max)) s.max else prev.max)
+            }
+          case _ =>
+            bad += name
+            acc.remove(name): Unit
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Manifest-level file skipping: read `version` touching ONLY the files
+    * whose footer min/max could satisfy every `ranges` entry
+    * (column, lo, hi). The decision runs driver-side on the manifest —
+    * zero data IO for skipped files, the same metadata pruning
+    * Delta/Iceberg data skipping performs. Files missing stats for a
+    * named column always survive (skipping is an optimization, never a
+    * filter), so callers still apply the real predicate on the result —
+    * exactly like partition pruning composes with row filters. Pays off
+    * after [[zorderBy]]: each z-range file bounds a small hyper-rectangle
+    * in BOTH clustering dimensions, so a selective range on EITHER
+    * column prunes most files. */
+  def readPruned(version: Long,
+                 ranges: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
+    val c = commitAt(version)
+    val live = c.files.filter { f =>
+      ranges.forall { case (col, lo, hi) =>
+        f.stats.get(col).forall(_.overlaps(lo, hi))
+      }
+    }
+    if (live.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], c.schema)
+    else
+      spark.read.schema(c.schema).parquet(live.map(f => s"$root/${f.path}"): _*)
   }
 
   /** Publish version `parent+1` with the given FULL file list. Atomic
@@ -219,7 +319,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     node.put("schemaJson", schema.json)
     val arr = node.putArray("files")
     files.foreach { f =>
-      val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows): Unit
+      val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
+      if (f.stats.nonEmpty) {
+        val so = o.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
+          val co = so.putObject(col)
+          co.put("kind", s.kind); co.put("min", s.min); co.put("max", s.max): Unit
+        }
+      }
     }
     val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp.toPath, mapper.writeValueAsBytes(node))

@@ -51,7 +51,7 @@ object ExplainDump {
     // hour-bucket range blocking).
     "scan_time_travel", "upsert_keep_latest",
     "join_asof_forward", "join_asof_nearest", "join_range",
-    "scan_table_changes", "scan_table_changes_diff")
+    "scan_table_changes", "scan_table_changes_diff", "scan_file_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -699,6 +699,18 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one scan (the appended files): $plan")
   }
 
+  test("scan_file_skipping: the declared frame reads a strict subset of the z-range files") {
+    val df = SparkEntry.queries("scan_file_skipping")(spark, sf)
+    // The zordered version holds 32 z-range files; manifest min/max
+    // pruning on the 10% user slice must drop files BEFORE the scan —
+    // inputFiles is the file list the plan will actually touch.
+    val n = df.inputFiles.length
+    assert(n > 0 && n < 32, s"expected a strict subset of 32 z-range files, got $n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"skipping read must stay scan+filter+order: $plan")
+  }
+
   test("scan_table_changes_diff: snapshot diff aggregates partial+final, never a nested loop") {
     val plan = executed("scan_table_changes_diff")
     // the exceptAll fallback compares full rows by hash: aggregates (or

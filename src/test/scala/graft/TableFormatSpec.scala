@@ -104,6 +104,45 @@ class TableFormatSpec extends SparkSpec {
       .collect().toSet == chg)
   }
 
+  test("readPruned: manifest min/max skips files, loses no rows, stays pessimistic") {
+    import spark.implicits._
+    // 1000 ids written as 10 range-ordered files -> tight per-file id stats
+    val t = GraftTable.create(spark, tmpRoot("skip"),
+      spark.range(1000).toDF("id").repartitionByRange(10, $"id"))
+    val c = t.commitAt(1)
+    assert(c.files.size == 10)
+    // stats landed in the manifest (and survive the JSON round trip)
+    assert(c.files.forall(_.stats.contains("id")))
+    val pruned = t.readPruned(1, Seq(("id", BigDecimal(150), BigDecimal(250))))
+    // skipping: a 10% range touches ~2 of 10 files, never all of them
+    assert(pruned.inputFiles.length < 10 && pruned.inputFiles.nonEmpty)
+    // no row loss: pruned + real predicate == full scan + real predicate
+    val want = t.read(1).filter($"id".between(150, 250))
+      .as[Long].collect().sorted.toSeq
+    assert(pruned.filter($"id".between(150, 250))
+      .as[Long].collect().sorted.toSeq == want)
+    // a column with no stats never prunes (pessimistic default)
+    assert(t.readPruned(1, Seq(("no_such_col", BigDecimal(0), BigDecimal(1))))
+      .inputFiles.length == 10)
+    // a fully-disjoint range prunes everything and stays readable
+    assert(t.readPruned(1, Seq(("id", BigDecimal(5000), BigDecimal(6000)))).isEmpty)
+  }
+
+  test("zorderBy + readPruned: either clustering dimension prunes z-range files") {
+    import spark.implicits._
+    val df = spark.range(4096).select(
+      ($"id" % 64).cast("long").as("x"), ($"id" / 64).cast("long").as("y"))
+    val t = GraftTable.create(spark, tmpRoot("zskip"), df)
+    t.zorderBy(col("x").cast("int"), col("y").cast("int"), nFiles = 16)
+    val full = t.commitAt(2).files.size
+    val byX = t.readPruned(2, Seq(("x", BigDecimal(0), BigDecimal(7))))
+    val byY = t.readPruned(2, Seq(("y", BigDecimal(0), BigDecimal(7))))
+    assert(byX.inputFiles.length < full, s"x-range read all $full files")
+    assert(byY.inputFiles.length < full, s"y-range read all $full files")
+    assert(byX.filter($"x" <= 7).count() == 64 * 8)
+    assert(byY.filter($"y" <= 7).count() == 64 * 8)
+  }
+
   test("optimistic concurrency: exactly one of two racing writers wins") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpRoot("occ"), spark.range(5).toDF("id"))

@@ -365,6 +365,52 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     0L // unreachable
   }
 
+  /** Schema-evolving append (Delta `mergeSchema`): commit the UNION of the
+    * table's current schema and the batch's — existing data files are
+    * untouched (columns they lack read as null under the wider manifest
+    * schema, standard parquet missing-column semantics), the batch is
+    * aligned to the union column order before writing, and earlier
+    * versions keep their own narrower schema (time travel reads each
+    * version with the schema it committed). Only ADDITIVE evolution is
+    * accepted — a batch column whose name exists with a different type is
+    * refused, because silently coercing types is how production lakehouse
+    * tables rot. */
+  def appendEvolve(df: DataFrame, operation: String = "append_evolve"): Long = {
+    var attempt = 0
+    var written: Option[(Seq[ManifestFile], StructType)] = None
+    while (true) {
+      val parent = latestVersion
+      val base = if (parent == 0) Seq.empty else commitAt(parent).files
+      val baseSchema =
+        if (parent == 0) new StructType() else commitAt(parent).schema
+      val conflicts = df.schema.filter(f =>
+        baseSchema.find(_.name == f.name).exists(_.dataType != f.dataType))
+      require(conflicts.isEmpty,
+        s"appendEvolve refuses type changes on ${conflicts.map(_.name).mkString(", ")}")
+      val merged = StructType(baseSchema.fields ++
+        df.schema.fields.filterNot(f => baseSchema.fieldNames.contains(f.name)))
+      // align the batch to the union: missing table columns become nulls
+      val aligned = df.select(merged.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      // write once; a lost race rebases the same files (schema re-merged
+      // against the new parent — unions are associative, so this is safe)
+      val files = written match {
+        case Some((fs, s)) if s == merged => fs
+        case _ =>
+          val fs = writeData(aligned); written = Some((fs, merged)); fs
+      }
+      try return commit(parent, operation, base ++ files, merged)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 32) throw e
+      }
+    }
+    0L // unreachable
+  }
+
   /** Full-snapshot replace (CTAS-into-version / merge result commit).
     * Single attempt from the caller's `parent` snapshot: replacing content
     * does NOT commute with concurrent writes, so a lost race must surface

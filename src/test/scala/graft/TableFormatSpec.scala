@@ -104,6 +104,28 @@ class TableFormatSpec extends SparkSpec {
       .collect().toSet == chg)
   }
 
+  test("appendEvolve: additive schema evolution, old files read as null, versions keep their schema") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("evo"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // batch adds a column and omits an existing one
+    t.appendEvolve(Seq((3L, 0.5)).toDF("id", "score"))
+    assert(t.latestVersion == 2)
+    val v2 = t.read(2)
+    assert(v2.columns.toSeq == Seq("id", "name", "score"))
+    val rows = v2.select($"id", $"name", $"score")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(rows == Set((1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, None, Some(0.5))))
+    // time travel keeps version 1's narrower schema
+    assert(t.read(1).columns.toSeq == Seq("id", "name"))
+    // type changes are refused, not coerced
+    intercept[IllegalArgumentException] {
+      t.appendEvolve(Seq(1).toDF("name"), "bad"): Unit // int vs string
+    }
+    assert(t.latestVersion == 2) // the refused commit left no version
+  }
+
   test("readPruned: manifest min/max skips files, loses no rows, stays pessimistic") {
     import spark.implicits._
     // 1000 ids written as 10 range-ordered files -> tight per-file id stats

@@ -152,6 +152,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   /** Snapshot read of the latest version. */
   def read(): DataFrame = read(latestVersion)
 
+  /** Read an explicit file subset under the given schema (empty subset →
+    * empty frame with the right schema — a zero-candidate merge or a
+    * fully-pruned scan must still plan). */
+  private def readFiles(schema: StructType, files: Seq[ManifestFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+
   /** Time-travel read: the table exactly as of `version`. Data files are
     * immutable, so this is byte-identical to what a reader saw then (until
     * [[vacuum]] drops versions below its retention). Explicit schema from
@@ -159,10 +168,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * between versions resolves per-version, not by directory inference. */
   def read(version: Long): DataFrame = {
     val c = commitAt(version)
-    if (c.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], c.schema)
-    else
-      spark.read.schema(c.schema).parquet(c.files.map(f => s"$root/${f.path}"): _*)
+    readFiles(c.schema, c.files)
   }
 
   /** Incremental read — the rows that changed between two committed
@@ -245,9 +251,27 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       b.getColumns.forEach { c =>
         val name = c.getPath.toDotString
         val st = c.getStatistics
+        // INT32/INT64 raw values equal the logical domain only for plain
+        // (signed) ints, epoch-based timestamps, and epoch-day dates — all
+        // order-AND-value-preserving. DECIMAL-annotated ints store the
+        // UNSCALED value, so recording it as the logical min/max would let
+        // a future pruning call skip files that DO contain qualifying rows
+        // (silent wrong answers). Unsigned annotations reorder across the
+        // sign bit. Both are refused here: no stat beats a wrong stat.
+        val intDomainSafe: Boolean = {
+          import org.apache.parquet.schema.LogicalTypeAnnotation._
+          c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case null => true
+            case i: IntLogicalTypeAnnotation => i.isSigned
+            case _: TimestampLogicalTypeAnnotation => true
+            case _: DateLogicalTypeAnnotation => true
+            case _ => false
+          }
+        }
         val parsed: Option[ColStat] =
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else c.getPrimitiveType.getPrimitiveTypeName match {
+            case INT64 | INT32 if !intDomainSafe => None
             case INT64 => Some(ColStat("long",
               st.genericGetMin.asInstanceOf[java.lang.Long].toString,
               st.genericGetMax.asInstanceOf[java.lang.Long].toString))
@@ -298,10 +322,71 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         f.stats.get(col).forall(_.overlaps(lo, hi))
       }
     }
-    if (live.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], c.schema)
-    else
-      spark.read.schema(c.schema).parquet(live.map(f => s"$root/${f.path}"): _*)
+    readFiles(c.schema, live)
+  }
+
+  /** Copy-on-write file selection for the merge family: split `c`'s files
+    * into (touched, carried) against the merge batch's key values.
+    * `touched` = every file that COULD hold a row whose key appears in the
+    * batch (these are read and rewritten); `carried` = files whose footer
+    * key-range provably excludes all batch keys — they pass into the next
+    * manifest BY REFERENCE, zero bytes read or written. This is what makes
+    * a merge cost O(batch), not O(table): at 100 TB a daily upsert touching
+    * 0.1% of the key space rewrites ~0.1% of the files (post-clustering),
+    * not a daily 100-TB rewrite — Delta MERGE's file-pruning step, driven
+    * here by the per-file min/max the manifests already carry.
+    *
+    * Candidate selection is DISTRIBUTED: the manifest's (file, lo, hi)
+    * ranges — driver metadata, thousands of entries — broadcast against
+    * the batch's distinct keys in an interval-membership join, and only
+    * the touched FILE IDS (bounded by the file count) return to the
+    * driver. No batch key ever lands driver-side, so a 10^9-row batch
+    * plans the same way a 10-row batch does. (With millions of files the
+    * interval set itself would be bucketed by range before the join; at
+    * manifest scale the flat broadcast is the right plan.)
+    *
+    * Soundness over completeness, always erring toward "touched":
+    *  - a file with no stats for the pruning key is always touched
+    *    (absent stats mean "cannot skip", per [[ColStat]]);
+    *  - footer min/max say nothing about NULLs, so a batch containing a
+    *    NULL key degrades to full rewrite rather than guess;
+    *  - no key column with stats at all (e.g. string keys) → full
+    *    rewrite, exactly the pre-COW behavior.
+    * Pruning uses the FIRST key column that any file carries stats for;
+    * intersecting several stat-bearing key columns would prune strictly
+    * more files and stays sound (per-column tests are each a superset of
+    * the true tuple containment) — single-column is the 80% cut. */
+  private def cowSplit(c: TableCommit, batch: DataFrame, keys: Seq[String])
+      : (Seq[ManifestFile], Seq[ManifestFile]) = {
+    if (c.files.isEmpty) return (Seq.empty, Seq.empty)
+    keys.find(k => c.files.exists(_.stats.contains(k))) match {
+      case None => (c.files, Seq.empty)
+      case Some(k) =>
+        val kind = c.files.iterator.flatMap(_.stats.get(k)).next().kind
+        val sqlType = if (kind == "long") "bigint" else "double"
+        val keyed = batch.select(col(k).cast(sqlType).as("__k"))
+        if (!keyed.filter(col("__k").isNull).isEmpty) return (c.files, Seq.empty)
+        val (statless, statted) = c.files.partition(f => !f.stats.contains(k))
+        val session = spark
+        import session.implicits._
+        val rangesDf =
+          if (kind == "long")
+            statted.zipWithIndex.map { case (f, i) =>
+              val s = f.stats(k); (i, s.min.toLong, s.max.toLong)
+            }.toDF("__fid", "__lo", "__hi")
+          else
+            statted.zipWithIndex.map { case (f, i) =>
+              val s = f.stats(k); (i, s.min.toDouble, s.max.toDouble)
+            }.toDF("__fid", "__lo", "__hi")
+        val touchedIds = keyed.distinct()
+          .join(broadcast(rangesDf),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select(col("__fid")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val (touchedStatted, carried) =
+          statted.zipWithIndex.partition { case (_, i) => touchedIds(i) }
+        (statless ++ touchedStatted.map(_._1), carried.map(_._1))
+    }
   }
 
   /** Publish version `parent+1` with the given FULL file list. Atomic
@@ -427,12 +512,26 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * lost mid-write recomputes from files that still exist (the
     * non-transactional dynamic-overwrite path had to stage a durable copy
     * first; see [[graft.upsert.KeepLatest.upsertPartitions]]). One shuffle
-    * on the key columns, exactly like the pure-query form. */
+    * on the key columns, exactly like the pure-query form.
+    *
+    * COPY-ON-WRITE: only files whose footer key-range intersects the
+    * batch's keys are read and rewritten ([[cowSplit]]); every other file
+    * is carried into the new manifest by reference — bytes merged scale
+    * with the BATCH, not the table. Requires (and preserves) the MERGE
+    * invariant that the parent snapshot holds at most one row per key —
+    * true for any table maintained through this method (the merge itself
+    * keeps one row per key) or built from a keep-latest base. A parent
+    * with duplicate keys OUTSIDE the batch would keep those duplicates
+    * (the old full-union form incidentally deduped them; Delta MERGE
+    * likewise treats a multi-match target as an error, not a cleanup). */
   def upsertKeepLatest(batch: DataFrame, keys: Seq[String],
                        ordering: Seq[Column]): Long = {
     val parent = latestVersion
-    val merged = KeepLatest.keepLatest(read(parent).unionByName(batch), keys, ordering)
-    commit(parent, "upsert_keep_latest", writeData(merged), merged.schema)
+    val c = commitAt(parent)
+    val (touched, carried) = cowSplit(c, batch, keys)
+    val merged = KeepLatest.keepLatest(
+      readFiles(c.schema, touched).unionByName(batch), keys, ordering)
+    commit(parent, "upsert_keep_latest", carried ++ writeData(merged), c.schema)
   }
 
   /** Transactional CDC apply: merge an insert/update/delete change batch
@@ -443,16 +542,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * ordered by time compose: applying two half-streams in order equals
     * applying the whole stream (TableFormatSpec asserts this). Same single
     * keyed shuffle as [[upsertKeepLatest]] — the delete filter is
-    * row-local after the window. */
+    * row-local after the window.
+    *
+    * COPY-ON-WRITE like [[upsertKeepLatest]]: candidate files come from
+    * ALL change keys — deletes included, since removing a key means
+    * rewriting the file that holds it — and state files outside the
+    * batch's key-range ride into the new manifest untouched. */
   def cdcApply(changes: DataFrame, keys: Seq[String], ordering: Seq[Column],
                opCol: String = "op"): Long = {
     val parent = latestVersion
-    val state = read(parent).withColumn(opCol, lit("U"))
+    val c = commitAt(parent)
+    val (touched, carried) = cowSplit(c, changes, keys)
+    val state = readFiles(c.schema, touched).withColumn(opCol, lit("U"))
     val merged = KeepLatest
       .keepLatest(state.unionByName(changes), keys, ordering)
       .filter(col(opCol) =!= "D")
       .drop(opCol)
-    commit(parent, "cdc_apply", writeData(merged), merged.schema)
+    commit(parent, "cdc_apply", carried ++ writeData(merged), c.schema)
   }
 
   /** Transactional SCD Type-2 merge: fold a batch of attribute-change rows
@@ -472,7 +578,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
                 tieCols: Seq[String]): Long = {
     import org.apache.spark.sql.expressions.Window
     val parent = latestVersion
-    val history = read(parent)
+    val c = commitAt(parent)
+    // COW: only files that can hold a touched key's rows are rewritten.
+    // Closed rows pass through the merge logic unchanged anyway, so the
+    // only rows that MUST be visible to it are touched keys' current rows
+    // — and those live in `touched` by the stats-soundness guarantee.
+    // Untouched-key rows inside touched files flow through the
+    // !is_current / untouchedCurrent branches byte-equal.
+    val (touched, carried) = cowSplit(c, batch, keys)
+    val history = readFiles(c.schema, touched)
     val orderCols = (tsCol +: tieCols).map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     val newRows = batch
@@ -493,7 +607,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .unionByName(closed)
       .unionByName(untouchedCurrent)
       .unionByName(newRows.select(history.columns.map(col): _*))
-    commit(parent, "scd2_apply", writeData(merged), history.schema)
+    commit(parent, "scd2_apply", carried ++ writeData(merged), c.schema)
   }
 
   /** Bin-packed small-file compaction — the physical rewrite behind the
@@ -543,22 +657,39 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * below `retainFrom`, then delete any file under `data/` absent from
     * every surviving manifest (this also sweeps orphans from crashed or
     * conflict-losing writers). Time travel below `retainFrom` is gone
-    * afterwards — the usual lakehouse retention trade. */
-  def vacuum(retainFrom: Long): Unit = {
+    * afterwards — the usual lakehouse retention trade.
+    *
+    * `minAgeMs` is the in-flight-writer guard (Delta's vacuum retention
+    * window): an UNCOMMITTED writer's freshly-written files are, by
+    * construction, referenced by no manifest — indistinguishable from
+    * crash orphans by the log alone. Age disambiguates: an unreferenced
+    * file younger than the horizon may belong to a merge that is about to
+    * commit, so it survives; older than any plausible write duration, it
+    * is garbage. Without the guard, vacuum racing a live writer deletes
+    * files the writer's imminent commit will reference — a manifest
+    * pointing at deleted data, i.e. silent data loss. Pass `0` only when
+    * the caller can assert exclusive access (tests, offline maintenance). */
+  def vacuum(retainFrom: Long, minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Unit = {
     versions.filter(_ < retainFrom).foreach(v => Files.deleteIfExists(manifestPath(v).toPath))
     val live = versions.flatMap(v => commitAt(v).files.map(_.path)).toSet
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)
     val dataRoot = new File(root, "data")
+    val horizon = System.currentTimeMillis() - minAgeMs
     walk(dataRoot).foreach { f =>
       val rel = dataRoot.getParentFile.toPath.relativize(f.toPath).toString
-      if (f.getName.endsWith(".parquet") && !live.contains(rel)) f.delete(): Unit
+      if (f.getName.endsWith(".parquet") && !live.contains(rel) &&
+          f.lastModified() <= horizon) f.delete(): Unit
     }
   }
 }
 
 object GraftTable {
+
+  /** Default vacuum in-flight-writer horizon: no single write job should
+    * take a day; anything unreferenced AND older is safe to sweep. */
+  val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
 
   /** Create a new table at `root` (must not already hold a log) with `df`
     * as version 1. */

@@ -221,8 +221,9 @@ class TableFormatSpec extends SparkSpec {
     // simulate a writer that died after writing data but before committing
     spark.range(100, 110).toDF("id").write.parquet(s"$root/data/d-orphan")
     assert(t.read().count() == 4)
-    // vacuum reclaims the orphans without touching live files
-    t.vacuum(retainFrom = 1)
+    // vacuum reclaims the orphans without touching live files (minAgeMs=0:
+    // this test IS the exclusive-access maintenance case)
+    t.vacuum(retainFrom = 1, minAgeMs = 0)
     assert(!new File(s"$root/data/d-orphan").listFiles().exists(_.getName.endsWith(".parquet")))
     assert(t.read().count() == 4)
   }
@@ -299,12 +300,142 @@ class TableFormatSpec extends SparkSpec {
     }
   }
 
+  // ---- round-12: file-pruned copy-on-write merges -------------------------
+
+  /** A key-range-clustered base table: 8 files with disjoint id ranges
+    * (range repartition → per-file footer min/max are tight), so a
+    * narrow-key batch must leave most files untouched BY PATH IDENTITY. */
+  private def rangedBase(tag: String, n: Long = 1000): GraftTable = {
+    import spark.implicits._
+    val df = spark.range(n).toDF("id")
+      .withColumn("v", ($"id" * 10).cast("long"))
+      .repartitionByRange(8, col("id"))
+    GraftTable.create(spark, tmpRoot(tag), df)
+  }
+
+  test("upsertKeepLatest COW: untouched files carried by path identity") {
+    import spark.implicits._
+    val t = rangedBase("cow")
+    val v1 = t.commitAt(1).files
+    assert(v1.size == 8 && v1.forall(_.stats.contains("id")))
+    // batch touches only ids 10..40 — one or two of the eight range files
+    val batch = spark.range(10, 41).toDF("id")
+      .withColumn("v", lit(999999L))
+    t.upsertKeepLatest(batch, Seq("id"), Seq($"v".desc))
+    val v2 = t.commitAt(2).files
+    val carried = v1.map(_.path).toSet intersect v2.map(_.path).toSet
+    // >= 6 of 8 original files must survive AS THE SAME FILES (no rewrite)
+    assert(carried.size >= 6, s"expected >=6 carried files, got $carried")
+    // and files whose id-range excludes [10,40] are carried EXACTLY
+    val untouchable = v1.filter { f =>
+      val s = f.stats("id"); s.max.toLong < 10 || s.min.toLong > 40
+    }.map(_.path).toSet
+    assert(untouchable.subsetOf(carried))
+    // semantics unchanged: equals keep-latest over the full union
+    assert(t.read().filter($"id".between(10, 40) && $"v" =!= 999999L).isEmpty)
+    assert(t.read().count() == 1000)
+    assert(t.read().filter($"v" === 999999L).count() == 31)
+  }
+
+  test("cdcApply COW: deletes prune to their files; carried set untouched") {
+    import spark.implicits._
+    val t = rangedBase("cowcdc")
+    val v1 = t.commitAt(1).files
+    // delete ids 0..9, upsert id 500 — touches at most two range files.
+    // ordering = v desc, so change rows carry v above any state row's.
+    val changes = Seq.tabulate(10)(i => (i.toLong, 900000L, "D")) :+ ((500L, 999999L, "U"))
+    val cdf = changes.toDF("id", "v", "op")
+    t.cdcApply(cdf, Seq("id"), Seq($"v".desc), opCol = "op")
+    val v2 = t.commitAt(2).files
+    val carried = v1.map(_.path).toSet intersect v2.map(_.path).toSet
+    assert(carried.size >= 6, s"expected >=6 carried files, got $carried")
+    assert(t.read().count() == 990)
+    assert(t.read().filter($"id" < 10).isEmpty)
+    assert(t.read().filter($"id" === 500).select($"v").as[Long].head() == 999999L)
+  }
+
+  test("scd2Apply COW: closed history files carried by path identity") {
+    import spark.implicits._
+    val w = Window.partitionBy($"id").orderBy($"valid_from", $"tie")
+    // history of 1000 keys at ts=1, all current, range-clustered on id
+    val hist = spark.range(1000).toDF("id")
+      .withColumn("valid_from", lit(1L)).withColumn("tie", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+      .repartitionByRange(8, col("id"))
+    val t = GraftTable.create(spark, tmpRoot("cowscd"), hist)
+    val v1 = t.commitAt(1).files
+    val batch = Seq((42L, 5L, 1L), (43L, 6L, 1L)).toDF("id", "ts", "tie")
+    t.scd2Apply(batch, Seq("id"), "ts", Seq("tie"))
+    val v2 = t.commitAt(2).files
+    val carried = v1.map(_.path).toSet intersect v2.map(_.path).toSet
+    assert(carried.size >= 6, s"expected >=6 carried files, got $carried")
+    // equality with the full-history window on the union
+    val expect = sortedRows(
+      spark.range(1000).toDF("id").withColumn("ts", lit(1L)).withColumn("tie", lit(0L))
+        .unionByName(batch.withColumn("tie", lit(1L)))
+        .withColumn("valid_from", $"ts")
+        .withColumn("valid_to", lead($"ts", 1).over(
+          Window.partitionBy($"id").orderBy($"ts", $"tie")))
+        .withColumn("is_current", $"valid_to".isNull)
+        .select($"id", $"valid_from", $"tie", $"valid_to", $"is_current"))
+    val got = sortedRows(t.read().select($"id", $"valid_from", $"tie", $"valid_to", $"is_current"))
+    assert(got == expect)
+    assert(t.read().filter($"id" === 42L).count() == 2)
+    assert(t.read().filter($"id" === 42L && !$"is_current").count() == 1)
+  }
+
+  test("COW degrades soundly: NULL batch keys and stat-less key columns") {
+    import spark.implicits._
+    // NULL key in the batch → full rewrite (stats are null-blind), correct result
+    val t1 = rangedBase("cownull")
+    val bschema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "long")
+    val batch = spark.createDataFrame(java.util.Arrays.asList(
+      Row(5L, 111L), Row(null, 222L)), bschema)
+    t1.upsertKeepLatest(batch, Seq("id"), Seq($"v".desc))
+    assert(t1.read().count() == 1001) // null key is its own group
+    assert(t1.read().filter($"id".isNull).count() == 1)
+    assert(t1.read().filter($"id" === 5L).select($"v").as[Long].head() == 111L)
+    // string keys carry no footer stats in the manifest → full rewrite, correct
+    val t2 = GraftTable.create(spark, tmpRoot("cowstr"),
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    assert(t2.commitAt(1).files.forall(f => !f.stats.contains("k")))
+    t2.upsertKeepLatest(Seq(("b", 9L)).toDF("k", "v"), Seq("k"), Seq($"v".desc))
+    assert(sortedRows(t2.read()) == sortedRows(Seq(("a", 1L), ("b", 9L)).toDF("k", "v")))
+  }
+
+  test("vacuum minAge guard: an in-flight writer's files survive the sweep") {
+    import spark.implicits._
+    val root = tmpRoot("vacage")
+    val t = GraftTable.create(spark, root, spark.range(4).toDF("id"))
+    // an in-flight writer: data written (fresh mtime), commit NOT yet published
+    val pending = spark.range(100, 104).toDF("id")
+    val m = classOf[GraftTable].getDeclaredMethod("writeData",
+      classOf[org.apache.spark.sql.Dataset[_]])
+    m.setAccessible(true)
+    val files = m.invoke(t, pending).asInstanceOf[Seq[graft.table.ManifestFile]]
+    // concurrent vacuum with the default horizon: must NOT delete the
+    // writer's fresh (yet unreferenced) files
+    t.vacuum(retainFrom = 1)
+    files.foreach(f => assert(new File(s"$root/${f.path}").exists(),
+      s"vacuum swept an in-flight writer's file ${f.path}"))
+    // the writer's commit then lands and the snapshot reads completely
+    t.commit(t.latestVersion, "late_append", t.commitAt(1).files ++ files,
+      pending.schema)
+    assert(t.read().as[Long].collect().sorted.toSeq ==
+      (0L until 4L) ++ (100L until 104L))
+    // aged-out orphans DO go: minAgeMs=0 sweeps nothing extra now (all live)
+    t.vacuum(retainFrom = t.latestVersion, minAgeMs = 0)
+    assert(t.read().count() == 8)
+  }
+
   test("vacuum drops pre-retention versions and their exclusive files") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpRoot("vac"), spark.range(10).toDF("id"))
     t.overwrite(spark.range(20).toDF("id"), parent = 1, operation = "rewrite")
     val v1Files = t.commitAt(1).files
-    t.vacuum(retainFrom = 2)
+    t.vacuum(retainFrom = 2, minAgeMs = 0)
     assert(t.versions == Seq(2L))
     v1Files.foreach(f => assert(!new File(s"${t.root}/${f.path}").exists()))
     assert(t.read().count() == 20)

@@ -178,27 +178,31 @@ object PipelineQueries extends QueryModule {
       t
     }
 
-  /** S15 — MANIFEST-LEVEL FILE SKIPPING over the zordered table
-    * ([[graft.table.GraftTable.readPruned]]): a selective user_id range
-    * resolves which of the 32 z-range files can contain qualifying rows
-    * from the MANIFEST's per-file min/max alone — skipped files cost
-    * zero IO, the Delta/Iceberg data-skipping read path. The real
-    * predicate still applies on top (skipping is an optimization, never
-    * a filter), so the oracle is simply the predicate on raw events;
-    * what the key proves cross-engine is that pruning loses no rows.
-    * The range bounds derive from max(user_id) with floor() on both
-    * sides, so the query is self-scaling across fixtures. PlanSpec
-    * gates that the declared frame reads a strict subset of the
-    * version's files. */
+  /** S15 — MANIFEST-LEVEL FILE SKIPPING over the zordered table, now
+    * through the DataSourceV2 surface ([[graft.table.GraftDataSource]]):
+    * the query is a plain `spark.read.format("graft")` + `.filter` —
+    * the user_id range predicate pushes into the scan builder
+    * (`SupportsPushDownFilters`), folds to a min/max range, and resolves
+    * which of the 32 z-range files can contain qualifying rows from the
+    * MANIFEST's per-file stats alone, AUTOMATICALLY (round 11 hand-passed
+    * the ranges to `readPruned`; round 12 retires that). Skipped files
+    * cost zero IO — the Delta/Iceberg data-skipping read path behind
+    * `VERSION AS OF`-style reads. Skipping is an optimization, never a
+    * filter: the pushed predicate is also a residual, so the oracle is
+    * simply the predicate on raw events; what the key proves cross-engine
+    * is that pruning loses no rows. Bounds derive from max(user_id) with
+    * floor() on both sides, so the query is self-scaling across fixtures.
+    * PlanSpec gates that the planned GraftV1Scan reads a strict subset
+    * of the version's files. */
   private def scanFileSkipping(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = zorderedEventsTable(spark, sfDir)
     val maxU = Option(t.read(2).agg(max($"user_id")).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val lo = BigDecimal(math.floor(0.10 * maxU).toLong)
-    val hi = BigDecimal(math.floor(0.20 * maxU).toLong)
-    t.readPruned(2L, Seq(("user_id", lo, hi)))
-      .filter($"user_id" >= lo.toLong && $"user_id" <= hi.toLong)
+    val lo = math.floor(0.10 * maxU).toLong
+    val hi = math.floor(0.20 * maxU).toLong
+    spark.read.format("graft").option("versionAsOf", 2).load(t.root)
+      .filter($"user_id" >= lo && $"user_id" <= hi)
       .orderBy($"user_id", $"event_type", $"event_id", $"ts", $"value")
   }
 

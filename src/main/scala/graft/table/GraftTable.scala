@@ -155,7 +155,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   /** Read an explicit file subset under the given schema (empty subset →
     * empty frame with the right schema — a zero-candidate merge or a
     * fully-pruned scan must still plan). */
-  private def readFiles(schema: StructType, files: Seq[ManifestFile]): DataFrame =
+  private[table] def readFiles(schema: StructType, files: Seq[ManifestFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
@@ -317,12 +317,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def readPruned(version: Long,
                  ranges: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
     val c = commitAt(version)
-    val live = c.files.filter { f =>
+    readFiles(c.schema, pruneFiles(version, ranges))
+  }
+
+  /** The file subset [[readPruned]] would touch — the manifest-pruning
+    * decision itself, exposed so the DataSourceV2 scan (and tests) can
+    * plan/assert on it without reading data. Same pessimistic contract:
+    * a file survives unless EVERY range provably excludes it. */
+  def pruneFiles(version: Long,
+                 ranges: Seq[(String, BigDecimal, BigDecimal)]): Seq[ManifestFile] = {
+    val c = commitAt(version)
+    c.files.filter { f =>
       ranges.forall { case (col, lo, hi) =>
         f.stats.get(col).forall(_.overlaps(lo, hi))
       }
     }
-    readFiles(c.schema, live)
   }
 
   /** Copy-on-write file selection for the merge family: split `c`'s files

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftTable, GraftV1Scan}
+
+/** The DataSourceV2 surface of the versioned table format (round-11
+  * verdict task 2): `spark.read.format("graft")` with `versionAsOf` time
+  * travel, and scan predicates pushing into manifest-level file skipping
+  * automatically — the SQL-facing replacement for hand-passed
+  * `readPruned` ranges.
+  */
+class DataSourceSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_dsv2_$tag").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  /** The GraftV1Scan the optimizer actually planned for `df`. */
+  private def plannedScan(df: DataFrame): GraftV1Scan = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        // after pushdown Spark wraps the V1 fallback scan
+        case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
+        case s => s
+      }
+    }
+    assert(scans.size == 1, s"expected one graft scan, got $scans")
+    scans.head.asInstanceOf[GraftV1Scan]
+  }
+
+  test("format(graft): latest read and versionAsOf time travel") {
+    import spark.implicits._
+    val root = tmpRoot("tt")
+    val t = GraftTable.create(spark, root, spark.range(10).toDF("id"))
+    t.append(spark.range(10, 15).toDF("id"))
+    val latest = spark.read.format("graft").load(root)
+    assert(latest.as[Long].collect().sorted.toSeq == (0L until 15L))
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(root)
+    assert(v1.as[Long].collect().sorted.toSeq == (0L until 10L))
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", 9).load(root).count()
+    }
+  }
+
+  test("predicate pushdown prunes files from the manifest before any IO") {
+    import spark.implicits._
+    val root = tmpRoot("prune")
+    // 8 range-clustered files: per-file id min/max are tight and disjoint
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", ($"id" * 3).cast("double"))
+      .repartitionByRange(8, $"id")
+    GraftTable.create(spark, root, df)
+    val q = spark.read.format("graft").load(root)
+      .filter($"id" >= 100 && $"id" <= 220)
+    val scan = plannedScan(q)
+    assert(scan.prunedFiles.size < 8 && scan.prunedFiles.nonEmpty,
+      s"expected a strict file subset, got ${scan.prunedFiles.size}")
+    // skipping loses no rows and the residual filter still applies
+    assert(q.count() == 121)
+    assert(q.agg(min($"id"), max($"id")).as[(Long, Long)].head() == ((100L, 220L)))
+    // BETWEEN on the double column prunes too (kind=double stats)
+    val qd = spark.read.format("graft").load(root).filter($"v" === 300.0)
+    assert(plannedScan(qd).prunedFiles.size < 8)
+    assert(qd.select($"id").as[Long].head() == 100L)
+  }
+
+  test("column pruning reaches the scan; unprunable filters stay sound") {
+    import spark.implicits._
+    val root = tmpRoot("cols")
+    val df = spark.range(100).toDF("id")
+      .withColumn("s", concat(lit("u"), $"id"))
+      .repartitionByRange(4, $"id")
+    GraftTable.create(spark, root, df)
+    val q = spark.read.format("graft").load(root)
+      .filter($"s" === "u7").select($"s")
+    val scan = plannedScan(q)
+    // string stats are not recorded → no pruning, but nothing breaks
+    assert(scan.prunedFiles.size == 4)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("s"))
+    assert(q.as[String].collect().toSeq == Seq("u7"))
+    // zero-column scan (count(*)) plans and counts correctly
+    assert(spark.read.format("graft").load(root).count() == 100)
+  }
+
+  test("timestamp predicates fold to epoch-micro ranges and prune") {
+    import spark.implicits._
+    val root = tmpRoot("ts")
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts")
+      .repartitionByRange(8, $"ts")
+    GraftTable.create(spark, root, ev)
+    val cut = "2024-01-20"
+    val q = spark.read.format("graft").load(root)
+      .filter($"ts" >= lit(cut).cast("timestamp_ntz"))
+    val scan = plannedScan(q)
+    assert(scan.prunedFiles.size < 8,
+      s"timestamp range should prune, got ${scan.prunedFiles.size}/8")
+    val expected = ev.filter($"ts" >= lit(cut).cast("timestamp_ntz")).count()
+    assert(q.count() == expected)
+  }
+}

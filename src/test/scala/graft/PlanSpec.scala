@@ -701,10 +701,23 @@ class PlanSpec extends SparkSpec {
 
   test("scan_file_skipping: the declared frame reads a strict subset of the z-range files") {
     val df = SparkEntry.queries("scan_file_skipping")(spark, sf)
-    // The zordered version holds 32 z-range files; manifest min/max
-    // pruning on the 10% user slice must drop files BEFORE the scan —
-    // inputFiles is the file list the plan will actually touch.
-    val n = df.inputFiles.length
+    // Round 12: the key reads through the DSv2 surface — the pushed
+    // user_id range must fold into manifest pruning INSIDE the planned
+    // scan. The zordered version holds 32 z-range files; the 10% user
+    // slice must resolve to a strict subset before any data IO.
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
+          case s => s
+        }
+    }
+    assert(scans.size == 1, s"expected exactly one graft scan: $scans")
+    val g = scans.head.asInstanceOf[graft.table.GraftV1Scan]
+    // the pushed predicate arrived: two range entries on user_id
+    assert(g.ranges.nonEmpty && g.ranges.forall(_._1 == "user_id"),
+      s"pushdown must fold the user_id range: ${g.ranges}")
+    val n = g.prunedFiles.size
     assert(n > 0 && n < 32, s"expected a strict subset of 32 z-range files, got $n")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),

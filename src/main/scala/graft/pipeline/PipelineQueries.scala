@@ -309,6 +309,44 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** The Hive-partitioned curated table behind `scan_partition_manifest`:
+    * `events` curated to the reference's yyyy/mm/dd calendar layout
+    * (`glue/job_wiki_curate.py:44-51`), committed as ONE transactional
+    * partitioned append whose manifest records every file's partition
+    * values. `repartition(partCols)` gives the writer one shuffle block
+    * per calendar day — day-exclusive files, the layout a 100-TB curate
+    * job wants (and what keeps the manifest at one entry per day-file,
+    * not tasks × days). */
+  private def partitionedEventsTable(spark: SparkSession, sfDir: String): graft.table.GraftTable =
+    builtTable(spark, sfDir, "pt") { dir =>
+      import spark.implicits._
+      val cur = Curate.curateTs(Tables.events(spark, sfDir))
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          $"yyyy", $"mm", $"dd")
+        .repartition($"yyyy", $"mm", $"dd")
+      graft.table.GraftTable.createPartitioned(
+        spark, dir, cur, Seq("yyyy", "mm", "dd"), operation = "curate")
+    }
+
+  /** S6b/P8c — PARTITION PRUNING OFF THE MANIFEST: a one-day slice of the
+    * table-format curated layout, read through the DSv2 surface. The
+    * `yyyy/mm/dd` equality predicates push into the scan builder and
+    * resolve against the per-file partition values RECORDED IN THE
+    * MANIFEST — no `MSCK REPAIR`, no catalog, no directory listing (the
+    * reference needs Glue's MSCK + catalog for exactly this; here the
+    * manifest is the partition index). PlanSpec gates that the planned
+    * scan holds only dd=3 files and that partition values, not footer
+    * stats, did the pruning. The oracle replays the calendar predicate
+    * on raw events. */
+  private def scanPartitionManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = partitionedEventsTable(spark, sfDir)
+    spark.read.format("graft").load(t.root)
+      .filter($"yyyy" === 2024 && $"mm" === 1 && $"dd" === 3)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   private val curatedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Curate `events` into a yyyy/mm/dd-partitioned parquet layout once per
@@ -381,6 +419,7 @@ object PipelineQueries extends QueryModule {
     "scan_table_changes"     -> scanTableChanges,
     "scan_table_changes_diff" -> scanTableChangesDiff,
     "scan_file_skipping"     -> scanFileSkipping,
+    "scan_partition_manifest" -> scanPartitionManifest,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
@@ -501,6 +540,10 @@ object PipelineQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "filter_partition_prune" ->
       """SELECT event_id, user_id FROM events
+        |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3
+        |ORDER BY event_id""".stripMargin,
+    "scan_partition_manifest" ->
+      """SELECT event_id, user_id, event_type, value FROM events
         |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3
         |ORDER BY event_id""".stripMargin,
     "filter_dynamic_prune" ->

@@ -46,6 +46,35 @@ object WikiPipeline {
     spark.read.parquet(curatedDir).count()
   }
 
+  /** [[runCurate]] routed through the versioned table format (round-11
+    * verdict task 3): the same yyyy/mm/dd Hive layout, but the write is a
+    * TRANSACTIONAL partitioned append
+    * ([[graft.table.GraftTable.appendPartitioned]]) — each daily run
+    * commits one table version whose manifest records every file's
+    * partition values, so the MSCK step disappears (nothing to repair:
+    * the manifest IS the partition index), day-slice reads prune on the
+    * manifest instead of a directory listing, and a crashed curate run
+    * leaves no torn half-written day visible to readers. Re-running a
+    * day appends a new version — the increment is exactly
+    * `changesBetween(v-1, v)`. Returns the committed version. */
+  def runCurateTable(spark: SparkSession, rawDir: String, tableRoot: String): Long = {
+    import spark.implicits._
+    val parsed = spark.read
+      .schema(WikiSchemas.raw)
+      .option("mode", "DROPMALFORMED")
+      .json(rawDir)
+      .filter($"id".isNotNull)
+      .withColumn("minor", coalesce($"minor", lit(false)))
+    val curated = Curate.curateEpoch(parsed)
+    val t = new java.io.File(tableRoot, "_graft_log").exists() match {
+      case true => graft.table.GraftTable.forPath(spark, tableRoot)
+      case false => return graft.table.GraftTable
+        .createPartitioned(spark, tableRoot, curated, Seq("yyyy", "mm", "dd"),
+          operation = "curate").latestVersion
+    }
+    t.appendPartitioned(curated, Seq("yyyy", "mm", "dd"), operation = "curate")
+  }
+
   /** The daily CTAS: (ds, title, user) edit counts for one target date
     * over the curated layout (partition-pruned scan). */
   def runDailyAggregate(spark: SparkSession, curatedDir: String,

@@ -37,9 +37,13 @@ final case class ColStat(kind: String, min: String, max: String) {
   * compaction planning without listing or opening data files; `stats`
   * carries per-column min/max for manifest-level file skipping
   * (Delta/Iceberg-style data skipping without changing the log
-  * protocol — exactly the extension the class doc promises). */
+  * protocol — exactly the extension the class doc promises); `partition`
+  * carries the file's Hive-style partition values (column → rendered
+  * value, parsed from the `k=v` path segments at write time) — partition
+  * pruning then runs on the MANIFEST, before stats, before any listing. */
 final case class ManifestFile(path: String, rows: Long,
-                              stats: Map[String, ColStat] = Map.empty)
+                              stats: Map[String, ColStat] = Map.empty,
+                              partition: Map[String, String] = Map.empty)
 
 /** One committed table version: the FULL file list as of this version (no
   * log replay needed — a reader resolves any snapshot from exactly one
@@ -139,7 +143,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         }
         m.toMap
       }.getOrElse(Map.empty[String, ColStat])
-      files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(), stats)
+      val partition = Option(f.get("partition")).map { p =>
+        val m = scala.collection.mutable.Map.empty[String, String]
+        p.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asText())
+        m.toMap
+      }.getOrElse(Map.empty[String, String])
+      files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(),
+        stats, partition)
     }
     TableCommit(
       version = n.get("version").asLong(),
@@ -154,12 +164,30 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
   /** Read an explicit file subset under the given schema (empty subset →
     * empty frame with the right schema — a zero-candidate merge or a
-    * fully-pruned scan must still plan). */
-  private[table] def readFiles(schema: StructType, files: Seq[ManifestFile]): DataFrame =
+    * fully-pruned scan must still plan).
+    *
+    * Hive-partitioned files (manifest `partition` non-empty) don't store
+    * their partition columns in the data, so they read with `basePath` =
+    * their write batch's root — Spark reconstructs the columns from the
+    * `k=v` path segments and casts them to the manifest schema's types.
+    * `basePath` is single-valued per read, so files group by write batch
+    * (the `data/d-<uuid>` prefix); the per-batch frames union — one plan
+    * branch per CONTRIBUTING COMMIT, not per file or per partition. */
+  private[table] def readFiles(schema: StructType, files: Seq[ManifestFile]): DataFrame = {
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val (parted, flat) = files.partition(_.partition.nonEmpty)
+    val flatDf =
+      if (flat.isEmpty) Seq.empty
+      else Seq(spark.read.schema(schema).parquet(flat.map(f => s"$root/${f.path}"): _*))
+    val partDfs = parted.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
+      .sortBy(_._1).map { case (batch, fs) =>
+        spark.read.option("basePath", s"$root/$batch").schema(schema)
+          .parquet(fs.map(f => s"$root/${f.path}"): _*)
+          .select(schema.fieldNames.map(n => col(n)).toSeq: _*)
+      }
+    (flatDf ++ partDfs).reduce(_.unionByName(_))
+  }
 
   /** Time-travel read: the table exactly as of `version`. Data files are
     * immutable, so this is byte-identical to what a reader saw then (until
@@ -201,12 +229,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val appendOnly = fromPaths.subsetOf(to.files.map(_.path).toSet)
     if (appendOnly) {
       val added = to.files.filterNot(f => fromPaths.contains(f.path))
-      val rows =
-        if (added.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
-        else spark.read.schema(to.schema)
-          .parquet(added.map(f => s"$root/${f.path}"): _*)
-      rows.withColumn("_change_type", lit("insert"))
+      readFiles(to.schema, added).withColumn("_change_type", lit("insert"))
     } else {
       read(vTo).exceptAll(read(vFrom)).withColumn("_change_type", lit("insert"))
         .unionByName(
@@ -216,23 +239,43 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
   /** Write `df` as new immutable data files under `data/<uuid>/`; return
     * their manifest entries (relative paths + footer row counts). Not yet
-    * visible to readers — files only become live when a manifest commits. */
-  private def writeData(df: DataFrame): Seq[ManifestFile] = {
+    * visible to readers — files only become live when a manifest commits.
+    *
+    * With `partitionBy` non-empty the batch lands Hive-layout
+    * (`.../k=v/part-*.parquet`), and each file's partition values — parsed
+    * once here from its path segments — are recorded IN THE MANIFEST, so
+    * partition pruning never re-derives them from a directory listing
+    * (the S3-LIST wall MSCK-style discovery pays on every query). */
+  private def writeData(df: DataFrame,
+                        partitionBy: Seq[String] = Seq.empty): Seq[ManifestFile] = {
     val sub = s"data/d-${UUID.randomUUID()}"
     val dir = s"$root/$sub"
-    df.write.parquet(dir)
+    if (partitionBy.isEmpty) df.write.parquet(dir)
+    else df.write.partitionBy(partitionBy: _*).parquet(dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new File(dir))
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+      .sortBy(_.getAbsolutePath)
       .map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         val (rows, stats) =
           try (r.getRecordCount, footerStats(r.getFooter)) finally r.close()
-        ManifestFile(s"$sub/${f.getName}", rows, stats)
-      }.toSeq
+        val rel = new File(dir).toPath.relativize(f.toPath).toString
+        val partition = rel.split('/').toSeq.dropRight(1)
+          .flatMap { seg =>
+            seg.split("=", 2) match {
+              case Array(k, v) => Some(k ->
+                java.net.URLDecoder.decode(v, java.nio.charset.StandardCharsets.UTF_8))
+              case _ => None
+            }
+          }.toMap
+        ManifestFile(s"$sub/$rel", rows, stats, partition)
+      }
   }
 
   /** Aggregate per-column min/max across a file's row groups from the
@@ -323,13 +366,22 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   /** The file subset [[readPruned]] would touch — the manifest-pruning
     * decision itself, exposed so the DataSourceV2 scan (and tests) can
     * plan/assert on it without reading data. Same pessimistic contract:
-    * a file survives unless EVERY range provably excludes it. */
+    * a file survives unless EVERY range provably excludes it. A column
+    * resolves against the file's PARTITION VALUE first (exact, one value
+    * per file — classic Hive partition pruning, but off the manifest
+    * instead of a directory listing), then against footer min/max;
+    * unparseable partition renderings (e.g. the null-partition marker)
+    * conservatively keep the file. */
   def pruneFiles(version: Long,
                  ranges: Seq[(String, BigDecimal, BigDecimal)]): Seq[ManifestFile] = {
     val c = commitAt(version)
     c.files.filter { f =>
       ranges.forall { case (col, lo, hi) =>
-        f.stats.get(col).forall(_.overlaps(lo, hi))
+        f.partition.get(col) match {
+          case Some(v) =>
+            scala.util.Try(BigDecimal(v)).toOption.forall(b => b >= lo && b <= hi)
+          case None => f.stats.get(col).forall(_.overlaps(lo, hi))
+        }
       }
     }
   }
@@ -421,6 +473,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           co.put("kind", s.kind); co.put("min", s.min); co.put("max", s.max): Unit
         }
       }
+      if (f.partition.nonEmpty) {
+        val po = o.putObject("partition")
+        f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v): Unit }
+      }
     }
     val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp.toPath, mapper.writeValueAsBytes(node))
@@ -445,6 +501,36 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * — no user data is re-read or re-written. */
   def append(df: DataFrame, operation: String = "append"): Long = {
     val newFiles = writeData(df)
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val base = if (parent == 0) Seq.empty else commitAt(parent).files
+      try return commit(parent, operation, base ++ newFiles, df.schema)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 32) throw e
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Hive-partitioned append: the batch lands in `k=v` calendar layout
+    * (the reference's curated-table shape, yyyy/mm/dd), each file's
+    * partition values are recorded in the manifest, and a day-slice read
+    * prunes to that day's files from ONE manifest JSON — no MSCK, no
+    * directory listing, no S3 LIST (the metadata path the reference
+    * needs Glue's `MSCK REPAIR TABLE` + catalog for). Same append-commute
+    * retry as [[append]]. `df` must carry the partition columns; they are
+    * reconstructed from the path segments at read time
+    * ([[readFiles]] basePath groups) and pruned on in [[pruneFiles]] and
+    * the DSv2 scan. */
+  def appendPartitioned(df: DataFrame, partitionBy: Seq[String],
+                        operation: String = "append_partitioned"): Long = {
+    require(partitionBy.nonEmpty, "appendPartitioned requires partition columns")
+    require(partitionBy.forall(df.columns.contains),
+      s"missing partition columns: ${partitionBy.filterNot(df.columns.contains)}")
+    val newFiles = writeData(df, partitionBy)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -707,6 +793,17 @@ object GraftTable {
     val t = new GraftTable(spark, root)
     require(t.latestVersion == 0, s"table already exists at $root")
     t.append(df, operation)
+    t
+  }
+
+  /** Create a new Hive-partitioned table at `root` with `df` as version 1
+    * (see [[GraftTable.appendPartitioned]]). */
+  def createPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partitionBy: Seq[String],
+                        operation: String = "create_partitioned"): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.latestVersion == 0, s"table already exists at $root")
+    t.appendPartitioned(df, partitionBy, operation)
     t
   }
 

@@ -89,6 +89,43 @@ class DataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 100)
   }
 
+  test("partitioned table: manifest records partition values; equality prunes") {
+    import spark.implicits._
+    val root = tmpRoot("part")
+    val df = spark.range(300).toDF("id")
+      .withColumn("dd", ($"id" % 3 + 1).cast("int"))
+      .withColumn("payload", concat(lit("p"), $"id"))
+    val t = GraftTable.createPartitioned(spark, root, df, Seq("dd"))
+    val c = t.commitAt(1)
+    // every file carries its partition value in the manifest
+    assert(c.files.nonEmpty && c.files.forall(_.partition.contains("dd")))
+    assert(c.files.map(_.partition("dd")).toSet == Set("1", "2", "3"))
+    // full read reconstructs the partition column from the path segments
+    val all = spark.read.format("graft").load(root)
+    assert(all.count() == 300)
+    assert(all.schema.fieldNames.toSeq == Seq("id", "dd", "payload"))
+    assert(all.filter($"dd" === 2).count() == 100)
+    // dd = 2 pushes down and prunes to EXACTLY the dd=2 files
+    val q = all.filter($"dd" === 2)
+    val scan = plannedScan(q)
+    assert(scan.prunedFiles.nonEmpty &&
+      scan.prunedFiles.forall(_.partition("dd") == "2"),
+      s"partition pruning must keep only dd=2 files: ${scan.prunedFiles}")
+    val dd2Files = c.files.count(_.partition("dd") == "2")
+    assert(scan.prunedFiles.size == dd2Files)
+    assert(q.select(sum($"id")).as[Long].head() ==
+      (0L until 300L).filter(_ % 3 == 1).sum)
+    // a second partitioned append (new batch dir) still reads coherently
+    t.appendPartitioned(spark.range(300, 310).toDF("id")
+      .withColumn("dd", lit(9).cast("int"))
+      .withColumn("payload", concat(lit("p"), $"id")), Seq("dd"))
+    val v2 = spark.read.format("graft").load(root)
+    assert(v2.count() == 310)
+    val q9 = v2.filter($"dd" === 9)
+    assert(plannedScan(q9).prunedFiles.forall(_.partition("dd") == "9"))
+    assert(q9.count() == 10)
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

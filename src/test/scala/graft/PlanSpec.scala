@@ -724,6 +724,29 @@ class PlanSpec extends SparkSpec {
       s"skipping read must stay scan+filter+order: $plan")
   }
 
+  test("scan_partition_manifest: the day slice prunes to dd=3 files off the manifest") {
+    val df = SparkEntry.queries("scan_partition_manifest")(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
+          case s => s
+        }
+    }
+    assert(scans.size == 1, s"expected exactly one graft scan: $scans")
+    val g = scans.head.asInstanceOf[graft.table.GraftV1Scan]
+    // partition VALUES did the pruning: every surviving file is the target
+    // day, and the table holds many days (the fixture spans a month)
+    assert(g.prunedFiles.nonEmpty &&
+      g.prunedFiles.forall(f => f.partition.get("dd").contains("3") &&
+        f.partition.get("mm").contains("1") && f.partition.get("yyyy").contains("2024")),
+      s"expected only yyyy=2024/mm=1/dd=3 files: ${g.prunedFiles.map(_.partition)}")
+    // and it IS a strict subset — the scan description carries n/total
+    val desc = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(g.description())
+    assert(desc.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"expected a strict file subset in ${g.description()}")
+  }
+
   test("scan_table_changes_diff: snapshot diff aggregates partial+final, never a nested loop") {
     val plan = executed("scan_table_changes_diff")
     // the exceptAll fallback compares full rows by hash: aggregates (or

@@ -412,9 +412,10 @@ class TableFormatSpec extends SparkSpec {
     // an in-flight writer: data written (fresh mtime), commit NOT yet published
     val pending = spark.range(100, 104).toDF("id")
     val m = classOf[GraftTable].getDeclaredMethod("writeData",
-      classOf[org.apache.spark.sql.Dataset[_]])
+      classOf[org.apache.spark.sql.Dataset[_]], classOf[Seq[_]])
     m.setAccessible(true)
-    val files = m.invoke(t, pending).asInstanceOf[Seq[graft.table.ManifestFile]]
+    val files = m.invoke(t, pending, Seq.empty[String])
+      .asInstanceOf[Seq[graft.table.ManifestFile]]
     // concurrent vacuum with the default horizon: must NOT delete the
     // writer's fresh (yet unreferenced) files
     t.vacuum(retainFrom = 1)

@@ -42,6 +42,33 @@ class WikiPipelineSpec extends SparkSpec {
     assert(rows2.map(_.getString(0)).toSeq === Seq("u1", "u2"))
   }
 
+  test("runCurateTable: transactional partitioned curate, manifest-pruned day slice") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wikit").toString
+    // day 1 (2024-01-01) then day 2 (2024-01-02): two curate runs = two versions
+    writeRaw(s"$base/raw1", Seq(
+      """{"id":1,"type":"edit","title":"A","user":"u1","bot":false,"timestamp":1704100000,"comment":"c","minor":false}""",
+      """{"id":2,"type":"edit","title":"B","user":"u2","bot":false,"timestamp":1704101000,"comment":"c","minor":false}"""))
+    writeRaw(s"$base/raw2", Seq(
+      """{"id":9,"type":"edit","title":"C","user":"u3","bot":false,"timestamp":1704190000,"comment":"c","minor":false}"""))
+    val tbl = s"$base/curated_tbl"
+    assert(WikiPipeline.runCurateTable(spark, s"$base/raw1", tbl) === 1L)
+    assert(WikiPipeline.runCurateTable(spark, s"$base/raw2", tbl) === 2L)
+    val t = graft.table.GraftTable.forPath(spark, tbl)
+    // the manifest IS the partition index: both days recorded, no MSCK
+    assert(t.commitAt(2).files.map(_.partition("dd")).toSet === Set("1", "2"))
+    // a day slice through the DSv2 surface prunes to that day's files
+    val day1 = spark.read.format("graft").load(tbl)
+      .filter($"yyyy" === 2024 && $"mm" === 1 && $"dd" === 1)
+    assert(day1.select($"title").as[String].collect().sorted.toSeq === Seq("A", "B"))
+    // the second run's increment is exactly changesBetween(1, 2)
+    val inc = t.changesBetween(1, 2)
+    assert(inc.count() === 1)
+    assert(inc.select($"title").as[String].head() === "C")
+    // day-2 re-run appends a new version; day-1 slice unchanged
+    assert(WikiPipeline.runCurateTable(spark, s"$base/raw2", tbl) === 3L)
+    assert(day1.count() === 2)
+  }
+
   test("a second day lands in its own serving partition, first day intact") {
     val base = java.nio.file.Files.createTempDirectory("graft_wiki2").toString
     writeRaw(s"$base/raw", Seq(

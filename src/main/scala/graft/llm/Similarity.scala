@@ -375,7 +375,12 @@ object Similarity extends QueryModule {
     * proves the candidate-join + exact-verify path emits real pairs. The
     * oracle replants the identical rows in SQL, so the hash contract
     * covers the planting too. */
-  private val PlantOffset = 10000000L
+  // Far above any plausible corpus id space (the wide geometry is run on
+  // 10^5–10^7-row corpora; at 10^7 the old 10^7 offset would collide
+  // planted ids with organic ones and break pair attribution even though
+  // the hash contract still passed — round-11 advice). 2^53-scale keeps
+  // exact in doubles AND DuckDB's BIGINT arithmetic.
+  private val PlantOffset = 1000000000000000L
   private val PlantN = 4
   private def plantedEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -51,7 +51,12 @@ object PipelineQueries extends QueryModule {
   private def builtTable(spark: SparkSession, sfDir: String, tag: String)(
       build: String => graft.table.GraftTable): graft.table.GraftTable =
     builtTables.getOrElseUpdate((sfDir, tag), {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_tbl_${tag}_${ProcessHandle.current.pid}_${sfDir.hashCode.toHexString}"
+      // collision-free dir per sfDir: hashCode could alias two distinct
+      // sfDirs to one path (and the second build would delete the first
+      // table's live files) — use a cryptographic digest of the full path
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_tbl_${tag}_${ProcessHandle.current.pid}_$digest"
       deleteRecursively(new java.io.File(dir))
       build(dir)
     })

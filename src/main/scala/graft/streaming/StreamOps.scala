@@ -79,6 +79,37 @@ object StreamOps {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .outputMode(OutputMode.Append)
 
+  /** T1/S13 — EXACTLY-ONCE sink into the versioned table format: each
+    * micro-batch commits as one [[graft.table.GraftTable]] version via
+    * [[graft.table.GraftTable.idempotentAppend]], carrying (appId,
+    * batchId) in the manifest. A crash between Spark's offsets and
+    * commits logs replays the batch WITH THE SAME ID on restart, and the
+    * txn marker makes the replay a no-op — exactly-once lands in the
+    * table's own transaction log instead of the file sink's
+    * `_spark_metadata` sidecar, so streaming output time-travels,
+    * merges, and CDF-reads like any batch commit (one log, not two —
+    * the Delta streaming-sink protocol). `appId` defaults to the
+    * checkpoint path: stable across restarts of the same pipeline,
+    * distinct across pipelines sharing a table. First batch creates the
+    * table. Per-batch cost is O(batch): one append commit, no
+    * read-merge. */
+  def tableSink(events: DataFrame, tableRoot: String, checkpoint: String,
+                appId: Option[String] = None): DataStreamWriter[Row] = {
+    val app = appId.getOrElse(checkpoint)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val t =
+          if (new java.io.File(tableRoot, "_graft_log").exists())
+            graft.table.GraftTable.forPath(spark, tableRoot)
+          else
+            graft.table.GraftTable.createEmpty(spark, tableRoot, batch.schema)
+        t.idempotentAppend(batch, app, batchId): Unit
+      }
+  }
+
   /** T5 — at-least-once dedup: duplicates within the watermark horizon are
     * dropped, state beyond it evicted. */
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,

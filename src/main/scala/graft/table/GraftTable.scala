@@ -48,13 +48,17 @@ final case class ManifestFile(path: String, rows: Long,
 /** One committed table version: the FULL file list as of this version (no
   * log replay needed — a reader resolves any snapshot from exactly one
   * manifest file), the schema it was written with, and the parent version
-  * the writer based its work on. */
+  * the writer based its work on. `txn` is the writer's idempotency token
+  * (application id, monotone batch id) — Delta's `txn` action — set by
+  * [[GraftTable.idempotentAppend]] so a replayed streaming micro-batch can
+  * be recognized and dropped. */
 final case class TableCommit(
     version: Long,
     parent: Long,
     operation: String,
     schema: StructType,
-    files: Seq[ManifestFile])
+    files: Seq[ManifestFile],
+    txn: Option[(String, Long)] = None)
 
 /** Minimal engine-native versioned table format — snapshot isolation,
   * time travel, and optimistic concurrency over plain parquet, in the
@@ -156,7 +160,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       parent = n.get("parent").asLong(),
       operation = n.get("operation").asText(),
       schema = DataType.fromJson(n.get("schemaJson").asText()).asInstanceOf[StructType],
-      files = files.toSeq)
+      files = files.toSeq,
+      txn = Option(n.get("txnApp")).map(a => (a.asText(), n.get("txnBatch").asLong())))
   }
 
   /** Snapshot read of the latest version. */
@@ -454,7 +459,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * create-if-absent via hard-link (see class doc); throws
     * [[ConcurrentCommitException]] if another writer took that version. */
   def commit(parent: Long, operation: String, files: Seq[ManifestFile],
-             schema: StructType): Long = {
+             schema: StructType, txn: Option[(String, Long)] = None): Long = {
     logDir.mkdirs()
     val version = parent + 1
     val node = mapper.createObjectNode()
@@ -463,6 +468,9 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     node.put("parent", parent)
     node.put("operation", operation)
     node.put("schemaJson", schema.json)
+    txn.foreach { case (app, batch) =>
+      node.put("txnApp", app); node.put("txnBatch", batch): Unit
+    }
     val arr = node.putArray("files")
     files.foreach { f =>
       val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
@@ -536,6 +544,53 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val parent = latestVersion
       val base = if (parent == 0) Seq.empty else commitAt(parent).files
       try return commit(parent, operation, base ++ newFiles, df.schema)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 32) throw e
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Latest batch id this application has committed, if any — resolved by
+    * scanning manifests newest-first for the app's most recent `txn`
+    * marker (bounded by retained history, exactly Delta's
+    * `setTransactions` lookup). */
+  def lastCommittedBatch(appId: String): Option[Long] =
+    versions.sorted.reverse.iterator
+      .map(v => commitAt(v).txn)
+      .collectFirst { case Some((app, batch)) if app == appId => batch }
+
+  /** EXACTLY-ONCE streaming append: commit the micro-batch as a table
+    * version carrying `(appId, batchId)` in the manifest; replaying a
+    * batch id the app has already committed is a NO-OP (returns the
+    * current version, writes nothing). This is the table-format half of
+    * streaming exactly-once: Structured Streaming's checkpoint replays a
+    * crashed batch with the SAME batch id, and the txn marker makes the
+    * replay idempotent — the same protocol Delta's streaming sink uses
+    * (txn action + idempotent writes), replacing the file-sink
+    * `_spark_metadata` log and unifying the stream's transaction log with
+    * the table's (streaming commits time-travel like any other version).
+    *
+    * Batch ids must arrive monotonically per app (Structured Streaming
+    * guarantees this from one checkpoint); the guard is `>=`, so any
+    * replayed prefix no-ops. The replay check runs BEFORE data is written
+    * — a recognized replay costs one manifest read, zero IO; the racing
+    * re-check inside the commit loop closes the window where a zombie
+    * twin of the same query commits between our check and our commit
+    * (the loser's files are unreferenced orphans, swept by [[vacuum]]). */
+  def idempotentAppend(df: DataFrame, appId: String, batchId: Long,
+                       operation: String = "stream_append"): Long = {
+    if (lastCommittedBatch(appId).exists(_ >= batchId)) return latestVersion
+    val newFiles = writeData(df)
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      if (lastCommittedBatch(appId).exists(_ >= batchId)) return parent
+      val base = if (parent == 0) Seq.empty else commitAt(parent).files
+      try return commit(parent, operation, base ++ newFiles, df.schema,
+        txn = Some((appId, batchId)))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1

@@ -25,6 +25,22 @@ import graft.Tables
   * HAVING, set ops (UNION ALL / INTERSECT / EXCEPT), and row_number
   * windows keyed by a unique ordering.
   *
+  * Round-12 grammar extensions (round-11 verdict task 6):
+  *  - OUTER joins (LEFT/FULL) with an extra ON-clause predicate on the
+  *    right side — exercises null extension, null-skipping column counts
+  *    and null group keys;
+  *  - correlated EXISTS / NOT EXISTS subqueries over the star edges;
+  *  - window functions beyond row_number: rank/dense_rank, lag, and
+  *    running/sliding ROWS frames, with EXPLICIT `NULLS FIRST` inside the
+  *    window ORDER BY (the engines' default null placement in window
+  *    order differs — exactly the class of divergence the fuzzer hunts);
+  *  - a NULL-DENSE mode: ~1/3 of single-table shapes wrap their source in
+  *    a CTE that deterministically NULLs one non-key int and one str
+  *    column on a pk modulus — the same SQL text on both engines, so
+  *    3-valued-logic filter/aggregate/group/order behavior is
+  *    differential (the raw fixtures are null-free, which left this
+  *    dimension untested through 800 round-11 cases).
+  *
   * Usage: runMain graft.tools.Fuzz [seed] [nCases] [sfDir] [outDir]
   * then:  python3 tools/check_oracle.py <sfDir> <outDir>
   */
@@ -126,11 +142,36 @@ object Fuzz {
   private def orderBy(cols: Seq[String]): String =
     "ORDER BY " + cols.map(c => s"$c ASC NULLS FIRST").mkString(", ")
 
+  /** Null-dense rendering of `t`: with p=1/3, a CTE that NULLs one
+    * non-key int and one str column wherever `pk % k = 0` — deterministic,
+    * engine-neutral (one SQL text), and column-name-preserving so every
+    * downstream generator piece works unchanged. Returns
+    * (ctePrefix, fromName). */
+  private def maybeNullDense(rnd: scala.util.Random, t: Tab): (String, String) = {
+    if (rnd.nextInt(3) != 0) return ("", t.name)
+    val nonKey = t.cols.filterNot(c => t.pk.contains(c.name))
+    val intC = nonKey.filter(_.kind == "int")
+    val strC = nonKey.filter(_.kind == "str")
+    val victims =
+      (if (intC.nonEmpty) Seq(pick(rnd, intC).name) else Seq.empty) ++
+      (if (strC.nonEmpty) Seq(pick(rnd, strC).name) else Seq.empty)
+    if (victims.isEmpty) return ("", t.name)
+    val k = 3 + rnd.nextInt(5)
+    val pk = t.pk.head
+    val sel = t.cols.map { c =>
+      if (victims.contains(c.name))
+        s"CASE WHEN $pk % $k = 0 THEN NULL ELSE ${c.name} END AS ${c.name}"
+      else c.name
+    }.mkString(", ")
+    (s"WITH src AS (SELECT $sel FROM ${t.name})\n", "src")
+  }
+
   /** One random query; always a (name-stable) total-order result. */
   private[graft] def genQuery(rnd: scala.util.Random): String =
-    rnd.nextInt(5) match {
-      case 0 => // filtered scan, totally ordered, limited
+    rnd.nextInt(8) match {
+      case 0 => // filtered scan, totally ordered, limited (± null-dense)
         val t = pick(rnd, baseTables)
+        val (cte, from) = maybeNullDense(rnd, t)
         val extra = (0 until 1 + rnd.nextInt(3)).map(_ => pick(rnd, t.cols).name)
         val cols = (t.pk ++ extra).distinct
         val sel = cols.map {
@@ -143,21 +184,22 @@ object Fuzz {
         // 11,785 duplicate groups, so "PK"-ordered LIMIT cut different
         // rows per engine). With all columns ordered, remaining ties are
         // full-row duplicates — any LIMIT cut yields the same multiset.
-        s"""SELECT ${sel.mkString(", ")}
-           |FROM ${t.name}
+        s"""${cte}SELECT ${sel.mkString(", ")}
+           |FROM $from
            |WHERE ${whereOf(rnd, t)}
            |${orderBy(cols)}
            |LIMIT ${200 + rnd.nextInt(800)}""".stripMargin
-      case 1 => // single-table aggregation (+ optional HAVING)
+      case 1 => // single-table aggregation (+ optional HAVING, ± null-dense)
         val t = pick(rnd, baseTables)
+        val (cte, from) = maybeNullDense(rnd, t)
         val nk = 1 + rnd.nextInt(2)
         val keys = (1 to nk).map(i => keyOf(rnd, t, "", s"k$i"))
         val aggs = (1 to 1 + rnd.nextInt(3)).map(i => aggOf(rnd, t, "", s"a$i"))
         val having =
           if (rnd.nextBoolean()) s"HAVING count(*) > ${rnd.nextInt(3)}" else ""
         val out = (1 to nk).map(i => s"k$i") ++ aggs.indices.map(i => s"a${i + 1}")
-        s"""SELECT ${(keys ++ aggs).mkString(", ")}
-           |FROM ${t.name}
+        s"""${cte}SELECT ${(keys ++ aggs).mkString(", ")}
+           |FROM $from
            |WHERE ${whereOf(rnd, t)}
            |GROUP BY ${(1 to nk).mkString(", ")}
            |$having
@@ -190,7 +232,85 @@ object Fuzz {
            |  $op
            |  SELECT $sel FROM ${t.name} WHERE ${whereOf(rnd, t)}
            |) u
-           |${orderBy(cols.distinct)}""".stripMargin
+           |${orderBy(cols.distinct)}
+           |LIMIT ${200 + rnd.nextInt(800)}""".stripMargin
+      case 5 => // OUTER join aggregation: null extension + null-skipping aggs
+        val (l, r, on) = pick(rnd, joins)
+        val full = rnd.nextBoolean()
+        val jt = if (full) "FULL JOIN" else "LEFT JOIN"
+        // an extra ON predicate on the RIGHT side widens the null-extended
+        // region (rows that matched the key but failed the residual)
+        val onExtra =
+          if (rnd.nextBoolean()) s" AND ${pred(rnd, r, "t2.")}" else ""
+        val k1 = keyOf(rnd, l, "t1.", "k1")
+        val k2 = keyOf(rnd, r, "t2.", "k2") // null-extended group key
+        val rInt = pick(rnd, r.cols.filter(_.kind == "int")).name
+        val aggs = Seq(
+          "CAST(count(*) AS BIGINT) AS a1",
+          // column-count SKIPS nulls — counts only matched rows
+          s"CAST(count(t2.$rInt) AS BIGINT) AS a2",
+          s"CAST(sum(t2.$rInt) AS BIGINT) AS a3")
+        // a WHERE on the left would collapse FULL back to LEFT semantics —
+        // only the LEFT variant takes one
+        val where = if (full) "" else s"WHERE ${whereOf(rnd, l, "t1.")}"
+        val out = Seq("k1", "k2", "a1", "a2", "a3")
+        s"""SELECT $k1, $k2, ${aggs.mkString(", ")}
+           |FROM ${l.name} t1 $jt ${r.name} t2 ON $on$onExtra
+           |$where
+           |GROUP BY 1, 2
+           |${orderBy(out)}""".stripMargin
+      case 6 => // correlated EXISTS / NOT EXISTS over a star edge
+        val (l, r, on) = pick(rnd, joins)
+        val neg = if (rnd.nextBoolean()) "NOT " else ""
+        val extra = (0 until 1 + rnd.nextInt(2)).map(_ => pick(rnd, l.cols).name)
+        val cols = (l.pk ++ extra).distinct
+        val sel = cols.map {
+          case c if l.cols.find(_.name == c).get.kind == "int" =>
+            s"CAST(t1.$c AS BIGINT) AS $c"
+          case c => s"t1.$c AS $c"
+        }
+        s"""SELECT ${sel.mkString(", ")}
+           |FROM ${l.name} t1
+           |WHERE ${whereOf(rnd, l, "t1.")}
+           |  AND ${neg}EXISTS (SELECT 1 FROM ${r.name} t2
+           |                    WHERE $on AND ${pred(rnd, r, "t2.")})
+           |${orderBy(cols)}
+           |LIMIT ${200 + rnd.nextInt(800)}""".stripMargin
+      case 7 => // window frames beyond row_number (± null-dense)
+        val t = pick(rnd, baseTables)
+        val (cte, from) = maybeNullDense(rnd, t)
+        val kc = pick(rnd, t.cols.filter(_.kind == "int"))
+        val kexpr = s"${kc.name} % ${5 + rnd.nextInt(20)}"
+        val v = pick(rnd, t.cols.filter(_.kind == "int")).name
+        // EXPLICIT NULLS FIRST inside the window order: the engines'
+        // default null placement in window ORDER BY differs, and the
+        // null-dense mode makes that reachable
+        val wOrd = t.cols.map(c => s"${c.name} ASC NULLS FIRST").mkString(", ")
+        val fn = pick(rnd, Seq(
+          "rank()",
+          "dense_rank()",
+          s"lag($v, 1)",
+          s"sum($v) ", // running frame appended below
+          "count(*) "))
+        val frame = fn match {
+          case f if f.startsWith("sum") =>
+            f.trim + " OVER (PARTITION BY " + kexpr + s" ORDER BY $wOrd" +
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          case f if f.startsWith("count") =>
+            f.trim + " OVER (PARTITION BY " + kexpr + s" ORDER BY $wOrd" +
+              " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+          case f =>
+            f + " OVER (PARTITION BY " + kexpr + s" ORDER BY $wOrd)"
+        }
+        val pkSel = t.pk.map(c => s"CAST($c AS BIGINT) AS $c").mkString(", ")
+        val out = t.pk ++ Seq("k1", "w")
+        s"""${cte}SELECT $pkSel,
+           |       CAST($kexpr AS BIGINT) AS k1,
+           |       CAST($frame AS BIGINT) AS w
+           |FROM $from
+           |WHERE ${whereOf(rnd, t)}
+           |${orderBy(out)}
+           |LIMIT ${200 + rnd.nextInt(800)}""".stripMargin
       case _ => // row_number window over a deterministic ordering
         val t = pick(rnd, baseTables)
         val part = keyOf(rnd, t, "", "k1")
@@ -208,7 +328,8 @@ object Fuzz {
            |  WHERE ${whereOf(rnd, t)}
            |) w
            |WHERE rn <= ${1 + rnd.nextInt(5)}
-           |${orderBy(t.pk ++ Seq("k1", "rn"))}""".stripMargin
+           |${orderBy(t.pk ++ Seq("k1", "rn"))}
+           |LIMIT ${200 + rnd.nextInt(800)}""".stripMargin
     }
 
   /** Deterministic case list for (seed, n). */

@@ -109,6 +109,20 @@ object StreamBench {
         .option("checkpointLocation", s"$work/ckpt_ssj")
         .trigger(Trigger.AvailableNow()).start()
     }
+    // Exactly-once TABLE-FORMAT sink (StreamOps.tableSink): every
+    // micro-batch is one idempotent GraftTable commit — this probe
+    // measures the transactional write path end-to-end (data write +
+    // footer stats + manifest commit per batch), the cost a stream pays
+    // for replay-idempotence + time travel over the file sink's
+    // _spark_metadata. Out rows come from the table itself afterwards.
+    run("table_sink") { stream =>
+      StreamOps.tableSink(stream, s"$work/tbl", s"$work/ckpt_tbl")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val t = graft.table.GraftTable.forPath(spark, s"$work/tbl")
+    println(f"""{"probe":"table_sink_result","versions":${t.versions.length},""" +
+      f""""rows_committed":${t.read().count()},""" +
+      f""""last_batch":${t.lastCommittedBatch(s"$work/ckpt_tbl").getOrElse(-1L)}}""")
     spark.stop()
   }
 }

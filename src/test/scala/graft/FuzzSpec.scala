@@ -26,9 +26,10 @@ class FuzzSpec extends SparkSpec {
     Tables.events(spark, sf)
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       .createOrReplaceTempView("events")
-    // 15 cases cover all five grammar shapes with high probability; count()
-    // forces full execution, not just analysis.
-    Fuzz.cases(7L, 15).foreach { case (name, sql) =>
+    // 30 cases cover all eight grammar shapes (incl. the round-12 outer
+    // join / EXISTS / window-frame / null-dense extensions) with high
+    // probability; count() forces full execution, not just analysis.
+    Fuzz.cases(7L, 30).foreach { case (name, sql) =>
       withClue(s"$name:\n$sql\n") { spark.sql(sql).count() }
     }
   }

@@ -163,12 +163,13 @@ class LlmSpec extends SparkSpec {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
     // the scale geometry (r=24) obeys the identical contract: exact
     // verify on candidates => still a subset of the true threshold set.
-    // Its gate fixture plants PlantN exact-duplicate vectors (ids past
-    // 10M) so the gate row is non-vacuous (round-10 verdict task 2):
+    // Its gate fixture plants PlantN exact-duplicate vectors (ids offset
+    // far past any corpus id space) so the gate row is non-vacuous
+    // (round-10 verdict task 2):
     // planted pairs must surface with cos ≈ 1; organic pairs must still
     // be a subset of the true threshold set.
     val wide = SparkEntry.queries("sim_threshold_lsh_wide")(spark, sf).collect()
-    val plantOffset = 10000000L
+    val plantOffset = 1000000000000000L
     val (plantedPairs, organic) = wide.partition(r => r.getLong(1) >= plantOffset)
     assert(organic.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
     assert(plantedPairs.nonEmpty, "planted duplicates must collide in every band")

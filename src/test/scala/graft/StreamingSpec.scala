@@ -342,6 +342,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T7c: table-format sink is exactly-once through a crash-and-restart (idempotent txn commit)") {
+    // The round-5 forged-offsets pattern, pointed at the TABLE path: kill
+    // the query, delete the last Spark commits/N entry (offsets ahead of
+    // commits = the classic crash window), restart. Spark replays the
+    // uncommitted batch WITH THE SAME batchId; the manifest's (appId,
+    // batchId) txn marker must make the replay a no-op — no duplicates
+    // through the table, and the stream's exactly-once now lives in the
+    // table's OWN log (every micro-batch is a time-travelable version),
+    // not the file-sink _spark_metadata sidecar.
+    val dir = java.nio.file.Files.createTempDirectory("graft_eot").toString
+    def addFile(i: Int): Unit =
+      Seq(s"""{"id":$i,"title":"T$i"}""").toDF("value").coalesce(1)
+        .write.mode("append").text(s"$dir/in")
+    def start() = graft.streaming.StreamOps.tableSink(
+      spark.readStream.schema("id LONG, title STRING")
+        .option("maxFilesPerTrigger", 1).json(s"$dir/in"),
+      s"$dir/tbl", s"$dir/chk").start()
+    addFile(1); addFile(2)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // kill #1
+    val t = graft.table.GraftTable.forPath(spark, s"$dir/tbl")
+    val vAfterFirst = t.latestVersion
+    assert(t.read().count() === 2)
+    // forge the crash state: table committed batch 1, Spark's commit log lost it
+    val commits = new java.io.File(s"$dir/chk/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2)
+    val crc = new java.io.File(s"$dir/chk/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete(), "failed to inject the crashed-commit state")
+    addFile(3) // lands while the pipeline is down
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // replayed batch no-opped; only the new batch committed one version
+    val ids = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L),
+      "replayed micro-batch must not duplicate rows through the table")
+    assert(t.latestVersion === vAfterFirst + 1,
+      "the replayed batch must not create a version")
+    // the txn markers record the batch history: one version per batch id
+    val txns = t.versions.flatMap(v => t.commitAt(v).txn)
+    assert(txns.map(_._2) === Seq(0L, 1L, 2L))
+    assert(txns.map(_._1).distinct.size === 1)
+    // streaming commits time-travel like any other version
+    assert(t.read(vAfterFirst).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    assert(t.lastCommittedBatch(s"$dir/chk") === Some(2L))
+  }
+
   test("S11 streaming: foreachBatch upsert keeps the latest version per key across batches") {
     val in = MemoryStream[(Long, Long, String)](spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString

@@ -50,9 +50,18 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
+  /** True so WRITES to a not-yet-existing table skip schema inference:
+    * Spark hands the incoming frame's schema to [[getTable]] directly
+    * (create-on-first-write, like any path-based source). */
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft format requires .load(<table root>) / .save(<table root>)"))
+
   private def resolve(options: CaseInsensitiveStringMap): (GraftTable, Long) = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft format requires .load(<table root>)"))
+    val path = pathOf(options)
     val t = GraftTable.forPath(SparkSession.active, path)
     val v = Option(options.get("versionAsOf")).map(_.toLong).getOrElse(t.latestVersion)
     require(t.versions.contains(v), s"no committed version $v at $path")
@@ -66,20 +75,84 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val (t, v) = resolve(new CaseInsensitiveStringMap(properties))
-    new GraftSparkTable(t, v, schema)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = pathOf(opts)
+    if (new java.io.File(path, "_graft_log").exists()) {
+      val (t, v) = resolve(opts)
+      val s = if (schema == null || schema.isEmpty) t.commitAt(v).schema else schema
+      new GraftSparkTable(path, Some((t, v)), s)
+    } else {
+      // write target for a table that does not exist yet — the first
+      // insert creates it; a read will fail in newScanBuilder
+      require(schema != null && schema.nonEmpty,
+        s"no graft table log at $path (and no schema to create one from)")
+      new GraftSparkTable(path, None, schema)
+    }
   }
 }
 
-private[table] final class GraftSparkTable(t: GraftTable, version: Long,
-                                           tableSchema: StructType)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft.`${t.root}` v$version"
+private[table] final class GraftSparkTable(
+    root: String, existing: Option[(GraftTable, Long)], tableSchema: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = existing match {
+    case Some((_, v)) => s"graft.`$root` v$v"
+    case None => s"graft.`$root` (new)"
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(t, version, tableSchema)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (t, v) = existing.getOrElse(
+      throw new IllegalArgumentException(s"no graft table log at $root"))
+    new GraftScanBuilder(t, v, tableSchema)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root)
+}
+
+/** DSv2 write surface: append (`df.write.format("graft").mode("append")`)
+  * lands as a transactional [[GraftTable.append]] commit; overwrite
+  * (`mode("overwrite")`, arriving as DSv2 TRUNCATE) as a full-snapshot
+  * [[GraftTable.overwrite]] — both visible atomically, both time-travel.
+  * (DSv2 path-based sources accept only Append/Overwrite save modes, so
+  * table creation rides the first append — same as Delta's path API.)
+  * Execution rides the V1 fallback ([[InsertableRelation]]), mirroring
+  * the read path's [[V1Scan]]. First write creates the table. */
+private[table] final class GraftWriteBuilder(root: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(df: org.apache.spark.sql.DataFrame,
+                              overwrite: Boolean): Unit = {
+            val spark = df.sparkSession
+            val exists = new java.io.File(root, "_graft_log").exists()
+            if (!exists) {
+              GraftTable.create(spark, root, df): Unit
+            } else {
+              val t = GraftTable.forPath(spark, root)
+              if (truncateFirst || overwrite)
+                t.overwrite(df, t.latestVersion, "overwrite"): Unit
+              else
+                t.append(df): Unit
+            }
+          }
+        }
+    }
 }
 
 private[table] final class GraftScanBuilder(t: GraftTable, version: Long,

@@ -769,18 +769,32 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * one file; the commit replaces the file list, and every PRIOR version
     * still reads its original small files (immutability makes compaction a
     * background op that never blocks or corrupts readers). Bins are
-    * independent — at scale each is one task of a single job; the driver
-    * loop here is the local[*] rendition. */
-  def compact(targetRows: Long): Long = {
+    * independent and run CONCURRENTLY — each bin is one read+write job
+    * submitted from a bounded driver pool, which is exactly how Delta's
+    * OPTIMIZE schedules its bins (a thread pool of per-bin jobs: Spark's
+    * scheduler interleaves their tasks across the cluster, so the wall
+    * clock is total-bytes/cluster-throughput, not sum-of-bins). Results
+    * commit in deterministic bin order regardless of completion order. */
+  def compact(targetRows: Long, maxConcurrentBins: Int = 8): Long = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val parent = latestVersion
     val c = commitAt(parent)
     val cumBefore = c.files.scanLeft(0L)(_ + _.rows)
     val bins = c.files.zip(cumBefore).groupBy { case (_, before) => before / targetRows }
-    val newFiles = bins.toSeq.sortBy(_._1).flatMap { case (_, group) =>
-      val paths = group.map { case (f, _) => s"$root/${f.path}" }
-      writeData(spark.read.schema(c.schema).parquet(paths: _*).coalesce(1))
-    }
-    commit(parent, "compact", newFiles, c.schema)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrentBins, bins.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = bins.toSeq.sortBy(_._1).map { case (_, group) =>
+        Future {
+          val paths = group.map { case (f, _) => s"$root/${f.path}" }
+          writeData(spark.read.schema(c.schema).parquet(paths: _*).coalesce(1))
+        }
+      }
+      val newFiles = futures.flatMap(Await.result(_, Duration.Inf))
+      commit(parent, "compact", newFiles, c.schema)
+    } finally pool.shutdown()
   }
 
   /** Z-order clustering rewrite — the physical rewrite behind the

@@ -126,6 +126,30 @@ class DataSourceSpec extends SparkSpec {
     assert(q9.count() == 10)
   }
 
+  test("write path: save creates, append commits, overwrite replaces — all versioned") {
+    import spark.implicits._
+    val root = tmpRoot("write")
+    // first write creates the table (version 1); DSv2 path sources accept
+    // only Append/Overwrite modes, so create rides an append
+    spark.range(5).toDF("id").write.format("graft").mode("append").save(root)
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 1)
+    // append commits version 2
+    spark.range(5, 8).toDF("id").write.format("graft").mode("append").save(root)
+    assert(t.latestVersion == 2)
+    assert(spark.read.format("graft").load(root).as[Long].collect().sorted.toSeq
+      == (0L until 8L))
+    // overwrite replaces the snapshot as version 3; v2 still time-travels
+    spark.range(100, 102).toDF("id").write.format("graft").mode("overwrite").save(root)
+    assert(t.latestVersion == 3)
+    assert(spark.read.format("graft").load(root).count() == 2)
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(root).count() == 8)
+    // round trip through both DSv2 halves: read v3, append it back
+    spark.read.format("graft").load(root)
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 4)
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

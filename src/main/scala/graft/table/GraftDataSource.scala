@@ -68,9 +68,20 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     (t, v)
   }
 
+  /** Change-feed bounds, when this read is a CDF read
+    * (`option("changesFrom", v1)[.option("changesTo", v2)]`). */
+  private def changeRange(t: GraftTable,
+      options: CaseInsensitiveStringMap): Option[(Long, Long)] =
+    Option(options.get("changesFrom")).map { from =>
+      (from.toLong,
+        Option(options.get("changesTo")).map(_.toLong).getOrElse(t.latestVersion))
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (t, v) = resolve(options)
-    t.commitAt(v).schema
+    val base = t.commitAt(v).schema
+    if (changeRange(t, options).isDefined) base.add("_change_type", "string")
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -79,6 +90,14 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     val path = pathOf(opts)
     if (new java.io.File(path, "_graft_log").exists()) {
       val (t, v) = resolve(opts)
+      changeRange(t, opts).foreach { case (from, to) =>
+        // CDF read: the "table" is the change frame between the versions
+        // (insert/delete-tagged rows) — Delta's `readChangeFeed` surface.
+        // Served through the same V1 relation; no file pruning applies
+        // (the fast path already reads only the appended files).
+        val s = t.commitAt(to).schema.add("_change_type", "string")
+        return new GraftCdfTable(t, from, to, s)
+      }
       val s = if (schema == null || schema.isEmpty) t.commitAt(v).schema else schema
       new GraftSparkTable(path, Some((t, v)), s)
     } else {
@@ -112,6 +131,32 @@ private[table] final class GraftSparkTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(root)
+}
+
+/** Incremental-read (CDF) rendering of a graft table through the DSv2
+  * surface: `spark.read.format("graft").option("changesFrom", v1)
+  * [.option("changesTo", v2)].load(root)` returns
+  * [[GraftTable.changesBetween]]'s insert/delete-tagged frame — the
+  * SQL-facing form of Delta's `table_changes` / `readChangeFeed`. */
+private[table] final class GraftCdfTable(
+    t: GraftTable, vFrom: Long, vTo: Long, cdfSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`${t.root}` changes $vFrom..$vTo"
+  override def schema(): StructType = cdfSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = cdfSchema
+        override def description(): String =
+          s"GraftCdfScan ${t.root} $vFrom..$vTo"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftV1Relation(context, t.changesBetween(vFrom, vTo), cdfSchema)
+            .asInstanceOf[T]
+      }
+    }
 }
 
 /** DSv2 write surface: append (`df.write.format("graft").mode("append")`)

@@ -51,7 +51,9 @@ object ExplainDump {
     // hour-bucket range blocking).
     "scan_time_travel", "upsert_keep_latest",
     "join_asof_forward", "join_asof_nearest", "join_range",
-    "scan_table_changes", "scan_table_changes_diff", "scan_file_skipping")
+    "scan_table_changes", "scan_table_changes_diff", "scan_file_skipping",
+    // round-12 addition: the DSv2 partition-manifest day slice
+    "scan_partition_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

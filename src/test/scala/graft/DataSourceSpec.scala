@@ -150,6 +150,27 @@ class DataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 4)
   }
 
+  test("changesFrom/changesTo: the CDF reads through the DSv2 surface") {
+    import spark.implicits._
+    val root = tmpRoot("cdf")
+    val t = GraftTable.create(spark, root, spark.range(10).toDF("id"))
+    t.append(spark.range(10, 14).toDF("id"))
+    val chg = spark.read.format("graft")
+      .option("changesFrom", 1).option("changesTo", 2).load(root)
+    assert(chg.schema.fieldNames.toSeq == Seq("id", "_change_type"))
+    assert(chg.filter($"_change_type" === "insert").count() == 4)
+    assert(chg.select($"id").as[Long].collect().sorted.toSeq == (10L until 14L))
+    // changesTo defaults to latest
+    val chg2 = spark.read.format("graft").option("changesFrom", 1).load(root)
+    assert(chg2.count() == 4)
+    // rewrite between versions → diff rendering with deletes
+    t.overwrite(spark.range(12, 15).toDF("id"), parent = 2, operation = "rw")
+    val diff = spark.read.format("graft")
+      .option("changesFrom", 2).option("changesTo", 3).load(root)
+    assert(diff.filter($"_change_type" === "delete").count() == 12)
+    assert(diff.filter($"_change_type" === "insert").count() == 1)
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

@@ -1,0 +1,174 @@
+package graft.table
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL catalog over a directory of graft tables — the piece that turns
+  * the table format into a first-class `spark.sql` citizen:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.table.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/lake")
+  *
+  *   spark.sql("CREATE TABLE graft.db.t (id BIGINT, v DOUBLE)")
+  *   spark.sql("INSERT INTO graft.db.t VALUES (1, 2.0)")   // txn commit
+  *   spark.sql("SELECT * FROM graft.db.t WHERE id = 1")     // manifest pruning
+  *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 1")  // SQL time travel
+  * }}}
+  *
+  * Identifiers map to paths (`root/ns.../name`), a table exists iff its
+  * `_graft_log` does, and every SQL write lands through the same
+  * transactional commit path as the programmatic API — `INSERT INTO` is
+  * an append version, `INSERT OVERWRITE` a snapshot replace, both
+  * atomic, both time-travelable. `VERSION AS OF` resolves through
+  * [[TableCatalog.loadTable(Identifier, String)]] to a pinned snapshot.
+  *
+  * Scale note: catalog operations read ONE manifest per table — listing
+  * a namespace is a directory-of-directories listing (bounded by table
+  * count, not file count), and no table open ever lists data files.
+  * Partitioned CREATE TABLE is refused for now (partitioned tables are
+  * created through [[GraftTable.createPartitioned]] / the curate path —
+  * once created, their SQL reads prune on the manifest like any other).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirFor(ns: Array[String]): File =
+    ns.foldLeft(new File(root))((d, p) => new File(d, p))
+  private def dirFor(ident: Identifier): File =
+    new File(dirFor(ident.namespace), ident.name)
+  private def isTable(d: File): Boolean = new File(d, "_graft_log").isDirectory
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirFor(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(isTable)
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = dirFor(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
+    val v = t.latestVersion
+    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), t.commitAt(v).schema)
+  }
+
+  /** SQL time travel: `SELECT ... FROM graft.ns.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = dirFor(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
+    val v = version.toLong
+    require(t.versions.contains(v), s"no committed version $v of $ident")
+    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), t.commitAt(v).schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "partitioned CREATE TABLE is not supported through the SQL catalog " +
+        "yet — create partitioned tables via GraftTable.createPartitioned")
+    val d = dirFor(ident)
+    if (isTable(d)) throw new TableAlreadyExistsException(ident)
+    d.getParentFile.mkdirs()
+    val t = GraftTable.createEmpty(SparkSession.active, d.getAbsolutePath, schema)
+    new GraftSparkTable(d.getAbsolutePath, Some((t, t.latestVersion)), schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported (schema evolution rides appendEvolve)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dirFor(ident)
+    if (!isTable(d)) return false
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(d)
+    true
+  }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit = {
+    val from = dirFor(old)
+    if (!isTable(from)) throw new NoSuchTableException(old)
+    if (isTable(dirFor(to))) throw new TableAlreadyExistsException(to)
+    dirFor(to).getParentFile.mkdirs()
+    // manifests store RELATIVE paths, so a directory move IS a rename
+    require(from.renameTo(dirFor(to)), s"rename $old -> $to failed")
+  }
+
+  // ---- namespaces ----------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !isTable(d))
+      .map(d => Array(d.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = dirFor(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !isTable(f))
+      .map(f => namespace :+ f.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    dirFor(namespace).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    dirFor(namespace).mkdirs(): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = dirFor(namespace)
+    if (!d.isDirectory) return false
+    val tables = Option(d.listFiles()).getOrElse(Array.empty).filter(isTable)
+    require(cascade || tables.isEmpty,
+      s"namespace ${namespace.mkString(".")} is not empty")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(d)
+    true
+  }
+}

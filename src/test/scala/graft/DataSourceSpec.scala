@@ -171,6 +171,40 @@ class DataSourceSpec extends SparkSpec {
     assert(diff.filter($"_change_type" === "insert").count() == 1)
   }
 
+  test("SQL catalog: CREATE / INSERT / SELECT / VERSION AS OF / DROP") {
+    import spark.implicits._
+    val lake = tmpRoot("lake")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", lake)
+    try {
+      spark.sql("CREATE NAMESPACE graft_cat.db")
+      spark.sql("CREATE TABLE graft_cat.db.t (id BIGINT, v DOUBLE)")
+      // INSERT INTO = one transactional append version each
+      spark.sql("INSERT INTO graft_cat.db.t VALUES (1, 10.0), (2, 20.0)")
+      spark.sql("INSERT INTO graft_cat.db.t VALUES (3, 30.0)")
+      assert(spark.sql("SELECT * FROM graft_cat.db.t").count() == 3)
+      assert(spark.sql("SELECT sum(id) FROM graft_cat.db.t").as[Long].head() == 6L)
+      // SQL time travel: version 2 = after the first insert
+      assert(spark.sql("SELECT * FROM graft_cat.db.t VERSION AS OF 2").count() == 2)
+      // the log agrees: 3 versions (create_empty + two inserts)
+      val t = GraftTable.forPath(spark, s"$lake/db/t")
+      assert(t.versions == Seq(1L, 2L, 3L))
+      // predicate pushdown reaches manifest pruning through SQL too
+      assert(spark.sql("SELECT v FROM graft_cat.db.t WHERE id = 3").as[Double].head() == 30.0)
+      // INSERT OVERWRITE replaces the snapshot transactionally
+      spark.sql("INSERT OVERWRITE graft_cat.db.t VALUES (9, 90.0)")
+      assert(spark.sql("SELECT * FROM graft_cat.db.t").count() == 1)
+      assert(spark.sql("SELECT * FROM graft_cat.db.t VERSION AS OF 3").count() == 3)
+      assert(spark.sql("SHOW TABLES IN graft_cat.db").count() == 1)
+      spark.sql("DROP TABLE graft_cat.db.t")
+      assert(spark.sql("SHOW TABLES IN graft_cat.db").count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_cat")
+      spark.conf.unset("spark.sql.catalog.graft_cat.root")
+    }
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

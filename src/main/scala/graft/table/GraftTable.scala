@@ -422,10 +422,32 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * intersecting several stat-bearing key columns would prune strictly
     * more files and stays sound (per-column tests are each a superset of
     * the true tuple containment) — single-column is the 80% cut. */
+  /** The column [[cowSplit]] prunes on for these keys (first key any file
+    * carries stats for) — also the column merge OUTPUT is clustered on. */
+  private def cowPruneColumn(c: TableCommit, keys: Seq[String]): Option[String] =
+    keys.find(k => c.files.exists(_.stats.contains(k)))
+
+  /** Range-cluster a merge's rewrite output on the pruning key before it
+    * lands. Without this, the rewritten files inherit the merge window's
+    * HASH partitioning — every output file spans the whole touched key
+    * range, so the NEXT narrow merge that hits any key in the region must
+    * rewrite all of this merge's files: COW effectiveness decays one
+    * generation after it's paid for. A range repartition of the MERGED
+    * frame (touched files + batch — O(batch)-sized, not the table) keeps
+    * rewritten files key-disjoint with tight footer min/max, so pruning
+    * holds across merge generations without waiting for a zorder/compact
+    * maintenance pass. One extra O(batch) shuffle per merge — the same
+    * trade Delta users buy with optimized writes. */
+  private def clusterForWrite(merged: DataFrame, kcol: Option[String]): DataFrame =
+    kcol match {
+      case Some(k) => merged.repartitionByRange(col(k))
+      case None => merged
+    }
+
   private def cowSplit(c: TableCommit, batch: DataFrame, keys: Seq[String])
       : (Seq[ManifestFile], Seq[ManifestFile]) = {
     if (c.files.isEmpty) return (Seq.empty, Seq.empty)
-    keys.find(k => c.files.exists(_.stats.contains(k))) match {
+    cowPruneColumn(c, keys) match {
       case None => (c.files, Seq.empty)
       case Some(k) =>
         val kind = c.files.iterator.flatMap(_.stats.get(k)).next().kind
@@ -681,7 +703,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val (touched, carried) = cowSplit(c, batch, keys)
     val merged = KeepLatest.keepLatest(
       readFiles(c.schema, touched).unionByName(batch), keys, ordering)
-    commit(parent, "upsert_keep_latest", carried ++ writeData(merged), c.schema)
+    val out = clusterForWrite(merged, cowPruneColumn(c, keys))
+    commit(parent, "upsert_keep_latest", carried ++ writeData(out), c.schema)
   }
 
   /** Transactional CDC apply: merge an insert/update/delete change batch
@@ -708,7 +731,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .keepLatest(state.unionByName(changes), keys, ordering)
       .filter(col(opCol) =!= "D")
       .drop(opCol)
-    commit(parent, "cdc_apply", carried ++ writeData(merged), c.schema)
+    val out = clusterForWrite(merged, cowPruneColumn(c, keys))
+    commit(parent, "cdc_apply", carried ++ writeData(out), c.schema)
   }
 
   /** Transactional SCD Type-2 merge: fold a batch of attribute-change rows
@@ -757,7 +781,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .unionByName(closed)
       .unionByName(untouchedCurrent)
       .unionByName(newRows.select(history.columns.map(col): _*))
-    commit(parent, "scd2_apply", carried ++ writeData(merged), c.schema)
+    val out = clusterForWrite(merged, cowPruneColumn(c, keys))
+    commit(parent, "scd2_apply", carried ++ writeData(out), c.schema)
   }
 
   /** Bin-packed small-file compaction — the physical rewrite behind the

@@ -385,6 +385,33 @@ class TableFormatSpec extends SparkSpec {
     assert(t.read().filter($"id" === 42L && !$"is_current").count() == 1)
   }
 
+  test("COW holds across merge generations: rewrites stay range-clustered") {
+    import spark.implicits._
+    val t = rangedBase("cowgen")
+    // merge #1 touches ids 10..40
+    t.upsertKeepLatest(spark.range(10, 41).toDF("id").withColumn("v", lit(111111L)),
+      Seq("id"), Seq($"v".desc))
+    val v2 = t.commitAt(2).files
+    // merge #2 touches a DISJOINT narrow slice 700..720: it must carry
+    // merge #1's rewritten files by path identity — possible only because
+    // clusterForWrite kept merge #1's output files key-disjoint with
+    // tight footer ranges (hash-partitioned output would span the whole
+    // touched region and be re-rewritten every following merge)
+    t.upsertKeepLatest(spark.range(700, 721).toDF("id").withColumn("v", lit(222222L)),
+      Seq("id"), Seq($"v".desc))
+    val v3 = t.commitAt(3).files
+    val gen1Rewrites = v2.filterNot(f => t.commitAt(1).files.map(_.path).contains(f.path))
+    assert(gen1Rewrites.nonEmpty && gen1Rewrites.forall(_.stats.contains("id")))
+    val carried2 = gen1Rewrites.map(_.path).toSet intersect v3.map(_.path).toSet
+    assert(carried2 == gen1Rewrites.map(_.path).toSet,
+      s"merge #2 must not rewrite merge #1's disjoint-range output: " +
+        s"rewrote ${gen1Rewrites.map(_.path).toSet -- carried2}")
+    // and the data is still right
+    assert(t.read().count() == 1000)
+    assert(t.read().filter($"v" === 111111L).count() == 31)
+    assert(t.read().filter($"v" === 222222L).count() == 21)
+  }
+
   test("COW degrades soundly: NULL batch keys and stat-less key columns") {
     import spark.implicits._
     // NULL key in the batch → full rewrite (stats are null-blind), correct result

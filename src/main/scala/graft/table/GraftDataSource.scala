@@ -121,11 +121,13 @@ private[table] final class GraftSparkTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (t, v) = existing.getOrElse(
       throw new IllegalArgumentException(s"no graft table log at $root"))
-    new GraftScanBuilder(t, v, tableSchema)
+    new GraftScanBuilder(t, v, tableSchema,
+      Option(options.get("startingVersion")).getOrElse("0"))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -201,7 +203,8 @@ private[table] final class GraftWriteBuilder(root: String)
 }
 
 private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
-                                            tableSchema: StructType)
+                                            tableSchema: StructType,
+                                            startingVersion: String = "0")
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -222,14 +225,16 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftV1Scan(t, version, required, GraftFilterRanges.toRanges(accepted.toSeq))
+    new GraftV1Scan(t, version, required,
+      GraftFilterRanges.toRanges(accepted.toSeq), startingVersion)
 }
 
 /** Public (not `private[table]`) so plan-gating tests can collect the
   * planned scan from `optimizedPlan` and assert on [[prunedFiles]]. */
 final class GraftV1Scan(
     t: GraftTable, version: Long, required: StructType,
-    val ranges: Seq[(String, BigDecimal, BigDecimal)]) extends V1Scan {
+    val ranges: Seq[(String, BigDecimal, BigDecimal)],
+    startingVersion: String = "0") extends V1Scan {
 
   /** The manifest-pruned file subset this scan will read — public so
     * PlanSpec can gate "strict subset" on the DSv2 path directly. */
@@ -248,6 +253,12 @@ final class GraftV1Scan(
       .select(required.fieldNames.map(col).toSeq: _*)
     new GraftV1Relation(context, df, required).asInstanceOf[T]
   }
+
+  /** Streaming form of the same scan: version-offset micro-batches over
+    * the commit log (see [[GraftMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(t, required, startingVersion)
 }
 
 /** The V1 execution shim: Spark plans a RowDataSourceScanExec over this

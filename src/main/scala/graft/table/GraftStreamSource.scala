@@ -1,0 +1,189 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming OFFSET for a graft table: simply the committed version — the
+  * commit log is already a totally-ordered, replayable sequence, so the
+  * table IS its own write-ahead log (Delta's streaming source uses the
+  * same identity: offset = (reservoir version, index)). */
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object GraftOffset {
+  private val Re = """\{"version":(\d+)\}""".r
+  def fromJson(s: String): GraftOffset = s match {
+    case Re(v) => GraftOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad graft offset: $other")
+  }
+}
+
+/** One data file of a micro-batch. Carries everything an executor needs:
+  * the absolute path, the REQUIRED projection (as schema JSON — compact,
+  * version-stable), and the file's Hive partition values (absent from the
+  * data pages; re-injected as constants, exactly what a batch scan's
+  * partition-value columns are). */
+final case class GraftFilePartition(absPath: String, requiredJson: String,
+                                    partition: Map[String, String])
+    extends InputPartition
+
+/** STREAMING SOURCE over the versioned table (round-12 extension — the
+  * consumer half of the table/streaming integration, whose producer half
+  * is [[graft.streaming.StreamOps.tableSink]]):
+  *
+  * {{{
+  *   spark.readStream.format("graft").load(root)                   // full backlog, then increments
+  *   spark.readStream.format("graft")
+  *     .option("startingVersion", "latest").load(root)             // only new commits
+  * }}}
+  *
+  * Offsets are table VERSIONS: a micro-batch is the half-open version
+  * range (start, end], and its input files are resolved from the two
+  * manifests alone — the append-only fast path of `changesBetween`, so a
+  * batch costs O(its own files), never a table scan, and a restart
+  * replays exactly the unprocessed versions from the checkpointed offset
+  * (versions are immutable, so replays are byte-identical). Combined
+  * with [[graft.streaming.StreamOps.tableSink]] downstream, a
+  * table→transform→table pipeline is exactly-once END TO END: the source
+  * replays deterministically by version, the sink deduplicates by
+  * (appId, batchId).
+  *
+  * A REWRITE inside the range (merge/compact/zorder drops a file) makes
+  * file identity meaningless for increments, so the stream fails with an
+  * explicit error rather than re-emit rewritten rows — the Delta
+  * streaming source draws the same line (`ignoreChanges` to override;
+  * here maintenance belongs BEFORE the stream's starting version).
+  *
+  * Executors read the parquet files through the public parquet-hadoop
+  * Group API (flat primitive schemas — exactly what the table format
+  * writes), projecting only the required columns and re-injecting
+  * partition values as constants. The row-materializing reader is the
+  * honest cost of a self-contained source; the batch path keeps Spark's
+  * vectorized scan (it reads through the V1 relation), and a streaming
+  * micro-batch is delta-sized by construction.
+  */
+final class GraftMicroBatchStream(t: GraftTable, required: StructType,
+                                  startingVersion: String)
+    extends MicroBatchStream {
+
+  private def filesAt(version: Long): Seq[ManifestFile] =
+    if (version <= 0) Seq.empty else t.commitAt(version).files
+
+  override def initialOffset(): Offset = {
+    val v = startingVersion match {
+      case "latest" => t.latestVersion
+      case s => s.toLong
+    }
+    GraftOffset(v)
+  }
+
+  override def latestOffset(): Offset = GraftOffset(t.latestVersion)
+
+  override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    val fromFiles = filesAt(s)
+    val toFiles = filesAt(e)
+    val fromPaths = fromFiles.map(_.path).toSet
+    val removed = fromPaths -- toFiles.map(_.path).toSet
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"graft stream over ${t.root}: versions ($s, $e] rewrite " +
+          s"${removed.size} base file(s) (merge/compact/zorder) — file " +
+          "identity no longer equals row identity, so incremental " +
+          "consumption would re-emit rewritten rows. Run maintenance " +
+          "before the stream's startingVersion, or restart from a " +
+          "version after the rewrite.")
+    toFiles.filterNot(f => fromPaths.contains(f.path))
+      .map(f => GraftFilePartition(s"${t.root}/${f.path}", required.json,
+        f.partition): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftGroupReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Executor-side reader: parquet Group records → InternalRow of the
+  * required projection. Flat primitive columns only (long, int, double,
+  * float, boolean, string, timestamp[_ntz] as INT64 micros, date) — the
+  * shapes the table format writes; anything else fails loudly. A
+  * required column missing from the file (schema evolution) or from a
+  * row (null) is null; a required column present in the file's PARTITION
+  * values materializes as a constant. */
+final class GraftGroupReaderFactory extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftFilePartition]
+    val required = DataType.fromJson(fp.requiredJson).asInstanceOf[StructType]
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), new Path(fp.absPath))
+          .withConf(new Configuration()).build()
+      private var current: Group = _
+
+      override def next(): Boolean = {
+        current = reader.read()
+        current != null
+      }
+
+      override def get(): InternalRow = {
+        val g = current
+        val schema = g.getType
+        val vals = required.fields.map { f =>
+          fp.partition.get(f.name) match {
+            case Some(v) => partitionValue(f, v)
+            case None =>
+              if (!schema.containsField(f.name)) null
+              else {
+                val i = schema.getFieldIndex(f.name)
+                if (g.getFieldRepetitionCount(i) == 0) null
+                else fieldValue(f, g, i)
+              }
+          }
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  private def fieldValue(f: StructField, g: Group, i: Int): Any = f.dataType match {
+    case LongType => g.getLong(i, 0)
+    case IntegerType => g.getInteger(i, 0)
+    case DoubleType => g.getDouble(i, 0)
+    case FloatType => g.getFloat(i, 0)
+    case BooleanType => g.getBoolean(i, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+    case TimestampType | TimestampNTZType => g.getLong(i, 0) // INT64 micros
+    case DateType => g.getInteger(i, 0) // epoch days
+    case other => throw new UnsupportedOperationException(
+      s"graft stream reader: unsupported column type $other for ${f.name}")
+  }
+
+  private def partitionValue(f: StructField, v: String): Any = f.dataType match {
+    case LongType => v.toLong
+    case IntegerType => v.toInt
+    case DoubleType => v.toDouble
+    case BooleanType => v.toBoolean
+    case StringType => UTF8String.fromString(v)
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case other => throw new UnsupportedOperationException(
+      s"graft stream reader: unsupported partition type $other for ${f.name}")
+  }
+}

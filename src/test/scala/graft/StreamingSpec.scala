@@ -391,6 +391,73 @@ class StreamingSpec extends SparkSpec {
     assert(t.lastCommittedBatch(s"$dir/chk") === Some(2L))
   }
 
+  test("graft streaming source: version-offset micro-batches, checkpoint restart, rewrite guard") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val root = s"$dir/tbl"
+    val t = graft.table.GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    def start() = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    // backlog: version 1 arrives as the first micro-batch
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+    // appends while running: each commit is one more micro-batch
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() === 3)
+    // restart from the checkpoint: only versions after the offset flow
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 4, "restart must neither drop nor re-emit")
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // a rewrite inside the unread range fails loudly (no silent re-emit)
+    t.upsertKeepLatest(Seq((1L, "z")).toDF("id", "s"), Seq("id"),
+      Seq(col("s").desc))
+    val q3 = start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(err.getMessage.contains("rewrite") ||
+      Option(err.getCause).exists(_.getMessage.contains("rewrite")),
+      s"expected the rewrite guard, got: ${err.getMessage}")
+  }
+
+  test("table->table streaming pipeline is exactly-once end to end") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val src = graft.table.GraftTable.create(spark, s"$dir/src",
+      spark.range(10).toDF("id"))
+    src.append(spark.range(10, 20).toDF("id"))
+    // source replays by version; sink dedups by (appId, batchId): the
+    // composition is the exactly-once table→transform→table pipeline
+    val q = graft.streaming.StreamOps.tableSink(
+      spark.readStream.format("graft").load(s"$dir/src")
+        .withColumn("doubled", $"id" * 2),
+      s"$dir/dst", s"$dir/chk").start()
+    q.processAllAvailable(); q.stop()
+    val dst = graft.table.GraftTable.forPath(spark, s"$dir/dst")
+    assert(dst.read().count() === 20)
+    assert(dst.read().agg(sum($"doubled")).as[Long].head() === (0L until 20L).map(_ * 2).sum)
+    // more source commits; a NEW query instance from the same checkpoint
+    // picks up exactly the increment
+    src.append(spark.range(20, 25).toDF("id"))
+    val q2 = graft.streaming.StreamOps.tableSink(
+      spark.readStream.format("graft").load(s"$dir/src")
+        .withColumn("doubled", $"id" * 2),
+      s"$dir/dst", s"$dir/chk").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(dst.read().count() === 25)
+    assert(dst.read().select($"id").as[Long].collect().sorted.toSeq ===
+      (0L until 25L))
+  }
+
   test("S11 streaming: foreachBatch upsert keeps the latest version per key across batches") {
     val in = MemoryStream[(Long, Long, String)](spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString

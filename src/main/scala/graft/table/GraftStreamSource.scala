@@ -170,7 +170,22 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
     case FloatType => g.getFloat(i, 0)
     case BooleanType => g.getBoolean(i, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-    case TimestampType | TimestampNTZType => g.getLong(i, 0) // INT64 micros
+    case TimestampType | TimestampNTZType =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 => g.getLong(i, 0) // micros
+        case PrimitiveTypeName.INT96 =>
+          // legacy layout: 8B nanos-of-day (LE) + 4B julian day (LE) —
+          // Spark's default physical type for TIMESTAMP (LTZ) output
+          val b = java.nio.ByteBuffer
+            .wrap(g.getInt96(i, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = b.getLong
+          val julianDay = b.getInt
+          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+        case other => throw new UnsupportedOperationException(
+          s"graft stream reader: timestamp physical type $other for ${f.name}")
+      }
     case DateType => g.getInteger(i, 0) // epoch days
     case other => throw new UnsupportedOperationException(
       s"graft stream reader: unsupported column type $other for ${f.name}")

@@ -133,6 +133,28 @@ object StreamBench {
         f""""rows_committed":${t.read().count()},""" +
         f""""last_batch":${t.lastCommittedBatch(s"$work/ckpt_tbl").getOrElse(-1L)}}""")
     }
+    // graft streaming SOURCE throughput: stream a versioned table out by
+    // version-offsets (8 appended versions = 8 micro-batches) through the
+    // Group-API row reader — the honest cost of the self-contained
+    // source, to compare against the vectorized batch scan.
+    if (probes.contains("table_source")) {
+      val root = s"$work/srctbl"
+      val parts = spark.read.parquet(stageDir)
+      val t = graft.table.GraftTable.create(spark, root,
+        parts.where("spark_partition_id() % 8 = 0"))
+      (1 until 8).foreach(i =>
+        t.append(parts.where(s"spark_partition_id() % 8 = $i")))
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckpt_src")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"table_source","rows":$nRows,"sec":$sec%.2f,""" +
+        f""""rows_per_sec":${(nRows / sec).toLong},""" +
+        f""""batches":${q.recentProgress.length},"versions":${t.versions.length}}""")
+    }
     spark.stop()
   }
 }

@@ -429,6 +429,25 @@ class StreamingSpec extends SparkSpec {
       s"expected the rewrite guard, got: ${err.getMessage}")
   }
 
+  test("graft streaming source: INT96 timestamps and doubles round-trip exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_src96").toString
+    // LTZ timestamps write as INT96 by default — the reader must decode
+    // the legacy (nanos-of-day, julian-day) layout to identical micros
+    val df = Tables.events(spark, sf).limit(500)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"value")
+    val t = graft.table.GraftTable.create(spark, s"$dir/tbl", df)
+    val q = spark.readStream.format("graft").load(s"$dir/tbl")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .orderBy($"event_id").collect().toSeq
+    val want = t.read().orderBy($"event_id").collect().toSeq
+    assert(got == want, "stream read must be byte-identical to the batch read")
+  }
+
   test("table->table streaming pipeline is exactly-once end to end") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString

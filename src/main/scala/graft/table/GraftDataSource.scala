@@ -127,7 +127,8 @@ private[table] final class GraftSparkTable(
     val (t, v) = existing.getOrElse(
       throw new IllegalArgumentException(s"no graft table log at $root"))
     new GraftScanBuilder(t, v, tableSchema,
-      Option(options.get("startingVersion")).getOrElse("0"))
+      Option(options.get("startingVersion")).getOrElse("0"),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -204,7 +205,8 @@ private[table] final class GraftWriteBuilder(root: String)
 
 private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
                                             tableSchema: StructType,
-                                            startingVersion: String = "0")
+                                            startingVersion: String = "0",
+                                            maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -226,7 +228,8 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
 
   override def build(): Scan =
     new GraftV1Scan(t, version, required,
-      GraftFilterRanges.toRanges(accepted.toSeq), startingVersion)
+      GraftFilterRanges.toRanges(accepted.toSeq), startingVersion,
+      maxVersionsPerTrigger)
 }
 
 /** Public (not `private[table]`) so plan-gating tests can collect the
@@ -234,7 +237,8 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
 final class GraftV1Scan(
     t: GraftTable, version: Long, required: StructType,
     val ranges: Seq[(String, BigDecimal, BigDecimal)],
-    startingVersion: String = "0") extends V1Scan {
+    startingVersion: String = "0",
+    maxVersionsPerTrigger: Option[Long] = None) extends V1Scan {
 
   /** The manifest-pruned file subset this scan will read — public so
     * PlanSpec can gate "strict subset" on the DSv2 path directly. */
@@ -258,7 +262,7 @@ final class GraftV1Scan(
     * the commit log (see [[GraftMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, required, startingVersion)
+    new GraftMicroBatchStream(t, required, startingVersion, maxVersionsPerTrigger)
 }
 
 /** The V1 execution shim: Spark plans a RowDataSourceScanExec over this

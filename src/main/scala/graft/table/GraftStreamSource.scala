@@ -72,8 +72,13 @@ final case class GraftFilePartition(absPath: String, requiredJson: String,
   * micro-batch is delta-sized by construction.
   */
 final class GraftMicroBatchStream(t: GraftTable, required: StructType,
-                                  startingVersion: String)
-    extends MicroBatchStream {
+                                  startingVersion: String,
+                                  maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def filesAt(version: Long): Seq[ManifestFile] =
     if (version <= 0) Seq.empty else t.commitAt(version).files
@@ -87,6 +92,34 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
   }
 
   override def latestOffset(): Offset = GraftOffset(t.latestVersion)
+
+  // ---- admission control: bounded micro-batches ---------------------------
+  // `maxVersionsPerTrigger` caps how many COMMITS one micro-batch absorbs —
+  // the backlog-catchup knob (Delta's maxFilesPerTrigger role): a stream
+  // restarted against a month of commits drains in bounded, checkpointed
+  // steps instead of one giant batch. AvailableNow pins the drain target
+  // at start, so the query still terminates while respecting the cap.
+
+  private var availableNowCap: Option[Long] = None
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val target = availableNowCap.getOrElse(t.latestVersion)
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(target, s + n)
+      case None => target
+    }
+    GraftOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(t.latestVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(t.latestVersion)
 
   override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
 

@@ -429,6 +429,27 @@ class StreamingSpec extends SparkSpec {
       s"expected the rewrite guard, got: ${err.getMessage}")
   }
 
+  test("graft streaming source: maxVersionsPerTrigger bounds each micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_adm").toString
+    val t = graft.table.GraftTable.create(spark, s"$dir/tbl",
+      spark.range(0, 10).toDF("id"))
+    (1 to 5).foreach(i => t.append(spark.range(i * 10L, i * 10L + 10).toDF("id")))
+    assert(t.latestVersion === 6)
+    // 6 versions of backlog, cap 2 per trigger: AvailableNow must drain in
+    // ceil(6/2)=3 bounded micro-batches (not one giant catch-up batch)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 2).load(s"$dir/tbl")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(60000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 3, s"expected 3 capped batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows === 20))
+    assert(spark.read.parquet(s"$dir/out").count() === 60)
+  }
+
   test("graft streaming source: INT96 timestamps and doubles round-trip exactly") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_src96").toString

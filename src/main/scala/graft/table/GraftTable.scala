@@ -447,23 +447,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def cowSplit(c: TableCommit, batch: DataFrame, keys: Seq[String])
       : (Seq[ManifestFile], Seq[ManifestFile]) = {
     if (c.files.isEmpty) return (Seq.empty, Seq.empty)
-    cowPruneColumn(c, keys) match {
-      case None => (c.files, Seq.empty)
-      case Some(k) =>
-        val kind = c.files.iterator.flatMap(_.stats.get(k)).next().kind
-        val sqlType = if (kind == "long") "bigint" else "double"
-        val keyed = batch.select(col(k).cast(sqlType).as("__k"))
-        if (!keyed.filter(col("__k").isNull).isEmpty) return (c.files, Seq.empty)
-        val (statless, statted) = c.files.partition(f => !f.stats.contains(k))
-        val session = spark
-        import session.implicits._
+    val statCols = keys.filter(k => c.files.exists(_.stats.contains(k)))
+    if (statCols.isEmpty) return (c.files, Seq.empty)
+    val session = spark
+    import session.implicits._
+    // Per-column candidate sets, INTERSECTED: a file holding a batch
+    // tuple holds each of the tuple's column values, so the true touched
+    // set is inside every column's candidate set — each extra stat-bearing
+    // key column can only prune MORE files, never lose one. A column with
+    // NULLs in the batch simply contributes no pruning (stats are
+    // null-blind) instead of forcing a full rewrite; a file without stats
+    // on a column is a candidate under that column.
+    var candidates: Set[Int] = c.files.indices.toSet
+    for (k <- statCols if candidates.nonEmpty) {
+      val kind = c.files.iterator.flatMap(_.stats.get(k)).next().kind
+      val sqlType = if (kind == "long") "bigint" else "double"
+      val keyed = batch.select(col(k).cast(sqlType).as("__k"))
+      if (keyed.filter(col("__k").isNull).isEmpty) {
+        val statted = c.files.zipWithIndex.filter(_._1.stats.contains(k))
         val rangesDf =
           if (kind == "long")
-            statted.zipWithIndex.map { case (f, i) =>
+            statted.map { case (f, i) =>
               val s = f.stats(k); (i, s.min.toLong, s.max.toLong)
             }.toDF("__fid", "__lo", "__hi")
           else
-            statted.zipWithIndex.map { case (f, i) =>
+            statted.map { case (f, i) =>
               val s = f.stats(k); (i, s.min.toDouble, s.max.toDouble)
             }.toDF("__fid", "__lo", "__hi")
         val touchedIds = keyed.distinct()
@@ -471,10 +479,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select(col("__fid")).distinct()
           .collect().map(_.getInt(0)).toSet
-        val (touchedStatted, carried) =
-          statted.zipWithIndex.partition { case (_, i) => touchedIds(i) }
-        (statless ++ touchedStatted.map(_._1), carried.map(_._1))
+        val colCandidates =
+          touchedIds ++ c.files.indices.filterNot(i => c.files(i).stats.contains(k))
+        candidates = candidates intersect colCandidates
+      }
     }
+    val (touched, carried) =
+      c.files.zipWithIndex.partition { case (_, i) => candidates(i) }
+    (touched.map(_._1), carried.map(_._1))
   }
 
   /** Publish version `parent+1` with the given FULL file list. Atomic

@@ -88,6 +88,33 @@ object ProfMerge {
     val diff = t.read(2).exceptAll(tf.read(1)).count() +
       tf.read(1).exceptAll(t.read(2)).count()
 
+    // GENERATION SWEEP: five more daily batches over rotating 2% key
+    // slices. Because merge output is range-clustered on the key
+    // (clusterForWrite), write amplification must stay flat across
+    // generations — without it, each merge's hash-partitioned output
+    // would span the whole touched region and be re-rewritten by every
+    // subsequent overlapping merge.
+    val genStats = (1 to 5).map { g =>
+      // 2%-wide slices STEPPING 1%: each generation half-overlaps the
+      // previous one's rewrite — the shape that re-rewrites unclustered
+      // merge output every time
+      val loU = g.toLong * maxU / 100
+      val hiU = (g.toLong + 2L) * maxU / 100
+      val gBatch = ev.filter($"user_id" > loU && $"user_id" <= hiU)
+        .withColumn("ts", $"ts" + expr(s"INTERVAL ${365 + g} DAYS"))
+        .withColumn("value", $"value" + g)
+      val parentC = t.commitAt(t.latestVersion)
+      t.upsertKeepLatest(gBatch, keys, ord)
+      val cNew = t.commitAt(t.latestVersion)
+      val prevPaths = parentC.files.map(_.path).toSet
+      val written = cNew.files.filterNot(f => prevPaths.contains(f.path))
+      val bytes = written.map(f => new File(s"$root/${f.path}").length()).sum
+      (written.size, bytes, parentC.files.size)
+    }
+    val genStr = genStats.zipWithIndex.map { case ((nf, b, tot), i) =>
+      f"""{"gen":${i + 2},"files_rewritten":$nf,"of":$tot,"bytes":$b}"""
+    }.mkString("[", ",", "]")
+
     println(f"""{"probe":"merge_cow","sf_dir":"$sfDir",
       |"table_files":${v1.files.size},"table_bytes":$tableBytes,
       |"batch_rows":$batchRows,"batch_key_pct":${100.0 / 50}%.1f,
@@ -97,7 +124,8 @@ object ProfMerge {
       |"cow_write_pct_of_table":${100.0 * writtenBytes / tableBytes}%.2f,
       |"cow_sec":$cowSec%.2f,
       |"full_rewrite_bytes":$fullBytes,"full_rewrite_sec":$fullSec%.2f,
-      |"rows_diverging_from_full":$diff}""".stripMargin.replaceAll("\n", ""))
+      |"rows_diverging_from_full":$diff,
+      |"generation_sweep":$genStr}""".stripMargin.replaceAll("\n", ""))
     delete(new File(root)); delete(new File(fullRoot))
     spark.stop()
   }

@@ -412,6 +412,31 @@ class TableFormatSpec extends SparkSpec {
     assert(t.read().filter($"v" === 222222L).count() == 21)
   }
 
+  test("COW multi-column intersection: a second key column prunes further") {
+    import spark.implicits._
+    // id ascends, y descends: each range file holds id [a,b] AND y
+    // [999-b, 999-a]. Batch key (id=5, y=5) passes the id-range of file 0
+    // but NO file's y-range also contains 5 for that id slice — the
+    // per-column candidate INTERSECTION proves no state row can match, so
+    // the merge rewrites NOTHING and carries all 8 files by identity.
+    // (Single-column pruning would have rewritten the id∈[0,~125] file.)
+    val df = spark.range(1000).toDF("id")
+      .withColumn("y", lit(999L) - $"id").withColumn("v", lit(0L))
+      .repartitionByRange(8, $"id")
+    val t = GraftTable.create(spark, tmpRoot("cowmc"), df)
+    val v1Paths = t.commitAt(1).files.map(_.path).toSet
+    assert(v1Paths.size == 8)
+    t.upsertKeepLatest(Seq((5L, 5L, 99L)).toDF("id", "y", "v"),
+      Seq("id", "y"), Seq($"v".desc))
+    val v2 = t.commitAt(2).files
+    assert(v1Paths.subsetOf(v2.map(_.path).toSet),
+      "no original file may be rewritten when the key-tuple intersection is empty")
+    assert(t.read().count() == 1001)
+    assert(t.read().filter($"id" === 5L && $"y" === 5L).count() == 1)
+    // the organic (id=5, y=994) row is untouched
+    assert(t.read().filter($"id" === 5L && $"y" === 994L && $"v" === 0L).count() == 1)
+  }
+
   test("COW degrades soundly: NULL batch keys and stat-less key columns") {
     import spark.implicits._
     // NULL key in the batch → full rewrite (stats are null-blind), correct result

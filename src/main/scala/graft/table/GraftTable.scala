@@ -489,6 +489,77 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     (touched.map(_._1), carried.map(_._1))
   }
 
+  /** Test hook: invoked after a merge has written its data files but
+    * before its first commit attempt — the window where a concurrent
+    * writer can land. Deterministic races in TableFormatSpec inject the
+    * rival commit here; production leaves it a no-op. */
+  private[graft] var onBeforeMergeCommit: () => Unit = () => ()
+
+  /** Shared COW-merge driver with OPTIMISTIC CONFLICT RESOLUTION. One
+    * attempt = snapshot parent → pick (touched, carried) via [[cowSplit]]
+    * → run `merge` over the touched subset → write → commit. If another
+    * writer committed first, the loser resolves instead of failing:
+    *
+    *  - '''Rebase (no recompute).''' If every file this merge READ or
+    *    carried still exists in the winner's snapshot (the winner only
+    *    ADDED files) and none of the added files can hold any batch key
+    *    (the same stats test as candidate selection — [[cowSplit]] over
+    *    just the added files returns zero candidates), then the winner's
+    *    rows are untouched by this merge BY KEY DISJOINTNESS: splice our
+    *    rewrite into the winner's file list and commit on top. Zero
+    *    bytes re-read or re-written — the common append-while-merging
+    *    race costs one manifest retry (Delta's logical conflict check on
+    *    concurrently-added files, driven here by manifest stats).
+    *  - '''Recompute.''' If the winner removed/rewrote any file we read,
+    *    changed the schema, or added files whose key range intersects
+    *    the batch, the merge re-runs against the new snapshot — the
+    *    correctness fallback. The abandoned files are unreferenced
+    *    orphans, reclaimed by [[vacuum]].
+    */
+  private def mergeWithRetry(op: String, batch: DataFrame, keys: Seq[String])(
+      merge: (TableCommit, Seq[ManifestFile]) => DataFrame): Long = {
+    var recomputes = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      val (touched, carried) = cowSplit(c, batch, keys)
+      val merged = merge(c, touched)
+      val out = clusterForWrite(merged, cowPruneColumn(c, keys))
+      val newFiles = writeData(out)
+      val touchedPaths = touched.map(_.path).toSet
+      onBeforeMergeCommit()
+      var base = parent
+      var rebasing = true
+      while (rebasing) {
+        try return commit(base, op,
+          (if (base == parent) carried
+           else commitAt(base).files.filterNot(f => touchedPaths.contains(f.path)))
+            ++ newFiles,
+          c.schema)
+        catch {
+          case e: ConcurrentCommitException =>
+            val np = latestVersion
+            val nc = commitAt(np)
+            val survived = c.files.map(_.path).toSet
+              .subsetOf(nc.files.map(_.path).toSet)
+            val addedFiles = nc.files.filterNot(f =>
+              c.files.map(_.path).toSet.contains(f.path))
+            val addedConflict =
+              cowSplit(TableCommit(np, 0, "", nc.schema, addedFiles),
+                batch, keys)._1.nonEmpty
+            if (survived && !addedConflict && nc.schema == c.schema) {
+              base = np // rebase: splice our rewrite onto the winner
+            } else {
+              rebasing = false // recompute against the new snapshot
+              recomputes += 1
+              if (recomputes > 8) throw e
+            }
+        }
+      }
+    }
+    0L // unreachable
+  }
+
   /** Publish version `parent+1` with the given FULL file list. Atomic
     * create-if-absent via hard-link (see class doc); throws
     * [[ConcurrentCommitException]] if another writer took that version. */
@@ -709,15 +780,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * (the old full-union form incidentally deduped them; Delta MERGE
     * likewise treats a multi-match target as an error, not a cleanup). */
   def upsertKeepLatest(batch: DataFrame, keys: Seq[String],
-                       ordering: Seq[Column]): Long = {
-    val parent = latestVersion
-    val c = commitAt(parent)
-    val (touched, carried) = cowSplit(c, batch, keys)
-    val merged = KeepLatest.keepLatest(
-      readFiles(c.schema, touched).unionByName(batch), keys, ordering)
-    val out = clusterForWrite(merged, cowPruneColumn(c, keys))
-    commit(parent, "upsert_keep_latest", carried ++ writeData(out), c.schema)
-  }
+                       ordering: Seq[Column]): Long =
+    mergeWithRetry("upsert_keep_latest", batch, keys) { (c, touched) =>
+      KeepLatest.keepLatest(
+        readFiles(c.schema, touched).unionByName(batch), keys, ordering)
+    }
 
   /** Transactional CDC apply: merge an insert/update/delete change batch
     * (op column: 'D' deletes the key, anything else upserts the row) into
@@ -734,18 +801,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * rewriting the file that holds it — and state files outside the
     * batch's key-range ride into the new manifest untouched. */
   def cdcApply(changes: DataFrame, keys: Seq[String], ordering: Seq[Column],
-               opCol: String = "op"): Long = {
-    val parent = latestVersion
-    val c = commitAt(parent)
-    val (touched, carried) = cowSplit(c, changes, keys)
-    val state = readFiles(c.schema, touched).withColumn(opCol, lit("U"))
-    val merged = KeepLatest
-      .keepLatest(state.unionByName(changes), keys, ordering)
-      .filter(col(opCol) =!= "D")
-      .drop(opCol)
-    val out = clusterForWrite(merged, cowPruneColumn(c, keys))
-    commit(parent, "cdc_apply", carried ++ writeData(out), c.schema)
-  }
+               opCol: String = "op"): Long =
+    mergeWithRetry("cdc_apply", changes, keys) { (c, touched) =>
+      val state = readFiles(c.schema, touched).withColumn(opCol, lit("U"))
+      KeepLatest
+        .keepLatest(state.unionByName(changes), keys, ordering)
+        .filter(col(opCol) =!= "D")
+        .drop(opCol)
+    }
 
   /** Transactional SCD Type-2 merge: fold a batch of attribute-change rows
     * into a versioned-history table with [valid_from, valid_to) ranges and
@@ -763,38 +826,35 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def scd2Apply(batch: DataFrame, keys: Seq[String], tsCol: String,
                 tieCols: Seq[String]): Long = {
     import org.apache.spark.sql.expressions.Window
-    val parent = latestVersion
-    val c = commitAt(parent)
     // COW: only files that can hold a touched key's rows are rewritten.
     // Closed rows pass through the merge logic unchanged anyway, so the
     // only rows that MUST be visible to it are touched keys' current rows
     // — and those live in `touched` by the stats-soundness guarantee.
     // Untouched-key rows inside touched files flow through the
     // !is_current / untouchedCurrent branches byte-equal.
-    val (touched, carried) = cowSplit(c, batch, keys)
-    val history = readFiles(c.schema, touched)
-    val orderCols = (tsCol +: tieCols).map(col)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
-    val newRows = batch
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-      .withColumn("is_current", col("valid_to").isNull)
-      .withColumnRenamed(tsCol, "valid_from")
-    // First batch timestamp per touched key = the valid_to that closes the
-    // key's current row. min(ts) suffices: valid_to stores only the ts.
-    val firstTs = batch.groupBy(keys.map(col): _*)
-      .agg(min(col(tsCol)).as("__batch_from"))
-    val current = history.filter(col("is_current"))
-    val closed = current.join(broadcast(firstTs), keys)
-      .withColumn("valid_to", col("__batch_from"))
-      .withColumn("is_current", lit(false))
-      .drop("__batch_from")
-    val untouchedCurrent = current.join(broadcast(firstTs), keys, "left_anti")
-    val merged = history.filter(!col("is_current"))
-      .unionByName(closed)
-      .unionByName(untouchedCurrent)
-      .unionByName(newRows.select(history.columns.map(col): _*))
-    val out = clusterForWrite(merged, cowPruneColumn(c, keys))
-    commit(parent, "scd2_apply", carried ++ writeData(out), c.schema)
+    mergeWithRetry("scd2_apply", batch, keys) { (c, touched) =>
+      val history = readFiles(c.schema, touched)
+      val orderCols = (tsCol +: tieCols).map(col)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      val newRows = batch
+        .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .withColumnRenamed(tsCol, "valid_from")
+      // First batch timestamp per touched key = the valid_to that closes
+      // the key's current row. min(ts) suffices: valid_to stores only ts.
+      val firstTs = batch.groupBy(keys.map(col): _*)
+        .agg(min(col(tsCol)).as("__batch_from"))
+      val current = history.filter(col("is_current"))
+      val closed = current.join(broadcast(firstTs), keys)
+        .withColumn("valid_to", col("__batch_from"))
+        .withColumn("is_current", lit(false))
+        .drop("__batch_from")
+      val untouchedCurrent = current.join(broadcast(firstTs), keys, "left_anti")
+      history.filter(!col("is_current"))
+        .unionByName(closed)
+        .unionByName(untouchedCurrent)
+        .unionByName(newRows.select(history.columns.map(col): _*))
+    }
   }
 
   /** Bin-packed small-file compaction — the physical rewrite behind the

@@ -412,6 +412,63 @@ class TableFormatSpec extends SparkSpec {
     assert(t.read().filter($"v" === 222222L).count() == 21)
   }
 
+  test("merge conflict: disjoint concurrent append REBASES (no recompute)") {
+    import spark.implicits._
+    val t = rangedBase("rebase")
+    // rival: while the merge (keys 10..40) is between write and commit,
+    // a concurrent writer appends rows with keys FAR outside the batch
+    var fired = false
+    t.onBeforeMergeCommit = () => {
+      if (!fired) {
+        fired = true
+        t.append(spark.range(5000, 5010).toDF("id").withColumn("v", lit(7L)))
+      }
+    }
+    t.upsertKeepLatest(
+      spark.range(10, 41).toDF("id").withColumn("v", lit(999999L)),
+      Seq("id"), Seq($"v".desc))
+    t.onBeforeMergeCommit = () => ()
+    // versions: 1 create, 2 rival append, 3 merge (rebased on top)
+    assert(t.latestVersion == 3)
+    val v3 = t.commitAt(3)
+    assert(v3.operation == "upsert_keep_latest" && v3.parent == 2)
+    // REBASE PROOF: the rival's appended file is in the merge's manifest
+    // BY PATH — the merge spliced its rewrite onto the winner instead of
+    // re-reading anything
+    val rivalFiles = t.commitAt(2).files.map(_.path).toSet --
+      t.commitAt(1).files.map(_.path).toSet
+    assert(rivalFiles.nonEmpty &&
+      rivalFiles.subsetOf(v3.files.map(_.path).toSet))
+    // and both writers' rows are all present
+    assert(t.read().count() == 1010)
+    assert(t.read().filter($"v" === 999999L).count() == 31)
+    assert(t.read().filter($"id" >= 5000L).count() == 10)
+  }
+
+  test("merge conflict: overlapping concurrent append forces RECOMPUTE") {
+    import spark.implicits._
+    val t = rangedBase("recompute")
+    // rival appends a row INSIDE the batch's key range with the highest
+    // v: last-writer-wins must surface the rival's row, which is only
+    // possible if the loser re-ran the merge against the new snapshot
+    var fired = false
+    t.onBeforeMergeCommit = () => {
+      if (!fired) {
+        fired = true
+        t.append(Seq((20L, 7777777L)).toDF("id", "v"))
+      }
+    }
+    t.upsertKeepLatest(
+      spark.range(10, 41).toDF("id").withColumn("v", lit(999999L)),
+      Seq("id"), Seq($"v".desc))
+    t.onBeforeMergeCommit = () => ()
+    assert(t.latestVersion == 3)
+    // the recomputed merge saw the rival's row and kept it (7777777 > 999999)
+    assert(t.read().filter($"id" === 20L).select($"v").as[Long].head() == 7777777L)
+    assert(t.read().filter($"v" === 999999L).count() == 30) // 31 minus id=20
+    assert(t.read().count() == 1000)
+  }
+
   test("COW multi-column intersection: a second key column prunes further") {
     import spark.implicits._
     // id ascends, y descends: each range file holds id [a,b] AND y

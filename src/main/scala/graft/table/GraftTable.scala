@@ -19,16 +19,24 @@ import graft.upsert.KeepLatest
   */
 final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-/** Per-column min/max of one data file, lifted from the parquet footer at
-  * write time. `kind` is "long" or "double"; bounds are serialized as
-  * strings so 64-bit integers survive JSON round-trips exactly. A column
-  * appears only when EVERY row group of the file carries non-null
-  * statistics for it — absent stats mean "cannot skip", never "empty". */
-final case class ColStat(kind: String, min: String, max: String) {
+/** Per-column min/max (+ null count) of one data file, lifted from the
+  * parquet footer at write time. `kind` is "long" or "double"; bounds are
+  * serialized as strings so 64-bit integers survive JSON round-trips
+  * exactly. A column appears only when EVERY row group of the file
+  * carries non-null statistics for it — absent stats mean "cannot skip",
+  * never "empty". `nulls` is the file's total null count for the column
+  * (−1 = unknown, e.g. a pre-upgrade manifest): min/max say nothing about
+  * NULL rows, so null-aware pruning (a NULL merge key, IS NULL
+  * predicates) needs the count — `nulls == 0` proves a file cannot hold
+  * a null-keyed row (Delta's nullCount plays the same role). */
+final case class ColStat(kind: String, min: String, max: String,
+                         nulls: Long = -1L) {
   private def asBig(s: String): BigDecimal = BigDecimal(s)
   /** Could any row of this file fall in [lo, hi]? */
   def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean =
     !(asBig(max) < lo || asBig(min) > hi)
+  /** Could any row of this file hold NULL in this column? */
+  def mayHaveNulls: Boolean = nulls != 0L
 }
 
 /** One data file entry in a version manifest. `path` is RELATIVE to the
@@ -143,7 +151,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         val m = scala.collection.mutable.Map.empty[String, ColStat]
         s.fields().forEachRemaining { e =>
           m(e.getKey) = ColStat(e.getValue.get("kind").asText(),
-            e.getValue.get("min").asText(), e.getValue.get("max").asText())
+            e.getValue.get("min").asText(), e.getValue.get("max").asText(),
+            Option(e.getValue.get("nulls")).map(_.asLong()).getOrElse(-1L))
         }
         m.toMap
       }.getOrElse(Map.empty[String, ColStat])
@@ -316,22 +325,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             case _ => false
           }
         }
+        val rgNulls = if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
         val parsed: Option[ColStat] =
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else c.getPrimitiveType.getPrimitiveTypeName match {
             case INT64 | INT32 if !intDomainSafe => None
             case INT64 => Some(ColStat("long",
               st.genericGetMin.asInstanceOf[java.lang.Long].toString,
-              st.genericGetMax.asInstanceOf[java.lang.Long].toString))
+              st.genericGetMax.asInstanceOf[java.lang.Long].toString, rgNulls))
             case INT32 => Some(ColStat("long",
               st.genericGetMin.asInstanceOf[java.lang.Integer].toString,
-              st.genericGetMax.asInstanceOf[java.lang.Integer].toString))
+              st.genericGetMax.asInstanceOf[java.lang.Integer].toString, rgNulls))
             case DOUBLE => Some(ColStat("double",
               st.genericGetMin.asInstanceOf[java.lang.Double].toString,
-              st.genericGetMax.asInstanceOf[java.lang.Double].toString))
+              st.genericGetMax.asInstanceOf[java.lang.Double].toString, rgNulls))
             case FLOAT => Some(ColStat("double",
               st.genericGetMin.asInstanceOf[java.lang.Float].toString,
-              st.genericGetMax.asInstanceOf[java.lang.Float].toString))
+              st.genericGetMax.asInstanceOf[java.lang.Float].toString, rgNulls))
             case _ => None
           }
         parsed match {
@@ -340,7 +350,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
               case None => acc(name) = s
               case Some(prev) => acc(name) = ColStat(s.kind,
                 if (BigDecimal(s.min) < BigDecimal(prev.min)) s.min else prev.min,
-                if (BigDecimal(s.max) > BigDecimal(prev.max)) s.max else prev.max)
+                if (BigDecimal(s.max) > BigDecimal(prev.max)) s.max else prev.max,
+                if (prev.nulls < 0 || s.nulls < 0) -1L else prev.nulls + s.nulls)
             }
           case _ =>
             bad += name
@@ -414,14 +425,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * Soundness over completeness, always erring toward "touched":
     *  - a file with no stats for the pruning key is always touched
     *    (absent stats mean "cannot skip", per [[ColStat]]);
-    *  - footer min/max say nothing about NULLs, so a batch containing a
-    *    NULL key degrades to full rewrite rather than guess;
+    *  - min/max say nothing about NULLs, so NULL batch keys resolve
+    *    through the manifests' per-file null counts: only files that MAY
+    *    hold a null (count > 0 or unknown) join the candidate set;
     *  - no key column with stats at all (e.g. string keys) → full
     *    rewrite, exactly the pre-COW behavior.
-    * Pruning uses the FIRST key column that any file carries stats for;
-    * intersecting several stat-bearing key columns would prune strictly
-    * more files and stays sound (per-column tests are each a superset of
-    * the true tuple containment) — single-column is the 80% cut. */
+    * Candidates INTERSECT across every stat-bearing key column — sound
+    * (per-column tests are each a superset of the true tuple
+    * containment), and a composite key whose column ranges never
+    * co-occur proves zero files touched. */
   /** The column [[cowSplit]] prunes on for these keys (first key any file
     * carries stats for) — also the column merge OUTPUT is clustered on. */
   private def cowPruneColumn(c: TableCommit, keys: Seq[String]): Option[String] =
@@ -454,16 +466,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // Per-column candidate sets, INTERSECTED: a file holding a batch
     // tuple holds each of the tuple's column values, so the true touched
     // set is inside every column's candidate set — each extra stat-bearing
-    // key column can only prune MORE files, never lose one. A column with
-    // NULLs in the batch simply contributes no pruning (stats are
-    // null-blind) instead of forcing a full rewrite; a file without stats
-    // on a column is a candidate under that column.
+    // key column can only prune MORE files, never lose one. A file
+    // without stats on a column is a candidate under that column. NULL
+    // batch keys: min/max are null-blind, but the manifests carry per-file
+    // NULL COUNTS, so a null-keyed batch row only forces files that MAY
+    // hold nulls (nulls > 0, or unknown) into the column's candidate set —
+    // range pruning for the non-null keys still applies on top.
     var candidates: Set[Int] = c.files.indices.toSet
     for (k <- statCols if candidates.nonEmpty) {
       val kind = c.files.iterator.flatMap(_.stats.get(k)).next().kind
       val sqlType = if (kind == "long") "bigint" else "double"
       val keyed = batch.select(col(k).cast(sqlType).as("__k"))
-      if (keyed.filter(col("__k").isNull).isEmpty) {
+      val batchHasNulls = !keyed.filter(col("__k").isNull).isEmpty
+      val nullCandidates: Set[Int] =
+        if (!batchHasNulls) Set.empty
+        else c.files.indices.filter(i =>
+          c.files(i).stats.get(k).forall(_.mayHaveNulls)).toSet
+      locally {
         val statted = c.files.zipWithIndex.filter(_._1.stats.contains(k))
         val rangesDf =
           if (kind == "long")
@@ -474,13 +493,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             statted.map { case (f, i) =>
               val s = f.stats(k); (i, s.min.toDouble, s.max.toDouble)
             }.toDF("__fid", "__lo", "__hi")
-        val touchedIds = keyed.distinct()
+        val touchedIds = keyed.filter(col("__k").isNotNull).distinct()
           .join(broadcast(rangesDf),
             col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select(col("__fid")).distinct()
           .collect().map(_.getInt(0)).toSet
-        val colCandidates =
-          touchedIds ++ c.files.indices.filterNot(i => c.files(i).stats.contains(k))
+        val colCandidates = touchedIds ++ nullCandidates ++
+          c.files.indices.filterNot(i => c.files(i).stats.contains(k))
         candidates = candidates intersect colCandidates
       }
     }
@@ -583,7 +602,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         val so = o.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
           val co = so.putObject(col)
-          co.put("kind", s.kind); co.put("min", s.min); co.put("max", s.max): Unit
+          co.put("kind", s.kind); co.put("min", s.min); co.put("max", s.max)
+          if (s.nulls >= 0) co.put("nulls", s.nulls): Unit
         }
       }
       if (f.partition.nonEmpty) {

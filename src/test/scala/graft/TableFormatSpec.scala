@@ -496,16 +496,47 @@ class TableFormatSpec extends SparkSpec {
 
   test("COW degrades soundly: NULL batch keys and stat-less key columns") {
     import spark.implicits._
-    // NULL key in the batch → full rewrite (stats are null-blind), correct result
+    // NULL key in the batch: the manifests' null counts prove the base
+    // files hold NO null ids, so only the id=5 range file rewrites —
+    // null-keyed rows no longer force a full rewrite
     val t1 = rangedBase("cownull")
+    assert(t1.commitAt(1).files.forall(_.stats("id").nulls == 0L))
     val bschema = new org.apache.spark.sql.types.StructType()
       .add("id", "long").add("v", "long")
     val batch = spark.createDataFrame(java.util.Arrays.asList(
       Row(5L, 111L), Row(null, 222L)), bschema)
     t1.upsertKeepLatest(batch, Seq("id"), Seq($"v".desc))
+    val carriedNull = t1.commitAt(1).files.map(_.path).toSet intersect
+      t1.commitAt(2).files.map(_.path).toSet
+    assert(carriedNull.size >= 6,
+      s"null-count stats should keep null-free files carried: $carriedNull")
     assert(t1.read().count() == 1001) // null key is its own group
     assert(t1.read().filter($"id".isNull).count() == 1)
     assert(t1.read().filter($"id" === 5L).select($"v").as[Long].head() == 111L)
+    // positive case: a state file that DOES hold a null key (nulls=1 in
+    // its manifest stats) must be touched by a null-keyed batch, and the
+    // null group merges last-writer-wins
+    val bschema2 = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "long")
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList((Row(null, 0L) +:
+        (0L until 100L).map(i => Row(java.lang.Long.valueOf(i), i))): _*),
+      bschema2).repartitionByRange(4, col("id"))
+    val t3 = GraftTable.create(spark, tmpRoot("cownull2"), withNull)
+    val nullFiles = t3.commitAt(1).files.filter(_.stats.get("id").exists(_.nulls > 0))
+    assert(nullFiles.size == 1, s"expected one null-carrying file: ${t3.commitAt(1).files.map(_.stats.get("id"))}")
+    t3.upsertKeepLatest(
+      spark.createDataFrame(java.util.Arrays.asList(Row(null, 999L)), bschema2),
+      Seq("id"), Seq($"v".desc))
+    assert(t3.read().count() == 101)
+    assert(t3.read().filter($"id".isNull).select($"v").as[Long].head() == 999L)
+    // files that provably hold no nulls and no batch range match are carried
+    val carried3 = t3.commitAt(1).files.map(_.path).toSet intersect
+      t3.commitAt(2).files.map(_.path).toSet
+    assert(!carried3.contains(nullFiles.head.path),
+      "the null-carrying file must be rewritten")
+    assert(carried3.size >= 2)
+
     // string keys carry no footer stats in the manifest → full rewrite, correct
     val t2 = GraftTable.create(spark, tmpRoot("cowstr"),
       Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))

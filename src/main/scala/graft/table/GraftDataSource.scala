@@ -218,7 +218,9 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
     * predicate must still run (exactly how parquet footer pruning
     * composes with FilterExec). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(f => GraftFilterRanges.toRanges(Seq(f)).nonEmpty)
+    accepted = filters.filter(f =>
+      GraftFilterRanges.toRanges(Seq(f)).nonEmpty ||
+        GraftFilterRanges.toStrRanges(Seq(f)).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -229,7 +231,7 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
   override def build(): Scan =
     new GraftV1Scan(t, version, required,
       GraftFilterRanges.toRanges(accepted.toSeq), startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, GraftFilterRanges.toStrRanges(accepted.toSeq))
 }
 
 /** Public (not `private[table]`) so plan-gating tests can collect the
@@ -238,17 +240,20 @@ final class GraftV1Scan(
     t: GraftTable, version: Long, required: StructType,
     val ranges: Seq[(String, BigDecimal, BigDecimal)],
     startingVersion: String = "0",
-    maxVersionsPerTrigger: Option[Long] = None) extends V1Scan {
+    maxVersionsPerTrigger: Option[Long] = None,
+    val strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty)
+    extends V1Scan {
 
   /** The manifest-pruned file subset this scan will read — public so
     * PlanSpec can gate "strict subset" on the DSv2 path directly. */
-  val prunedFiles: Seq[ManifestFile] = t.pruneFiles(version, ranges)
+  val prunedFiles: Seq[ManifestFile] = t.pruneFiles(version, ranges, strRanges)
   private val totalFiles: Int = t.commitAt(version).files.size
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftScan ${t.root} v$version files=${prunedFiles.size}/$totalFiles ranges=$ranges"
+    s"GraftScan ${t.root} v$version files=${prunedFiles.size}/$totalFiles " +
+      s"ranges=$ranges strRanges=$strRanges"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -290,11 +295,17 @@ private[table] object GraftFilterRanges {
 
   /** Numeric rendering of a literal in the MANIFEST's stat domain:
     * numbers as themselves, timestamps as epoch micros (the INT64
-    * physical value footerStats records), dates as epoch days. */
+    * physical value footerStats records, unit-normalized at prune time by
+    * [[ColStat.overlaps]]), dates as epoch days. Non-finite floats
+    * (NaN/Infinity) have no BigDecimal rendering — they decline to fold
+    * (no prune) instead of failing the whole query at plan time. */
   private def num(v: Any): Option[BigDecimal] = v match {
     case null => None
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite => None
     case b: java.math.BigDecimal => Some(BigDecimal(b))
-    case n: java.lang.Number => Some(BigDecimal(n.toString))
+    case n: java.lang.Number =>
+      scala.util.Try(BigDecimal(n.toString)).toOption
     case ts: java.sql.Timestamp =>
       Some(BigDecimal(ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L))
     case i: java.time.Instant =>
@@ -320,6 +331,45 @@ private[table] object GraftFilterRanges {
       val bs = vs.toSeq.flatMap(num)
       if (bs.length == vs.length) Seq((c, bs.min, bs.max)) else Seq.empty
     case And(l, r) => fold(l) ++ fold(r)
+    case _ => Seq.empty
+  }
+
+  /** STRING-range folding — the text sibling of [[toRanges]], pruning on
+    * the manifests' truncated string min/max (UTF-8 order). `None` bound
+    * = unbounded; same single-interval-per-column shapes as the numeric
+    * fold. StartsWith is a genuine range: `[prefix, prefix∞)` — its upper
+    * side is served by the truncated max's own increment property. */
+  def toStrRanges(filters: Seq[Filter]): Seq[(String, Option[String], Option[String])] =
+    filters.flatMap(foldStr)
+
+  private def str(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  private def foldStr(f: Filter): Seq[(String, Option[String], Option[String])] = f match {
+    case EqualTo(c, v)            => str(v).map(s => (c, Some(s), Some(s))).toSeq
+    case EqualNullSafe(c, v)      => str(v).map(s => (c, Some(s), Some(s))).toSeq
+    case GreaterThan(c, v)        => str(v).map(s => (c, Some(s), None)).toSeq
+    case GreaterThanOrEqual(c, v) => str(v).map(s => (c, Some(s), None)).toSeq
+    case LessThan(c, v)           => str(v).map(s => (c, None, Some(s))).toSeq
+    case LessThanOrEqual(c, v)    => str(v).map(s => (c, None, Some(s))).toSeq
+    case StringStartsWith(c, p) if p.nonEmpty =>
+      // every string with prefix p is ≥ p; the upper side compares the
+      // FILE MIN against the prefix itself extended to +∞ — expressible
+      // as min ≤ p-with-last-cp-bumped, but overlapsStr only sees
+      // closed bounds, so fold just the sound lower bound.
+      Seq((c, Some(p), None))
+    case In(c, vs) if vs.nonEmpty =>
+      val ss = vs.toSeq.flatMap(str)
+      if (ss.length == vs.length)
+        Seq((c, Some(ss.min(Ordering.comparatorToOrdering(
+              (a: String, b: String) => graft.table.ColStat.utf8Compare(a, b)))),
+             Some(ss.max(Ordering.comparatorToOrdering(
+              (a: String, b: String) => graft.table.ColStat.utf8Compare(a, b))))))
+      else Seq.empty
+    case And(l, r) => foldStr(l) ++ foldStr(r)
     case _ => Seq.empty
   }
 }

@@ -20,23 +20,67 @@ import graft.upsert.KeepLatest
 final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 /** Per-column min/max (+ null count) of one data file, lifted from the
-  * parquet footer at write time. `kind` is "long" or "double"; bounds are
-  * serialized as strings so 64-bit integers survive JSON round-trips
-  * exactly. A column appears only when EVERY row group of the file
-  * carries non-null statistics for it — absent stats mean "cannot skip",
-  * never "empty". `nulls` is the file's total null count for the column
-  * (−1 = unknown, e.g. a pre-upgrade manifest): min/max say nothing about
-  * NULL rows, so null-aware pruning (a NULL merge key, IS NULL
-  * predicates) needs the count — `nulls == 0` proves a file cannot hold
-  * a null-keyed row (Delta's nullCount plays the same role). */
+  * parquet footer at write time. `kind` names the STAT DOMAIN the bounds
+  * live in — "long" (plain signed ints), "double", "ts-micros" /
+  * "ts-millis" (epoch timestamps, unit per the column's parquet logical
+  * annotation), "date" (epoch days), or "string" (UTF-8 text, truncated
+  * Delta-style: min = ≤32-code-point prefix, max = exact or an
+  * incremented prefix — see `footerStats`). Recording the unit is what
+  * lets pruning normalize correctly: a millis-domain stat compared raw
+  * against a micros-domain predicate would wrongly skip files (silent
+  * missing rows). Bounds are serialized as strings so 64-bit integers
+  * survive JSON round-trips exactly. A column appears only when EVERY row
+  * group of the file carries non-null statistics for it — absent stats
+  * mean "cannot skip", never "empty". `nulls` is the file's total null
+  * count for the column (−1 = unknown, e.g. a pre-upgrade manifest):
+  * min/max say nothing about NULL rows, so null-aware pruning (a NULL
+  * merge key, IS NULL predicates) needs the count — `nulls == 0` proves a
+  * file cannot hold a null-keyed row (Delta's nullCount plays the same
+  * role). */
 final case class ColStat(kind: String, min: String, max: String,
                          nulls: Long = -1L) {
   private def asBig(s: String): BigDecimal = BigDecimal(s)
-  /** Could any row of this file fall in [lo, hi]? */
-  def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean =
-    !(asBig(max) < lo || asBig(min) > hi)
+  /** Could any row of this file fall in the NUMERIC range [lo, hi]?
+    * `lo`/`hi` arrive in the PREDICATE domain ([[GraftFilterRanges]]:
+    * timestamps as epoch micros, dates as epoch days) — millis-domain
+    * stats normalize by ×1000 before comparing; string stats can say
+    * nothing sound about a numeric range, so they never prune. */
+  def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean = kind match {
+    case "string" => true
+    case "ts-millis" => !(asBig(max) * 1000 < lo || asBig(min) * 1000 > hi)
+    case _ => !(asBig(max) < lo || asBig(min) > hi)
+  }
+  /** Could any row of this file fall in the STRING range? `None` bound =
+    * unbounded. Comparison is UTF-8 byte order — the order parquet's
+    * binary stats AND Spark's `UTF8String` both use (= code-point order),
+    * so a driver-side decision agrees with the executor-side residual
+    * filter. Non-string stats never prune a string range. */
+  def overlapsStr(lo: Option[String], hi: Option[String]): Boolean =
+    if (kind != "string") true
+    else lo.forall(l => ColStat.utf8Compare(max, l) >= 0) &&
+      hi.forall(h => ColStat.utf8Compare(min, h) <= 0)
   /** Could any row of this file hold NULL in this column? */
   def mayHaveNulls: Boolean = nulls != 0L
+}
+
+object ColStat {
+  /** Unsigned lexicographic compare of the UTF-8 encodings — equal to
+    * code-point order, which both parquet binary stats and Spark's
+    * `UTF8String.compareTo` use. `java.lang.String.compareTo` is UTF-16
+    * code-UNIT order, which disagrees above the BMP — using it here
+    * would let a supplementary-plane key slip past pruning soundness. */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 }
 
 /** One data file entry in a version manifest. `path` is RELATIVE to the
@@ -292,22 +336,59 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }
   }
 
+  /** Truncate a string MIN bound to ≤[[GraftTable.StatStringMaxLen]] code
+    * points: any prefix of `s` is ≤ `s` in code-point order, so a prefix
+    * is always a sound lower bound (Delta truncates string stats the same
+    * way — 32 chars). */
+  private def truncMin(s: String): String =
+    if (s.codePointCount(0, s.length) <= GraftTable.StatStringMaxLen) s
+    else s.substring(0, s.offsetByCodePoints(0, GraftTable.StatStringMaxLen))
+
+  /** Truncate a string MAX bound: exact when short enough; otherwise the
+    * ≤32-cp prefix with its LAST INCREMENTABLE code point bumped (and the
+    * tail dropped) — strictly greater than every string sharing the
+    * prefix, so still a sound upper bound (Delta's max-side increment).
+    * The bump skips the surrogate range so the result stays a valid
+    * Unicode string. `None` = no finite bound exists (all 32 prefix cps
+    * are U+10FFFF) — the caller drops the column's stats for this file. */
+  private def truncMax(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= GraftTable.StatStringMaxLen) return Some(s)
+    val p = s.substring(0, s.offsetByCodePoints(0, GraftTable.StatStringMaxLen))
+    var i = p.length
+    while (i > 0) {
+      val cpStart = p.offsetByCodePoints(i, -1)
+      val cp = p.codePointAt(cpStart)
+      if (cp < 0x10FFFF) {
+        val bumped = if (cp + 1 >= 0xD800 && cp + 1 <= 0xDFFF) 0xE000 else cp + 1
+        return Some(p.substring(0, cpStart) + new String(Character.toChars(bumped)))
+      }
+      i = cpStart
+    }
+    None
+  }
+
   /** Aggregate per-column min/max across a file's row groups from the
     * parquet footer (already open for the row count — stats collection
-    * costs zero extra IO). Numeric physical types only; a column is kept
-    * iff EVERY row group has non-null statistics for it, so a pruning
-    * decision can never be optimistic. Timestamps surface through their
-    * INT64 physical representation (micros) — order-preserving, so range
-    * pruning on the raw value stays correct. */
+    * costs zero extra IO). A column is kept iff EVERY row group has
+    * non-null statistics for it, so a pruning decision can never be
+    * optimistic. The recorded [[ColStat.kind]] carries the stat DOMAIN:
+    * timestamp columns record their parquet unit ("ts-micros" /
+    * "ts-millis" — NANOS refused, Spark never writes it), dates record
+    * "date" (epoch days), and UTF8-annotated binary records "string" with
+    * Delta-style truncation (prefix min, incremented-prefix max) so a
+    * manifest entry stays bounded no matter how long the text. */
   private def footerStats(
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Map[String, ColStat] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
     val acc = scala.collection.mutable.Map.empty[String, ColStat]
     val bad = scala.collection.mutable.Set.empty[String]
     footer.getBlocks.forEach { b =>
       b.getColumns.forEach { c =>
         val name = c.getPath.toDotString
         val st = c.getStatistics
+        val ann = c.getPrimitiveType.getLogicalTypeAnnotation
         // INT32/INT64 raw values equal the logical domain only for plain
         // (signed) ints, epoch-based timestamps, and epoch-day dates — all
         // order-AND-value-preserving. DECIMAL-annotated ints store the
@@ -315,25 +396,39 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         // a future pruning call skip files that DO contain qualifying rows
         // (silent wrong answers). Unsigned annotations reorder across the
         // sign bit. Both are refused here: no stat beats a wrong stat.
-        val intDomainSafe: Boolean = {
-          import org.apache.parquet.schema.LogicalTypeAnnotation._
-          c.getPrimitiveType.getLogicalTypeAnnotation match {
-            case null => true
-            case i: IntLogicalTypeAnnotation => i.isSigned
-            case _: TimestampLogicalTypeAnnotation => true
-            case _: DateLogicalTypeAnnotation => true
-            case _ => false
+        // Timestamps record their UNIT in the kind — a millis file raw-
+        // compared against micros predicates would wrongly skip files.
+        val intKind: Option[String] = ann match {
+          case null => Some("long")
+          case i: IntLogicalTypeAnnotation if i.isSigned => Some("long")
+          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some("ts-micros")
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some("ts-millis")
+            case _ => None // NANOS: no Spark writer emits it; refuse
           }
+          case _: DateLogicalTypeAnnotation => Some("date")
+          case _ => None
         }
         val rgNulls = if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
+        /** Guard against parquet's OWN byte-level binary-stat truncation:
+          * a byte-incremented bound can be invalid UTF-8, and decoding it
+          * would substitute U+FFFD — silently MOVING the bound. Keep a
+          * binary stat only if its bytes round-trip through UTF-8. */
+        def utf8Exact(bin: org.apache.parquet.io.api.Binary): Option[String] = {
+          val bytes = bin.getBytes
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          if (java.util.Arrays.equals(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bytes)) Some(s)
+          else None
+        }
         val parsed: Option[ColStat] =
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else c.getPrimitiveType.getPrimitiveTypeName match {
-            case INT64 | INT32 if !intDomainSafe => None
-            case INT64 => Some(ColStat("long",
+            case INT64 | INT32 if intKind.isEmpty => None
+            case INT64 => Some(ColStat(intKind.get,
               st.genericGetMin.asInstanceOf[java.lang.Long].toString,
               st.genericGetMax.asInstanceOf[java.lang.Long].toString, rgNulls))
-            case INT32 => Some(ColStat("long",
+            case INT32 => Some(ColStat(intKind.get,
               st.genericGetMin.asInstanceOf[java.lang.Integer].toString,
               st.genericGetMax.asInstanceOf[java.lang.Integer].toString, rgNulls))
             case DOUBLE => Some(ColStat("double",
@@ -342,16 +437,26 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             case FLOAT => Some(ColStat("double",
               st.genericGetMin.asInstanceOf[java.lang.Float].toString,
               st.genericGetMax.asInstanceOf[java.lang.Float].toString, rgNulls))
+            case BINARY if ann.isInstanceOf[StringLogicalTypeAnnotation] =>
+              for {
+                mn <- utf8Exact(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary])
+                mx <- utf8Exact(st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary])
+                mxT <- truncMax(mx)
+              } yield ColStat("string", truncMin(mn), mxT, rgNulls)
             case _ => None
           }
         parsed match {
           case Some(s) if !bad.contains(name) =>
             acc.get(name) match {
               case None => acc(name) = s
-              case Some(prev) => acc(name) = ColStat(s.kind,
-                if (BigDecimal(s.min) < BigDecimal(prev.min)) s.min else prev.min,
-                if (BigDecimal(s.max) > BigDecimal(prev.max)) s.max else prev.max,
-                if (prev.nulls < 0 || s.nulls < 0) -1L else prev.nulls + s.nulls)
+              case Some(prev) =>
+                def lt(a: String, bb: String) =
+                  if (s.kind == "string") ColStat.utf8Compare(a, bb) < 0
+                  else BigDecimal(a) < BigDecimal(bb)
+                acc(name) = ColStat(s.kind,
+                  if (lt(s.min, prev.min)) s.min else prev.min,
+                  if (lt(prev.max, s.max)) s.max else prev.max,
+                  if (prev.nulls < 0 || s.nulls < 0) -1L else prev.nulls + s.nulls)
             }
           case _ =>
             bad += name
@@ -389,7 +494,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * unparseable partition renderings (e.g. the null-partition marker)
     * conservatively keep the file. */
   def pruneFiles(version: Long,
-                 ranges: Seq[(String, BigDecimal, BigDecimal)]): Seq[ManifestFile] = {
+                 ranges: Seq[(String, BigDecimal, BigDecimal)]): Seq[ManifestFile] =
+    pruneFiles(version, ranges, Seq.empty)
+
+  /** [[pruneFiles]] with STRING ranges alongside the numeric ones —
+    * `(column, lower, upper)`, `None` = unbounded on that side, compared
+    * in UTF-8 order against the manifests' truncated string min/max
+    * ([[ColStat.overlapsStr]]). A string partition VALUE compares exactly;
+    * the Hive null-partition marker conservatively keeps the file (its
+    * rows are NULL in the column — a range predicate can't match them,
+    * but pruning must never depend on the residual's semantics). */
+  def pruneFiles(version: Long,
+                 ranges: Seq[(String, BigDecimal, BigDecimal)],
+                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] = {
     val c = commitAt(version)
     c.files.filter { f =>
       ranges.forall { case (col, lo, hi) =>
@@ -397,6 +514,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           case Some(v) =>
             scala.util.Try(BigDecimal(v)).toOption.forall(b => b >= lo && b <= hi)
           case None => f.stats.get(col).forall(_.overlaps(lo, hi))
+        }
+      } && strRanges.forall { case (col, lo, hi) =>
+        f.partition.get(col) match {
+          case Some(GraftTable.HiveNullPartition) => true
+          case Some(v) =>
+            lo.forall(l => ColStat.utf8Compare(v, l) >= 0) &&
+              hi.forall(h => ColStat.utf8Compare(v, h) <= 0)
+          case None => f.stats.get(col).forall(_.overlapsStr(lo, hi))
         }
       }
     }
@@ -428,8 +553,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     *  - min/max say nothing about NULLs, so NULL batch keys resolve
     *    through the manifests' per-file null counts: only files that MAY
     *    hold a null (count > 0 or unknown) join the candidate set;
-    *  - no key column with stats at all (e.g. string keys) → full
-    *    rewrite, exactly the pre-COW behavior.
+    *  - batch keys convert into each file's recorded STAT DOMAIN
+    *    ([[statDomainExpr]]): string keys compare in UTF-8 order against
+    *    the truncated manifest bounds, timestamp keys in the file's
+    *    recorded unit (micros vs millis), date keys in epoch days — and a
+    *    (kind, type) pair with no sound bridge (legacy unit-less stats on
+    *    a timestamp column) simply doesn't prune;
+    *  - no key column with stats at all → full rewrite, exactly the
+    *    pre-COW behavior.
     * Candidates INTERSECT across every stat-bearing key column — sound
     * (per-column tests are each a superset of the true tuple
     * containment), and a composite key whose column ranges never
@@ -456,6 +587,44 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       case None => merged
     }
 
+  /** The batch-side expression that converts key column `dt` into the
+    * STAT DOMAIN `kind` records — the unit bridge that makes pruning on
+    * timestamp/date/string keys sound. `None` = no sound conversion
+    * exists (legacy "long" stats on a timestamp/date column whose unit
+    * was never recorded; TIMESTAMP_NTZ, whose epoch-of-wall-time stats
+    * shift under a non-UTC session cast) — the caller must NOT prune on
+    * that (kind, type) pair. */
+  private def statDomainExpr(kind: String, dt: DataType, c: Column): Option[Column] = {
+    import org.apache.spark.sql.types._
+    kind match {
+      case "long" => dt match {
+        case LongType | IntegerType | ShortType | ByteType => Some(c.cast("bigint"))
+        case _ => None
+      }
+      case "double" => dt match {
+        case DoubleType | FloatType => Some(c.cast("double"))
+        case _ => None
+      }
+      case "ts-micros" => dt match {
+        case TimestampType => Some(unix_micros(c))
+        case _ => None
+      }
+      case "ts-millis" => dt match {
+        case TimestampType => Some(unix_millis(c))
+        case _ => None
+      }
+      case "date" => dt match {
+        case DateType => Some(datediff(c, lit("1970-01-01").cast("date")).cast("bigint"))
+        case _ => None
+      }
+      case "string" => dt match {
+        case StringType => Some(c)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def cowSplit(c: TableCommit, batch: DataFrame, keys: Seq[String])
       : (Seq[ManifestFile], Seq[ManifestFile]) = {
     if (c.files.isEmpty) return (Seq.empty, Seq.empty)
@@ -472,36 +641,65 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // NULL COUNTS, so a null-keyed batch row only forces files that MAY
     // hold nulls (nulls > 0, or unknown) into the column's candidate set —
     // range pruning for the non-null keys still applies on top.
+    //
+    // Files GROUP BY STAT KIND within a column (a table whose history
+    // straddles the unit-recording upgrade holds both legacy "long" and
+    // "ts-micros" entries for the same timestamp column); each kind group
+    // prunes with its own domain conversion, and a group with no sound
+    // conversion stays candidate wholesale — soundness never depends on a
+    // uniform manifest history.
     var candidates: Set[Int] = c.files.indices.toSet
+    val batchType: Map[String, DataType] =
+      batch.schema.map(f => f.name -> f.dataType).toMap
     for (k <- statCols if candidates.nonEmpty) {
-      val kind = c.files.iterator.flatMap(_.stats.get(k)).next().kind
-      val sqlType = if (kind == "long") "bigint" else "double"
-      val keyed = batch.select(col(k).cast(sqlType).as("__k"))
-      val batchHasNulls = !keyed.filter(col("__k").isNull).isEmpty
-      val nullCandidates: Set[Int] =
-        if (!batchHasNulls) Set.empty
-        else c.files.indices.filter(i =>
-          c.files(i).stats.get(k).forall(_.mayHaveNulls)).toSet
-      locally {
-        val statted = c.files.zipWithIndex.filter(_._1.stats.contains(k))
-        val rangesDf =
-          if (kind == "long")
-            statted.map { case (f, i) =>
-              val s = f.stats(k); (i, s.min.toLong, s.max.toLong)
-            }.toDF("__fid", "__lo", "__hi")
-          else
-            statted.map { case (f, i) =>
-              val s = f.stats(k); (i, s.min.toDouble, s.max.toDouble)
-            }.toDF("__fid", "__lo", "__hi")
-        val touchedIds = keyed.filter(col("__k").isNotNull).distinct()
-          .join(broadcast(rangesDf),
-            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-          .select(col("__fid")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val colCandidates = touchedIds ++ nullCandidates ++
-          c.files.indices.filterNot(i => c.files(i).stats.contains(k))
-        candidates = candidates intersect colCandidates
+      val keyExpr = batchType.get(k).map(dt => (dt, col(k)))
+      val statted = c.files.zipWithIndex.filter(_._1.stats.contains(k))
+      val unstatted = c.files.indices.filterNot(i => c.files(i).stats.contains(k))
+      val byKind = statted.groupBy(_._1.stats(k).kind)
+      val colCandidates = scala.collection.mutable.Set.empty[Int]
+      colCandidates ++= unstatted
+      var batchNulls: Option[Boolean] = None // lazily computed, shared per column
+      for ((kind, group) <- byKind) {
+        val converted = keyExpr.flatMap { case (dt, c0) => statDomainExpr(kind, dt, c0) }
+        converted match {
+          case None =>
+            // no sound batch→stat-domain bridge: every file of this kind
+            // group could hold batch keys
+            colCandidates ++= group.map(_._2)
+          case Some(e) =>
+            val keyed = batch.select(e.as("__k"))
+            val hasNulls = batchNulls.getOrElse {
+              // null-ness is conversion-independent (every bridge above is
+              // null-preserving), so one probe serves all kind groups
+              val h = !batch.filter(col(k).isNull).isEmpty
+              batchNulls = Some(h); h
+            }
+            if (hasNulls)
+              colCandidates ++= group.collect {
+                case (f, i) if f.stats(k).mayHaveNulls => i
+              }
+            val rangesDf =
+              if (kind == "string")
+                group.map { case (f, i) =>
+                  val s = f.stats(k); (i, s.min, s.max)
+                }.toDF("__fid", "__lo", "__hi")
+              else if (kind == "double")
+                group.map { case (f, i) =>
+                  val s = f.stats(k); (i, s.min.toDouble, s.max.toDouble)
+                }.toDF("__fid", "__lo", "__hi")
+              else
+                group.map { case (f, i) =>
+                  val s = f.stats(k); (i, s.min.toLong, s.max.toLong)
+                }.toDF("__fid", "__lo", "__hi")
+            val touchedIds = keyed.filter(col("__k").isNotNull).distinct()
+              .join(broadcast(rangesDf),
+                col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+              .select(col("__fid")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            colCandidates ++= touchedIds
+        }
       }
+      candidates = candidates intersect colCandidates.toSet
     }
     val (touched, carried) =
       c.files.zipWithIndex.partition { case (_, i) => candidates(i) }
@@ -971,6 +1169,17 @@ object GraftTable {
   /** Default vacuum in-flight-writer horizon: no single write job should
     * take a day; anything unreferenced AND older is safe to sweep. */
   val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
+
+  /** Hive's rendered partition value for NULL — a file under this
+    * directory holds NULL in the partition column, which no range bound
+    * can reason about. */
+  val HiveNullPartition: String = "__HIVE_DEFAULT_PARTITION__"
+
+  /** String-stat truncation width in code points (Delta uses 32): long
+    * text columns (the `documents` corpus) still get bounded, sound
+    * min/max entries — enough to key-prune merges — without bloating the
+    * manifest with document bodies. */
+  val StatStringMaxLen: Int = 32
 
   /** Create a new table at `root` (must not already hold a log) with `df`
     * as version 1. */

@@ -81,8 +81,9 @@ class DataSourceSpec extends SparkSpec {
     val q = spark.read.format("graft").load(root)
       .filter($"s" === "u7").select($"s")
     val scan = plannedScan(q)
-    // string stats are not recorded → no pruning, but nothing breaks
-    assert(scan.prunedFiles.size == 4)
+    // round-13: string stats prune too — only files whose [min,max]
+    // straddles "u7" in UTF-8 order survive, and the residual stays sound
+    assert(scan.prunedFiles.size < 4 && scan.prunedFiles.nonEmpty)
     assert(scan.readSchema().fieldNames.toSeq == Seq("s"))
     assert(q.as[String].collect().toSeq == Seq("u7"))
     // zero-column scan (count(*)) plans and counts correctly
@@ -203,6 +204,32 @@ class DataSourceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft_cat")
       spark.conf.unset("spark.sql.catalog.graft_cat.root")
     }
+  }
+
+  test("string predicates prune on truncated manifest min/max (round-13)") {
+    import spark.implicits._
+    val root = tmpRoot("str")
+    val df = spark.range(1000)
+      .select(format_string("doc-%05d", $"id").as("doc_id"),
+        ($"id" % 7).cast("long").as("v"))
+      .repartitionByRange(8, $"doc_id")
+    GraftTable.create(spark, root, df)
+    // equality: one range file survives
+    val q = spark.read.format("graft").load(root).filter($"doc_id" === "doc-00500")
+    val scan = plannedScan(q)
+    assert(scan.prunedFiles.size < 8 && scan.prunedFiles.nonEmpty,
+      s"string equality should prune, got ${scan.prunedFiles.size}/8")
+    assert(q.count() == 1)
+    // range: BETWEEN folds to a [lo, hi] string interval
+    val q2 = spark.read.format("graft").load(root)
+      .filter($"doc_id" >= "doc-00100" && $"doc_id" <= "doc-00220")
+    assert(plannedScan(q2).prunedFiles.size < 8)
+    assert(q2.count() == 121)
+    // prefix: startsWith folds to a sound lower bound
+    val q3 = spark.read.format("graft").load(root)
+      .filter($"doc_id".startsWith("doc-009"))
+    assert(plannedScan(q3).prunedFiles.size < 8)
+    assert(q3.count() == 100)
   }
 
   test("timestamp predicates fold to epoch-micro ranges and prune") {

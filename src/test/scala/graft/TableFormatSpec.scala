@@ -537,12 +537,125 @@ class TableFormatSpec extends SparkSpec {
       "the null-carrying file must be rewritten")
     assert(carried3.size >= 2)
 
-    // string keys carry no footer stats in the manifest → full rewrite, correct
+    // string keys now CARRY truncated footer stats (round-13) — the merge
+    // still lands the right rows
     val t2 = GraftTable.create(spark, tmpRoot("cowstr"),
       Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
-    assert(t2.commitAt(1).files.forall(f => !f.stats.contains("k")))
+    assert(t2.commitAt(1).files.forall(_.stats.contains("k")))
     t2.upsertKeepLatest(Seq(("b", 9L)).toDF("k", "v"), Seq("k"), Seq($"v".desc))
     assert(sortedRows(t2.read()) == sortedRows(Seq(("a", 1L), ("b", 9L)).toDF("k", "v")))
+  }
+
+  // ---- round-13: stat domains — string / timestamp / date merge keys ------
+
+  test("string-keyed COW: doc-id merges carry untouched files by path identity") {
+    import spark.implicits._
+    // 8 range-clustered files keyed by a zero-padded string id (the
+    // documents-corpus shape): the manifests' truncated string min/max
+    // must let a narrow batch rewrite only its own files
+    val base = spark.range(1000)
+      .select(format_string("doc-%05d", $"id").as("doc_id"),
+        ($"id" * 10).cast("long").as("v"))
+      .repartitionByRange(8, col("doc_id"))
+    val t = GraftTable.create(spark, tmpRoot("cowstrkey"), base)
+    val v1 = t.commitAt(1).files
+    assert(v1.size == 8 && v1.forall(_.stats.contains("doc_id")),
+      s"string key must carry manifest stats: ${v1.map(_.stats.keySet)}")
+    val batch = spark.range(10, 41)
+      .select(format_string("doc-%05d", $"id").as("doc_id"), lit(999999L).as("v"))
+    t.upsertKeepLatest(batch, Seq("doc_id"), Seq($"v".desc))
+    val v2 = t.commitAt(2).files
+    val carried = v1.map(_.path).toSet intersect v2.map(_.path).toSet
+    assert(carried.size >= 6, s"expected >=6 carried files, got ${carried.size}")
+    // files whose string range provably excludes the batch are carried EXACTLY
+    val untouchable = v1.filter { f =>
+      val s = f.stats("doc_id")
+      graft.table.ColStat.utf8Compare(s.max, "doc-00010") < 0 ||
+        graft.table.ColStat.utf8Compare(s.min, "doc-00040") > 0
+    }.map(_.path).toSet
+    assert(untouchable.subsetOf(carried))
+    assert(t.read().count() == 1000)
+    assert(t.read().filter($"v" === 999999L).count() == 31)
+    assert(t.read().filter($"doc_id".between("doc-00010", "doc-00040")
+      && $"v" =!= 999999L).isEmpty)
+  }
+
+  test("string stats truncate soundly: long shared-prefix keys never lose rows") {
+    import spark.implicits._
+    // 60-char keys sharing a 50-char prefix: min/max must truncate to 32
+    // code points (max incremented) and the merge must still classify the
+    // holder file as touched — a wrongly-exact truncation would corrupt
+    // the upper bound and silently carry the file (stale rows)
+    val pfx = "x" * 50
+    val base = spark.range(100)
+      .select(concat(lit(pfx), format_string("%05d", $"id")).as("k"),
+        $"id".cast("long").as("v"))
+      .repartitionByRange(4, col("k"))
+    val t = GraftTable.create(spark, tmpRoot("cowtrunc"), base)
+    for (f <- t.commitAt(1).files; s <- f.stats.get("k")) {
+      assert(s.min.codePointCount(0, s.min.length) <= 32, s"min too long: ${s.min}")
+      assert(s.max.codePointCount(0, s.max.length) <= 32, s"max too long: ${s.max}")
+      assert(graft.table.ColStat.utf8Compare(s.min, s.max) <= 0)
+    }
+    t.upsertKeepLatest(
+      Seq((pfx + "00042", 999999L)).toDF("k", "v"), Seq("k"), Seq($"v".desc))
+    assert(t.read().count() == 100)
+    assert(t.read().filter($"k" === pfx + "00042").select($"v").as[Long].head() == 999999L)
+  }
+
+  test("timestamp-keyed merges convert to the recorded stat unit (micros AND millis)") {
+    import spark.implicits._
+    // the round-12 bug: batch keys cast to BIGINT yield epoch SECONDS while
+    // the stats are epoch micros/millis — files holding batch keys were
+    // silently classified 'carried', so the merge kept stale rows. Verify
+    // both parquet units end-to-end: the updated key's old row must be GONE.
+    for (unit <- Seq("TIMESTAMP_MICROS", "TIMESTAMP_MILLIS")) {
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", unit)
+      try {
+        val base = spark.range(200)
+          .select(timestamp_seconds(
+            unix_timestamp(lit("2024-01-01 00:00:00")) + $"id" * 3600L).as("ts_key"),
+            $"id".cast("long").as("v"))
+          .repartitionByRange(4, col("ts_key"))
+        val t = GraftTable.create(spark, tmpRoot(s"cowts_$unit"), base)
+        val kinds = t.commitAt(1).files.flatMap(_.stats.get("ts_key")).map(_.kind).toSet
+        val expected = if (unit == "TIMESTAMP_MICROS") "ts-micros" else "ts-millis"
+        assert(kinds == Set(expected), s"$unit recorded kinds $kinds")
+        // update the key at hour 42
+        val batch = Seq(("2024-01-02 18:00:00", 999999L)).toDF("s", "v")
+          .select($"s".cast("timestamp").as("ts_key"), $"v")
+        t.upsertKeepLatest(batch, Seq("ts_key"), Seq($"v".desc))
+        assert(t.read().count() == 200, s"$unit: row count drifted")
+        val vs = t.read().filter($"ts_key" === lit("2024-01-02 18:00:00").cast("timestamp"))
+          .select($"v").as[Long].collect().toSeq
+        assert(vs == Seq(999999L), s"$unit: stale/duplicate rows for the merged key: $vs")
+        // and COW still prunes: disjoint files carried by path identity
+        val carried = t.commitAt(1).files.map(_.path).toSet intersect
+          t.commitAt(2).files.map(_.path).toSet
+        assert(carried.size >= 2, s"$unit: expected pruning, carried=$carried")
+      } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    }
+  }
+
+  test("date-keyed merge: prunes on epoch-day stats instead of crashing") {
+    import spark.implicits._
+    // pre-round-13, cast(date AS BIGINT) threw at plan time
+    val base = spark.range(400)
+      .select(date_add(lit("2024-01-01").cast("date"), $"id".cast("int")).as("d"),
+        $"id".cast("long").as("v"))
+      .repartitionByRange(4, col("d"))
+    val t = GraftTable.create(spark, tmpRoot("cowdate"), base)
+    assert(t.commitAt(1).files.flatMap(_.stats.get("d")).map(_.kind).toSet == Set("date"))
+    val batch = Seq(("2024-02-11", 999999L)).toDF("s", "v")
+      .select($"s".cast("date").as("d"), $"v")
+    t.upsertKeepLatest(batch, Seq("d"), Seq($"v".desc))
+    assert(t.read().count() == 400)
+    assert(t.read().filter($"d" === lit("2024-02-11").cast("date"))
+      .select($"v").as[Long].collect().toSeq == Seq(999999L))
+    val carried = t.commitAt(1).files.map(_.path).toSet intersect
+      t.commitAt(2).files.map(_.path).toSet
+    assert(carried.size >= 2, s"date pruning failed: carried=$carried")
   }
 
   test("vacuum minAge guard: an in-flight writer's files survive the sweep") {

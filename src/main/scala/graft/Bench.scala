@@ -35,6 +35,8 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        // analyzer rules can't register post-hoc — MERGE INTO needs this
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     // ERROR, not WARN: round-4's driver capture lost the metric line in a

@@ -15,12 +15,19 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    higher-order dot-product expressions to the native codegen'd form;
   *  - [[graft.plans.AsOfJoinStrategy]]: plans the whole-operator
   *    [[graft.plans.AsOfJoin]] node as the native sort-merge exec;
+  *  - [[graft.table.GraftMergeRule]]: lowers SQL `MERGE INTO` on graft
+  *    tables to the table format's transactional copy-on-write merge
+  *    (analyzer rules cannot be added post-hoc, so MERGE requires the
+  *    extension at session build time — the other injections also have
+  *    lazy per-query registration paths);
   *  - SQL function `vec_dot_native(array<float>, array<float>) -> double`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL MERGE INTO on graft tables → the transactional COW merge path
+    e.injectResolutionRule(session => new graft.table.GraftMergeRule(session))
     e.injectFunction((
       new FunctionIdentifier("vec_dot_native"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot_native"),

@@ -30,6 +30,8 @@ object Verify {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        // analyzer rules can't register post-hoc — MERGE INTO needs this
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,9 +33,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scale note: catalog operations read ONE manifest per table — listing
   * a namespace is a directory-of-directories listing (bounded by table
   * count, not file count), and no table open ever lists data files.
-  * Partitioned CREATE TABLE is refused for now (partitioned tables are
-  * created through [[GraftTable.createPartitioned]] / the curate path —
-  * once created, their SQL reads prune on the manifest like any other).
+  * `CREATE TABLE ... PARTITIONED BY (cols)` declares Hive directory
+  * partitions (identity transforms only): the columns are recorded in
+  * the manifest, every `INSERT` lands Hive-layout with per-file
+  * partition values in the manifest, and day-slice reads prune off ONE
+  * manifest JSON — the SQL-first spelling of
+  * [[GraftTable.createPartitioned]]. `MERGE INTO` lowers through
+  * [[GraftMergeRule]] (inject `graft.GraftExtensions`) onto the
+  * copy-on-write merge path.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -74,7 +79,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(d)) throw new NoSuchTableException(ident)
     val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
     val v = t.latestVersion
-    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), t.commitAt(v).schema)
+    val c = t.commitAt(v)
+    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), c.schema, c.partitionCols)
   }
 
   /** SQL time travel: `SELECT ... FROM graft.ns.t VERSION AS OF 3`. */
@@ -84,20 +90,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
     val v = version.toLong
     require(t.versions.contains(v), s"no committed version $v of $ident")
-    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), t.commitAt(v).schema)
+    val c = t.commitAt(v)
+    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), c.schema, c.partitionCols)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "partitioned CREATE TABLE is not supported through the SQL catalog " +
-        "yet — create partitioned tables via GraftTable.createPartitioned")
+    // `PARTITIONED BY (identity cols)` → Hive directory partitions whose
+    // per-file values land in the manifest; every later INSERT routes
+    // through the partitioned writer automatically (the loaded table
+    // reports the columns). Non-identity transforms are refused.
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support only identity (Hive directory) partitioning, got $other")
+    }
     val d = dirFor(ident)
     if (isTable(d)) throw new TableAlreadyExistsException(ident)
     d.getParentFile.mkdirs()
-    val t = GraftTable.createEmpty(SparkSession.active, d.getAbsolutePath, schema)
-    new GraftSparkTable(d.getAbsolutePath, Some((t, t.latestVersion)), schema)
+    val t = GraftTable.createEmpty(SparkSession.active, d.getAbsolutePath, schema,
+      partitionCols = partCols)
+    new GraftSparkTable(d.getAbsolutePath, Some((t, t.latestVersion)), schema, partCols)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -84,10 +84,29 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     else base
   }
 
+  /** The identity partition columns named by `partitioning` transforms
+    * and/or the `partitionBy` write option (comma-separated) — the two
+    * spellings a DSv2 writer's partitioning arrives through. Non-identity
+    * transforms (bucket/truncate/…) are refused loudly: the table format
+    * stores Hive directory partitions only. */
+  private def partitionColsOf(partitioning: Array[Transform],
+                              opts: CaseInsensitiveStringMap): Seq[String] = {
+    val fromTransforms = partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"graft tables support only identity (Hive directory) partitioning, got $other")
+    }
+    val fromOption = Option(opts.get("partitionBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (fromTransforms ++ fromOption).distinct
+  }
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = pathOf(opts)
+    val reqParts = partitionColsOf(partitioning, opts)
     if (new java.io.File(path, "_graft_log").exists()) {
       val (t, v) = resolve(opts)
       changeRange(t, opts).foreach { case (from, to) =>
@@ -99,26 +118,40 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
         return new GraftCdfTable(t, from, to, s)
       }
       val s = if (schema == null || schema.isEmpty) t.commitAt(v).schema else schema
-      new GraftSparkTable(path, Some((t, v)), s)
+      val declared = t.commitAt(v).partitionCols
+      require(reqParts.isEmpty || reqParts == declared,
+        s"table at $path is partitioned by $declared, write requested $reqParts")
+      new GraftSparkTable(path, Some((t, v)), s, declared)
     } else {
       // write target for a table that does not exist yet — the first
-      // insert creates it; a read will fail in newScanBuilder
+      // insert creates it (partitioned, when the writer asked); a read
+      // will fail in newScanBuilder
       require(schema != null && schema.nonEmpty,
         s"no graft table log at $path (and no schema to create one from)")
-      new GraftSparkTable(path, None, schema)
+      new GraftSparkTable(path, None, schema, reqParts)
     }
   }
 }
 
 private[table] final class GraftSparkTable(
-    root: String, existing: Option[(GraftTable, Long)], tableSchema: StructType)
+    root: String, existing: Option[(GraftTable, Long)], tableSchema: StructType,
+    partCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  /** The table root — exposed so [[GraftMergeRule]] can lower a SQL
+    * `MERGE INTO` on this relation back to the table-format API. */
+  private[table] def rootPath: String = root
   override def name(): String = existing match {
     case Some((_, v)) => s"graft.`$root` v$v"
     case None => s"graft.`$root` (new)"
   }
   override def schema(): StructType = tableSchema
+  /** Declared Hive partition columns, reported as identity transforms —
+    * `DESCRIBE`/catalog surfaces see them, and a catalog `INSERT INTO`
+    * routes through the partitioned writer. */
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -133,7 +166,7 @@ private[table] final class GraftSparkTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(root)
+    new GraftWriteBuilder(root, partCols)
 }
 
 /** Incremental-read (CDF) rendering of a graft table through the DSv2
@@ -168,9 +201,15 @@ private[table] final class GraftCdfTable(
   * [[GraftTable.overwrite]] — both visible atomically, both time-travel.
   * (DSv2 path-based sources accept only Append/Overwrite save modes, so
   * table creation rides the first append — same as Delta's path API.)
-  * Execution rides the V1 fallback ([[InsertableRelation]]), mirroring
-  * the read path's [[V1Scan]]. First write creates the table. */
-private[table] final class GraftWriteBuilder(root: String)
+  * With partition columns (from `CREATE TABLE ... PARTITIONED BY`, the
+  * table's own manifest metadata, or the `partitionBy` write option),
+  * every write routes through the Hive-layout writer — partition values
+  * land IN the manifest, so the pruned-read path works on SQL-created
+  * tables exactly as on `createPartitioned` ones. Execution rides the V1
+  * fallback ([[InsertableRelation]]), mirroring the read path's
+  * [[V1Scan]]. First write creates the table. */
+private[table] final class GraftWriteBuilder(root: String,
+                                             partCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -190,11 +229,19 @@ private[table] final class GraftWriteBuilder(root: String)
             val spark = df.sparkSession
             val exists = new java.io.File(root, "_graft_log").exists()
             if (!exists) {
-              GraftTable.create(spark, root, df): Unit
+              if (partCols.nonEmpty)
+                GraftTable.createPartitioned(spark, root, df, partCols): Unit
+              else
+                GraftTable.create(spark, root, df): Unit
             } else {
               val t = GraftTable.forPath(spark, root)
+              val cols =
+                if (partCols.nonEmpty) partCols
+                else t.commitAt(t.latestVersion).partitionCols
               if (truncateFirst || overwrite)
-                t.overwrite(df, t.latestVersion, "overwrite"): Unit
+                t.overwrite(df, t.latestVersion, "overwrite", cols): Unit
+              else if (cols.nonEmpty)
+                t.appendPartitioned(df, cols): Unit
               else
                 t.append(df): Unit
             }

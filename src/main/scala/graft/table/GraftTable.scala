@@ -103,14 +103,22 @@ final case class ManifestFile(path: String, rows: Long,
   * the writer based its work on. `txn` is the writer's idempotency token
   * (application id, monotone batch id) — Delta's `txn` action — set by
   * [[GraftTable.idempotentAppend]] so a replayed streaming micro-batch can
-  * be recognized and dropped. */
+  * be recognized and dropped. `txns` is the CUMULATIVE app→latest-batch
+  * map carried forward by every commit (Delta's checkpoint-carried
+  * `setTransactions`): the idempotency lookup reads ONE manifest instead
+  * of scanning the history; `None` marks a pre-upgrade manifest, which
+  * falls back to the scan. `partitionCols` records the table's Hive
+  * partition columns (empty = unpartitioned) so the SQL/DSv2 surface can
+  * report and route partitioned writes without side metadata. */
 final case class TableCommit(
     version: Long,
     parent: Long,
     operation: String,
     schema: StructType,
     files: Seq[ManifestFile],
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    txns: Option[Map[String, Long]] = None,
+    partitionCols: Seq[String] = Seq.empty)
 
 /** Minimal engine-native versioned table format — snapshot isolation,
   * time travel, and optimistic concurrency over plain parquet, in the
@@ -208,13 +216,25 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(),
         stats, partition)
     }
+    val txns = Option(n.get("txns")).map { tn =>
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      tn.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asLong())
+      m.toMap
+    }
+    val partitionCols = Option(n.get("partitionCols")).map { pc =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      pc.forEach(v => b += v.asText())
+      b.toSeq
+    }.getOrElse(Seq.empty)
     TableCommit(
       version = n.get("version").asLong(),
       parent = n.get("parent").asLong(),
       operation = n.get("operation").asText(),
       schema = DataType.fromJson(n.get("schemaJson").asText()).asInstanceOf[StructType],
       files = files.toSeq,
-      txn = Option(n.get("txnApp")).map(a => (a.asText(), n.get("txnBatch").asLong())))
+      txn = Option(n.get("txnApp")).map(a => (a.asText(), n.get("txnBatch").asLong())),
+      txns = txns,
+      partitionCols = partitionCols)
   }
 
   /** Snapshot read of the latest version. */
@@ -270,14 +290,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     *    100 TB — the downstream pipeline re-reads a day's files, never the
     *    table (Iceberg's incremental scan works the same way, from
     *    snapshot metadata).
-    *  - '''Snapshot multiset diff.''' If any `vFrom` file was rewritten
-    *    (merge/compaction/zorder between the versions), file identity says
-    *    nothing about row identity, so fall back to the full-row diff:
-    *    `vTo EXCEPT ALL vFrom` as inserts, `vFrom EXCEPT ALL vTo` as
-    *    deletes — one hash shuffle over all columns per direction, the
-    *    honest cost of diffing arbitrary rewrites (a production CDF avoids
-    *    it by RECORDING row-level changes at merge time; diff-of-snapshots
-    *    is the version-agnostic fallback that needs no extra log state).
+    *  - '''Telescoped per-step diff.''' A rewrite inside the range
+    *    (merge/compaction/zorder) breaks file identity — but as long as
+    *    every INTERMEDIATE manifest is still retained, each step's row
+    *    delta is exactly (its added files) − (its removed files): carried
+    *    files cancel. Summing the per-step deltas telescopes to the net
+    *    vFrom→vTo change, so the diff reads ONLY the files some step
+    *    added or removed — for COW merges that is O(touched), never
+    *    O(2×table). One signed-count hash shuffle over the churned rows.
+    *  - '''Snapshot multiset diff.''' The version-agnostic fallback when
+    *    the chain is broken (vacuumed intermediate versions) or the
+    *    schema changed inside the range: `vTo EXCEPT ALL vFrom` as
+    *    inserts, `vFrom EXCEPT ALL vTo` as deletes — one hash shuffle
+    *    over all columns per direction, the honest cost of diffing
+    *    arbitrary rewrites with no per-step information.
     */
   def changesBetween(vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"changesBetween($vFrom, $vTo): versions must ascend")
@@ -289,10 +315,56 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val added = to.files.filterNot(f => fromPaths.contains(f.path))
       readFiles(to.schema, added).withColumn("_change_type", lit("insert"))
     } else {
-      read(vTo).exceptAll(read(vFrom)).withColumn("_change_type", lit("insert"))
-        .unionByName(
-          read(vFrom).exceptAll(read(vTo)).withColumn("_change_type", lit("delete")))
+      val retained = versions.toSet
+      val chain = (vFrom to vTo).forall(retained.contains)
+      lazy val commits = (vFrom to vTo).map(commitAt)
+      def groupable(dt: DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: StructType => s.fields.forall(f => groupable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => groupable(a.elementType)
+        case _ => true
+      }
+      if (chain && commits.forall(_.schema == to.schema) &&
+          to.schema.fields.forall(f => groupable(f.dataType)))
+        telescopedDiff(commits)
+      else
+        read(vTo).exceptAll(read(vFrom)).withColumn("_change_type", lit("insert"))
+          .unionByName(
+            read(vFrom).exceptAll(read(vTo)).withColumn("_change_type", lit("delete")))
     }
+  }
+
+  /** Row-level diff of a CONTIGUOUS version chain: per step, added-files
+    * rows count +1 and removed-files rows −1 (carried files never load);
+    * the signed counts telescope, so rows with net > 0 surface as that
+    * many inserts and net < 0 as deletes — exactly the multiset
+    * `EXCEPT ALL` pair computes, at O(churned files) IO instead of two
+    * full snapshots. A file added AND removed inside the window cancels
+    * at the FILE level (immutable files: same rows both times), costing
+    * zero IO. */
+  private def telescopedDiff(commits: Seq[TableCommit]): DataFrame = {
+    val schema = commits.last.schema
+    val added = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
+    val removed = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
+    for (Seq(p, c) <- commits.sliding(2) if commits.size > 1) {
+      val pp = p.files.map(_.path).toSet
+      val cp = c.files.map(_.path).toSet
+      added ++= c.files.filterNot(f => pp.contains(f.path))
+      removed ++= p.files.filterNot(f => cp.contains(f.path))
+    }
+    val churn = added.map(_.path).toSet intersect removed.map(_.path).toSet
+    val addKeep = added.filterNot(f => churn.contains(f.path)).toSeq
+    val remKeep = removed.filterNot(f => churn.contains(f.path)).toSeq
+    val cols = schema.fieldNames.toSeq
+    readFiles(schema, addKeep).withColumn("__w", lit(1L))
+      .unionByName(readFiles(schema, remKeep).withColumn("__w", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= 0)
+      .withColumn("_change_type",
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__dup",
+        explode(array_repeat(lit(1), abs(col("__net")).cast("int"))))
+      .select(cols.map(col) :+ col("_change_type"): _*)
   }
 
   /** Write `df` as new immutable data files under `data/<uuid>/`; return
@@ -779,11 +851,34 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
   /** Publish version `parent+1` with the given FULL file list. Atomic
     * create-if-absent via hard-link (see class doc); throws
-    * [[ConcurrentCommitException]] if another writer took that version. */
+    * [[ConcurrentCommitException]] if another writer took that version.
+    *
+    * Every commit CARRIES FORWARD the parent's cumulative app→batch txn
+    * map (plus this commit's own `txn` marker), so the streaming sink's
+    * idempotency lookup is one manifest read regardless of history depth;
+    * a parent from before the map existed pays a one-time O(versions)
+    * fold to seed it. `partitionCols` likewise inherits from the parent
+    * unless the caller overrides (table creation). */
   def commit(parent: Long, operation: String, files: Seq[ManifestFile],
-             schema: StructType, txn: Option[(String, Long)] = None): Long = {
+             schema: StructType, txn: Option[(String, Long)] = None,
+             partitionCols: Option[Seq[String]] = None): Long = {
     logDir.mkdirs()
     val version = parent + 1
+    val parentCommit = if (parent == 0) None else Some(commitAt(parent))
+    val parentTxns: Map[String, Long] = parentCommit match {
+      case None => Map.empty
+      case Some(pc) => pc.txns.getOrElse {
+        // pre-upgrade parent: rebuild the map from retained history once
+        versions.filter(_ <= parent).sorted.foldLeft(Map.empty[String, Long]) {
+          (m, v) => commitAt(v).txn.fold(m) { case (a, b) => m.updated(a, b) }
+        }
+      }
+    }
+    val newTxns = txn.foldLeft(parentTxns) { case (m, (a, b)) =>
+      m.updated(a, math.max(b, m.getOrElse(a, Long.MinValue)))
+    }
+    val effPartitionCols =
+      partitionCols.getOrElse(parentCommit.map(_.partitionCols).getOrElse(Seq.empty))
     val node = mapper.createObjectNode()
     node.put("formatVersion", 1)
     node.put("version", version)
@@ -792,6 +887,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     node.put("schemaJson", schema.json)
     txn.foreach { case (app, batch) =>
       node.put("txnApp", app); node.put("txnBatch", batch): Unit
+    }
+    locally {
+      val to = node.putObject("txns")
+      newTxns.toSeq.sortBy(_._1).foreach { case (a, b) => to.put(a, b): Unit }
+    }
+    if (effPartitionCols.nonEmpty) {
+      val pa = node.putArray("partitionCols")
+      effPartitionCols.foreach(c => pa.add(c): Unit)
     }
     val arr = node.putArray("files")
     files.foreach { f =>
@@ -866,7 +969,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     while (true) {
       val parent = latestVersion
       val base = if (parent == 0) Seq.empty else commitAt(parent).files
-      try return commit(parent, operation, base ++ newFiles, df.schema)
+      try return commit(parent, operation, base ++ newFiles, df.schema,
+        partitionCols = Some(partitionBy))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -876,14 +980,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     0L // unreachable
   }
 
-  /** Latest batch id this application has committed, if any — resolved by
-    * scanning manifests newest-first for the app's most recent `txn`
-    * marker (bounded by retained history, exactly Delta's
-    * `setTransactions` lookup). */
-  def lastCommittedBatch(appId: String): Option[Long] =
-    versions.sorted.reverse.iterator
-      .map(v => commitAt(v).txn)
-      .collectFirst { case Some((app, batch)) if app == appId => batch }
+  /** Latest batch id this application has committed, if any. Resolved
+    * from the LATEST manifest's cumulative txn map — one manifest read
+    * per micro-batch regardless of how deep the version history runs
+    * (Delta's checkpoint-carried `setTransactions` lookup). Pre-upgrade
+    * tables (no map yet) fall back to the newest-first manifest scan;
+    * their next commit seeds the map and retires the scan. */
+  def lastCommittedBatch(appId: String): Option[Long] = {
+    val v = latestVersion
+    if (v == 0) return None
+    commitAt(v).txns match {
+      case Some(m) => m.get(appId)
+      case None =>
+        versions.sorted.reverse.iterator
+          .map(pv => commitAt(pv).txn)
+          .collectFirst { case Some((app, batch)) if app == appId => batch }
+    }
+  }
 
   /** EXACTLY-ONCE streaming append: commit the micro-batch as a table
     * version carrying `(appId, batchId)` in the manifest; replaying a
@@ -972,9 +1085,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   /** Full-snapshot replace (CTAS-into-version / merge result commit).
     * Single attempt from the caller's `parent` snapshot: replacing content
     * does NOT commute with concurrent writes, so a lost race must surface
-    * — the caller re-runs its transformation against the new snapshot. */
-  def overwrite(df: DataFrame, parent: Long, operation: String): Long =
-    commit(parent, operation, writeData(df), df.schema)
+    * — the caller re-runs its transformation against the new snapshot.
+    * `partitionBy` keeps a partitioned table's Hive layout through the
+    * replace (empty = flat files; the table's declared partitionCols
+    * metadata carries forward either way). */
+  def overwrite(df: DataFrame, parent: Long, operation: String,
+                partitionBy: Seq[String] = Seq.empty): Long =
+    commit(parent, operation, writeData(df, partitionBy), df.schema)
 
   /** Transactional keep-latest upsert (MERGE last-writer-wins): union the
     * parent snapshot with `batch`, keep one row per key (first under
@@ -1002,6 +1119,25 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     mergeWithRetry("upsert_keep_latest", batch, keys) { (c, touched) =>
       KeepLatest.keepLatest(
         readFiles(c.schema, touched).unionByName(batch), keys, ordering)
+    }
+
+  /** Replace-by-key merge — ANSI `MERGE INTO ... WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *` semantics (the shape
+    * [[GraftMergeRule]] lowers): target rows whose key appears in the
+    * batch are replaced by the batch row, all other target rows survive,
+    * unmatched batch rows insert. Unlike [[upsertKeepLatest]] no ordering
+    * arbitrates — the batch wins unconditionally (the caller guarantees a
+    * key-unique batch, MERGE's cardinality precondition; NULL keys never
+    * match, so a null-keyed batch row inserts — exactly ANSI equality).
+    * Same COW candidate pruning, conflict rebase, and one keyed shuffle
+    * (a broadcastable anti-join of touched rows against the batch keys +
+    * union) — a SQL merge on a 100-TB table costs O(batch). */
+  def mergeUpsert(batch: DataFrame, keys: Seq[String]): Long =
+    mergeWithRetry("merge_upsert", batch, keys) { (c, touched) =>
+      val b = batch.select(c.schema.fieldNames.map(col).toSeq: _*)
+      readFiles(c.schema, touched)
+        .join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(b)
     }
 
   /** Transactional CDC apply: merge an insert/update/delete change batch
@@ -1203,12 +1339,19 @@ object GraftTable {
   }
 
   /** Create version 1 as an EMPTY table with the given schema (the start
-    * state for a CDC-materialized table). */
+    * state for a CDC-materialized table, or a SQL `CREATE TABLE`).
+    * `partitionCols` declares Hive partition columns for the table's
+    * writes (SQL `PARTITIONED BY`); they must exist in the schema. */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
-                  operation: String = "create_empty"): GraftTable = {
+                  operation: String = "create_empty",
+                  partitionCols: Seq[String] = Seq.empty): GraftTable = {
     val t = new GraftTable(spark, root)
     require(t.latestVersion == 0, s"table already exists at $root")
-    t.commit(0L, operation, Seq.empty, schema)
+    require(partitionCols.forall(schema.fieldNames.contains),
+      s"partition columns missing from schema: " +
+        s"${partitionCols.filterNot(schema.fieldNames.contains)}")
+    t.commit(0L, operation, Seq.empty, schema,
+      partitionCols = Some(partitionCols))
     t
   }
 

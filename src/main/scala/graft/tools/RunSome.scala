@@ -7,6 +7,7 @@ object RunSome {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .appName("runsome").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -232,6 +232,116 @@ class DataSourceSpec extends SparkSpec {
     assert(q3.count() == 100)
   }
 
+  test("partitioned DSv2 write: partitionBy lands partition values in the manifest") {
+    import spark.implicits._
+    val root = tmpRoot("pwrite")
+    val df = spark.range(300).toDF("id")
+      .withColumn("dd", ($"id" % 3).cast("int"))
+    df.write.format("graft").partitionBy("dd").mode("append").save(root)
+    val t = GraftTable.forPath(spark, root)
+    val c = t.commitAt(t.latestVersion)
+    assert(c.partitionCols == Seq("dd"))
+    assert(c.files.nonEmpty && c.files.forall(_.partition.contains("dd")),
+      s"expected manifest partition values: ${c.files.map(_.partition)}")
+    // a later append INHERITS the layout (no partitionBy respelled)
+    spark.range(300, 330).toDF("id").withColumn("dd", lit(7))
+      .write.format("graft").mode("append").save(root)
+    val c2 = t.commitAt(t.latestVersion)
+    assert(c2.files.forall(_.partition.contains("dd")))
+    // and the scan prunes on the manifest values
+    val q = spark.read.format("graft").load(root).filter($"dd" === 7)
+    val scan = plannedScan(q)
+    assert(scan.prunedFiles.nonEmpty && scan.prunedFiles.forall(_.partition("dd") == "7"))
+    assert(q.count() == 30)
+    assert(spark.read.format("graft").load(root).count() == 330)
+  }
+
+  test("SQL: CREATE TABLE ... PARTITIONED BY + INSERT prunes off the manifest") {
+    import spark.implicits._
+    val lake = tmpRoot("sqlpart")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_p", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_p.root", lake)
+    try {
+      spark.sql("CREATE NAMESPACE graft_p.db")
+      spark.sql(
+        "CREATE TABLE graft_p.db.part_t (id BIGINT, dd INT) PARTITIONED BY (dd)")
+      spark.range(200).toDF("id").withColumn("dd", ($"id" % 4).cast("int"))
+        .createOrReplaceTempView("part_src")
+      spark.sql("INSERT INTO graft_p.db.part_t SELECT id, dd FROM part_src")
+      val t = GraftTable.forPath(spark, s"$lake/db/part_t")
+      val c = t.commitAt(t.latestVersion)
+      assert(c.partitionCols == Seq("dd"))
+      assert(c.files.nonEmpty && c.files.forall(_.partition.contains("dd")))
+      val q = spark.sql("SELECT id FROM graft_p.db.part_t WHERE dd = 2")
+      val scan = plannedScan(q)
+      assert(scan.prunedFiles.forall(_.partition("dd") == "2"),
+        s"SQL partition pruning must gate dd=2: ${scan.prunedFiles.map(_.partition)}")
+      assert(q.count() == 50)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_p.db.part_t")
+      spark.conf.unset("spark.sql.catalog.graft_p")
+      spark.conf.unset("spark.sql.catalog.graft_p.root")
+    }
+  }
+
+  test("SQL MERGE INTO lowers to the transactional COW merge") {
+    import spark.implicits._
+    val lake = tmpRoot("mergesql")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_m", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_m.root", lake)
+    try {
+      val base = spark.range(1000).toDF("id")
+        .withColumn("v", ($"id" * 10).cast("long"))
+        .repartitionByRange(8, $"id")
+      GraftTable.create(spark, s"$lake/db/m_t", base)
+      spark.range(10, 41).toDF("id").withColumn("v", lit(999999L))
+        .unionByName(spark.range(2000, 2010).toDF("id").withColumn("v", lit(-1L)))
+        .createOrReplaceTempView("merge_src")
+      spark.sql(
+        """MERGE INTO graft_m.db.m_t AS t USING merge_src AS s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val t = GraftTable.forPath(spark, s"$lake/db/m_t")
+      assert(t.latestVersion == 2 && t.commitAt(2).operation == "merge_upsert")
+      val got = t.read()
+      assert(got.count() == 1010)
+      assert(got.filter($"id".between(10, 40) && $"v" =!= 999999L).isEmpty)
+      assert(got.filter($"v" === -1L).count() == 10)
+      assert(got.filter($"id" === 5L).select($"v").as[Long].head() == 50L)
+      // COW: the merge carried untouched range files by path identity
+      val carried = t.commitAt(1).files.map(_.path).toSet intersect
+        t.commitAt(2).files.map(_.path).toSet
+      assert(carried.size >= 5, s"SQL merge should prune files, carried=$carried")
+      // cardinality violation fails loudly
+      spark.range(5, 6).toDF("id").withColumn("v", lit(1L))
+        .unionByName(spark.range(5, 6).toDF("id").withColumn("v", lit(2L)))
+        .createOrReplaceTempView("merge_dup")
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_m.db.m_t AS t USING merge_dup AS s
+            |ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+      // unsupported shapes fail with the explicit graft error
+      val e2 = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_m.db.m_t AS t USING merge_src AS s
+            |ON t.id = s.id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e2.getMessage.contains("graft MERGE INTO supports"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_m.db.m_t")
+      spark.conf.unset("spark.sql.catalog.graft_m")
+      spark.conf.unset("spark.sql.catalog.graft_m.root")
+    }
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

@@ -658,6 +658,80 @@ class TableFormatSpec extends SparkSpec {
     assert(carried.size >= 2, s"date pruning failed: carried=$carried")
   }
 
+  test("mergeUpsert: batch wins by key; NULL keys insert (ANSI MERGE)") {
+    import spark.implicits._
+    val t = rangedBase("mups")
+    t.mergeUpsert(spark.range(10, 41).toDF("id").withColumn("v", lit(7L)),
+      Seq("id"))
+    assert(t.read().count() == 1000)
+    assert(t.read().filter($"id".between(10, 40) && $"v" =!= 7L).isEmpty)
+    // untouched range files carried by path identity (COW)
+    val carried = t.commitAt(1).files.map(_.path).toSet intersect
+      t.commitAt(2).files.map(_.path).toSet
+    assert(carried.size >= 6)
+    // NULL batch key never matches — it inserts (equality semantics)
+    val s = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "long")
+    t.mergeUpsert(spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, 1L)), s), Seq("id"))
+    assert(t.read().count() == 1001)
+    assert(t.read().filter($"id".isNull).count() == 1)
+  }
+
+  test("cumulative txn map: idempotency lookup reads ONE manifest") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("txns"), spark.range(5).toDF("id"))
+    t.idempotentAppend(spark.range(5, 10).toDF("id"), "appA", 0L)
+    t.idempotentAppend(spark.range(10, 15).toDF("id"), "appB", 3L)
+    // interleave non-txn commits — the map must still carry forward
+    t.append(spark.range(15, 20).toDF("id"))
+    t.idempotentAppend(spark.range(20, 25).toDF("id"), "appA", 1L)
+    t.compact(targetRows = 100)
+    val latest = t.commitAt(t.latestVersion)
+    assert(latest.txns.contains(Map("appA" -> 1L, "appB" -> 3L)),
+      s"latest manifest must carry the cumulative map: ${latest.txns}")
+    assert(t.lastCommittedBatch("appA").contains(1L))
+    assert(t.lastCommittedBatch("appB").contains(3L))
+    assert(t.lastCommittedBatch("appC").isEmpty)
+    // replays still no-op off the map
+    val v = t.latestVersion
+    assert(t.idempotentAppend(spark.range(99).toDF("id"), "appA", 1L) == v)
+    assert(t.latestVersion == v)
+    // and the map survives vacuuming the history that held the markers
+    t.vacuum(retainFrom = v, minAgeMs = 0L)
+    assert(t.lastCommittedBatch("appB").contains(3L))
+  }
+
+  test("telescoped CDF: merge-crossing diff equals the snapshot diff, reads only churn") {
+    import spark.implicits._
+    val t = rangedBase("telecdf")
+    // v2: COW merge touching a narrow range; v3: plain append
+    t.upsertKeepLatest(spark.range(10, 41).toDF("id").withColumn("v", lit(999999L)),
+      Seq("id"), Seq($"v".desc))
+    t.append(spark.range(5000, 5010).toDF("id").withColumn("v", lit(1L)))
+    val got = sortedRows(t.changesBetween(1L, 3L))
+    // ground truth: the multiset EXCEPT-ALL pair over the snapshots
+    val expect = sortedRows(
+      t.read(3).exceptAll(t.read(1)).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          t.read(3).limit(0).withColumn("_change_type", lit("delete"))
+            .unionByName(t.read(1).exceptAll(t.read(3))
+              .withColumn("_change_type", lit("delete")))))
+    assert(got == expect, s"telescoped diff diverged: got ${got.size} rows, expected ${expect.size}")
+    // inserts = 31 updated post-images + 10 appended; deletes = 31 pre-images
+    assert(got.count(_.getString(2) == "insert") == 41)
+    assert(got.count(_.getString(2) == "delete") == 31)
+    // duplicate rows keep multiset counts: same row appended twice = two inserts
+    val t2 = GraftTable.create(spark, tmpRoot("teledup"),
+      Seq((1L, 1L)).toDF("id", "v"))
+    t2.upsertKeepLatest(Seq((1L, 2L)).toDF("id", "v"), Seq("id"), Seq($"v".desc))
+    t2.append(Seq((9L, 9L), (9L, 9L)).toDF("id", "v"))
+    val d2 = t2.changesBetween(1L, 3L)
+    assert(d2.filter($"id" === 9L && $"_change_type" === "insert").count() == 2)
+    assert(d2.filter($"id" === 1L && $"_change_type" === "delete")
+      .select($"v").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("vacuum minAge guard: an in-flight writer's files survive the sweep") {
     import spark.implicits._
     val root = tmpRoot("vacage")

@@ -106,14 +106,24 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
     maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** Honors the ReadLimit SPARK passes (the SupportsAdmissionControl
+    * contract) rather than re-deriving from the constructor option — the
+    * engine may compose its own limits (Trigger.AvailableNow wraps the
+    * default, future triggers may substitute): maxFiles counts VERSIONS
+    * here (the unit [[getDefaultReadLimit]] advertises), composite limits
+    * take their tightest member, ReadAllAvailable and unknown kinds mean
+    * "no cap beyond the drain target". */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles}
     val s = start.asInstanceOf[GraftOffset].version
     val target = availableNowCap.getOrElse(t.latestVersion)
-    val capped = maxVersionsPerTrigger match {
-      case Some(n) => math.min(target, s + n)
-      case None => target
+    def capOf(l: ReadLimit): Long = l match {
+      case m: ReadMaxFiles => s + m.maxFiles()
+      case _: ReadAllAvailable => Long.MaxValue
+      case c: CompositeReadLimit => c.getReadLimits.map(capOf).min
+      case _ => Long.MaxValue
     }
-    GraftOffset(math.max(s, capped))
+    GraftOffset(math.max(s, math.min(target, capOf(limit))))
   }
 
   override def reportLatestOffset(): Offset = GraftOffset(t.latestVersion)
@@ -152,12 +162,14 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
 }
 
 /** Executor-side reader: parquet Group records → InternalRow of the
-  * required projection. Flat primitive columns only (long, int, double,
-  * float, boolean, string, timestamp[_ntz] as INT64 micros, date) — the
-  * shapes the table format writes; anything else fails loudly. A
-  * required column missing from the file (schema evolution) or from a
-  * row (null) is null; a required column present in the file's PARTITION
-  * values materializes as a constant. */
+  * required projection. Primitive columns (long, int, double, float,
+  * boolean, string, timestamp[_ntz] as INT64 micros or INT96, date) plus
+  * ARRAYS of those primitives (Spark's 3-level parquet list layout — the
+  * embeddings table's `array<float>` streams) — the shapes the table
+  * format writes; anything else fails loudly. A required column missing
+  * from the file (schema evolution) or from a row (null) is null; a
+  * required column present in the file's PARTITION values materializes
+  * as a constant. */
 final class GraftGroupReaderFactory extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -197,41 +209,71 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
   }
 
   private def fieldValue(f: StructField, g: Group, i: Int): Any = f.dataType match {
-    case LongType => g.getLong(i, 0)
-    case IntegerType => g.getInteger(i, 0)
-    case DoubleType => g.getDouble(i, 0)
-    case FloatType => g.getFloat(i, 0)
-    case BooleanType => g.getBoolean(i, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-    case TimestampType | TimestampNTZType =>
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-      g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-        case PrimitiveTypeName.INT64 => g.getLong(i, 0) // micros
-        case PrimitiveTypeName.INT96 =>
-          // legacy layout: 8B nanos-of-day (LE) + 4B julian day (LE) —
-          // Spark's default physical type for TIMESTAMP (LTZ) output
-          val b = java.nio.ByteBuffer
-            .wrap(g.getInt96(i, 0).getBytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val nanosOfDay = b.getLong
-          val julianDay = b.getInt
-          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-        case other => throw new UnsupportedOperationException(
-          s"graft stream reader: timestamp physical type $other for ${f.name}")
+    case ArrayType(et, _) =>
+      // Spark's 3-level list layout: optional group f (LIST) {
+      //   repeated group list { optional ELEMENT element } } — the outer
+      // group's field 0 repeats once per element, each repetition a
+      // single-field group holding the (possibly null) element
+      val outer = g.getGroup(i, 0)
+      val n = outer.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val el = outer.getGroup(0, j)
+        out(j) = if (el.getFieldRepetitionCount(0) == 0) null
+                 else primValue(et, el, 0, 0, f.name)
+        j += 1
       }
-    case DateType => g.getInteger(i, 0) // epoch days
-    case other => throw new UnsupportedOperationException(
-      s"graft stream reader: unsupported column type $other for ${f.name}")
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case dt => primValue(dt, g, i, 0, f.name)
   }
 
-  private def partitionValue(f: StructField, v: String): Any = f.dataType match {
-    case LongType => v.toLong
-    case IntegerType => v.toInt
-    case DoubleType => v.toDouble
-    case BooleanType => v.toBoolean
-    case StringType => UTF8String.fromString(v)
-    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
-    case other => throw new UnsupportedOperationException(
-      s"graft stream reader: unsupported partition type $other for ${f.name}")
-  }
+  private def primValue(dt: DataType, g: Group, i: Int, j: Int, name: String): Any =
+    dt match {
+      case LongType => g.getLong(i, j)
+      case IntegerType => g.getInteger(i, j)
+      case DoubleType => g.getDouble(i, j)
+      case FloatType => g.getFloat(i, j)
+      case BooleanType => g.getBoolean(i, j)
+      case StringType => UTF8String.fromBytes(g.getBinary(i, j).getBytes)
+      case TimestampType | TimestampNTZType =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT64 => g.getLong(i, j) // micros
+          case PrimitiveTypeName.INT96 =>
+            // legacy layout: 8B nanos-of-day (LE) + 4B julian day (LE) —
+            // Spark's default physical type for TIMESTAMP (LTZ) output
+            val b = java.nio.ByteBuffer
+              .wrap(g.getInt96(i, j).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = b.getLong
+            val julianDay = b.getInt
+            (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+          case other => throw new UnsupportedOperationException(
+            s"graft stream reader: timestamp physical type $other for $name")
+        }
+      case DateType => g.getInteger(i, j) // epoch days
+      case other => throw new UnsupportedOperationException(
+        s"graft stream reader: unsupported column type $other for $name")
+    }
+
+  private def partitionValue(f: StructField, v: String): Any =
+    // Hive's null-partition directory marker — the batch path reconstructs
+    // it as NULL, so the stream must too (it previously threw on v.toLong)
+    if (v == GraftTable.HiveNullPartition) null
+    else f.dataType match {
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.toBoolean
+      case StringType => UTF8String.fromString(v)
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampType | TimestampNTZType =>
+        // Hive renders timestamp partition values as 'yyyy-MM-dd HH:mm:ss[.f]'
+        val ts = java.sql.Timestamp.valueOf(v)
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      case other => throw new UnsupportedOperationException(
+        s"graft stream reader: unsupported partition type $other for ${f.name}")
+    }
 }

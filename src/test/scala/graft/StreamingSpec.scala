@@ -429,6 +429,33 @@ class StreamingSpec extends SparkSpec {
       s"expected the rewrite guard, got: ${err.getMessage}")
   }
 
+  test("graft streaming source: array columns stream (embeddings batch parity)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_arr").toString
+    val root = s"$dir/tbl"
+    // the embeddings shape: id + array<float> (+ a null vector row)
+    val emb = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).limit(50)
+    val withNull = emb.unionByName(
+      emb.limit(1).select(col("vec_id") + 1000000L as "vec_id",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("array<float>").as("embedding"), col("label")))
+    val t = graft.table.GraftTable.create(spark, root, withNull)
+    t.append(withNull.withColumn("vec_id", col("vec_id") + 5000000L))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    val expect = t.read()
+    assert(got.count() === expect.count())
+    // cell-exact parity, floats included: anti-joins empty both ways
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streamed array rows must equal the batch read bit-for-bit")
+    assert(got.filter(col("embedding").isNull).count() === 2)
+  }
+
   test("graft streaming source: maxVersionsPerTrigger bounds each micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_adm").toString
     val t = graft.table.GraftTable.create(spark, s"$dir/tbl",

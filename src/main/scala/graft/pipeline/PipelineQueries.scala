@@ -93,6 +93,74 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** S17 — SQL `MERGE INTO` (round-12 verdict task 3): the reference's
+    * core mutation is a SQL upsert (`upsert_athena_aggregates.py:87-110`,
+    * `INSERT ... ON CONFLICT DO UPDATE` into Postgres); here the SAME
+    * statement shape runs against the engine-native table through the
+    * catalog — `MERGE INTO <cat>.t USING batch ON keys WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — lowered by
+    * [[graft.table.GraftMergeRule]] onto the transactional COPY-ON-WRITE
+    * merge (only key-intersecting files rewrite; PlanSpec's COW gates
+    * cover the path). Batch rows are all later than the base snapshot, so
+    * batch-wins MERGE semantics equal keep-latest over all events — the
+    * same oracle as `upsert_keep_latest`, now verifying parser → analyzer
+    * rule → command → manifest commit end-to-end. */
+  private def upsertMergeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = builtTable(spark, sfDir, "ms") { dir =>
+      val keys = Seq("user_id", "event_type")
+      val ordering = Seq($"ts".desc, $"event_id".desc)
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      val cut = lit(MergeCutoff).cast("timestamp")
+      val base = KeepLatest.keepLatest(ev.filter($"ts" < cut), keys, ordering)
+        .repartitionByRange(8, $"user_id")
+      val tbl = graft.table.GraftTable.create(spark, dir, base, "create_base")
+      val d = new java.io.File(dir)
+      spark.conf.set("spark.sql.catalog.graft_ms", classOf[graft.table.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_ms.root", d.getParentFile.getAbsolutePath)
+      // MERGE requires a key-unique source (ANSI cardinality) — the
+      // batch is the keep-latest of the post-cutoff half
+      KeepLatest.keepLatest(ev.filter($"ts" >= cut), keys, ordering)
+        .createOrReplaceTempView("graft_merge_batch")
+      spark.sql(
+        s"""MERGE INTO graft_ms.`${d.getName}` AS t USING graft_merge_batch AS s
+           |ON t.user_id = s.user_id AND t.event_type = s.event_type
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      tbl
+    }
+    t.read()
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** S18 — STRING-KEYED merge over the documents corpus (round-12 verdict
+    * task 1's query-level witness): a doc-id-keyed table merges a batch
+    * through [[graft.table.GraftTable.mergeUpsert]]; the manifests'
+    * TRUNCATED STRING min/max (32-code-point prefix min, incremented-
+    * prefix max — Delta's truncation) let copy-on-write prune to the
+    * batch's files, where round 12 rewrote the whole table for any
+    * string key. TableFormatSpec proves path identity; this key proves
+    * the merged CONTENT cell-exact against DuckDB. Batch = every 7th doc
+    * with an updated char count; merge semantics are replace-by-key, so
+    * the oracle is a CASE over the raw corpus. */
+  private def upsertStringKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = builtTable(spark, sfDir, "sk") { dir =>
+      val docs = Tables.table(spark, sfDir, "documents")
+        .select(format_string("doc-%08d", $"doc_id").as("sid"),
+          $"doc_id", $"text", $"lang", $"source", $"n_chars")
+      val base = docs.drop("doc_id").repartitionByRange(8, $"sid")
+      val tbl = graft.table.GraftTable.create(spark, dir, base, "create_docs")
+      val batch = docs.filter($"doc_id" % 7 === 3).drop("doc_id")
+        .withColumn("n_chars", $"n_chars" + 1000000L)
+      tbl.mergeUpsert(batch, Seq("sid"))
+      tbl
+    }
+    t.read().orderBy($"sid")
+  }
+
   /** S13 — TIME TRAVEL over the versioned table: read version 1 (the
     * pre-merge base snapshot) and version 2 (post-merge) of the SAME table
     * in one query and report per-version aggregates. Version 1 must still
@@ -426,6 +494,8 @@ object PipelineQueries extends QueryModule {
     "scan_file_skipping"     -> scanFileSkipping,
     "scan_partition_manifest" -> scanPartitionManifest,
     "upsert_keep_latest"     -> upsertKeepLatest,
+    "upsert_merge_sql"       -> upsertMergeSql,
+    "upsert_string_key"      -> upsertStringKey,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
     "cdc_derive_changes"     -> cdcDeriveChanges,
@@ -543,6 +613,22 @@ object PipelineQueries extends QueryModule {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // batch-wins MERGE of the post-cutoff keep-latest half onto the
+    // pre-cutoff base == keep-latest over ALL events (batch rows strictly
+    // later per key) — intentionally the same recomputation as
+    // upsert_keep_latest, reached through the SQL MERGE INTO path
+    "upsert_merge_sql" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "upsert_string_key" ->
+      """SELECT printf('doc-%08d', doc_id) AS sid, text, lang, source,
+        |       CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY sid""".stripMargin,
     "filter_partition_prune" ->
       """SELECT event_id, user_id FROM events
         |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3

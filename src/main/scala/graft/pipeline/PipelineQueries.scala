@@ -135,6 +135,44 @@ object PipelineQueries extends QueryModule {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** S19 — SQL DELETE + UPDATE (row-level DML): the two-commit DML table
+    * behind `delete_where_sql` and `update_where_sql`. `DELETE FROM`
+    * rides Spark's SupportsDelete into [[graft.table.GraftTable.deleteWhere]];
+    * `UPDATE ... SET ... WHERE` lowers through [[graft.table.GraftMergeRule]]
+    * to [[graft.table.GraftTable.updateWhere]] — both COPY-ON-WRITE
+    * (candidate files from the predicate's folded ranges; DataSourceSpec
+    * gates carried-path identity), both committing ordinary versions so
+    * every pre-DML snapshot stays time-travelable. */
+  private def sqlDmlTable(spark: SparkSession, sfDir: String): graft.table.GraftTable =
+    builtTable(spark, sfDir, "dml") { dir =>
+      import spark.implicits._
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      val tbl = graft.table.GraftTable.create(spark, dir,
+        ev.repartitionByRange(8, $"user_id"), "create_base")
+      val d = new java.io.File(dir)
+      spark.conf.set("spark.sql.catalog.graft_dml", classOf[graft.table.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_dml.root", d.getParentFile.getAbsolutePath)
+      spark.sql(s"DELETE FROM graft_dml.`${d.getName}` WHERE event_type = 'error'")
+      spark.sql(s"UPDATE graft_dml.`${d.getName}` SET value = value + 1 WHERE user_id < 50")
+      tbl
+    }
+
+  /** S19a — the snapshot right after the SQL DELETE (version 2): every
+    * 'error' event removed, everything else byte-identical. */
+  private def deleteWhereSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sqlDmlTable(spark, sfDir).read(2L).orderBy($"event_id")
+  }
+
+  /** S19b — the snapshot after the SQL UPDATE (version 3): the low-user
+    * slice's values bumped, both engines computing the same IEEE double
+    * addition. */
+  private def updateWhereSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sqlDmlTable(spark, sfDir).read(3L).orderBy($"event_id")
+  }
+
   /** S18 — STRING-KEYED merge over the documents corpus (round-12 verdict
     * task 1's query-level witness): a doc-id-keyed table merges a batch
     * through [[graft.table.GraftTable.mergeUpsert]]; the manifests'
@@ -496,6 +534,8 @@ object PipelineQueries extends QueryModule {
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_merge_sql"       -> upsertMergeSql,
     "upsert_string_key"      -> upsertStringKey,
+    "delete_where_sql"       -> deleteWhereSql,
+    "update_where_sql"       -> updateWhereSql,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
     "cdc_derive_changes"     -> cdcDeriveChanges,
@@ -629,6 +669,13 @@ object PipelineQueries extends QueryModule {
         |       CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000000
         |            ELSE n_chars END AS n_chars
         |FROM documents ORDER BY sid""".stripMargin,
+    "delete_where_sql" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM events
+        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "update_where_sql" ->
+      """SELECT user_id, event_type, event_id, ts,
+        |       CASE WHEN user_id < 50 THEN value + 1 ELSE value END AS value
+        |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
     "filter_partition_prune" ->
       """SELECT event_id, user_id FROM events
         |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3

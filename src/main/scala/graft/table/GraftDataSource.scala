@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -137,10 +137,29 @@ private[table] final class GraftSparkTable(
     root: String, existing: Option[(GraftTable, Long)], tableSchema: StructType,
     partCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   /** The table root — exposed so [[GraftMergeRule]] can lower a SQL
     * `MERGE INTO` on this relation back to the table-format API. */
   private[table] def rootPath: String = root
+
+  /** SQL `DELETE FROM graft.db.t WHERE cond` — Spark's SupportsDelete
+    * path: accept iff every conjunct rebuilds faithfully as a Column
+    * (refusal surfaces Spark's loud unsupported-DELETE error), then run
+    * the COPY-ON-WRITE delete: the same predicate folded to ranges prunes
+    * candidate files off the manifest, only those rewrite. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    existing.isDefined && filters.forall(f => GraftFilterRanges.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (t, _) = existing.getOrElse(
+      throw new IllegalArgumentException(s"no graft table log at $root"))
+    val cond = filters.flatMap(GraftFilterRanges.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    t.deleteWhere(cond,
+      GraftFilterRanges.toRanges(filters.toSeq),
+      GraftFilterRanges.toStrRanges(filters.toSeq)): Unit
+  }
   override def name(): String = existing match {
     case Some((_, v)) => s"graft.`$root` v$v"
     case None => s"graft.`$root` (new)"
@@ -392,6 +411,32 @@ private[table] object GraftFilterRanges {
   private def str(v: Any): Option[String] = v match {
     case s: String => Some(s)
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  /** Rebuild the ROW-LEVEL predicate a set of source filters expresses —
+    * the execution half of SupportsDelete (pruning decides which files to
+    * rewrite; this decides which rows to drop). `None` = a shape with no
+    * faithful Column rendering, which makes `canDeleteWhere` refuse and
+    * Spark surface the unsupported DELETE loudly. */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+    case StringContains(a, p)     => Some(col(a).contains(p))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r)  => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c0)   => toColumn(c0).map(!_)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -47,6 +47,42 @@ final class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if m.resolved && graftRelation(m.targetTable).isDefined =>
       lower(m, graftRelation(m.targetTable).get)
+    case u: UpdateTable if u.resolved && graftRelation(u.table).isDefined =>
+      lowerUpdate(u, graftRelation(u.table).get)
+  }
+
+  /** SQL `UPDATE t SET c = e WHERE cond` → [[GraftTable.updateWhere]]:
+    * assigned values and the condition may reference any target column;
+    * the WHERE clause additionally folds (via the connector-standard
+    * filter translation) to per-column ranges, so the rewrite is
+    * copy-on-write — candidate files off the manifest, everything else
+    * carried by reference. */
+  private def lowerUpdate(u: UpdateTable, rel: DataSourceV2Relation): LogicalPlan = {
+    val tAttrs = AttributeSet(rel.output)
+    val assigns = u.assignments.map {
+      case Assignment(k: AttributeReference, v) if tAttrs.contains(k) =>
+        if (!v.references.subsetOf(tAttrs))
+          fail(s"UPDATE assigns ${k.name} from outside the table: $v")
+        k.name -> v
+      case a => fail(s"UPDATE assignment $a is not a plain target column")
+    }
+    u.condition.foreach { c =>
+      if (!c.references.subsetOf(tAttrs))
+        fail(s"UPDATE condition references non-table columns: $c")
+    }
+    // the analyzer hasn't constant-folded yet (that's the optimizer), so
+    // `id >= 200` still reads `id >= cast(200 as bigint)` — fold foldable
+    // subtrees to literals first or no WHERE clause would ever translate
+    val folded = u.condition.map(_.transformUp {
+      case e: Expression if e.foldable && e.deterministic =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
+    })
+    val filters = folded.toSeq
+      .flatMap(c => org.apache.spark.sql.GraftInternalAccess.translateFilter(c).toSeq)
+    val root = rel.table.asInstanceOf[GraftSparkTable].rootPath
+    GraftUpdateCommand(root, assigns, u.condition,
+      GraftFilterRanges.toRanges(filters),
+      GraftFilterRanges.toStrRanges(filters))
   }
 
   private def graftRelation(target: LogicalPlan): Option[DataSourceV2Relation] =
@@ -148,6 +184,33 @@ final case class GraftMergeCommand(root: String, batch: LogicalPlan,
           s"${dup.head.toSeq.init.mkString("(", ",", ")")} — " +
           "deduplicate the source (ANSI MERGE cardinality violation)")
     GraftTable.forPath(spark, root).mergeUpsert(src, keys)
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed command a lowered SQL UPDATE becomes: applies each
+  * assignment as `CASE WHEN cond THEN new ELSE old` over ONLY the
+  * candidate files ([[GraftTable.updateWhere]] — COW), committing a new
+  * version. Catalyst expressions travel by NAME (attribute refs rebound
+  * as unresolved attributes), so they re-resolve against the table's
+  * fresh read frame. */
+final case class GraftUpdateCommand(
+    root: String,
+    assignments: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    condition: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+    ranges: Seq[(String, BigDecimal, BigDecimal)],
+    strRanges: Seq[(String, Option[String], Option[String])])
+    extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftSqlBridge.column(e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    GraftTable.forPath(sparkSession, root).updateWhere(
+      assignments.map { case (n, e) => n -> toCol(e) },
+      condition.map(toCol), ranges, strRanges)
     Seq.empty
   }
 }

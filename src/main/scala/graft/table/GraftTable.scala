@@ -578,23 +578,30 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * but pruning must never depend on the residual's semantics). */
   def pruneFiles(version: Long,
                  ranges: Seq[(String, BigDecimal, BigDecimal)],
-                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] = {
-    val c = commitAt(version)
-    c.files.filter { f =>
-      ranges.forall { case (col, lo, hi) =>
-        f.partition.get(col) match {
-          case Some(v) =>
-            scala.util.Try(BigDecimal(v)).toOption.forall(b => b >= lo && b <= hi)
-          case None => f.stats.get(col).forall(_.overlaps(lo, hi))
-        }
-      } && strRanges.forall { case (col, lo, hi) =>
-        f.partition.get(col) match {
-          case Some(GraftTable.HiveNullPartition) => true
-          case Some(v) =>
-            lo.forall(l => ColStat.utf8Compare(v, l) >= 0) &&
-              hi.forall(h => ColStat.utf8Compare(v, h) <= 0)
-          case None => f.stats.get(col).forall(_.overlapsStr(lo, hi))
-        }
+                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] =
+    commitAt(version).files.filter(f => fileMayMatch(f, ranges, strRanges))
+
+  /** The single-file pruning decision behind [[pruneFiles]] — also drives
+    * DELETE/UPDATE candidate selection, so the DML surface skips exactly
+    * the files a pushed scan predicate would. Pessimistic everywhere:
+    * missing stats, unparseable partition renderings, and the Hive null
+    * marker all keep the file. */
+  private def fileMayMatch(f: ManifestFile,
+      ranges: Seq[(String, BigDecimal, BigDecimal)],
+      strRanges: Seq[(String, Option[String], Option[String])]): Boolean = {
+    ranges.forall { case (col, lo, hi) =>
+      f.partition.get(col) match {
+        case Some(v) =>
+          scala.util.Try(BigDecimal(v)).toOption.forall(b => b >= lo && b <= hi)
+        case None => f.stats.get(col).forall(_.overlaps(lo, hi))
+      }
+    } && strRanges.forall { case (col, lo, hi) =>
+      f.partition.get(col) match {
+        case Some(GraftTable.HiveNullPartition) => true
+        case Some(v) =>
+          lo.forall(l => ColStat.utf8Compare(v, l) >= 0) &&
+            hi.forall(h => ColStat.utf8Compare(v, h) <= 0)
+        case None => f.stats.get(col).forall(_.overlapsStr(lo, hi))
       }
     }
   }
@@ -1139,6 +1146,75 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         .join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(b)
     }
+
+  /** Row-level DELETE (SQL `DELETE FROM t WHERE cond`, via
+    * [[GraftSparkTable]]'s SupportsDelete): COPY-ON-WRITE like the merge
+    * family — `ranges`/`strRanges` are the predicate folded to per-column
+    * intervals (the same folding the scan pushdown uses), candidate files
+    * are selected off the manifest, and ONLY those are read back, kept
+    * rows rewritten; every provably-unmatched file rides into the new
+    * manifest by reference. A row deletes iff `cond` is TRUE (NULL keeps
+    * it — ANSI WHERE semantics via the negated coalesce). Conflicts
+    * recompute against the new snapshot: deletes don't commute with
+    * arbitrary concurrent writes. */
+  def deleteWhere(cond: Column,
+                  ranges: Seq[(String, BigDecimal, BigDecimal)] = Seq.empty,
+                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty): Long = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      val (touched, carried) =
+        c.files.partition(f => fileMayMatch(f, ranges, strRanges))
+      val kept = readFiles(c.schema, touched).filter(!coalesce(cond, lit(false)))
+      val newFiles = writeData(kept)
+      try return commit(parent, "delete", carried ++ newFiles, c.schema)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Row-level UPDATE (SQL `UPDATE t SET c = e WHERE cond`, lowered by
+    * [[GraftMergeRule]]): same COW candidate selection as [[deleteWhere]];
+    * touched files rewrite with each assigned column wrapped in
+    * `CASE WHEN cond THEN new ELSE old` (NULL condition keeps the old
+    * value — ANSI), cast back to the column's declared type so the table
+    * schema never drifts. */
+  def updateWhere(assignments: Seq[(String, Column)], cond: Option[Column],
+                  ranges: Seq[(String, BigDecimal, BigDecimal)] = Seq.empty,
+                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty): Long = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      val (touched, carried) =
+        c.files.partition(f => fileMayMatch(f, ranges, strRanges))
+      val assignMap = assignments.toMap
+      val updated = readFiles(c.schema, touched).select(c.schema.fields.map { fld =>
+        assignMap.get(fld.name) match {
+          case Some(e) =>
+            val applied = cond match {
+              case Some(p) => when(coalesce(p, lit(false)), e).otherwise(col(fld.name))
+              case None => e
+            }
+            applied.cast(fld.dataType).as(fld.name)
+          case None => col(fld.name)
+        }
+      }.toSeq: _*)
+      val newFiles = writeData(updated)
+      try return commit(parent, "update", carried ++ newFiles, c.schema)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    0L // unreachable
+  }
 
   /** Transactional CDC apply: merge an insert/update/delete change batch
     * (op column: 'D' deletes the key, anything else upserts the row) into

@@ -24,4 +24,14 @@ object GraftInternalAccess {
   def ofRows(spark: classic.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark, plan)
+
+  /** Bridge to `DataSourceStrategy.translateFilter` — the canonical
+    * catalyst-Expression → `sources.Filter` translation every connector's
+    * pushdown uses. The graft table's SQL UPDATE lowering reuses it so a
+    * WHERE clause prunes candidate files with exactly the semantics the
+    * scan path's pushed filters have. */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

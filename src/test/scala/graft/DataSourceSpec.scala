@@ -342,6 +342,55 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL DELETE FROM and UPDATE ride the COW rewrite path") {
+    import spark.implicits._
+    val lake = tmpRoot("dml")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_d", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_d.root", lake)
+    try {
+      val base = spark.range(1000).toDF("id")
+        .withColumn("v", ($"id" * 10).cast("long"))
+        .withColumn("s", concat(lit("row-"), format_string("%04d", $"id")))
+        .repartitionByRange(8, $"id")
+      GraftTable.create(spark, s"$lake/db/dml_t", base)
+      val t = GraftTable.forPath(spark, s"$lake/db/dml_t")
+
+      // DELETE: narrow id range — COW must carry the other range files
+      spark.sql("DELETE FROM graft_d.db.dml_t WHERE id >= 100 AND id < 150")
+      assert(t.latestVersion == 2 && t.commitAt(2).operation == "delete")
+      assert(t.read().count() == 950)
+      assert(t.read().filter($"id".between(100, 149)).isEmpty)
+      val carriedDel = t.commitAt(1).files.map(_.path).toSet intersect
+        t.commitAt(2).files.map(_.path).toSet
+      assert(carriedDel.size >= 6, s"DELETE should prune files, carried=$carriedDel")
+
+      // UPDATE: assigned value references the row; WHERE folds to a range
+      spark.sql(
+        "UPDATE graft_d.db.dml_t SET v = v + 1000000 WHERE id >= 200 AND id < 230")
+      assert(t.latestVersion == 3 && t.commitAt(3).operation == "update")
+      assert(t.read().count() == 950)
+      assert(t.read().filter($"id".between(200, 229) && $"v" =!= $"id" * 10 + 1000000)
+        .isEmpty)
+      assert(t.read().filter($"id" === 500L).select($"v").as[Long].head() == 5000L)
+      val carriedUpd = t.commitAt(2).files.map(_.path).toSet intersect
+        t.commitAt(3).files.map(_.path).toSet
+      assert(carriedUpd.size >= 5, s"UPDATE should prune files, carried=$carriedUpd")
+
+      // string-predicate DELETE prunes on string stats and stays exact
+      spark.sql("DELETE FROM graft_d.db.dml_t WHERE s = 'row-0777'")
+      assert(t.read().filter($"s" === "row-0777").isEmpty)
+      assert(t.read().count() == 949)
+
+      // time travel still serves every pre-DML snapshot
+      assert(t.read(1).count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_d.db.dml_t")
+      spark.conf.unset("spark.sql.catalog.graft_d")
+      spark.conf.unset("spark.sql.catalog.graft_d.root")
+    }
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

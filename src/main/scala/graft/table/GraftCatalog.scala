@@ -115,9 +115,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(d.getAbsolutePath, Some((t, t.latestVersion)), schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported (schema evolution rides appendEvolve)")
+  /** `ALTER TABLE ... ADD COLUMNS (c TYPE, ...)` — the SQL spelling of
+    * [[GraftTable.appendEvolve]]'s additive evolution: commit the widened
+    * schema with the UNCHANGED file list (zero data IO; existing files
+    * read the new columns as null, standard parquet missing-column
+    * semantics), so the evolution is itself a version — time travel below
+    * it serves the narrow schema. Only top-level nullable adds; anything
+    * else (drops, renames, type changes) is refused — silently coercing
+    * types is how production tables rot. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = dirFor(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
+    var attempt = 0
+    while (true) {
+      val v = t.latestVersion
+      val c = t.commitAt(v)
+      val newSchema = changes.foldLeft(c.schema) {
+        case (s, add: TableChange.AddColumn) =>
+          require(add.fieldNames.length == 1,
+            s"nested column adds are not supported: ${add.fieldNames.mkString(".")}")
+          require(add.isNullable,
+            s"added column ${add.fieldNames.head} must be nullable " +
+              "(existing rows have no value for it)")
+          require(!s.fieldNames.contains(add.fieldNames.head),
+            s"column ${add.fieldNames.head} already exists")
+          s.add(add.fieldNames.head, add.dataType(), nullable = true)
+        case (_, other) => throw new UnsupportedOperationException(
+          s"only ADD COLUMNS is supported (additive evolution), got $other")
+      }
+      try {
+        t.commit(v, "alter_add_columns", c.files, newSchema)
+        return loadTable(ident)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    loadTable(ident) // unreachable
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirFor(ident)

@@ -53,7 +53,12 @@ object ExplainDump {
     "join_asof_forward", "join_asof_nearest", "join_range",
     "scan_table_changes", "scan_table_changes_diff", "scan_file_skipping",
     // round-12 addition: the DSv2 partition-manifest day slice
-    "scan_partition_manifest")
+    "scan_partition_manifest",
+    // round-13 additions: the SQL DML surface (MERGE/DELETE/UPDATE land
+    // before the dumped read; the dump shows the post-DML snapshot scan)
+    // and the string-keyed COW merge read
+    "upsert_merge_sql", "upsert_string_key",
+    "delete_where_sql", "update_where_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -391,6 +391,40 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL ALTER TABLE ADD COLUMNS: additive evolution, zero data IO") {
+    import spark.implicits._
+    val lake = tmpRoot("alter")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_a", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_a.root", lake)
+    try {
+      GraftTable.create(spark, s"$lake/db/alt_t", spark.range(10).toDF("id"))
+      val t = GraftTable.forPath(spark, s"$lake/db/alt_t")
+      val filesBefore = t.commitAt(1).files.map(_.path).toSet
+      spark.sql("ALTER TABLE graft_a.db.alt_t ADD COLUMNS (tag STRING, score DOUBLE)")
+      // zero data IO: the evolved version lists the SAME files
+      assert(t.latestVersion == 2 && t.commitAt(2).operation == "alter_add_columns")
+      assert(t.commitAt(2).files.map(_.path).toSet == filesBefore)
+      // old rows read nulls in the new columns; new inserts fill them
+      assert(spark.sql("SELECT count(*) FROM graft_a.db.alt_t WHERE tag IS NULL")
+        .as[Long].head() == 10)
+      spark.sql("INSERT INTO graft_a.db.alt_t VALUES (99, 'x', 1.5)")
+      assert(spark.sql("SELECT score FROM graft_a.db.alt_t WHERE id = 99")
+        .as[Double].head() == 1.5)
+      // time travel below the evolution serves the narrow schema
+      assert(spark.sql("SELECT * FROM graft_a.db.alt_t VERSION AS OF 1")
+        .columns.toSeq == Seq("id"))
+      // non-additive changes are refused
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_a.db.alt_t DROP COLUMN tag")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_a.db.alt_t")
+      spark.conf.unset("spark.sql.catalog.graft_a")
+      spark.conf.unset("spark.sql.catalog.graft_a.root")
+    }
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

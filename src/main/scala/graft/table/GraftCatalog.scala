@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftMergeRule]] (inject `graft.GraftExtensions`) onto the
   * copy-on-write merge path.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -175,6 +176,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // manifests store RELATIVE paths, so a directory move IS a rename
     require(from.renameTo(dirFor(to)), s"rename $old -> $to failed")
   }
+
+  // ---- maintenance procedures ----------------------------------------------
+
+  /** `CALL <catalog>.system.{compact,zorder,vacuum}(...)` — SQL-operable
+    * table maintenance (see [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalogName, root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
   // ---- namespaces ----------------------------------------------------------
 

@@ -425,6 +425,51 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: compact / zorder / vacuum run as pure SQL") {
+    import spark.implicits._
+    val lake = tmpRoot("proc")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_pr", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pr.root", lake)
+    try {
+      val t = GraftTable.create(spark, s"$lake/db/m_t",
+        spark.range(100).toDF("id").withColumn("dd", ($"id" % 4).cast("int")))
+      (1 to 4).foreach(i => t.append(spark.range(i * 100L, i * 100L + 100).toDF("id")
+        .withColumn("dd", lit(i % 4))))
+      val nFilesBefore = t.commitAt(t.latestVersion).files.size
+
+      // compact: bin-packs the small files, returns the committed version
+      val c = spark.sql("CALL graft_pr.system.compact(tbl => 'db.m_t', target_rows => 1000)")
+        .collect()
+      assert(c.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("compact", 6L)))
+      assert(t.commitAt(6).files.size < nFilesBefore)
+      assert(t.read().count() == 500)
+
+      // zorder: clusters on (id, dd) into 4 z-range files
+      val z = spark.sql(
+        "CALL graft_pr.system.zorder(tbl => 'db.m_t', x => 'id', y => 'dd', n_files => 4)")
+        .collect()
+      assert(z.head.getString(0) == "zorder" && z.head.getLong(1) == 7L)
+      assert(t.read().count() == 500)
+
+      // vacuum: drops pre-retention manifests + their exclusive files
+      // (min_age_ms passed explicitly — test files are seconds old)
+      spark.sql(
+        "CALL graft_pr.system.vacuum(tbl => 'db.m_t', retain_from => 7, min_age_ms => 0)")
+        .collect()
+      assert(t.versions == Seq(7L))
+      assert(t.read().count() == 500)
+
+      intercept[Exception] {
+        spark.sql("CALL graft_pr.system.nonsense(tbl => 'db.m_t')").collect()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pr.db.m_t")
+      spark.conf.unset("spark.sql.catalog.graft_pr")
+      spark.conf.unset("spark.sql.catalog.graft_pr.root")
+    }
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

@@ -886,12 +886,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     }
     val effPartitionCols =
       partitionCols.getOrElse(parentCommit.map(_.partitionCols).getOrElse(Seq.empty))
+    // NULLABILITY WIDENS, never narrows: the committed file list usually
+    // carries files written under the PARENT schema, so a batch whose own
+    // schema is narrower (e.g. a literal-valued column, nullable=false)
+    // must not narrow the table — a non-nullable declaration over files
+    // that DO hold nulls makes downstream unsafe projections skip the
+    // null check and read garbage (observed: a null Hive partition value
+    // surfacing as 0 through the streaming source). nullable=true is
+    // always a sound claim; the widening is a no-op for rewrites that
+    // pass the parent schema through.
+    val effSchema = parentCommit match {
+      case Some(pc) => StructType(schema.fields.map { f =>
+        pc.schema.find(_.name == f.name) match {
+          case Some(pf) if pf.dataType == f.dataType =>
+            f.copy(nullable = f.nullable || pf.nullable)
+          case _ => f
+        }
+      })
+      case None => schema
+    }
     val node = mapper.createObjectNode()
     node.put("formatVersion", 1)
     node.put("version", version)
     node.put("parent", parent)
     node.put("operation", operation)
-    node.put("schemaJson", schema.json)
+    node.put("schemaJson", effSchema.json)
     txn.foreach { case (app, batch) =>
       node.put("txnApp", app); node.put("txnBatch", batch): Unit
     }

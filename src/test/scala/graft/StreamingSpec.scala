@@ -456,6 +456,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("embedding").isNull).count() === 2)
   }
 
+  test("graft streaming source: partitioned table streams, null partition reads as NULL") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_psrc").toString
+    val root = s"$dir/tbl"
+    // Hive-partitioned table with a NULL partition value: the batch path
+    // reconstructs __HIVE_DEFAULT_PARTITION__ as NULL; the stream must too
+    // (it previously threw at read time)
+    val df = spark.range(40).toDF("id")
+      .withColumn("dd", expr("CASE WHEN id % 4 = 3 THEN NULL ELSE CAST(id % 4 AS INT) END"))
+      .withColumn("v", (col("id") * 2).cast("long"))
+    val t = graft.table.GraftTable.createPartitioned(spark, root, df, Seq("dd"))
+    t.appendPartitioned(
+      spark.range(40, 50).toDF("id").withColumn("dd", lit(1))
+        .withColumn("v", lit(0L)), Seq("dd"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    val expect = t.read()
+    assert(got.count() === 50)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streamed partitioned rows must equal the batch read (nulls included)")
+    assert(got.filter(col("dd").isNull).count() === 10)
+  }
+
   test("graft streaming source: maxVersionsPerTrigger bounds each micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_adm").toString
     val t = graft.table.GraftTable.create(spark, s"$dir/tbl",

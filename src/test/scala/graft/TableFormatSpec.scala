@@ -678,6 +678,20 @@ class TableFormatSpec extends SparkSpec {
     assert(t.read().filter($"id".isNull).count() == 1)
   }
 
+  test("commit schema nullability widens, never narrows (a literal batch can't poison old nulls)") {
+    import spark.implicits._
+    val s = new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false).add("x", "long", nullable = true)
+    val withNull = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, null), Row(2L, 20L)), s)
+    val t = GraftTable.create(spark, tmpRoot("nullw"), withNull)
+    // a batch whose x is a non-nullable literal must not narrow the table
+    t.append(spark.range(3, 5).toDF("id").withColumn("x", lit(9L)))
+    val f = t.commitAt(2).schema.find(_.name == "x").get
+    assert(f.nullable, "append narrowed x to non-nullable over files holding nulls")
+    assert(t.read().filter($"x".isNull).count() == 1)
+  }
+
   test("cumulative txn map: idempotency lookup reads ONE manifest") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpRoot("txns"), spark.range(5).toDF("id"))

@@ -120,15 +120,36 @@ final case class TableCommit(
     txns: Option[Map[String, Long]] = None,
     partitionCols: Seq[String] = Seq.empty)
 
+/** One manifest as PERSISTED: commit metadata plus EITHER the full
+  * post-state file list (version 1, whole-table rewrites, legacy
+  * manifests) OR the add/remove churn against `parent`. */
+private[table] final case class RawManifest(
+    version: Long, parent: Long, operation: String, schema: StructType,
+    txn: Option[(String, Long)], txns: Option[Map[String, Long]],
+    partitionCols: Seq[String],
+    full: Option[Seq[ManifestFile]],
+    add: Seq[ManifestFile], remove: Set[String])
+
 /** Minimal engine-native versioned table format — snapshot isolation,
   * time travel, and optimistic concurrency over plain parquet, in the
   * spirit of Delta Lake's commit log (Armbrust et al., VLDB 2020) but cut
   * to the three mechanisms a lakehouse upsert actually requires:
   *
-  *  1. '''Immutable data files + manifest.''' Every mutation writes NEW
-  *     parquet files under `data/` and records the complete post-mutation
-  *     file list in a JSON manifest `_graft_log/v%020d.json`. No mutation
-  *     ever overwrites or deletes a live file, so a merge can READ the
+  *  1. '''Immutable data files + delta-encoded manifest.''' Every
+  *     mutation writes NEW parquet files under `data/` and records its
+  *     CHURN — the entries it added and the paths it removed relative to
+  *     its parent — in a JSON manifest `_graft_log/v%020d.json` (Delta's
+  *     add/remove actions). Commit cost is therefore O(churn), never
+  *     O(files): a single-file append to a million-file table logs one
+  *     entry, not a million. Readers reconstruct a snapshot by replaying
+  *     the delta chain forward from the nearest self-contained state:
+  *     version 1 and whole-table rewrites inline their full file list,
+  *     every [[GraftTable.CheckpointInterval]]-th commit also publishes a
+  *     sidecar checkpoint `v%020d.ckpt.json` (Delta's 10-commit
+  *     checkpoint cadence), and [[vacuum]] materializes one at the
+  *     retention boundary — so resolution reads a BOUNDED number of
+  *     small log files regardless of history depth. No mutation ever
+  *     overwrites or deletes a live file, so a merge can READ the
   *     current snapshot while WRITING its successor — this removes the
   *     read-merge-overwrite hazard that previously forced
   *     [[graft.upsert.KeepLatest.upsertPartitions]] to stage the merge
@@ -156,10 +177,14 @@ final case class TableCommit(
   *     the merge against the new snapshot (tested in TableFormatSpec).
   *
   * Scale notes (100 TB, 1000 executors):
-  *  - Readers resolve a snapshot from ONE small JSON file — no recursive
-  *    object-store LIST over millions of data files (the S3 listing wall
-  *    every large parquet-directory table hits), and no eventual-
-  *    consistency exposure: the manifest names exactly the live files.
+  *  - Readers resolve a snapshot from a BOUNDED handful of small JSON
+  *    files (one checkpoint + at most [[GraftTable.CheckpointInterval]]
+  *    deltas) — no recursive object-store LIST over millions of data
+  *    files (the S3 listing wall every large parquet-directory table
+  *    hits), and no eventual-consistency exposure: the replayed chain
+  *    names exactly the live files. Writers pay O(churn) per commit —
+  *    the property that keeps a high-frequency streaming sink viable on
+  *    a table whose file count grows without bound.
   *  - Manifests carry per-file row counts, so maintenance planning
   *    ([[compact]] bin-packing) runs driver-side on metadata; extending
   *    the entries with per-column min/max would give manifest-level file
@@ -193,12 +218,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def latestVersion: Long = versions.lastOption.getOrElse(0L)
 
   private def manifestPath(v: Long) = new File(logDir, f"v$v%020d.json")
+  private def ckptPath(v: Long) = new File(logDir, f"v$v%020d.ckpt.json")
 
-  /** Parse the manifest of `version`. */
-  def commitAt(version: Long): TableCommit = {
-    val n = mapper.readTree(Files.readAllBytes(manifestPath(version).toPath))
+  private def parseFileEntries(arr: com.fasterxml.jackson.databind.JsonNode): Seq[ManifestFile] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
-    n.get("files").forEach { f =>
+    arr.forEach { f =>
       val stats = Option(f.get("stats")).map { s =>
         val m = scala.collection.mutable.Map.empty[String, ColStat]
         s.fields().forEachRemaining { e =>
@@ -216,6 +240,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(),
         stats, partition)
     }
+    files.toSeq
+  }
+
+  private def readRaw(version: Long): RawManifest = {
+    val n = mapper.readTree(Files.readAllBytes(manifestPath(version).toPath))
     val txns = Option(n.get("txns")).map { tn =>
       val m = scala.collection.mutable.Map.empty[String, Long]
       tn.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asLong())
@@ -226,15 +255,83 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       pc.forEach(v => b += v.asText())
       b.toSeq
     }.getOrElse(Seq.empty)
-    TableCommit(
+    val remove = Option(n.get("remove")).map { r =>
+      val b = scala.collection.mutable.Set.empty[String]
+      r.forEach(v => b += v.asText())
+      b.toSet
+    }.getOrElse(Set.empty[String])
+    RawManifest(
       version = n.get("version").asLong(),
       parent = n.get("parent").asLong(),
       operation = n.get("operation").asText(),
       schema = DataType.fromJson(n.get("schemaJson").asText()).asInstanceOf[StructType],
-      files = files.toSeq,
       txn = Option(n.get("txnApp")).map(a => (a.asText(), n.get("txnBatch").asLong())),
       txns = txns,
-      partitionCols = partitionCols)
+      partitionCols = partitionCols,
+      full = Option(n.get("files")).map(parseFileEntries),
+      add = Option(n.get("add")).map(parseFileEntries).getOrElse(Seq.empty),
+      remove = remove)
+  }
+
+  /** Bounded LRU of reconstructed file lists — manifests are immutable,
+    * so a cached state can never go stale. Sequential consumers (the
+    * streaming source, [[telescopedDiff]], [[vacuum]]) resolve each
+    * version from its cached parent in O(1) amortized log reads. */
+  private val filesCache =
+    new java.util.LinkedHashMap[Long, Seq[ManifestFile]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[ManifestFile]]): Boolean = size() > 48
+    }
+  private def cacheGet(v: Long): Option[Seq[ManifestFile]] =
+    filesCache.synchronized(Option(filesCache.get(v)))
+  private def cachePut(v: Long, fs: Seq[ManifestFile]): Unit =
+    filesCache.synchronized { filesCache.put(v, fs); () }
+
+  /** Full post-state file list of `version`: the inlined list when the
+    * manifest is self-contained, else the sidecar checkpoint, else the
+    * delta chain replayed forward from the nearest resolvable base.
+    * Replay preserves entry ORDER exactly as the writer committed it
+    * (carried files keep their positions, adds append), so a
+    * reconstructed snapshot is indistinguishable from an inlined one. */
+  private def readCkpt(v: Long): Option[Seq[ManifestFile]] =
+    if (!ckptPath(v).exists()) None
+    else Some(parseFileEntries(
+      mapper.readTree(Files.readAllBytes(ckptPath(v).toPath)).get("files")))
+
+  private def filesAt(version: Long, raw: RawManifest): Seq[ManifestFile] =
+    raw.full.getOrElse(cacheGet(version).getOrElse(
+      readCkpt(version).map { fs => cachePut(version, fs); fs }.getOrElse {
+        // walk back to a base: cached state, sidecar checkpoint, or a
+        // self-contained manifest — bounded by the checkpoint cadence
+        var chain = List(raw)
+        var base: Seq[ManifestFile] = null
+        var v = raw.parent
+        while (base == null) {
+          cacheGet(v).orElse(readCkpt(v)) match {
+            case Some(fs) => base = fs
+            case None =>
+              val r = readRaw(v)
+              r.full match {
+                case Some(fs) => base = fs
+                case None => chain = r :: chain; v = r.parent
+              }
+          }
+        }
+        var state = base
+        for (r <- chain) {
+          val rm = r.remove
+          state = (if (rm.isEmpty) state else state.filterNot(f => rm.contains(f.path))) ++ r.add
+          cachePut(r.version, state)
+        }
+        state
+      }))
+
+  /** Parse the manifest of `version`, reconstructing the full file list
+    * from the delta chain when the manifest records only churn. */
+  def commitAt(version: Long): TableCommit = {
+    val raw = readRaw(version)
+    TableCommit(raw.version, raw.parent, raw.operation, raw.schema,
+      filesAt(version, raw), raw.txn, raw.txns, raw.partitionCols)
   }
 
   /** Snapshot read of the latest version. */
@@ -906,7 +1003,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       case None => schema
     }
     val node = mapper.createObjectNode()
-    node.put("formatVersion", 1)
+    node.put("formatVersion", 2)
     node.put("version", version)
     node.put("parent", parent)
     node.put("operation", operation)
@@ -922,21 +1019,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val pa = node.putArray("partitionCols")
       effPartitionCols.foreach(c => pa.add(c): Unit)
     }
-    val arr = node.putArray("files")
-    files.foreach { f =>
-      val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
-      if (f.stats.nonEmpty) {
-        val so = o.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
-          val co = so.putObject(col)
-          co.put("kind", s.kind); co.put("min", s.min); co.put("max", s.max)
-          if (s.nulls >= 0) co.put("nulls", s.nulls): Unit
-        }
-      }
-      if (f.partition.nonEmpty) {
-        val po = o.putObject("partition")
-        f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v): Unit }
-      }
+    // Delta-encode when it is both SMALLER than the full list and
+    // replayable to the EXACT committed state (order included) — a
+    // whole-table rewrite (overwrite/compact/zorder) or a reordering
+    // caller inlines the full list instead, which also resets the delta
+    // chain. Commit IO is thereby O(churn) on the hot mutation paths
+    // (append, streaming sink, COW merge) and never worse than today's
+    // O(files) elsewhere.
+    val delta: Option[(Seq[ManifestFile], Seq[String])] = parentCommit.flatMap { pc =>
+      val parentPaths = pc.files.map(_.path).toSet
+      val filePaths = files.map(_.path).toSet
+      val add = files.filterNot(f => parentPaths.contains(f.path))
+      val remove = pc.files.map(_.path).filterNot(filePaths.contains)
+      val removeSet = remove.toSet
+      val replayed = pc.files.filterNot(f => removeSet.contains(f.path)) ++ add
+      if (add.size + remove.size < files.size &&
+          replayed.map(_.path) == files.map(_.path)) Some((add, remove))
+      else None
+    }
+    delta match {
+      case Some((add, remove)) =>
+        writeEntries(node.putArray("add"), add)
+        val ra = node.putArray("remove")
+        remove.foreach(p => ra.add(p): Unit)
+      case None =>
+        writeEntries(node.putArray("files"), files)
     }
     val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp.toPath, mapper.writeValueAsBytes(node))
@@ -945,6 +1052,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       // link(2): atomically binds the fully-written content to the version
       // name, failing iff the name exists — the whole concurrency story.
       Files.createLink(target.toPath, tmp.toPath)
+      cachePut(version, files)
+      // Periodic sidecar checkpoint (Delta's 10-commit cadence): bounds
+      // every reader's delta-chain walk. Written AFTER the atomic commit
+      // point — a crash here just leaves a longer (still bounded) chain
+      // until the next cadence hit or vacuum materializes one.
+      if (version % GraftTable.CheckpointInterval == 0 && delta.isDefined)
+        writeCheckpoint(version, files)
       version
     } catch {
       case _: FileAlreadyExistsException =>
@@ -954,6 +1068,39 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     } finally {
       Files.deleteIfExists(tmp.toPath): Unit
     }
+  }
+
+  /** Serialize manifest file entries into a JSON array — shared by the
+    * commit writer (`files`/`add`) and checkpoint writer. */
+  private def writeEntries(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+                           fs: Seq[ManifestFile]): Unit = fs.foreach { f =>
+    val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
+    if (f.stats.nonEmpty) {
+      val so = o.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
+        val co = so.putObject(col)
+        co.put("kind", s.kind); co.put("min", s.min); co.put("max", s.max)
+        if (s.nulls >= 0) co.put("nulls", s.nulls): Unit
+      }
+    }
+    if (f.partition.nonEmpty) {
+      val po = o.putObject("partition")
+      f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v): Unit }
+    }
+  }
+
+  /** Publish the full file list of `version` as a sidecar checkpoint —
+    * an idempotent, purely derived artifact (same atomic create-if-absent
+    * as manifests; losing the race to an identical twin is a no-op). */
+  private def writeCheckpoint(version: Long, files: Seq[ManifestFile]): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", version)
+    writeEntries(node.putArray("files"), files)
+    val tmp = new File(logDir, s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp.toPath, mapper.writeValueAsBytes(node))
+    try Files.createLink(ckptPath(version).toPath, tmp.toPath)
+    catch { case _: FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp.toPath): Unit
   }
 
   /** Append-only commit. Appends commute, so a lost race is resolved by
@@ -1380,7 +1527,18 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * pointing at deleted data, i.e. silent data loss. Pass `0` only when
     * the caller can assert exclusive access (tests, offline maintenance). */
   def vacuum(retainFrom: Long, minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Unit = {
-    versions.filter(_ < retainFrom).foreach(v => Files.deleteIfExists(manifestPath(v).toPath))
+    // The oldest retained version must stay RESOLVABLE after the chain
+    // below it is dropped: if it is a delta manifest with no sidecar,
+    // materialize its checkpoint first (from the still-intact chain).
+    versions.find(_ >= retainFrom).foreach { oldest =>
+      val raw = readRaw(oldest)
+      if (raw.full.isEmpty && !ckptPath(oldest).exists())
+        writeCheckpoint(oldest, filesAt(oldest, raw))
+    }
+    versions.filter(_ < retainFrom).foreach { v =>
+      Files.deleteIfExists(manifestPath(v).toPath)
+      Files.deleteIfExists(ckptPath(v).toPath): Unit
+    }
     val live = versions.flatMap(v => commitAt(v).files.map(_.path)).toSet
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
@@ -1405,6 +1563,14 @@ object GraftTable {
     * directory holds NULL in the partition column, which no range bound
     * can reason about. */
   val HiveNullPartition: String = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Sidecar-checkpoint cadence: every Nth commit publishes its full
+    * file list as `v%020d.ckpt.json`, bounding every snapshot
+    * resolution to ≤ N small delta reads + one checkpoint read (Delta
+    * checkpoints every 10 commits for the same reason). Commits
+    * themselves stay O(churn); the checkpoint's O(files) write is
+    * amortized 1/N and sits OFF the atomic commit path. */
+  val CheckpointInterval: Long = 16L
 
   /** String-stat truncation width in code points (Delta uses 32): long
     * text columns (the `documents` corpus) still get bounded, sound

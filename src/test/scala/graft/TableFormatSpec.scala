@@ -782,4 +782,116 @@ class TableFormatSpec extends SparkSpec {
     v1Files.foreach(f => assert(!new File(s"${t.root}/${f.path}").exists()))
     assert(t.read().count() == 20)
   }
+
+  // ---- delta-encoded commit log (O(churn) manifests + checkpoints) ----
+
+  private def manifestText(root: String, v: Long): String =
+    new String(Files.readAllBytes(
+      new File(new File(root, "_graft_log"), f"v$v%020d.json").toPath))
+
+  private def ckptFile(root: String, v: Long): File =
+    new File(new File(root, "_graft_log"), f"v$v%020d.ckpt.json")
+
+  test("delta log: mid-chain commits record only churn; snapshots reconstruct exactly") {
+    import spark.implicits._
+    val root = tmpRoot("dlog")
+    val t = GraftTable.create(spark, root, spark.range(0, 10).toDF("id"))
+    (1 to 8).foreach(k => t.append(spark.range(k * 10L, k * 10L + 10).toDF("id")))
+    // version 1 is self-contained; every append after it logs only its adds
+    assert(manifestText(root, 1).contains("\"files\""))
+    (2L to 9L).foreach { v =>
+      val txt = manifestText(root, v)
+      assert(txt.contains("\"add\"") && !txt.contains("\"files\""),
+        s"append v$v should be delta-encoded")
+    }
+    // a mid-chain append's manifest names ONLY that batch's files
+    val v5 = t.commitAt(5)
+    val v4Paths = t.commitAt(4).files.map(_.path).toSet
+    val v5new = v5.files.filterNot(f => v4Paths.contains(f.path))
+    v5new.foreach(f => assert(manifestText(root, 5).contains(f.path)))
+    assert(t.commitAt(4).files.count(f => manifestText(root, 5).contains(f.path)) == 0,
+      "a delta manifest must not re-list carried files")
+    // every snapshot reconstructs exactly — warm cache AND a cold instance
+    (1L to 9L).foreach(v => assert(t.read(v).count() == v * 10))
+    val cold = GraftTable.forPath(spark, root)
+    assert(cold.read(9).as[Long].collect().sorted.toSeq == (0L until 90L))
+    assert(cold.read(3).as[Long].collect().sorted.toSeq == (0L until 30L))
+  }
+
+  test("delta log: COW merge logs O(batch churn), not the file list") {
+    import spark.implicits._
+    val root = tmpRoot("dlogm")
+    // range-clustered base: 8 files of disjoint id ranges
+    val base = spark.range(0, 8000).toDF("id")
+      .withColumn("v", lit("old")).withColumn("gen", lit(1L))
+      .repartitionByRange(8, $"id")
+    val t = GraftTable.create(spark, root, base)
+    val nFiles = t.commitAt(1).files.size
+    assert(nFiles >= 8)
+    // a batch confined to one range bucket
+    t.upsertKeepLatest(
+      spark.range(100, 120).toDF("id")
+        .withColumn("v", lit("new")).withColumn("gen", lit(2L)),
+      Seq("id"), Seq($"gen".desc))
+    val txt = manifestText(root, 2)
+    assert(txt.contains("\"add\"") && txt.contains("\"remove\"") &&
+      !txt.contains("\"files\""), "a COW merge should be delta-encoded")
+    val mf = t.commitAt(2)
+    val v1Paths = t.commitAt(1).files.map(_.path).toSet
+    val added = mf.files.filterNot(f => v1Paths.contains(f.path))
+    val removed = v1Paths -- mf.files.map(_.path).toSet
+    assert(added.size + removed.size < nFiles,
+      s"merge churn ${added.size}+${removed.size} should be < $nFiles files")
+    assert(t.read().filter($"v" === "new").count() == 20)
+  }
+
+  test("checkpoint cadence: the sidecar bounds resolution to K log reads") {
+    import spark.implicits._
+    val root = tmpRoot("ckpt")
+    val t = GraftTable.create(spark, root, spark.range(0, 5).toDF("id"))
+    (1 to 19).foreach(k => t.append(spark.range(k * 5L, k * 5L + 5).toDF("id")))
+    assert(t.latestVersion == 20)
+    assert(ckptFile(root, GraftTable.CheckpointInterval).exists(),
+      "the cadence commit must publish a sidecar checkpoint")
+    // white-box boundedness proof: versions 2..15 vanish; any version at
+    // or after the v16 checkpoint still resolves from ckpt16 + deltas
+    (2L to 15L).foreach { v =>
+      Files.delete(new File(new File(root, "_graft_log"), f"v$v%020d.json").toPath)
+    }
+    val cold = GraftTable.forPath(spark, root)
+    assert(cold.read(20).as[Long].collect().sorted.toSeq == (0L until 100L))
+    assert(cold.read(17).count() == 85)
+    // while a version whose chain is genuinely gone fails loudly
+    intercept[Exception] { GraftTable.forPath(spark, root).read(10).count() }
+  }
+
+  test("whole-table rewrites inline the full list and reset the delta chain") {
+    import spark.implicits._
+    val root = tmpRoot("dfull")
+    val t = GraftTable.create(spark, root, spark.range(10).toDF("id"))
+    t.append(spark.range(10, 20).toDF("id"))
+    t.overwrite(spark.range(100, 105).toDF("id"), parent = 2, operation = "rewrite")
+    assert(manifestText(root, 3).contains("\"files\""),
+      "an overwrite replaces every file — inlining is smaller than churn")
+    // pre-rewrite time travel still works, and later appends delta again
+    assert(t.read(2).count() == 20)
+    t.append(spark.range(105, 110).toDF("id"))
+    assert(manifestText(root, 4).contains("\"add\""))
+    assert(GraftTable.forPath(spark, root).read(4).count() == 10)
+  }
+
+  test("vacuum materializes a checkpoint at the retention boundary") {
+    import spark.implicits._
+    val root = tmpRoot("dvac")
+    val t = GraftTable.create(spark, root, spark.range(0, 10).toDF("id"))
+    (1 to 9).foreach(k => t.append(spark.range(k * 10L, k * 10L + 10).toDF("id")))
+    // v7 is a delta manifest with no sidecar; dropping v1..6 would strand it
+    t.vacuum(retainFrom = 7, minAgeMs = 0)
+    assert(t.versions == (7L to 10L))
+    assert(ckptFile(root, 7).exists(),
+      "vacuum must publish the boundary checkpoint before dropping the chain")
+    val cold = GraftTable.forPath(spark, root)
+    assert(cold.read(7).as[Long].collect().sorted.toSeq == (0L until 70L))
+    assert(cold.read(10).count() == 100)
+  }
 }

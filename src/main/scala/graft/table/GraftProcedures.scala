@@ -9,31 +9,39 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.read.Scan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** SQL-callable MAINTENANCE procedures for graft tables (the Iceberg
-  * `CALL catalog.system.*` surface; Spark 4 executes them natively):
+/** SQL-callable MAINTENANCE + AUDIT procedures for graft tables (the
+  * Iceberg `CALL catalog.system.*` surface; Spark 4 executes them
+  * natively):
   *
   * {{{
   *   CALL graft.system.compact(tbl => 'db.t', target_rows => 1000000)
   *   CALL graft.system.zorder(tbl => 'db.t', x => 'user_id', y => 'dd', n_files => 32)
   *   CALL graft.system.vacuum(tbl => 'db.t', retain_from => 5)
+  *   CALL graft.system.history(tbl => 'db.t')          -- DESCRIBE HISTORY
+  *   CALL graft.system.restore(tbl => 'db.t', version => 3)
+  *   CALL graft.system.checkpoint(tbl => 'db.t')
   * }}}
   *
   * Each procedure resolves the table under the catalog root, runs the
-  * programmatic maintenance op ([[GraftTable.compact]]/[[GraftTable.zorderBy]]/
-  * [[GraftTable.vacuum]]), and returns a one-row summary (operation +
-  * resulting latest version) as the LocalScan Spark requires of
-  * procedure output. Maintenance thereby needs no driver program — a
-  * scheduler can run pure SQL, exactly how production lakehouse OPTIMIZE
-  * jobs are operated. `vacuum` keeps its in-flight-writer age guard: the
-  * `min_age_ms` parameter DEFAULTS to the 24 h horizon, so a scheduler
-  * that omits it can never race a live writer (tests lower it
-  * explicitly).
+  * programmatic op ([[GraftTable.compact]]/[[GraftTable.zorderBy]]/
+  * [[GraftTable.vacuum]]/[[GraftTable.restoreTo]]/
+  * [[GraftTable.checkpoint]]) or reads the commit log
+  * ([[GraftTable.commitAt]] per retained version for `history` — pure
+  * manifest metadata, zero data IO), and returns its summary rows as the
+  * LocalScan Spark requires of procedure output. Maintenance thereby
+  * needs no driver program — a scheduler can run pure SQL, exactly how
+  * production lakehouse OPTIMIZE jobs are operated. `vacuum` keeps its
+  * in-flight-writer age guard: the `min_age_ms` parameter DEFAULTS to
+  * the 24 h horizon, so a scheduler that omits it can never race a live
+  * writer (tests lower it explicitly).
   */
 private[table] final class GraftProcedure(
     catalogRoot: String, val name: String,
     params: Seq[ProcedureParameter],
-    run: (SparkSession, InternalRow) => (String, Long))
+    outSchema: StructType,
+    run: (SparkSession, InternalRow) => Array[InternalRow])
     extends UnboundProcedure with BoundProcedure {
 
   override def description(): String = s"graft maintenance procedure $name"
@@ -43,16 +51,13 @@ private[table] final class GraftProcedure(
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val spark = SparkSession.active
-    val (op, version) = run(spark, input)
-    val schema = new StructType()
-      .add("operation", StringType).add("version", LongType)
+    val out = run(spark, input)
     // procedure output must be a LOCAL scan (Spark executes the side
-    // effect here on the driver; only the one-row summary flows out)
+    // effect here on the driver; only the summary rows flow out)
     val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
-      override def readSchema(): StructType = schema
+      override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftProcedureResult $name"
-      override def rows(): Array[InternalRow] = Array(InternalRow(
-        org.apache.spark.unsafe.types.UTF8String.fromString(op), version))
+      override def rows(): Array[InternalRow] = out
     }
     Collections.singletonList(scan).iterator()
   }
@@ -62,6 +67,12 @@ private[table] object GraftProcedures {
 
   private def p(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
+
+  private val opVersionSchema = new StructType()
+    .add("operation", StringType).add("version", LongType)
+
+  private def opVersion(op: String, v: Long): Array[InternalRow] =
+    Array(InternalRow(UTF8String.fromString(op), v))
 
   /** Resolve `db.t`-style table references against the catalog root. */
   private def tableFor(spark: SparkSession, root: String,
@@ -74,17 +85,17 @@ private[table] object GraftProcedures {
   def load(catalogName: String, root: String, ident: Identifier): UnboundProcedure =
     ident.name match {
       case "compact" => new GraftProcedure(root, "compact",
-        Seq(p("tbl", StringType), p("target_rows", LongType)),
+        Seq(p("tbl", StringType), p("target_rows", LongType)), opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
-          ("compact", t.compact(in.getLong(1)))
+          opVersion("compact", t.compact(in.getLong(1)))
         })
       case "zorder" => new GraftProcedure(root, "zorder",
         Seq(p("tbl", StringType), p("x", StringType), p("y", StringType),
-          p("n_files", IntegerType)),
+          p("n_files", IntegerType)), opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
-          ("zorder", t.zorderBy(col(in.getUTF8String(1).toString),
+          opVersion("zorder", t.zorderBy(col(in.getUTF8String(1).toString),
             col(in.getUTF8String(2).toString), in.getInt(3)))
         })
       case "vacuum" => new GraftProcedure(root, "vacuum",
@@ -93,15 +104,51 @@ private[table] object GraftProcedures {
           // tests lower it explicitly
           ProcedureParameter.in("min_age_ms", LongType)
             .defaultValue(GraftTable.DefaultVacuumMinAgeMs.toString).build()),
+        opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
           t.vacuum(in.getLong(1), in.getLong(2))
-          ("vacuum", t.latestVersion)
+          opVersion("vacuum", t.latestVersion)
+        })
+      case "history" => new GraftProcedure(root, "history",
+        Seq(p("tbl", StringType)),
+        // Delta DESCRIBE HISTORY's audit columns, from manifests alone
+        new StructType()
+          .add("version", LongType).add("parent", LongType)
+          .add("operation", StringType)
+          .add("files", IntegerType).add("rows", LongType)
+          .add("txn_app", StringType).add("txn_batch", LongType),
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          // ascending resolution rides the snapshot cache: each version
+          // reconstructs from its cached parent, O(1) amortized log reads
+          t.versions.map { v =>
+            val c = t.commitAt(v)
+            InternalRow(c.version, c.parent,
+              UTF8String.fromString(c.operation),
+              c.files.size, c.files.map(_.rows).sum,
+              c.txn.map(x => UTF8String.fromString(x._1)).orNull,
+              c.txn.map(x => java.lang.Long.valueOf(x._2)).orNull)
+          }.toArray
+        })
+      case "restore" => new GraftProcedure(root, "restore",
+        Seq(p("tbl", StringType), p("version", LongType)), opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          val target = in.getLong(1)
+          opVersion(s"restore_v$target", t.restoreTo(target))
+        })
+      case "checkpoint" => new GraftProcedure(root, "checkpoint",
+        Seq(p("tbl", StringType)), opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          opVersion("checkpoint", t.checkpoint())
         })
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $catalogName.${ident.namespace.mkString(".")}.$other " +
-          "(available: compact, zorder, vacuum)")
+          s"(available: ${names.mkString(", ")})")
     }
 
-  val names: Seq[String] = Seq("compact", "zorder", "vacuum")
+  val names: Seq[String] = Seq("compact", "zorder", "vacuum", "history",
+    "restore", "checkpoint")
 }

@@ -1510,6 +1510,30 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commit(parent, "zorder", writeData(df), c.schema)
   }
 
+  /** Roll the table back (or forward) to the CONTENT of `version` by
+    * committing a new version whose file list is that snapshot's — Delta
+    * `RESTORE TABLE ... TO VERSION AS OF`. History is preserved: the
+    * restore is itself a commit (time travel into the undone range still
+    * works until vacuum), data files are shared by reference (zero bytes
+    * copied — restored files are usually still live, so the delta log
+    * encodes the restore as churn), and a concurrent writer surfaces as
+    * the usual [[ConcurrentCommitException]]. */
+  def restoreTo(version: Long): Long = {
+    val target = commitAt(version)
+    commit(latestVersion, s"restore_v$version", target.files, target.schema,
+      partitionCols = Some(target.partitionCols))
+  }
+
+  /** Force-publish the latest version's sidecar checkpoint (idempotent) —
+    * the ops hook for bounding reader chains without waiting for the
+    * cadence, e.g. right before handing a table to many cold readers. */
+  def checkpoint(): Long = {
+    val v = latestVersion
+    require(v > 0, s"no graft table log at $root")
+    writeCheckpoint(v, commitAt(v).files)
+    v
+  }
+
   /** Reclaim data files referenced by NO retained version: drop manifests
     * below `retainFrom`, then delete any file under `data/` absent from
     * every surviving manifest (this also sweeps orphans from crashed or

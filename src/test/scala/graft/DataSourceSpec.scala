@@ -470,6 +470,47 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: history / restore / checkpoint audit the log as pure SQL") {
+    import spark.implicits._
+    val lake = tmpRoot("hist")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_h", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_h.root", lake)
+    try {
+      val t = GraftTable.create(spark, s"$lake/db/h_t", spark.range(10).toDF("id"))
+      t.append(spark.range(10, 30).toDF("id"))
+      t.upsertKeepLatest(spark.range(5, 8).toDF("id"), Seq("id"), Seq($"id".asc))
+
+      // history: one audit row per version, straight off the manifests
+      val h = spark.sql("CALL graft_h.system.history(tbl => 'db.h_t')").collect()
+      assert(h.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+        Seq((1L, 0L, "create"), (2L, 1L, "append"), (3L, 2L, "upsert_keep_latest")))
+      assert(h.map(_.getLong(4)).toSeq == Seq(10L, 30L, 30L)) // row counts
+
+      // restore: new commit whose content IS version 1's, files shared
+      val r = spark.sql("CALL graft_h.system.restore(tbl => 'db.h_t', version => 1)")
+        .collect()
+      assert(r.head.getString(0) == "restore_v1" && r.head.getLong(1) == 4L)
+      assert(t.read().as[Long].collect().sorted.toSeq == (0L until 10L))
+      assert(t.commitAt(4).files.map(_.path) == t.commitAt(1).files.map(_.path),
+        "restore must share version 1's files by reference")
+      // the undone range still time-travels (history preserved)
+      assert(t.read(2).count() == 30)
+
+      // checkpoint: force-publish the latest sidecar
+      val c = spark.sql("CALL graft_h.system.checkpoint(tbl => 'db.h_t')").collect()
+      assert(c.head.getString(0) == "checkpoint" && c.head.getLong(1) == 4L)
+      assert(new java.io.File(s"$lake/db/h_t/_graft_log", f"v${4L}%020d.ckpt.json").exists())
+      // streaming/restore txn metadata survives: history now shows v4
+      val h2 = spark.sql("CALL graft_h.system.history(tbl => 'db.h_t')").collect()
+      assert(h2.length == 4 && h2.last.getString(2) == "restore_v1")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_h.db.h_t")
+      spark.conf.unset("spark.sql.catalog.graft_h")
+      spark.conf.unset("spark.sql.catalog.graft_h.root")
+    }
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

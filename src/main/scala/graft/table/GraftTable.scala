@@ -441,17 +441,27 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * zero IO. */
   private def telescopedDiff(commits: Seq[TableCommit]): DataFrame = {
     val schema = commits.last.schema
-    val added = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
-    val removed = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
+    // Per-path SIGNED counts, not set intersection: a file can churn
+    // MORE THAN ONCE inside the window (removed by a merge, re-added by
+    // a restore, removed again), and set-based cancellation would net
+    // such a path to zero when its true telescoped weight is ±1 —
+    // silently dropping its rows from the change feed (found by the
+    // FuzzTable DML-program fuzzer, seed 1300: restore inside the
+    // window). Since data files are immutable, the net per path is
+    // always `[present in vTo] − [present in vFrom]` ∈ {−1, 0, +1}.
+    val net = scala.collection.mutable.LinkedHashMap.empty[String, (Int, ManifestFile)]
     for (Seq(p, c) <- commits.sliding(2) if commits.size > 1) {
       val pp = p.files.map(_.path).toSet
       val cp = c.files.map(_.path).toSet
-      added ++= c.files.filterNot(f => pp.contains(f.path))
-      removed ++= p.files.filterNot(f => cp.contains(f.path))
+      c.files.filterNot(f => pp.contains(f.path)).foreach { f =>
+        val (n, _) = net.getOrElse(f.path, (0, f)); net(f.path) = (n + 1, f)
+      }
+      p.files.filterNot(f => cp.contains(f.path)).foreach { f =>
+        val (n, _) = net.getOrElse(f.path, (0, f)); net(f.path) = (n - 1, f)
+      }
     }
-    val churn = added.map(_.path).toSet intersect removed.map(_.path).toSet
-    val addKeep = added.filterNot(f => churn.contains(f.path)).toSeq
-    val remKeep = removed.filterNot(f => churn.contains(f.path)).toSeq
+    val addKeep = net.valuesIterator.collect { case (1, f) => f }.toSeq
+    val remKeep = net.valuesIterator.collect { case (-1, f) => f }.toSeq
     val cols = schema.fieldNames.toSeq
     readFiles(schema, addKeep).withColumn("__w", lit(1L))
       .unionByName(readFiles(schema, remKeep).withColumn("__w", lit(-1L)))

@@ -880,6 +880,25 @@ class TableFormatSpec extends SparkSpec {
     assert(GraftTable.forPath(spark, root).read(4).count() == 10)
   }
 
+  test("telescoped CDF nets multi-churned files by count, not by set") {
+    import spark.implicits._
+    // a file can churn MORE THAN ONCE inside the diff window: removed by
+    // a delete, re-added by restore, removed again — its telescoped
+    // weight is −1, but set-based cancellation netted it to 0, silently
+    // dropping its rows from the change feed (FuzzTable seed 1300)
+    val t = GraftTable.create(spark, tmpRoot("cdfnet"), spark.range(10).toDF("id"))
+    t.append(spark.range(10, 20).toDF("id")) // v2: +file B
+    t.deleteWhere($"id" >= 10) // v3: −B
+    t.restoreTo(2) // v4: +B again
+    t.deleteWhere($"id" >= 10) // v5: −B again
+    val changes = t.changesBetween(2, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(changes == (10L until 20L).map(id => (id, "delete")),
+      s"v2→v5 must surface B's rows as deletes, got $changes")
+    // and a path that nets to zero (removed then restored) costs nothing
+    assert(t.changesBetween(2, 4).count() == 0)
+  }
+
   test("vacuum materializes a checkpoint at the retention boundary") {
     import spark.implicits._
     val root = tmpRoot("dvac")

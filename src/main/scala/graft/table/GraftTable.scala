@@ -214,8 +214,48 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     }).sorted
   }
 
-  /** Latest committed version; 0 means "no commit yet". */
-  def latestVersion: Long = versions.lastOption.getOrElse(0L)
+  /** Latest committed version; 0 means "no commit yet".
+    *
+    * Hint-accelerated: every commit advances an ADVISORY `_latest_hint`
+    * file (Delta's `_last_checkpoint` role), and resolution probes
+    * FORWARD from it — O(commits since the hint) existence checks
+    * instead of an O(versions) directory LIST. Correctness never
+    * depends on the hint: it can only lag (written after the atomic
+    * commit, racing writers keep the max), a lagging hint costs extra
+    * forward probes, and a missing/corrupt/implausible hint falls back
+    * to the full listing. At a year-old streaming table (~100k
+    * versions) this turns the per-micro-batch and per-commit "what is
+    * latest?" from a paginated object-store LIST into one GET + a
+    * couple of HEADs. */
+  def latestVersion: Long = {
+    val hinted = readHint
+    if (hinted > 0 && manifestPath(hinted).exists()) {
+      var v = hinted
+      while (manifestPath(v + 1).exists()) v += 1
+      v
+    } else versions.lastOption.getOrElse(0L)
+  }
+
+  private def hintPath = new File(logDir, "_latest_hint")
+
+  private def readHint: Long =
+    try {
+      if (!hintPath.exists()) 0L
+      else new String(Files.readAllBytes(hintPath.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    } catch { case _: Exception => 0L }
+
+  /** Advance the advisory latest-version hint (monotone, best-effort:
+    * any failure or lost race just leaves a lagging hint, which
+    * [[latestVersion]] recovers from by probing forward). */
+  private def writeHint(version: Long): Unit =
+    try if (readHint < version) {
+      val tmp = new File(logDir, s".hint-${UUID.randomUUID()}")
+      Files.write(tmp.toPath,
+        version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, hintPath.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
 
   private def manifestPath(v: Long) = new File(logDir, f"v$v%020d.json")
   private def ckptPath(v: Long) = new File(logDir, f"v$v%020d.ckpt.json")
@@ -1063,6 +1103,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       // name, failing iff the name exists — the whole concurrency story.
       Files.createLink(target.toPath, tmp.toPath)
       cachePut(version, files)
+      writeHint(version)
       // Periodic sidecar checkpoint (Delta's 10-commit cadence): bounds
       // every reader's delta-chain walk. Written AFTER the atomic commit
       // point — a crash here just leaves a longer (still bounded) chain

@@ -82,6 +82,18 @@ object ProfLog {
     val worstSec = (1 to 5).map(_ => coldResolve(worst)).min
     val ckptSec = (1 to 5).map(_ => coldResolve(atCkpt)).min
 
+    // "what is latest?" — the hint-accelerated probe vs the full listing
+    // (the per-commit / per-micro-batch hot call; on an object store the
+    // listing is paginated LIST requests, here both are local syscalls so
+    // the ratio understates the real win)
+    val calls = 1000
+    val h0 = System.nanoTime()
+    (1 to calls).foreach(_ => require(t.latestVersion == versions.max))
+    val hintSec = (System.nanoTime() - h0) / 1e9
+    val l0 = System.nanoTime()
+    (1 to calls).foreach(_ => require(t.versions.lastOption.contains(versions.max)))
+    val listSec = (System.nanoTime() - l0) / 1e9
+
     // correctness spot-check: the reconstructed latest snapshot is exact
     val expect = baseFiles * 1000L + (1 to nAppends).map(_ => 10L).sum -
       // appended ids overlap the base range: count distinct rows instead
@@ -96,7 +108,9 @@ object ProfLog {
       |"log_write_reduction":${ckptBytes.toDouble / (deltaBytes.sum / deltaBytes.size)}%.0f,
       |"append_sec_mean":${wTimes.sum / wTimes.length}%.3f,
       |"cold_resolve_worst_chain_sec":$worstSec%.4f,
-      |"cold_resolve_at_ckpt_sec":$ckptSec%.4f}""".stripMargin.replaceAll("\n", ""))
+      |"cold_resolve_at_ckpt_sec":$ckptSec%.4f,
+      |"latest_hint_sec_per_1k":$hintSec%.4f,
+      |"latest_list_sec_per_1k":$listSec%.4f}""".stripMargin.replaceAll("\n", ""))
     delete(new File(root))
     spark.stop()
   }

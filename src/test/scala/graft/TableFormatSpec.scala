@@ -933,6 +933,31 @@ class TableFormatSpec extends SparkSpec {
     assert(cold.read().count() == ids.size)
   }
 
+  test("latest-version hint is advisory: lagging, corrupt, or absent never misleads") {
+    import spark.implicits._
+    val root = tmpRoot("hint")
+    val t = GraftTable.create(spark, root, spark.range(5).toDF("id"))
+    (1 to 8).foreach(k => t.append(spark.range(k * 5L, k * 5L + 5).toDF("id")))
+    val hint = new File(new File(root, "_graft_log"), "_latest_hint")
+    assert(hint.exists() &&
+      new String(Files.readAllBytes(hint.toPath)).trim.toLong == 9L)
+    // lagging hint (a racing writer's overwrite): forward probe recovers
+    Files.write(hint.toPath, "3".getBytes)
+    assert(t.latestVersion == 9L)
+    // corrupt hint: falls back to the listing
+    Files.write(hint.toPath, "not-a-version".getBytes)
+    assert(t.latestVersion == 9L)
+    // implausible hint (names a version that doesn't exist): fallback
+    Files.write(hint.toPath, "99".getBytes)
+    assert(t.latestVersion == 9L)
+    // absent hint (pre-upgrade table): fallback, and the next commit heals it
+    Files.delete(hint.toPath)
+    assert(t.latestVersion == 9L)
+    t.append(spark.range(100, 105).toDF("id"))
+    assert(new String(Files.readAllBytes(hint.toPath)).trim.toLong == 10L)
+    assert(t.read().count() == 50)
+  }
+
   test("vacuum materializes a checkpoint at the retention boundary") {
     import spark.implicits._
     val root = tmpRoot("dvac")

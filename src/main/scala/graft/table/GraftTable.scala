@@ -454,16 +454,17 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     } else {
       val retained = versions.toSet
       val chain = (vFrom to vTo).forall(retained.contains)
-      lazy val commits = (vFrom to vTo).map(commitAt)
+      lazy val raws = ((vFrom + 1) to vTo).map(readRaw)
       def groupable(dt: DataType): Boolean = dt match {
         case _: org.apache.spark.sql.types.MapType => false
         case s: StructType => s.fields.forall(f => groupable(f.dataType))
         case a: org.apache.spark.sql.types.ArrayType => groupable(a.elementType)
         case _ => true
       }
-      if (chain && commits.forall(_.schema == to.schema) &&
+      if (chain && from.schema == to.schema &&
+          raws.forall(_.schema == to.schema) &&
           to.schema.fields.forall(f => groupable(f.dataType)))
-        telescopedDiff(commits)
+        telescopedDiff(from, raws, to.schema)
       else
         read(vTo).exceptAll(read(vFrom)).withColumn("_change_type", lit("insert"))
           .unionByName(
@@ -479,8 +480,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * full snapshots. A file added AND removed inside the window cancels
     * at the FILE level (immutable files: same rows both times), costing
     * zero IO. */
-  private def telescopedDiff(commits: Seq[TableCommit]): DataFrame = {
-    val schema = commits.last.schema
+  private def telescopedDiff(from: TableCommit, raws: Seq[RawManifest],
+                             schema: StructType): DataFrame = {
     // Per-path SIGNED counts, not set intersection: a file can churn
     // MORE THAN ONCE inside the window (removed by a merge, re-added by
     // a restore, removed again), and set-based cancellation would net
@@ -489,16 +490,39 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // FuzzTable DML-program fuzzer, seed 1300: restore inside the
     // window). Since data files are immutable, the net per path is
     // always `[present in vTo] − [present in vFrom]` ∈ {−1, 0, +1}.
+    //
+    // Each step's churn comes STRAIGHT from its delta manifest — never
+    // from reconstructing per-version snapshots, so driver cost is
+    // O(churn in the window), not O(window × files) (at a million-file
+    // table, resolving every version to diff its neighbor is itself the
+    // bottleneck). A self-contained manifest inside the window (a
+    // whole-table rewrite) is diffed against the running path set — an
+    // O(files) step for an O(files) event. Entries for removed paths
+    // resolve from the accumulated entry map: a removed file was, by
+    // construction, present in `from` or added by an earlier step.
     val net = scala.collection.mutable.LinkedHashMap.empty[String, (Int, ManifestFile)]
-    for (Seq(p, c) <- commits.sliding(2) if commits.size > 1) {
-      val pp = p.files.map(_.path).toSet
-      val cp = c.files.map(_.path).toSet
-      c.files.filterNot(f => pp.contains(f.path)).foreach { f =>
-        val (n, _) = net.getOrElse(f.path, (0, f)); net(f.path) = (n + 1, f)
+    val entries = scala.collection.mutable.HashMap.empty[String, ManifestFile]
+    val curPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+    from.files.foreach { f => entries(f.path) = f; curPaths += f.path }
+    def bump(f: ManifestFile, d: Int): Unit = {
+      val (n, _) = net.getOrElse(f.path, (0, f)); net(f.path) = (n + d, f)
+    }
+    raws.foreach { r =>
+      val (adds, removes): (Seq[ManifestFile], Seq[ManifestFile]) = r.full match {
+        case None =>
+          (r.add, r.remove.toSeq.map(p => entries.getOrElse(p,
+            throw new IllegalStateException(
+              s"delta manifest v${r.version} removes unknown path $p"))))
+        case Some(full) =>
+          // chain reset inside the window: diff against the running set
+          val fullPaths = full.map(_.path).toSet
+          (full.filterNot(f => curPaths.contains(f.path)),
+            curPaths.toSeq.filterNot(fullPaths.contains).map(entries))
       }
-      p.files.filterNot(f => cp.contains(f.path)).foreach { f =>
-        val (n, _) = net.getOrElse(f.path, (0, f)); net(f.path) = (n - 1, f)
+      adds.foreach { f =>
+        bump(f, 1); entries(f.path) = f; curPaths += f.path
       }
+      removes.foreach { f => bump(f, -1); curPaths -= f.path }
     }
     val addKeep = net.valuesIterator.collect { case (1, f) => f }.toSeq
     val remKeep = net.valuesIterator.collect { case (-1, f) => f }.toSeq
@@ -1614,7 +1638,17 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       Files.deleteIfExists(manifestPath(v).toPath)
       Files.deleteIfExists(ckptPath(v).toPath): Unit
     }
-    val live = versions.flatMap(v => commitAt(v).files.map(_.path)).toSet
+    // Live set = union of every retained snapshot. Since snapshots are
+    // (oldest retained) + (files some retained step ADDED), the union
+    // folds straight over the raw manifests — O(oldest + churn), never
+    // O(versions × files) snapshot reconstructions.
+    val retained = versions
+    val live = scala.collection.mutable.HashSet.empty[String]
+    retained.headOption.foreach(v => commitAt(v).files.foreach(live += _.path))
+    retained.drop(1).foreach { v =>
+      val r = readRaw(v)
+      r.full.getOrElse(r.add).foreach(live += _.path)
+    }
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)

@@ -25,6 +25,21 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewrite)
+    // Re-expose a V1-fallback scan's SupportsReportStatistics through the
+    // post-pushdown wrapper (graft.plans.ScanStatsRule) so graft dims
+    // auto-broadcast. The swap must run AFTER V2ScanRelationPushDown, and
+    // the only extension batch past that point is "User Provided
+    // Optimizers" (experimental.extraOptimizations) — registered here via
+    // the rule builder, which the optimizer invokes lazily on first use,
+    // when the session is fully constructed. The preCBO injection itself
+    // is a harmless no-op (it runs before the ScanRelation exists); it is
+    // kept because the builder hook is what carries the registration.
+    e.injectPreCBORule { session =>
+      val cur = session.experimental.extraOptimizations
+      if (!cur.contains(graft.plans.ScanStatsRule))
+        session.experimental.extraOptimizations = cur :+ graft.plans.ScanStatsRule
+      graft.plans.ScanStatsRule
+    }
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // SQL MERGE INTO on graft tables → the transactional COW merge path
     e.injectResolutionRule(session => new graft.table.GraftMergeRule(session))

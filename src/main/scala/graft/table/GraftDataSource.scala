@@ -308,12 +308,44 @@ final class GraftV1Scan(
     startingVersion: String = "0",
     maxVersionsPerTrigger: Option[Long] = None,
     val strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty)
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** The manifest-pruned file subset this scan will read — public so
     * PlanSpec can gate "strict subset" on the DSv2 path directly. */
   val prunedFiles: Seq[ManifestFile] = t.pruneFiles(version, ranges, strRanges)
+  private val tableSchema: StructType = t.commitAt(version).schema
   private val totalFiles: Int = t.commitAt(version).files.size
+
+  /** Manifest-derived statistics of the POST-PRUNING file set, reported
+    * through DSv2 so the optimizer plans from truth instead of the
+    * unknown-size default: a small graft dim table joins as a
+    * BroadcastHashJoin with NO hint, and AQE's initial shuffle sizing
+    * starts from real bytes. Size = sum of the pruned files' on-disk
+    * bytes (recorded in the manifest at write time — zero filesystem
+    * calls here), scaled exactly like Spark's own `FileScan` estimate:
+    * by the session's `fileCompressionFactor` and by the projected
+    * column-width ratio, so a 2-column projection of a wide table
+    * reports 2 columns' worth of bytes. Pre-upgrade entries with no
+    * recorded size estimate as rows × in-memory row width — an
+    * OVERestimate, which can only miss a broadcast, never OOM one.
+    * Row count is exact from the manifests. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rowCount = prunedFiles.map(_.rows).sum
+    val fullWidth = math.max(1, tableSchema.defaultSize)
+    val diskBytes = prunedFiles.map { f =>
+      if (f.bytes >= 0) f.bytes else f.rows * fullWidth
+    }.sum
+    val compressionFactor =
+      SparkSession.active.sessionState.conf.fileCompressionFactor
+    val projectedWidth = math.max(1, required.defaultSize)
+    val size = math.max(1L,
+      (diskBytes * compressionFactor * projectedWidth / fullWidth).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(size)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rowCount)
+    }
+  }
 
   override def readSchema(): StructType = required
 

@@ -92,10 +92,15 @@ object ColStat {
   * protocol — exactly the extension the class doc promises); `partition`
   * carries the file's Hive-style partition values (column → rendered
   * value, parsed from the `k=v` path segments at write time) — partition
-  * pruning then runs on the MANIFEST, before stats, before any listing. */
+  * pruning then runs on the MANIFEST, before stats, before any listing;
+  * `bytes` is the file's on-disk size (−1 = pre-upgrade manifest), which
+  * lets the DSv2 scan report post-pruning size statistics to the
+  * optimizer (broadcast decisions, AQE initial plan) without any
+  * filesystem metadata call. */
 final case class ManifestFile(path: String, rows: Long,
                               stats: Map[String, ColStat] = Map.empty,
-                              partition: Map[String, String] = Map.empty)
+                              partition: Map[String, String] = Map.empty,
+                              bytes: Long = -1L)
 
 /** One committed table version: the FULL file list as of this version (no
   * log replay needed — a reader resolves any snapshot from exactly one
@@ -251,10 +256,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def writeHint(version: Long): Unit =
     try if (readHint < version) {
       val tmp = new File(logDir, s".hint-${UUID.randomUUID()}")
-      Files.write(tmp.toPath,
-        version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp.toPath, hintPath.toPath,
-        StandardCopyOption.REPLACE_EXISTING)
+      try {
+        Files.write(tmp.toPath,
+          version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(tmp.toPath, hintPath.toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp.toPath): Unit // never leak .hint-* temps
     } catch { case _: Exception => () }
 
   private def manifestPath(v: Long) = new File(logDir, f"v$v%020d.json")
@@ -278,13 +285,25 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         m.toMap
       }.getOrElse(Map.empty[String, String])
       files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(),
-        stats, partition)
+        stats, partition,
+        bytes = Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L))
     }
     files.toSeq
   }
 
   private def readRaw(version: Long): RawManifest = {
     val n = mapper.readTree(Files.readAllBytes(manifestPath(version).toPath))
+    // Protocol gate (the role Delta's protocol action plays): a manifest
+    // written by a NEWER format revision must be rejected loudly, never
+    // misparsed — a pre-delta reader walking into a delta manifest's
+    // missing 'files' node would NPE (or worse, a future revision could
+    // parse cleanly but mean something else). Absent field = revision 1.
+    val fv = Option(n.get("formatVersion")).map(_.asInt()).getOrElse(1)
+    if (fv > GraftTable.MaxFormatVersion)
+      throw new IllegalStateException(
+        s"unsupported manifest format version $fv at ${manifestPath(version)} " +
+          s"(this reader understands <= ${GraftTable.MaxFormatVersion}); " +
+          "upgrade the reader before opening this table")
     val txns = Option(n.get("txns")).map { tn =>
       val m = scala.collection.mutable.Map.empty[String, Long]
       tn.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asLong())
@@ -575,7 +594,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
               case _ => None
             }
           }.toMap
-        ManifestFile(s"$sub/$rel", rows, stats, partition)
+        ManifestFile(s"$sub/$rel", rows, stats, partition, bytes = f.length())
       }
   }
 
@@ -1101,14 +1120,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // (append, streaming sink, COW merge) and never worse than today's
     // O(files) elsewhere.
     val delta: Option[(Seq[ManifestFile], Seq[String])] = parentCommit.flatMap { pc =>
-      val parentPaths = pc.files.map(_.path).toSet
+      val parentByPath = pc.files.map(f => f.path -> f).toMap
       val filePaths = files.map(_.path).toSet
-      val add = files.filterNot(f => parentPaths.contains(f.path))
-      val remove = pc.files.map(_.path).filterNot(filePaths.contains)
+      // Carried = IDENTICAL to the parent's entry, full-entry equality —
+      // a same-path entry with changed metadata (refreshed stats, a new
+      // deletion vector) is churn, encoded remove(path) + add(entry), so
+      // replay reproduces the exact committed entries, never a silently
+      // reverted parent copy.
+      val add = files.filterNot(f => parentByPath.get(f.path).contains(f))
+      val addPaths = add.map(_.path).toSet
+      val remove = pc.files.map(_.path)
+        .filter(p => !filePaths.contains(p) || addPaths.contains(p))
       val removeSet = remove.toSet
       val replayed = pc.files.filterNot(f => removeSet.contains(f.path)) ++ add
-      if (add.size + remove.size < files.size &&
-          replayed.map(_.path) == files.map(_.path)) Some((add, remove))
+      if (add.size + remove.size < files.size && replayed == files)
+        Some((add, remove))
       else None
     }
     delta match {
@@ -1150,6 +1176,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def writeEntries(arr: com.fasterxml.jackson.databind.node.ArrayNode,
                            fs: Seq[ManifestFile]): Unit = fs.foreach { f =>
     val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
+    if (f.bytes >= 0) o.put("bytes", f.bytes): Unit
     if (f.stats.nonEmpty) {
       val so = o.putObject("stats")
       f.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
@@ -1626,6 +1653,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * pointing at deleted data, i.e. silent data loss. Pass `0` only when
     * the caller can assert exclusive access (tests, offline maintenance). */
   def vacuum(retainFrom: Long, minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Unit = {
+    // Typo guard: a retainFrom above the latest version would find no
+    // boundary, drop EVERY manifest, compute an empty live set, and
+    // delete all data — total silent table destruction from one bad
+    // argument to the SQL-exposed vacuum procedure. Refuse loudly.
+    val latest = latestVersion
+    require(retainFrom <= latest,
+      s"vacuum(retainFrom=$retainFrom) exceeds the latest version $latest " +
+        s"of $root — retaining nothing would destroy the table")
     // The oldest retained version must stay RESOLVABLE after the chain
     // below it is dropped: if it is a delta manifest with no sidecar,
     // materialize its checkpoint first (from the still-intact chain).
@@ -1672,6 +1707,14 @@ object GraftTable {
     * directory holds NULL in the partition column, which no range bound
     * can reason about. */
   val HiveNullPartition: String = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Highest manifest `formatVersion` this reader understands (Delta's
+    * protocol-action role): 1 = full-list manifests, 2 = delta-encoded
+    * add/remove churn, 3 = entries may carry deletion vectors. Writers
+    * stamp the MINIMUM version their manifest's features require, so old
+    * readers keep working until a table actually uses a newer feature —
+    * and then fail loudly in [[GraftTable#readRaw]] instead of misparsing. */
+  val MaxFormatVersion: Int = 3
 
   /** Sidecar-checkpoint cadence: every Nth commit publishes its full
     * file list as `v%020d.ckpt.json`, bounding every snapshot

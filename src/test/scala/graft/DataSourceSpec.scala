@@ -511,6 +511,42 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("manifest statistics reach the optimizer: small graft dim " +
+      "auto-broadcasts with NO hint; pruning shrinks the estimate") {
+    import spark.implicits._
+    val root = tmpRoot("stats")
+    val dim = spark.range(100).toDF("id")
+      .withColumn("name", concat(lit("n"), $"id"))
+      .repartitionByRange(4, $"id")
+    GraftTable.create(spark, root, dim)
+
+    // exact manifest-derived estimate on the planned scan itself
+    val d = spark.read.format("graft").load(root)
+    val full = plannedScan(d).estimateStatistics()
+    assert(full.numRows.getAsLong == 100L, "row count comes exact from the manifest")
+    assert(full.sizeInBytes.getAsLong > 0 && full.sizeInBytes.getAsLong < (1 << 20),
+      s"size should be the files' real bytes, got ${full.sizeInBytes}")
+
+    // post-pruning stats shrink with the predicate (the AQE-truth property)
+    val pruned = plannedScan(d.filter($"id" < 5)).estimateStatistics()
+    assert(pruned.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong,
+      s"pruned ${pruned.sizeInBytes} !< full ${full.sizeInBytes}")
+    assert(pruned.numRows.getAsLong < 100L)
+
+    // the logical plan sees the estimate through the stats-forwarding
+    // wrapper (not the 8-EiB unknown default) ...
+    val planStats = d.queryExecution.optimizedPlan.stats
+    assert(planStats.sizeInBytes < (BigInt(1) << 30),
+      s"logical stats still unknown-size default: $planStats")
+    // ... so a fact join broadcasts the dim WITHOUT any hint. The fact
+    // side is big enough (16 MB of range > 10 MB threshold) that no
+    // broadcast could come from the other side.
+    val fact = spark.range(2000000).toDF("fid").withColumn("id", $"fid" % 100)
+    val phys = fact.join(d, "id").queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"expected unhinted BroadcastHashJoin over the graft dim, got:\n$phys")
+  }
+
   test("timestamp predicates fold to epoch-micro ranges and prune") {
     import spark.implicits._
     val root = tmpRoot("ts")

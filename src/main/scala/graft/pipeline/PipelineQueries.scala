@@ -155,6 +155,22 @@ object PipelineQueries extends QueryModule {
       spark.conf.set("spark.sql.catalog.graft_dml.root", d.getParentFile.getAbsolutePath)
       spark.sql(s"DELETE FROM graft_dml.`${d.getName}` WHERE event_type = 'error'")
       spark.sql(s"UPDATE graft_dml.`${d.getName}` SET value = value + 1 WHERE user_id < 50")
+      // Version 4: a SMALL delete (≈1% of events, spread across every
+      // user-clustered file) — the shape where the auto DV decision
+      // picks MERGE-ON-READ: the commit writes O(deleted rows) sidecar
+      // vectors and swaps manifest entries, rewriting zero data files
+      // (ProfDml measures ~5500× fewer bytes than the COW control).
+      val maxId = Option(Tables.events(spark, sfDir)
+        .agg(max($"event_id")).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val cut = math.floor(maxId / 100.0).toLong
+      spark.sql(s"DELETE FROM graft_dml.`${d.getName}` WHERE event_id <= $cut")
+      val v4 = tbl.commitAt(4L)
+      // zero-row fixtures have no candidates (the empty-events edge):
+      // then any delete spelling is fine — with data, the DV path must win
+      require(maxId == 0L ||
+        Set("delete_dv", "delete_noop")(v4.operation),
+        s"expected the deletion-vector path for the 1% delete, got ${v4.operation}")
       tbl
     }
 
@@ -171,6 +187,18 @@ object PipelineQueries extends QueryModule {
   private def updateWhereSql(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     sqlDmlTable(spark, sfDir).read(3L).orderBy($"event_id")
+  }
+
+  /** S21 — DELETION-VECTOR DELETE (merge-on-read): the snapshot after the
+    * small SQL DELETE (version 4), served THROUGH the sidecar vectors —
+    * the reader subtracts per-file deleted positions at scan time, so
+    * correctness here proves the whole vector round trip (distributed
+    * position harvest → varint sidecar → manifest entry swap →
+    * metadata-column masking on read) against an oracle that knows
+    * nothing but the predicates. */
+  private def deleteWhereDv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sqlDmlTable(spark, sfDir).read(4L).orderBy($"event_id")
   }
 
   /** S18 — STRING-KEYED merge over the documents corpus (round-12 verdict
@@ -219,6 +247,29 @@ object PipelineQueries extends QueryModule {
         .select(lit(v).as("version"), $"n_rows", $"n_users",
           $"value_micro_sum", $"max_event_id")
     }.reduce(_.unionByName(_)).orderBy($"version")
+  }
+
+  /** S13b — TIMESTAMP AS OF time travel: read the SAME two-version table
+    * at version 1's own COMMIT TIMESTAMP, through the DSv2
+    * `timestampAsOf` reader option. The manifests record monotone commit
+    * timestamps (max(now, parent+1 ms), Delta's in-commit-timestamp
+    * adjustment), so "latest commit ≤ t" at t = ts(v1) resolves to v1
+    * deterministically — never to the merge commit that followed — and
+    * the snapshot served is the pre-merge base. This is the reference's
+    * date-driven rerun shape (`upsert_athena_aggregates.py:24-26`: rerun
+    * "as of date D") made exact: pin the instant, get the bytes. The
+    * oracle recomputes the v1 snapshot (keep-latest before the cutoff)
+    * from raw events. */
+  private def scanTimeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = mergedEventsTable(spark, sfDir)
+    val ts1 = t.commitTimestamp(1L)
+    spark.read.format("graft").option("timestampAsOf", ts1.toString).load(t.root)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        sum(floor($"value" * 1e6 + 0.5).cast("long")).as("value_micro_sum"),
+        max($"event_id").as("max_event_id"))
   }
 
   /** The two-version APPEND-ONLY table behind `scan_table_changes`: v1 =
@@ -527,6 +578,7 @@ object PipelineQueries extends QueryModule {
   override def queries: Map[String, QueryFn] = Map(
     "ctas_daily_top_titles"  -> ctasDailyTopTitles,
     "scan_time_travel"       -> scanTimeTravel,
+    "scan_time_travel_ts"    -> scanTimeTravelTs,
     "scan_table_changes"     -> scanTableChanges,
     "scan_table_changes_diff" -> scanTableChangesDiff,
     "scan_file_skipping"     -> scanFileSkipping,
@@ -535,6 +587,7 @@ object PipelineQueries extends QueryModule {
     "upsert_merge_sql"       -> upsertMergeSql,
     "upsert_string_key"      -> upsertStringKey,
     "delete_where_sql"       -> deleteWhereSql,
+    "delete_where_dv"        -> deleteWhereDv,
     "update_where_sql"       -> updateWhereSql,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
@@ -615,6 +668,18 @@ object PipelineQueries extends QueryModule {
         |       max(event_id)
         |FROM v2
         |ORDER BY version""".stripMargin,
+    "scan_time_travel_ts" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_micro_sum,
+        |       max(event_id) AS max_event_id
+        |FROM (
+        |  SELECT user_id, value, event_id FROM (
+        |    SELECT user_id, value, event_id,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+        |  WHERE rn = 1)""".stripMargin,
     "scan_file_skipping" ->
       """SELECT user_id, event_type, event_id, ts, value FROM events
         |WHERE user_id >= (SELECT CAST(floor(0.10 * max(user_id)) AS BIGINT) FROM events)
@@ -676,6 +741,13 @@ object PipelineQueries extends QueryModule {
       """SELECT user_id, event_type, event_id, ts,
         |       CASE WHEN user_id < 50 THEN value + 1 ELSE value END AS value
         |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "delete_where_dv" ->
+      """SELECT user_id, event_type, event_id, ts,
+        |       CASE WHEN user_id < 50 THEN value + 1 ELSE value END AS value
+        |FROM events WHERE event_type <> 'error'
+        |  AND event_id > (SELECT CAST(floor(max(event_id) / 100.0) AS BIGINT)
+        |                  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "filter_partition_prune" ->
       """SELECT event_id, user_id FROM events
         |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3

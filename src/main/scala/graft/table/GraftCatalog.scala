@@ -95,6 +95,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(d.getAbsolutePath, Some((t, v)), c.schema, c.partitionCols)
   }
 
+  /** SQL time travel by wall clock: `SELECT ... FROM graft.ns.t
+    * TIMESTAMP AS OF '2024-01-16 00:00:00'`. Spark hands the resolved
+    * literal as MICROseconds since epoch; resolution is Delta's rule —
+    * the latest commit at or before the instant
+    * ([[GraftTable.versionAtTimestamp]], a binary search over the
+    * monotone commit timestamps the manifests record). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = dirFor(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
+    val v = t.versionAtTimestamp(Math.floorDiv(timestampMicros, 1000L))
+    val c = t.commitAt(v)
+    new GraftSparkTable(d.getAbsolutePath, Some((t, v)), c.schema, c.partitionCols)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -116,14 +131,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(d.getAbsolutePath, Some((t, t.latestVersion)), schema, partCols)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS (c TYPE, ...)` — the SQL spelling of
-    * [[GraftTable.appendEvolve]]'s additive evolution: commit the widened
-    * schema with the UNCHANGED file list (zero data IO; existing files
-    * read the new columns as null, standard parquet missing-column
-    * semantics), so the evolution is itself a version — time travel below
-    * it serves the narrow schema. Only top-level nullable adds; anything
-    * else (drops, renames, type changes) is refused — silently coercing
-    * types is how production tables rot. */
+  /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN` — all
+    * METADATA-ONLY commits over the unchanged file list (zero data IO):
+    *
+    *  - ADD widens the schema; existing files read the column as null
+    *    (standard parquet missing-column semantics);
+    *  - RENAME updates the logical→physical COLUMN MAPPING (Delta's
+    *    column mapping): data files keep their stable physical names,
+    *    the new logical name simply points at the old physical one, and
+    *    time travel below the rename serves the old name;
+    *  - DROP removes the field and its mapping entry; the physical bytes
+    *    stay in place (projected out on read, reclaimed at the next
+    *    rewrite). Dropping MATERIALIZES an identity mapping if none
+    *    existed, so a later re-ADD of the same name gets a FRESH physical
+    *    name and can never resurrect the dropped column's bytes.
+    *
+    * Partition columns can be neither renamed nor dropped (their values
+    * are baked into directory layout and manifests); type changes are
+    * refused — silently coercing types is how production tables rot. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = dirFor(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
@@ -132,21 +157,55 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     while (true) {
       val v = t.latestVersion
       val c = t.commitAt(v)
-      val newSchema = changes.foldLeft(c.schema) {
-        case (s, add: TableChange.AddColumn) =>
+      var schema = c.schema
+      var mapping = c.columnMapping
+      changes.foreach {
+        case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
             s"nested column adds are not supported: ${add.fieldNames.mkString(".")}")
           require(add.isNullable,
             s"added column ${add.fieldNames.head} must be nullable " +
               "(existing rows have no value for it)")
-          require(!s.fieldNames.contains(add.fieldNames.head),
-            s"column ${add.fieldNames.head} already exists")
-          s.add(add.fieldNames.head, add.dataType(), nullable = true)
-        case (_, other) => throw new UnsupportedOperationException(
-          s"only ADD COLUMNS is supported (additive evolution), got $other")
+          val name = add.fieldNames.head
+          require(!schema.fieldNames.contains(name), s"column $name already exists")
+          schema = schema.add(name, add.dataType(), nullable = true)
+          // evolved tables: fresh physical name (re-add must not
+          // resurrect a dropped column's data); pristine tables: identity
+          if (mapping.nonEmpty)
+            mapping += name ->
+              s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames.length == 1,
+            s"nested renames are not supported: ${ren.fieldNames.mkString(".")}")
+          val from = ren.fieldNames.head
+          val to = ren.newName
+          require(schema.fieldNames.contains(from), s"no such column $from")
+          require(!schema.fieldNames.contains(to), s"column $to already exists")
+          require(!c.partitionCols.contains(from),
+            s"cannot rename partition column $from")
+          val physName = mapping.getOrElse(from, from)
+          mapping = mapping - from + (to -> physName)
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            s"nested drops are not supported: ${del.fieldNames.mkString(".")}")
+          val name = del.fieldNames.head
+          require(schema.fieldNames.contains(name), s"no such column $name")
+          require(!c.partitionCols.contains(name),
+            s"cannot drop partition column $name")
+          require(schema.fields.length > 1, "cannot drop the last column")
+          if (mapping.isEmpty)
+            mapping = schema.fields.filterNot(_.name == name)
+              .map(f => f.name -> f.name).toMap
+          else mapping -= name
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change (add/rename/drop columns only): $other")
       }
       try {
-        t.commit(v, "alter_add_columns", c.files, newSchema)
+        t.commit(v, "alter_table", c.files, schema,
+          columnMapping = Some(mapping))
         return loadTable(ident)
       } catch {
         case e: ConcurrentCommitException =>

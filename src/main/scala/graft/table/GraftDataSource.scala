@@ -63,10 +63,27 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   private def resolve(options: CaseInsensitiveStringMap): (GraftTable, Long) = {
     val path = pathOf(options)
     val t = GraftTable.forPath(SparkSession.active, path)
-    val v = Option(options.get("versionAsOf")).map(_.toLong).getOrElse(t.latestVersion)
+    val vOpt = Option(options.get("versionAsOf"))
+    val tsOpt = Option(options.get("timestampAsOf"))
+    require(vOpt.isEmpty || tsOpt.isEmpty,
+      "specify either versionAsOf or timestampAsOf, not both")
+    val v = vOpt.map(_.toLong)
+      .orElse(tsOpt.map(s => t.versionAtTimestamp(parseTsMs(s))))
+      .getOrElse(t.latestVersion)
     require(t.versions.contains(v), s"no committed version $v at $path")
     (t, v)
   }
+
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss[.f]]`,
+    * or an ISO-8601 instant — the spellings Delta's reader option takes. */
+  private def parseTsMs(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else scala.util.Try(java.sql.Timestamp.valueOf(s).getTime)
+      .orElse(scala.util.Try(java.sql.Date.valueOf(s).getTime))
+      .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf: cannot parse '$s' (epoch millis, " +
+          "'yyyy-MM-dd[ HH:mm:ss]', or ISO instant)"))
 
   /** Change-feed bounds, when this read is a CDF read
     * (`option("changesFrom", v1)[.option("changesTo", v2)]`). */
@@ -180,7 +197,8 @@ private[table] final class GraftSparkTable(
       throw new IllegalArgumentException(s"no graft table log at $root"))
     new GraftScanBuilder(t, v, tableSchema,
       Option(options.get("startingVersion")).getOrElse("0"),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -272,7 +290,8 @@ private[table] final class GraftWriteBuilder(root: String,
 private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
                                             tableSchema: StructType,
                                             startingVersion: String = "0",
-                                            maxVersionsPerTrigger: Option[Long] = None)
+                                            maxVersionsPerTrigger: Option[Long] = None,
+                                            skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -297,7 +316,8 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
   override def build(): Scan =
     new GraftV1Scan(t, version, required,
       GraftFilterRanges.toRanges(accepted.toSeq), startingVersion,
-      maxVersionsPerTrigger, GraftFilterRanges.toStrRanges(accepted.toSeq))
+      maxVersionsPerTrigger, GraftFilterRanges.toStrRanges(accepted.toSeq),
+      skipChangeCommits)
 }
 
 /** Public (not `private[table]`) so plan-gating tests can collect the
@@ -307,7 +327,8 @@ final class GraftV1Scan(
     val ranges: Seq[(String, BigDecimal, BigDecimal)],
     startingVersion: String = "0",
     maxVersionsPerTrigger: Option[Long] = None,
-    val strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty)
+    val strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
+    skipChangeCommits: Boolean = false)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -331,7 +352,7 @@ final class GraftV1Scan(
     * OVERestimate, which can only miss a broadcast, never OOM one.
     * Row count is exact from the manifests. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val rowCount = prunedFiles.map(_.rows).sum
+    val rowCount = prunedFiles.map(_.liveRows).sum
     val fullWidth = math.max(1, tableSchema.defaultSize)
     val diskBytes = prunedFiles.map { f =>
       if (f.bytes >= 0) f.bytes else f.rows * fullWidth
@@ -355,8 +376,8 @@ final class GraftV1Scan(
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
-    val schema = t.commitAt(version).schema
-    val df = t.readFiles(schema, prunedFiles)
+    val c = t.commitAt(version)
+    val df = t.readFiles(c.schema, prunedFiles, c.columnMapping)
       .select(required.fieldNames.map(col).toSeq: _*)
     new GraftV1Relation(context, df, required).asInstanceOf[T]
   }
@@ -365,7 +386,8 @@ final class GraftV1Scan(
     * the commit log (see [[GraftMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(t, required, startingVersion, maxVersionsPerTrigger)
+    new GraftMicroBatchStream(t, required, startingVersion,
+      maxVersionsPerTrigger, skipChangeCommits)
 }
 
 /** The V1 execution shim: Spark plans a RowDataSourceScanExec over this

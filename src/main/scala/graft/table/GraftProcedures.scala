@@ -74,6 +74,31 @@ private[table] object GraftProcedures {
   private def opVersion(op: String, v: Long): Array[InternalRow] =
     Array(InternalRow(UTF8String.fromString(op), v))
 
+  /** OPTIONAL maintenance scope — `OPTIMIZE ... WHERE`'s SQL spelling:
+    * `where_col` names a partition/stat column and `[where_lo, where_hi]`
+    * its inclusive bounds (numeric when both parse as numbers, UTF-8
+    * string range otherwise). Defaulted empty = whole table, so existing
+    * callers are untouched; with a scope, only matching files rewrite and
+    * the rest carry by reference — maintenance cost O(touched partition). */
+  private val scopeParams: Seq[ProcedureParameter] = Seq(
+    ProcedureParameter.in("where_col", StringType).defaultValue("''").build(),
+    ProcedureParameter.in("where_lo", StringType).defaultValue("''").build(),
+    ProcedureParameter.in("where_hi", StringType).defaultValue("''").build())
+
+  /** Decode the three scope params starting at ordinal `at`. */
+  private def scopeOf(in: InternalRow, at: Int)
+      : (Seq[(String, BigDecimal, BigDecimal)],
+         Seq[(String, Option[String], Option[String])]) = {
+    val colName = in.getUTF8String(at).toString
+    if (colName.isEmpty) return (Seq.empty, Seq.empty)
+    val lo = in.getUTF8String(at + 1).toString
+    val hi = in.getUTF8String(at + 2).toString
+    scala.util.Try((BigDecimal(lo), BigDecimal(hi))).toOption match {
+      case Some((l, h)) => (Seq((colName, l, h)), Seq.empty)
+      case None => (Seq.empty, Seq((colName, Some(lo), Some(hi))))
+    }
+  }
+
   /** Resolve `db.t`-style table references against the catalog root. */
   private def tableFor(spark: SparkSession, root: String,
                        ref: String): GraftTable = {
@@ -85,18 +110,21 @@ private[table] object GraftProcedures {
   def load(catalogName: String, root: String, ident: Identifier): UnboundProcedure =
     ident.name match {
       case "compact" => new GraftProcedure(root, "compact",
-        Seq(p("tbl", StringType), p("target_rows", LongType)), opVersionSchema,
+        Seq(p("tbl", StringType), p("target_rows", LongType)) ++ scopeParams,
+        opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
-          opVersion("compact", t.compact(in.getLong(1)))
+          val (r, sr) = scopeOf(in, 2)
+          opVersion("compact", t.compactWhere(in.getLong(1), r, sr))
         })
       case "zorder" => new GraftProcedure(root, "zorder",
         Seq(p("tbl", StringType), p("x", StringType), p("y", StringType),
-          p("n_files", IntegerType)), opVersionSchema,
+          p("n_files", IntegerType)) ++ scopeParams, opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
-          opVersion("zorder", t.zorderBy(col(in.getUTF8String(1).toString),
-            col(in.getUTF8String(2).toString), in.getInt(3)))
+          val (r, sr) = scopeOf(in, 4)
+          opVersion("zorder", t.zorderWhere(col(in.getUTF8String(1).toString),
+            col(in.getUTF8String(2).toString), in.getInt(3), r, sr))
         })
       case "vacuum" => new GraftProcedure(root, "vacuum",
         Seq(p("tbl", StringType), p("retain_from", LongType),

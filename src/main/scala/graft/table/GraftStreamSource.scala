@@ -33,7 +33,8 @@ object GraftOffset {
   * data pages; re-injected as constants, exactly what a batch scan's
   * partition-value columns are). */
 final case class GraftFilePartition(absPath: String, requiredJson: String,
-                                    partition: Map[String, String])
+                                    partition: Map[String, String],
+                                    dvAbsPath: Option[String] = None)
     extends InputPartition
 
 /** STREAMING SOURCE over the versioned table (round-12 extension — the
@@ -57,11 +58,13 @@ final case class GraftFilePartition(absPath: String, requiredJson: String,
   * replays deterministically by version, the sink deduplicates by
   * (appId, batchId).
   *
-  * A REWRITE inside the range (merge/compact/zorder drops a file) makes
-  * file identity meaningless for increments, so the stream fails with an
-  * explicit error rather than re-emit rewritten rows — the Delta
-  * streaming source draws the same line (`ignoreChanges` to override;
-  * here maintenance belongs BEFORE the stream's starting version).
+  * A REWRITE inside the range (merge/compact/zorder drops a file, a
+  * DELETE swaps a deletion vector) makes file identity meaningless for
+  * increments, so the stream fails with an explicit error rather than
+  * re-emit rewritten rows — the Delta streaming source draws the same
+  * line. `option("skipChangeCommits", true)` overrides (Delta's option
+  * of the same name): the stream survives mid-stream maintenance and
+  * delivers ONLY genuinely appended files, never rewritten base rows.
   *
   * Executors read the parquet files through the public parquet-hadoop
   * Group API (flat primitive schemas — exactly what the table format
@@ -73,7 +76,8 @@ final case class GraftFilePartition(absPath: String, requiredJson: String,
   */
 final class GraftMicroBatchStream(t: GraftTable, required: StructType,
                                   startingVersion: String,
-                                  maxVersionsPerTrigger: Option[Long] = None)
+                                  maxVersionsPerTrigger: Option[Long] = None,
+                                  skipChangeCommits: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -139,18 +143,41 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
     val fromFiles = filesAt(s)
     val toFiles = filesAt(e)
     val fromPaths = fromFiles.map(_.path).toSet
-    val removed = fromPaths -- toFiles.map(_.path).toSet
-    if (removed.nonEmpty)
+    val toByPath = toFiles.map(f => f.path -> f).toMap
+    // Data changes inside the range: a base file REMOVED (rewrite) or a
+    // base ENTRY changed in place (a deletion-vector swap — same path,
+    // fewer rows). Either way file identity no longer equals row
+    // identity for increments.
+    val removed = fromPaths -- toByPath.keySet
+    val changed = fromFiles.filter(f =>
+      toByPath.get(f.path).exists(_ != f)).map(_.path)
+    if ((removed.nonEmpty || changed.nonEmpty) && !skipChangeCommits)
       throw new IllegalStateException(
         s"graft stream over ${t.root}: versions ($s, $e] rewrite " +
-          s"${removed.size} base file(s) (merge/compact/zorder) — file " +
-          "identity no longer equals row identity, so incremental " +
-          "consumption would re-emit rewritten rows. Run maintenance " +
-          "before the stream's startingVersion, or restart from a " +
-          "version after the rewrite.")
-    toFiles.filterNot(f => fromPaths.contains(f.path))
-      .map(f => GraftFilePartition(s"${t.root}/${f.path}", required.json,
-        f.partition): InputPartition)
+          s"${removed.size} and modify ${changed.size} base file(s) " +
+          "(merge/compact/zorder/DELETE) — file identity no longer " +
+          "equals row identity, so incremental consumption would " +
+          "re-emit or miss rewritten rows. Run maintenance before the " +
+          "stream's startingVersion, restart from a version after the " +
+          "rewrite, or set option(\"skipChangeCommits\", true) to " +
+          "consume only appended files (Delta's skipChangeCommits).")
+    // With skipChangeCommits: only genuinely NEW paths flow — rewritten
+    // or DV-modified base rows are intentionally skipped, matching the
+    // documented Delta option of the same name. New files may still
+    // carry a vector (a restore can re-add a DV'd entry): the reader
+    // subtracts it position-by-position.
+    // Column-mapped tables: the executor reader matches parquet fields
+    // (and partition directory keys) by PHYSICAL name, so serialize the
+    // required projection under physical names — field ORDER stays the
+    // logical order, which is what the produced InternalRows follow.
+    val mapping = t.commitAt(e).columnMapping
+    val physRequired =
+      if (mapping.isEmpty) required
+      else org.apache.spark.sql.types.StructType(required.fields.map(f =>
+        f.copy(name = mapping.getOrElse(f.name, f.name))))
+    toFiles.filter(f => !fromPaths.contains(f.path))
+      .map(f => GraftFilePartition(s"${t.root}/${f.path}", physRequired.json,
+        f.partition, f.dv.map(d => s"${t.root}/$d")): InputPartition)
       .toArray
   }
 
@@ -180,10 +207,22 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
         ParquetReader.builder(new GroupReadSupport(), new Path(fp.absPath))
           .withConf(new Configuration()).build()
       private var current: Group = _
+      // deletion vector: sorted deleted positions, consumed in lockstep
+      // with the sequential read (positions ascend, so one cursor)
+      private val dv: Array[Long] =
+        fp.dvAbsPath.map(GraftTable.readDv).getOrElse(Array.emptyLongArray)
+      private var dvCursor = 0
+      private var rowIdx = -1L
 
       override def next(): Boolean = {
-        current = reader.read()
-        current != null
+        while (true) {
+          current = reader.read()
+          if (current == null) return false
+          rowIdx += 1
+          if (dvCursor < dv.length && dv(dvCursor) == rowIdx) dvCursor += 1
+          else return true
+        }
+        false // unreachable
       }
 
       override def get(): InternalRow = {

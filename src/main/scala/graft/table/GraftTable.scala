@@ -96,11 +96,26 @@ object ColStat {
   * `bytes` is the file's on-disk size (−1 = pre-upgrade manifest), which
   * lets the DSv2 scan report post-pruning size statistics to the
   * optimizer (broadcast decisions, AQE initial plan) without any
-  * filesystem metadata call. */
+  * filesystem metadata call.
+  *
+  * `dv` is the entry's DELETION VECTOR — a sidecar file of deleted row
+  * positions (relative to the table root, `data/dv-*.dv`) that readers
+  * subtract at scan time, Delta's merge-on-read DELETE: a small DELETE
+  * marks O(deleted rows) bytes instead of rewriting the file
+  * copy-on-write. `dvRows` is the vector's cardinality, so snapshot row
+  * counts and scan statistics stay exact without opening the sidecar;
+  * `rows` remains the PHYSICAL footer count (what compaction planning
+  * bins on) — live rows are `rows - dvRows`. Entries without a vector
+  * leave `dv` empty; compaction/rewrites materialize vectors away. */
 final case class ManifestFile(path: String, rows: Long,
                               stats: Map[String, ColStat] = Map.empty,
                               partition: Map[String, String] = Map.empty,
-                              bytes: Long = -1L)
+                              bytes: Long = -1L,
+                              dv: Option[String] = None,
+                              dvRows: Long = 0L) {
+  /** Rows a reader actually serves from this entry. */
+  def liveRows: Long = rows - dvRows
+}
 
 /** One committed table version: the FULL file list as of this version (no
   * log replay needed — a reader resolves any snapshot from exactly one
@@ -123,7 +138,15 @@ final case class TableCommit(
     files: Seq[ManifestFile],
     txn: Option[(String, Long)] = None,
     txns: Option[Map[String, Long]] = None,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    timestampMs: Long = -1L,
+    columnMapping: Map[String, String] = Map.empty) {
+  /** PHYSICAL column name for a logical field — the name data files
+    * store (Delta's column mapping): stable from the moment a column is
+    * added, so RENAME is a metadata-only commit and files never rewrite.
+    * Identity for unmapped columns (and for every pre-evolution table). */
+  def phys(logical: String): String = columnMapping.getOrElse(logical, logical)
+}
 
 /** One manifest as PERSISTED: commit metadata plus EITHER the full
   * post-state file list (version 1, whole-table rewrites, legacy
@@ -133,7 +156,9 @@ private[table] final case class RawManifest(
     txn: Option[(String, Long)], txns: Option[Map[String, Long]],
     partitionCols: Seq[String],
     full: Option[Seq[ManifestFile]],
-    add: Seq[ManifestFile], remove: Set[String])
+    add: Seq[ManifestFile], remove: Set[String],
+    timestampMs: Long = -1L,
+    columnMapping: Map[String, String] = Map.empty)
 
 /** Minimal engine-native versioned table format — snapshot isolation,
   * time travel, and optimistic concurrency over plain parquet, in the
@@ -286,7 +311,9 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }.getOrElse(Map.empty[String, String])
       files += ManifestFile(f.get("path").asText(), f.get("rows").asLong(),
         stats, partition,
-        bytes = Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L))
+        bytes = Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L),
+        dv = Option(f.get("dv")).map(_.asText()),
+        dvRows = Option(f.get("dvRows")).map(_.asLong()).getOrElse(0L))
     }
     files.toSeq
   }
@@ -329,7 +356,16 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       partitionCols = partitionCols,
       full = Option(n.get("files")).map(parseFileEntries),
       add = Option(n.get("add")).map(parseFileEntries).getOrElse(Seq.empty),
-      remove = remove)
+      remove = remove,
+      // pre-upgrade manifests carry no commit timestamp — the file's own
+      // mtime is the honest fallback (what Delta also reads pre-ICT)
+      timestampMs = Option(n.get("timestampMs")).map(_.asLong())
+        .getOrElse(manifestPath(version).lastModified()),
+      columnMapping = Option(n.get("columnMapping")).map { cm =>
+        val m = scala.collection.mutable.Map.empty[String, String]
+        cm.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asText())
+        m.toMap
+      }.getOrElse(Map.empty))
   }
 
   /** Bounded LRU of reconstructed file lists — manifests are immutable,
@@ -390,7 +426,38 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def commitAt(version: Long): TableCommit = {
     val raw = readRaw(version)
     TableCommit(raw.version, raw.parent, raw.operation, raw.schema,
-      filesAt(version, raw), raw.txn, raw.txns, raw.partitionCols)
+      filesAt(version, raw), raw.txn, raw.txns, raw.partitionCols,
+      raw.timestampMs, raw.columnMapping)
+  }
+
+  /** Wall-clock commit time of `version` (epoch millis) — monotone along
+    * the chain by construction (see [[commit]]'s adjustment), which is
+    * what makes timestamp→version resolution well-defined. */
+  def commitTimestamp(version: Long): Long = readRaw(version).timestampMs
+
+  /** `TIMESTAMP AS OF` resolution, Delta's rule: the LATEST version whose
+    * commit timestamp is ≤ `tsMs`. Timestamps are monotone along the
+    * chain (each commit records max(now, parent+1 ms)), so this is a
+    * binary search over the version list — O(log versions) manifest
+    * header reads, no snapshot reconstruction. A timestamp before the
+    * first retained commit is an error (that history is gone or never
+    * existed); a timestamp after the last commit resolves to latest. */
+  def versionAtTimestamp(tsMs: Long): Long = {
+    val vs = versions
+    require(vs.nonEmpty, s"no graft table log at $root")
+    var lo = 0
+    var hi = vs.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTimestamp(vs(mid)) <= tsMs) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    require(ans >= 0,
+      s"timestamp $tsMs (${java.time.Instant.ofEpochMilli(tsMs)}) is before " +
+        s"the first retained commit of $root " +
+        s"(${java.time.Instant.ofEpochMilli(commitTimestamp(vs.head))})")
+    vs(ans)
   }
 
   /** Snapshot read of the latest version. */
@@ -407,20 +474,80 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * `basePath` is single-valued per read, so files group by write batch
     * (the `data/d-<uuid>` prefix); the per-batch frames union — one plan
     * branch per CONTRIBUTING COMMIT, not per file or per partition. */
-  private[table] def readFiles(schema: StructType, files: Seq[ManifestFile]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private[table] def readFiles(schema: StructType, files: Seq[ManifestFile],
+                               mapping: Map[String, String] = Map.empty): DataFrame = {
+    val (dvd, plain) = files.partition(_.dv.isDefined)
+    if (dvd.isEmpty) return readFilesRaw(schema, plain, withMeta = false, mapping)
+    val masked = applyDv(readFilesRaw(schema, dvd, withMeta = true, mapping), dvd)
+      .select(schema.fieldNames.map(n => col(n)).toSeq: _*)
+    if (plain.isEmpty) masked
+    else readFilesRaw(schema, plain, withMeta = false, mapping).unionByName(masked)
+  }
+
+  /** The physical read behind [[readFiles]], WITHOUT deletion-vector
+    * masking. `withMeta` appends the parquet metadata columns
+    * (`__gdv_fp` = file path, `__gdv_ri` = row position within the file)
+    * that DV masking and DV construction both key on. `mapping` is the
+    * commit's logical→physical column mapping: data files (and Hive
+    * partition directories) store PHYSICAL names, so the scan projects
+    * each physical column back under its logical name — this single
+    * rename is the entire read-side cost of metadata-only RENAME COLUMN. */
+  private def readFilesRaw(schema: StructType, files: Seq[ManifestFile],
+                           withMeta: Boolean,
+                           mapping: Map[String, String] = Map.empty): DataFrame = {
+    val metaCols =
+      if (!withMeta) Seq.empty
+      else Seq(col("_metadata.file_path").as(GraftTable.DvFileCol),
+        col("_metadata.row_index").as(GraftTable.DvRowCol))
+    if (files.isEmpty) {
+      val s = if (!withMeta) schema
+        else schema.add(GraftTable.DvFileCol, "string").add(GraftTable.DvRowCol, "long")
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }
+    def phys(n: String): String = mapping.getOrElse(n, n)
+    val physSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+    val dataCols = schema.fields.map(f => col(phys(f.name)).as(f.name)).toSeq
     val (parted, flat) = files.partition(_.partition.nonEmpty)
     val flatDf =
       if (flat.isEmpty) Seq.empty
-      else Seq(spark.read.schema(schema).parquet(flat.map(f => s"$root/${f.path}"): _*))
+      else Seq(spark.read.schema(physSchema).parquet(flat.map(f => s"$root/${f.path}"): _*)
+        .select(dataCols ++ metaCols: _*))
     val partDfs = parted.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
       .sortBy(_._1).map { case (batch, fs) =>
-        spark.read.option("basePath", s"$root/$batch").schema(schema)
+        spark.read.option("basePath", s"$root/$batch").schema(physSchema)
           .parquet(fs.map(f => s"$root/${f.path}"): _*)
-          .select(schema.fieldNames.map(n => col(n)).toSeq: _*)
+          .select(dataCols ++ metaCols: _*)
       }
     (flatDf ++ partDfs).reduce(_.unionByName(_))
+  }
+
+  /** Subtract each entry's deletion vector from a metadata-bearing read:
+    * the vectors load once on the DRIVER (O(deleted rows) total — the
+    * same budget that bounded writing them), broadcast, and each row
+    * survives iff its (file, position) is absent from its file's vector.
+    * Position lookup is a binary search in the file's sorted positions;
+    * file lookup resolves the absolute scan path to the table-relative
+    * entry once per task via suffix match, then caches. The scan itself
+    * stays the vectorized parquet read — masking is one codegen'd-input
+    * filter on top, touching only DV'd files' branches of the plan. */
+  private def applyDv(df: DataFrame, dvd: Seq[ManifestFile]): DataFrame = {
+    val dvMap: Map[String, Array[Long]] =
+      dvd.map(f => f.path -> GraftTable.readDv(s"$root/${f.dv.get}")).toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val keep = udf { (fp: String, ri: Long) =>
+      var arr = cache.get(fp)
+      if (arr == null) {
+        arr = bc.value.collectFirst {
+          case (rel, a) if fp.endsWith(rel) => a
+        }.getOrElse(Array.emptyLongArray)
+        cache.put(fp, arr)
+      }
+      java.util.Arrays.binarySearch(arr, ri) < 0
+    }
+    df.filter(keep(col(GraftTable.DvFileCol), col(GraftTable.DvRowCol)))
   }
 
   /** Time-travel read: the table exactly as of `version`. Data files are
@@ -430,7 +557,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * between versions resolves per-version, not by directory inference. */
   def read(version: Long): DataFrame = {
     val c = commitAt(version)
-    readFiles(c.schema, c.files)
+    readFiles(c.schema, c.files, c.columnMapping)
   }
 
   /** Incremental read — the rows that changed between two committed
@@ -465,11 +592,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     require(vFrom <= vTo, s"changesBetween($vFrom, $vTo): versions must ascend")
     val from = commitAt(vFrom)
     val to = commitAt(vTo)
-    val fromPaths = from.files.map(_.path).toSet
-    val appendOnly = fromPaths.subsetOf(to.files.map(_.path).toSet)
+    // FULL-ENTRY subset, not path subset: a deletion-vector swap keeps
+    // the path but changes the rows the entry serves — treating it as
+    // "still present" would silently drop the deletes from the feed.
+    val fromEntries = from.files.toSet
+    val appendOnly = fromEntries.subsetOf(to.files.toSet)
     if (appendOnly) {
-      val added = to.files.filterNot(f => fromPaths.contains(f.path))
-      readFiles(to.schema, added).withColumn("_change_type", lit("insert"))
+      val added = to.files.filterNot(fromEntries.contains)
+      readFiles(to.schema, added, to.columnMapping)
+        .withColumn("_change_type", lit("insert"))
     } else {
       val retained = versions.toSet
       val chain = (vFrom to vTo).forall(retained.contains)
@@ -480,14 +611,39 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         case a: org.apache.spark.sql.types.ArrayType => groupable(a.elementType)
         case _ => true
       }
-      if (chain && from.schema == to.schema &&
-          raws.forall(_.schema == to.schema) &&
+      // The diff is RENDERED IN vTo's SCHEMA (Delta CDF's convention for
+      // evolved ranges): a step's files are readable under (to.schema,
+      // to.columnMapping) iff every to-column that exists physically in
+      // the step carries the same type — added columns read as null from
+      // older files (parquet missing-column semantics), renamed columns
+      // resolve through their STABLE physical names, dropped columns
+      // simply aren't projected. This is what lets the O(churn)
+      // telescoped path cross an ADD COLUMNS / RENAME / DROP commit
+      // instead of bailing to the two-snapshot fallback (and the
+      // evolution commit itself, zero churn, is change-free).
+      def projectable(s: StructType, m: Map[String, String]): Boolean = {
+        val physTypes = s.fields.map(f =>
+          (m.getOrElse(f.name, f.name), f.dataType)).toMap
+        to.schema.fields.forall { tf =>
+          physTypes.get(to.phys(tf.name)).forall(_ == tf.dataType)
+        }
+      }
+      val schemaOk = projectable(from.schema, from.columnMapping) &&
+        (!chain || raws.forall(r => projectable(r.schema, r.columnMapping)))
+      if (chain && schemaOk &&
           to.schema.fields.forall(f => groupable(f.dataType)))
-        telescopedDiff(from, raws, to.schema)
-      else
-        read(vTo).exceptAll(read(vFrom)).withColumn("_change_type", lit("insert"))
+        telescopedDiff(from, raws, to.schema, to.columnMapping)
+      else {
+        require(projectable(from.schema, from.columnMapping),
+          s"changesBetween($vFrom, $vTo): version $vFrom's schema cannot " +
+            s"be projected into $vTo's (a column changed type); no sound " +
+            "row-level diff exists")
+        val fromDf = readFiles(to.schema, from.files, to.columnMapping)
+        val toDf = readFiles(to.schema, to.files, to.columnMapping)
+        toDf.exceptAll(fromDf).withColumn("_change_type", lit("insert"))
           .unionByName(
-            read(vFrom).exceptAll(read(vTo)).withColumn("_change_type", lit("delete")))
+            fromDf.exceptAll(toDf).withColumn("_change_type", lit("delete")))
+      }
     }
   }
 
@@ -500,15 +656,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * at the FILE level (immutable files: same rows both times), costing
     * zero IO. */
   private def telescopedDiff(from: TableCommit, raws: Seq[RawManifest],
-                             schema: StructType): DataFrame = {
-    // Per-path SIGNED counts, not set intersection: a file can churn
-    // MORE THAN ONCE inside the window (removed by a merge, re-added by
-    // a restore, removed again), and set-based cancellation would net
-    // such a path to zero when its true telescoped weight is ±1 —
-    // silently dropping its rows from the change feed (found by the
-    // FuzzTable DML-program fuzzer, seed 1300: restore inside the
-    // window). Since data files are immutable, the net per path is
-    // always `[present in vTo] − [present in vFrom]` ∈ {−1, 0, +1}.
+                             schema: StructType,
+                             mapping: Map[String, String]): DataFrame = {
+    // Per-(path, dv) SIGNED counts, not set intersection: a file can
+    // churn MORE THAN ONCE inside the window (removed by a merge,
+    // re-added by a restore, removed again), and set-based cancellation
+    // would net such a path to zero when its true telescoped weight is
+    // ±1 — silently dropping its rows from the change feed (found by
+    // the FuzzTable DML-program fuzzer, seed 1300: restore inside the
+    // window). The key includes the DELETION VECTOR: a DV swap keeps
+    // the path but changes the served rows, so (path, dvOld) at −1 and
+    // (path, dvNew) at +1 must NOT cancel — their row-level difference
+    // IS the deleted rows. Since data files and sidecars are immutable,
+    // the net per key is `[in vTo] − [in vFrom]` ∈ {−1, 0, +1}.
     //
     // Each step's churn comes STRAIGHT from its delta manifest — never
     // from reconstructing per-version snapshots, so driver cost is
@@ -519,12 +679,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // O(files) step for an O(files) event. Entries for removed paths
     // resolve from the accumulated entry map: a removed file was, by
     // construction, present in `from` or added by an earlier step.
-    val net = scala.collection.mutable.LinkedHashMap.empty[String, (Int, ManifestFile)]
+    val net = scala.collection.mutable.LinkedHashMap.empty[(String, Option[String]), (Int, ManifestFile)]
     val entries = scala.collection.mutable.HashMap.empty[String, ManifestFile]
     val curPaths = scala.collection.mutable.LinkedHashSet.empty[String]
     from.files.foreach { f => entries(f.path) = f; curPaths += f.path }
     def bump(f: ManifestFile, d: Int): Unit = {
-      val (n, _) = net.getOrElse(f.path, (0, f)); net(f.path) = (n + d, f)
+      val k = (f.path, f.dv)
+      val (n, _) = net.getOrElse(k, (0, f)); net(k) = (n + d, f)
     }
     raws.foreach { r =>
       val (adds, removes): (Seq[ManifestFile], Seq[ManifestFile]) = r.full match {
@@ -533,21 +694,29 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             throw new IllegalStateException(
               s"delta manifest v${r.version} removes unknown path $p"))))
         case Some(full) =>
-          // chain reset inside the window: diff against the running set
-          val fullPaths = full.map(_.path).toSet
-          (full.filterNot(f => curPaths.contains(f.path)),
-            curPaths.toSeq.filterNot(fullPaths.contains).map(entries))
+          // chain reset inside the window: diff against the running set —
+          // ENTRY equality, so a DV swap surfaces as remove(old)+add(new)
+          val fullByPath = full.map(f => f.path -> f).toMap
+          val adds = full.filterNot(f =>
+            curPaths.contains(f.path) && entries(f.path) == f)
+          val addPaths = adds.map(_.path).toSet
+          (adds, curPaths.toSeq
+            .filter(p => !fullByPath.contains(p) || addPaths.contains(p))
+            .map(entries))
       }
+      // removes FIRST (they were resolved against the pre-step entries):
+      // a DV swap lists its path in both remove and add, and processing
+      // adds first would leave curPaths without the still-live path
+      removes.foreach { f => bump(f, -1); curPaths -= f.path }
       adds.foreach { f =>
         bump(f, 1); entries(f.path) = f; curPaths += f.path
       }
-      removes.foreach { f => bump(f, -1); curPaths -= f.path }
     }
     val addKeep = net.valuesIterator.collect { case (1, f) => f }.toSeq
     val remKeep = net.valuesIterator.collect { case (-1, f) => f }.toSeq
     val cols = schema.fieldNames.toSeq
-    readFiles(schema, addKeep).withColumn("__w", lit(1L))
-      .unionByName(readFiles(schema, remKeep).withColumn("__w", lit(-1L)))
+    readFiles(schema, addKeep, mapping).withColumn("__w", lit(1L))
+      .unionByName(readFiles(schema, remKeep, mapping).withColumn("__w", lit(-1L)))
       .groupBy(cols.map(col): _*).agg(sum(col("__w")).as("__net"))
       .filter(col("__net") =!= 0)
       .withColumn("_change_type",
@@ -567,11 +736,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * partition pruning never re-derives them from a directory listing
     * (the S3-LIST wall MSCK-style discovery pays on every query). */
   private def writeData(df: DataFrame,
-                        partitionBy: Seq[String] = Seq.empty): Seq[ManifestFile] = {
+                        partitionBy: Seq[String] = Seq.empty,
+                        mapping: Map[String, String] = Map.empty): Seq[ManifestFile] = {
     val sub = s"data/d-${UUID.randomUUID()}"
     val dir = s"$root/$sub"
-    if (partitionBy.isEmpty) df.write.parquet(dir)
-    else df.write.partitionBy(partitionBy: _*).parquet(dir)
+    // column-mapped tables write under PHYSICAL names (stable across
+    // renames), so every data file of the table agrees regardless of
+    // which logical schema was current when it landed
+    val out =
+      if (mapping.isEmpty) df
+      else df.select(df.columns.map(n => col(n).as(mapping.getOrElse(n, n))).toSeq: _*)
+    val physPartitionBy = partitionBy.map(n => mapping.getOrElse(n, n))
+    if (physPartitionBy.isEmpty) out.write.parquet(dir)
+    else out.write.partitionBy(physPartitionBy: _*).parquet(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
@@ -743,7 +920,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def readPruned(version: Long,
                  ranges: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
     val c = commitAt(version)
-    readFiles(c.schema, pruneFiles(version, ranges))
+    readFiles(c.schema, pruneFiles(version, ranges), c.columnMapping)
   }
 
   /** The file subset [[readPruned]] would touch — the manifest-pruning
@@ -768,8 +945,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * but pruning must never depend on the residual's semantics). */
   def pruneFiles(version: Long,
                  ranges: Seq[(String, BigDecimal, BigDecimal)],
-                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] =
-    commitAt(version).files.filter(f => fileMayMatch(f, ranges, strRanges))
+                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] = {
+    val c = commitAt(version)
+    c.files.filter(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+  }
 
   /** The single-file pruning decision behind [[pruneFiles]] — also drives
     * DELETE/UPDATE candidate selection, so the DML surface skips exactly
@@ -778,14 +957,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * marker all keep the file. */
   private def fileMayMatch(f: ManifestFile,
       ranges: Seq[(String, BigDecimal, BigDecimal)],
-      strRanges: Seq[(String, Option[String], Option[String])]): Boolean = {
-    ranges.forall { case (col, lo, hi) =>
+      strRanges: Seq[(String, Option[String], Option[String])],
+      mapping: Map[String, String] = Map.empty): Boolean = {
+    // predicates name LOGICAL columns; footer stats and partition values
+    // are keyed by the PHYSICAL names files store — translate first
+    def phys(n: String): String = mapping.getOrElse(n, n)
+    ranges.forall { case (col0, lo, hi) =>
+      val col = phys(col0)
       f.partition.get(col) match {
         case Some(v) =>
           scala.util.Try(BigDecimal(v)).toOption.forall(b => b >= lo && b <= hi)
         case None => f.stats.get(col).forall(_.overlaps(lo, hi))
       }
-    } && strRanges.forall { case (col, lo, hi) =>
+    } && strRanges.forall { case (col0, lo, hi) =>
+      val col = phys(col0)
       f.partition.get(col) match {
         case Some(GraftTable.HiveNullPartition) => true
         case Some(v) =>
@@ -837,7 +1022,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   /** The column [[cowSplit]] prunes on for these keys (first key any file
     * carries stats for) — also the column merge OUTPUT is clustered on. */
   private def cowPruneColumn(c: TableCommit, keys: Seq[String]): Option[String] =
-    keys.find(k => c.files.exists(_.stats.contains(k)))
+    keys.find(k => c.files.exists(_.stats.contains(c.phys(k))))
 
   /** Range-cluster a merge's rewrite output on the pruning key before it
     * lands. Without this, the rewritten files inherit the merge window's
@@ -897,7 +1082,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def cowSplit(c: TableCommit, batch: DataFrame, keys: Seq[String])
       : (Seq[ManifestFile], Seq[ManifestFile]) = {
     if (c.files.isEmpty) return (Seq.empty, Seq.empty)
-    val statCols = keys.filter(k => c.files.exists(_.stats.contains(k)))
+    // keys are LOGICAL; manifest stats are keyed PHYSICAL
+    val statCols = keys.filter(k => c.files.exists(_.stats.contains(c.phys(k))))
     if (statCols.isEmpty) return (c.files, Seq.empty)
     val session = spark
     import session.implicits._
@@ -921,10 +1107,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val batchType: Map[String, DataType] =
       batch.schema.map(f => f.name -> f.dataType).toMap
     for (k <- statCols if candidates.nonEmpty) {
+      val pk = c.phys(k) // stats are keyed by the files' physical name
       val keyExpr = batchType.get(k).map(dt => (dt, col(k)))
-      val statted = c.files.zipWithIndex.filter(_._1.stats.contains(k))
-      val unstatted = c.files.indices.filterNot(i => c.files(i).stats.contains(k))
-      val byKind = statted.groupBy(_._1.stats(k).kind)
+      val statted = c.files.zipWithIndex.filter(_._1.stats.contains(pk))
+      val unstatted = c.files.indices.filterNot(i => c.files(i).stats.contains(pk))
+      val byKind = statted.groupBy(_._1.stats(pk).kind)
       val colCandidates = scala.collection.mutable.Set.empty[Int]
       colCandidates ++= unstatted
       var batchNulls: Option[Boolean] = None // lazily computed, shared per column
@@ -945,20 +1132,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             }
             if (hasNulls)
               colCandidates ++= group.collect {
-                case (f, i) if f.stats(k).mayHaveNulls => i
+                case (f, i) if f.stats(pk).mayHaveNulls => i
               }
             val rangesDf =
               if (kind == "string")
                 group.map { case (f, i) =>
-                  val s = f.stats(k); (i, s.min, s.max)
+                  val s = f.stats(pk); (i, s.min, s.max)
                 }.toDF("__fid", "__lo", "__hi")
               else if (kind == "double")
                 group.map { case (f, i) =>
-                  val s = f.stats(k); (i, s.min.toDouble, s.max.toDouble)
+                  val s = f.stats(pk); (i, s.min.toDouble, s.max.toDouble)
                 }.toDF("__fid", "__lo", "__hi")
               else
                 group.map { case (f, i) =>
-                  val s = f.stats(k); (i, s.min.toLong, s.max.toLong)
+                  val s = f.stats(pk); (i, s.min.toLong, s.max.toLong)
                 }.toDF("__fid", "__lo", "__hi")
             val touchedIds = keyed.filter(col("__k").isNotNull).distinct()
               .join(broadcast(rangesDf),
@@ -1011,7 +1198,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val (touched, carried) = cowSplit(c, batch, keys)
       val merged = merge(c, touched)
       val out = clusterForWrite(merged, cowPruneColumn(c, keys))
-      val newFiles = writeData(out)
+      val newFiles = writeData(out, mapping = c.columnMapping)
       val touchedPaths = touched.map(_.path).toSet
       onBeforeMergeCommit()
       var base = parent
@@ -1026,8 +1213,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           case e: ConcurrentCommitException =>
             val np = latestVersion
             val nc = commitAt(np)
-            val survived = c.files.map(_.path).toSet
-              .subsetOf(nc.files.map(_.path).toSet)
+            // FULL-ENTRY survival: a winner that swapped a deletion
+            // vector onto a file we read kept the path but changed its
+            // rows — rebasing our rewrite over it would resurrect the
+            // winner's deletes. Entry inequality forces the recompute.
+            val survived = c.files.toSet.subsetOf(nc.files.toSet)
             val addedFiles = nc.files.filterNot(f =>
               c.files.map(_.path).toSet.contains(f.path))
             val addedConflict =
@@ -1058,7 +1248,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * unless the caller overrides (table creation). */
   def commit(parent: Long, operation: String, files: Seq[ManifestFile],
              schema: StructType, txn: Option[(String, Long)] = None,
-             partitionCols: Option[Seq[String]] = None): Long = {
+             partitionCols: Option[Seq[String]] = None,
+             columnMapping: Option[Map[String, String]] = None): Long = {
     logDir.mkdirs()
     val version = parent + 1
     val parentCommit = if (parent == 0) None else Some(commitAt(parent))
@@ -1076,6 +1267,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     }
     val effPartitionCols =
       partitionCols.getOrElse(parentCommit.map(_.partitionCols).getOrElse(Seq.empty))
+    // the logical→physical column mapping inherits like partitionCols:
+    // only an ALTER (rename/drop/add) ever overrides it
+    val effMapping =
+      columnMapping.getOrElse(parentCommit.map(_.columnMapping).getOrElse(Map.empty))
     // NULLABILITY WIDENS, never narrows: the committed file list usually
     // carries files written under the PARENT schema, so a batch whose own
     // schema is narrower (e.g. a literal-valued column, nullable=false)
@@ -1096,10 +1291,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       case None => schema
     }
     val node = mapper.createObjectNode()
-    node.put("formatVersion", 2)
+    // Writers stamp the MINIMUM protocol revision the manifest's features
+    // need (Delta's protocol action): 3 only when an entry carries a
+    // deletion vector or the schema is column-mapped — otherwise the
+    // table stays readable by rev-2 readers.
+    node.put("formatVersion",
+      if (files.exists(_.dv.isDefined) || effMapping.nonEmpty) 3 else 2)
     node.put("version", version)
     node.put("parent", parent)
     node.put("operation", operation)
+    // Commit timestamp, ADJUSTED MONOTONE (Delta's in-commit-timestamp
+    // rule: max(now, parent + 1 ms)): clock skew between writers can
+    // never make a later version carry an earlier timestamp, so
+    // TIMESTAMP AS OF resolution is a well-defined binary search and
+    // "the version at v1's own timestamp" is v1, never its successor.
+    node.put("timestampMs", parentCommit
+      .map(pc => math.max(System.currentTimeMillis(), pc.timestampMs + 1))
+      .getOrElse(System.currentTimeMillis()))
     node.put("schemaJson", effSchema.json)
     txn.foreach { case (app, batch) =>
       node.put("txnApp", app); node.put("txnBatch", batch): Unit
@@ -1111,6 +1319,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (effPartitionCols.nonEmpty) {
       val pa = node.putArray("partitionCols")
       effPartitionCols.foreach(c => pa.add(c): Unit)
+    }
+    if (effMapping.nonEmpty) {
+      val cm = node.putObject("columnMapping")
+      effMapping.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p): Unit }
     }
     // Delta-encode when it is both SMALLER than the full list and
     // replayable to the EXACT committed state (order included) — a
@@ -1177,6 +1389,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
                            fs: Seq[ManifestFile]): Unit = fs.foreach { f =>
     val o = arr.addObject(); o.put("path", f.path); o.put("rows", f.rows)
     if (f.bytes >= 0) o.put("bytes", f.bytes): Unit
+    f.dv.foreach { d => o.put("dv", d); o.put("dvRows", f.dvRows): Unit }
     if (f.stats.nonEmpty) {
       val so = o.putObject("stats")
       f.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
@@ -1205,11 +1418,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     finally Files.deleteIfExists(tmp.toPath): Unit
   }
 
+  /** The latest commit's column mapping (empty before the first commit
+    * or on unmapped tables). Writers fetch it once before writing data —
+    * a mapping that changes mid-race is still safe: physical names are
+    * stable under RENAME, ADD introduces fresh names, and DROP leaves
+    * extra physical columns that readers project out. */
+  private def currentMapping: Map[String, String] = {
+    val v = latestVersion
+    if (v == 0) Map.empty else commitAt(v).columnMapping
+  }
+
   /** Append-only commit. Appends commute, so a lost race is resolved by
     * rebasing the same new files onto the new latest manifest and retrying
     * — no user data is re-read or re-written. */
   def append(df: DataFrame, operation: String = "append"): Long = {
-    val newFiles = writeData(df)
+    val newFiles = writeData(df, mapping = currentMapping)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -1239,7 +1462,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     require(partitionBy.nonEmpty, "appendPartitioned requires partition columns")
     require(partitionBy.forall(df.columns.contains),
       s"missing partition columns: ${partitionBy.filterNot(df.columns.contains)}")
-    val newFiles = writeData(df, partitionBy)
+    val newFiles = writeData(df, partitionBy, currentMapping)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -1294,7 +1517,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def idempotentAppend(df: DataFrame, appId: String, batchId: Long,
                        operation: String = "stream_append"): Long = {
     if (lastCommittedBatch(appId).exists(_ >= batchId)) return latestVersion
-    val newFiles = writeData(df)
+    val newFiles = writeData(df, mapping = currentMapping)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -1340,14 +1563,29 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
+      // On a COLUMN-MAPPED table, newly-added logical columns get FRESH
+      // physical names: a re-added name that was ever dropped must not
+      // resurrect the dropped column's bytes from old files (Delta's
+      // column-mapping re-add rule). Unmapped tables keep identity.
+      val baseMapping =
+        if (parent == 0) Map.empty[String, String]
+        else commitAt(parent).columnMapping
+      val addedMapping =
+        if (baseMapping.isEmpty) Map.empty[String, String]
+        else df.schema.fields.filterNot(f => baseSchema.fieldNames.contains(f.name))
+          .map(f => f.name -> s"${f.name}-${UUID.randomUUID().toString.take(8)}")
+          .toMap
+      val newMapping = baseMapping ++ addedMapping
       // write once; a lost race rebases the same files (schema re-merged
       // against the new parent — unions are associative, so this is safe)
       val files = written match {
         case Some((fs, s)) if s == merged => fs
         case _ =>
-          val fs = writeData(aligned); written = Some((fs, merged)); fs
+          val fs = writeData(aligned, mapping = newMapping)
+          written = Some((fs, merged)); fs
       }
-      try return commit(parent, operation, base ++ files, merged)
+      try return commit(parent, operation, base ++ files, merged,
+        columnMapping = if (newMapping.isEmpty) None else Some(newMapping))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -1365,8 +1603,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * replace (empty = flat files; the table's declared partitionCols
     * metadata carries forward either way). */
   def overwrite(df: DataFrame, parent: Long, operation: String,
-                partitionBy: Seq[String] = Seq.empty): Long =
-    commit(parent, operation, writeData(df, partitionBy), df.schema)
+                partitionBy: Seq[String] = Seq.empty): Long = {
+    val m = if (parent == 0) Map.empty[String, String]
+            else commitAt(parent).columnMapping
+    commit(parent, operation, writeData(df, partitionBy, m), df.schema)
+  }
 
   /** Transactional keep-latest upsert (MERGE last-writer-wins): union the
     * parent snapshot with `batch`, keep one row per key (first under
@@ -1393,7 +1634,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
                        ordering: Seq[Column]): Long =
     mergeWithRetry("upsert_keep_latest", batch, keys) { (c, touched) =>
       KeepLatest.keepLatest(
-        readFiles(c.schema, touched).unionByName(batch), keys, ordering)
+        readFiles(c.schema, touched, c.columnMapping).unionByName(batch),
+        keys, ordering)
     }
 
   /** Replace-by-key merge — ANSI `MERGE INTO ... WHEN MATCHED THEN UPDATE
@@ -1410,7 +1652,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def mergeUpsert(batch: DataFrame, keys: Seq[String]): Long =
     mergeWithRetry("merge_upsert", batch, keys) { (c, touched) =>
       val b = batch.select(c.schema.fieldNames.map(col).toSeq: _*)
-      readFiles(c.schema, touched)
+      readFiles(c.schema, touched, c.columnMapping)
         .join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(b)
     }
@@ -1427,23 +1669,126 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * arbitrary concurrent writes. */
   def deleteWhere(cond: Column,
                   ranges: Seq[(String, BigDecimal, BigDecimal)] = Seq.empty,
-                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty): Long = {
+                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
+                  dvMode: String = "auto"): Long = {
+    require(Set("auto", "off", "force")(dvMode),
+      s"dvMode must be auto|off|force, got $dvMode")
     var attempt = 0
     while (true) {
       val parent = latestVersion
       val c = commitAt(parent)
       val (touched, carried) =
-        c.files.partition(f => fileMayMatch(f, ranges, strRanges))
-      val kept = readFiles(c.schema, touched).filter(!coalesce(cond, lit(false)))
-      val newFiles = writeData(kept)
-      try return commit(parent, "delete", carried ++ newFiles, c.schema)
-      catch {
+        c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+      try {
+        return {
+          if (dvMode != "off" && touched.nonEmpty)
+            deleteViaDv(parent, c, cond, touched, carried, dvMode).getOrElse(
+              deleteViaCow(parent, c, cond, touched, carried))
+          else deleteViaCow(parent, c, cond, touched, carried)
+        }
+      } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > 8) throw e
       }
     }
     0L // unreachable
+  }
+
+  /** Copy-on-write DELETE: candidate files are read (through their
+    * existing deletion vectors) and their KEPT rows rewritten; unmatched
+    * files carry by reference. The pre-DV behavior, and the fallback when
+    * the matched set is too large for a vector to pay off. */
+  private def deleteViaCow(parent: Long, c: TableCommit, cond: Column,
+      touched: Seq[ManifestFile], carried: Seq[ManifestFile]): Long = {
+    val kept = readFiles(c.schema, touched, c.columnMapping)
+      .filter(!coalesce(cond, lit(false)))
+    commit(parent, "delete",
+      carried ++ writeData(kept, mapping = c.columnMapping), c.schema)
+  }
+
+  /** Merge-on-read DELETE (Delta's deletion vectors): instead of
+    * rewriting candidate files, record the MATCHED ROW POSITIONS in
+    * per-file sidecar vectors and swap the manifest entries — commit IO
+    * is O(deleted rows), not O(touched files' bytes), which is the whole
+    * point when a daily retention DELETE touches a sliver of every file.
+    *
+    * One distributed pass over the candidate files (their existing
+    * vectors applied first, so a re-delete of an already-deleted row is
+    * impossible by construction) evaluates the predicate and aggregates
+    * matched positions per file; the per-file position lists return to
+    * the driver — bounded by [[GraftTable.DvMaxDeleteRows]], checked
+    * with a COUNT before any collect — merge with any existing vector
+    * (positions are physical-file offsets, so the union is a sorted
+    * merge of disjoint sets), and publish as new immutable sidecars.
+    * Untouched candidates and carried files ride unchanged; the
+    * delta-encoded log records each swapped entry as remove+add churn.
+    *
+    * Returns None when auto mode decides copy-on-write wins: matched
+    * rows exceed the absolute driver bound, or exceed
+    * [[GraftTable.DvMaxDeleteFraction]] of the candidates' physical
+    * rows (mostly-dead files should be rewritten, not deferred).
+    * `force` skips the fraction test but never the driver bound. */
+  private def deleteViaDv(parent: Long, c: TableCommit, cond: Column,
+      touched: Seq[ManifestFile], carried: Seq[ManifestFile],
+      dvMode: String): Option[Long] = {
+    val session = spark
+    import session.implicits._
+    val fp = col(GraftTable.DvFileCol)
+    val ri = col(GraftTable.DvRowCol)
+    val matched = applyDvIfAny(
+      readFilesRaw(c.schema, touched, withMeta = true, c.columnMapping), touched)
+      .filter(coalesce(cond, lit(false)))
+      .select(fp, ri)
+    val nMatched = matched.count()
+    if (nMatched == 0)
+      return Some(commit(parent, "delete_noop", c.files, c.schema))
+    val physRows = touched.map(_.rows).sum.toDouble
+    if (nMatched > GraftTable.DvMaxDeleteRows ||
+        (dvMode == "auto" && nMatched > GraftTable.DvMaxDeleteFraction * physRows))
+      return None
+    val perFile: Map[String, Array[Long]] = matched
+      .groupBy(fp).agg(sort_array(collect_list(ri)).as("ris"))
+      .as[(String, Seq[Long])].collect()
+      .map { case (p, rs) => p -> rs.toArray }.toMap
+    // resolve absolute scan paths back to manifest entries (suffix match,
+    // driver-side, O(matched files × candidates) over small lists)
+    val updated: Map[String, ManifestFile] = perFile.map { case (absPath, fresh) =>
+      val entry = touched.find(f => absPath.endsWith(f.path)).getOrElse(
+        throw new IllegalStateException(s"matched file $absPath not in candidate set"))
+      val mergedIdx = entry.dv match {
+        case None => fresh
+        case Some(old) =>
+          // disjoint by construction (existing vector was applied before
+          // the predicate ran) — a two-pointer merge keeps them sorted
+          val a = GraftTable.readDv(s"$root/$old")
+          val out = new Array[Long](a.length + fresh.length)
+          var i = 0; var j = 0; var k = 0
+          while (i < a.length && j < fresh.length) {
+            if (a(i) < fresh(j)) { out(k) = a(i); i += 1 }
+            else { out(k) = fresh(j); j += 1 }
+            k += 1
+          }
+          while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+          while (j < fresh.length) { out(k) = fresh(j); j += 1; k += 1 }
+          out
+      }
+      entry.path -> entry.copy(
+        dv = Some(GraftTable.writeDv(root, mergedIdx)),
+        dvRows = mergedIdx.length.toLong)
+    }
+    // swapped entries move to the tail so the delta-encoded replay
+    // (carry-forward ++ add) reproduces the committed order exactly
+    val files = c.files.filterNot(f => updated.contains(f.path)) ++
+      c.files.flatMap(f => updated.get(f.path))
+    Some(commit(parent, "delete_dv", files, c.schema))
+  }
+
+  /** [[applyDv]] when only SOME of the files carry vectors — the mixed
+    * candidate set a second DELETE sees. */
+  private def applyDvIfAny(df: DataFrame, files: Seq[ManifestFile]): DataFrame = {
+    val dvd = files.filter(_.dv.isDefined)
+    if (dvd.isEmpty) df else applyDv(df, dvd)
   }
 
   /** Row-level UPDATE (SQL `UPDATE t SET c = e WHERE cond`, lowered by
@@ -1460,9 +1805,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val parent = latestVersion
       val c = commitAt(parent)
       val (touched, carried) =
-        c.files.partition(f => fileMayMatch(f, ranges, strRanges))
+        c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
       val assignMap = assignments.toMap
-      val updated = readFiles(c.schema, touched).select(c.schema.fields.map { fld =>
+      val updated = readFiles(c.schema, touched, c.columnMapping)
+        .select(c.schema.fields.map { fld =>
         assignMap.get(fld.name) match {
           case Some(e) =>
             val applied = cond match {
@@ -1473,7 +1819,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           case None => col(fld.name)
         }
       }.toSeq: _*)
-      val newFiles = writeData(updated)
+      val newFiles = writeData(updated, mapping = c.columnMapping)
       try return commit(parent, "update", carried ++ newFiles, c.schema)
       catch {
         case e: ConcurrentCommitException =>
@@ -1501,7 +1847,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def cdcApply(changes: DataFrame, keys: Seq[String], ordering: Seq[Column],
                opCol: String = "op"): Long =
     mergeWithRetry("cdc_apply", changes, keys) { (c, touched) =>
-      val state = readFiles(c.schema, touched).withColumn(opCol, lit("U"))
+      val state = readFiles(c.schema, touched, c.columnMapping)
+        .withColumn(opCol, lit("U"))
       KeepLatest
         .keepLatest(state.unionByName(changes), keys, ordering)
         .filter(col(opCol) =!= "D")
@@ -1531,7 +1878,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // Untouched-key rows inside touched files flow through the
     // !is_current / untouchedCurrent branches byte-equal.
     mergeWithRetry("scd2_apply", batch, keys) { (c, touched) =>
-      val history = readFiles(c.schema, touched)
+      val history = readFiles(c.schema, touched, c.columnMapping)
       val orderCols = (tsCol +: tieCols).map(col)
       val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
       val newRows = batch
@@ -1570,25 +1917,48 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * scheduler interleaves their tasks across the cluster, so the wall
     * clock is total-bytes/cluster-throughput, not sum-of-bins). Results
     * commit in deterministic bin order regardless of completion order. */
-  def compact(targetRows: Long, maxConcurrentBins: Int = 8): Long = {
+  def compact(targetRows: Long, maxConcurrentBins: Int = 8): Long =
+    compactWhere(targetRows, Seq.empty, Seq.empty, maxConcurrentBins)
+
+  /** SCOPED compaction — `OPTIMIZE t WHERE <scope>` (Delta/Iceberg's
+    * partition-scoped rewrite): only files whose partition values or
+    * footer stats CAN satisfy every range are rewritten; everything else
+    * carries into the new manifest by reference, zero bytes moved. This
+    * is what keeps maintenance O(touched partition) on a 100-TB
+    * date-partitioned table — the nightly OPTIMIZE hits yesterday's
+    * partition, not the table. The scope test is [[fileMayMatch]] —
+    * pessimistic, so an over-matched file is rewritten (harmless:
+    * compaction is content-preserving), never skipped when in scope. */
+  def compactWhere(targetRows: Long,
+                   ranges: Seq[(String, BigDecimal, BigDecimal)],
+                   strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
+                   maxConcurrentBins: Int = 8): Long = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val parent = latestVersion
     val c = commitAt(parent)
-    val cumBefore = c.files.scanLeft(0L)(_ + _.rows)
-    val bins = c.files.zip(cumBefore).groupBy { case (_, before) => before / targetRows }
+    val (scoped, carried) =
+      if (ranges.isEmpty && strRanges.isEmpty) (c.files, Seq.empty[ManifestFile])
+      else c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+    val cumBefore = scoped.scanLeft(0L)(_ + _.rows)
+    val bins = scoped.zip(cumBefore).groupBy { case (_, before) => before / targetRows }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrentBins, bins.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val futures = bins.toSeq.sortBy(_._1).map { case (_, group) =>
         Future {
-          val paths = group.map { case (f, _) => s"$root/${f.path}" }
-          writeData(spark.read.schema(c.schema).parquet(paths: _*).coalesce(1))
+          // read through readFiles so deletion vectors apply — compaction
+          // is what MATERIALIZES vectors away (the rewritten file holds
+          // only live rows, and its fresh entry carries no dv); a
+          // partitioned table keeps its Hive layout (and manifest
+          // partition values) through the rewrite
+          writeData(readFiles(c.schema, group.map(_._1), c.columnMapping)
+            .coalesce(1), c.partitionCols, c.columnMapping)
         }
       }
       val newFiles = futures.flatMap(Await.result(_, Duration.Inf))
-      commit(parent, "compact", newFiles, c.schema)
+      commit(parent, "compact", carried ++ newFiles, c.schema)
     } finally pool.shutdown()
   }
 
@@ -1601,15 +1971,29 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * and scans on EITHER dimension prune files (TableFormatSpec asserts
     * the z-ranges are disjoint). One range shuffle; prior versions keep
     * the old layout. */
-  def zorderBy(x: Column, y: Column, nFiles: Int): Long = {
+  def zorderBy(x: Column, y: Column, nFiles: Int): Long =
+    zorderWhere(x, y, nFiles, Seq.empty)
+
+  /** SCOPED z-order — `OPTIMIZE t WHERE <scope> ZORDER BY (x, y)`: only
+    * in-scope files (partition values / footer stats vs the ranges) are
+    * re-clustered into `nFiles` z-range files; out-of-scope files carry
+    * by reference. The nightly pattern at 100 TB: z-order yesterday's
+    * partition as it closes, O(partition) not O(table). */
+  def zorderWhere(x: Column, y: Column, nFiles: Int,
+                  ranges: Seq[(String, BigDecimal, BigDecimal)],
+                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty): Long = {
     val parent = latestVersion
     val c = commitAt(parent)
-    val df = read(parent)
+    val (scoped, carried) =
+      if (ranges.isEmpty && strRanges.isEmpty) (c.files, Seq.empty[ManifestFile])
+      else c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+    val df = readFiles(c.schema, scoped, c.columnMapping)
       .withColumn("__z", graft.rel.Layout.morton(x, y).cast("long"))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commit(parent, "zorder", writeData(df), c.schema)
+    commit(parent, "zorder",
+      carried ++ writeData(df, mapping = c.columnMapping), c.schema)
   }
 
   /** Roll the table back (or forward) to the CONTENT of `version` by
@@ -1623,7 +2007,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def restoreTo(version: Long): Long = {
     val target = commitAt(version)
     commit(latestVersion, s"restore_v$version", target.files, target.schema,
-      partitionCols = Some(target.partitionCols))
+      partitionCols = Some(target.partitionCols),
+      columnMapping = Some(target.columnMapping))
   }
 
   /** Force-publish the latest version's sidecar checkpoint (idempotent) —
@@ -1679,10 +2064,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // O(versions × files) snapshot reconstructions.
     val retained = versions
     val live = scala.collection.mutable.HashSet.empty[String]
-    retained.headOption.foreach(v => commitAt(v).files.foreach(live += _.path))
+    def mark(f: ManifestFile): Unit = { live += f.path; f.dv.foreach(live += _) }
+    retained.headOption.foreach(v => commitAt(v).files.foreach(mark))
     retained.drop(1).foreach { v =>
       val r = readRaw(v)
-      r.full.getOrElse(r.add).foreach(live += _.path)
+      r.full.getOrElse(r.add).foreach(mark)
     }
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
@@ -1691,8 +2077,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val horizon = System.currentTimeMillis() - minAgeMs
     walk(dataRoot).foreach { f =>
       val rel = dataRoot.getParentFile.toPath.relativize(f.toPath).toString
-      if (f.getName.endsWith(".parquet") && !live.contains(rel) &&
-          f.lastModified() <= horizon) f.delete(): Unit
+      val sweepable =
+        f.getName.endsWith(".parquet") || f.getName.endsWith(".dv")
+      if (sweepable && !live.contains(rel) && f.lastModified() <= horizon)
+        f.delete(): Unit
     }
   }
 }
@@ -1729,6 +2117,75 @@ object GraftTable {
     * min/max entries — enough to key-prune merges — without bloating the
     * manifest with document bodies. */
   val StatStringMaxLen: Int = 32
+
+  /** Largest DELETE the merge-on-read path accepts (total matched rows
+    * across all candidate files): the positions transit the driver to be
+    * written as sidecar vectors, so the bound is a driver-memory guard
+    * (~32 MB of longs). Bigger deletes rewrite copy-on-write. */
+  val DvMaxDeleteRows: Long = 4L * 1024 * 1024
+
+  /** Auto-mode crossover: if a DELETE matches more than this fraction of
+    * its candidate files' physical rows, copy-on-write rewrite wins (the
+    * files are mostly dead anyway and a vector would just defer the
+    * rewrite to every future scan); below it, a deletion vector costs
+    * O(deleted rows) instead of O(touched files) bytes. */
+  val DvMaxDeleteFraction: Double = 0.20
+
+  private val DvMagic: Int = 0x47445631 // "GDV1"
+
+  /** Internal metadata column names for DV masking/construction. */
+  private[table] val DvFileCol = "__gdv_fp"
+  private[table] val DvRowCol = "__gdv_ri"
+
+  /** Write a deletion-vector sidecar: sorted row positions, delta-varint
+    * encoded (positions cluster, so gaps are small — a few bytes per
+    * deleted row regardless of file size). Returns the table-relative
+    * path. Sidecars are immutable like data files: a re-delete writes a
+    * NEW merged vector and the manifest entry swaps — old snapshots keep
+    * reading the old vector until vacuum. */
+  private[table] def writeDv(tableRoot: String, indices: Array[Long]): String = {
+    require(indices.nonEmpty, "empty deletion vector")
+    val rel = s"data/dv-${UUID.randomUUID()}.dv"
+    val f = new File(tableRoot, rel)
+    f.getParentFile.mkdirs()
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
+    try {
+      out.writeInt(DvMagic)
+      out.writeLong(indices.length.toLong)
+      var prev = 0L
+      indices.foreach { i =>
+        require(i >= prev, "deletion vector must be sorted")
+        var d = i - prev
+        prev = i
+        while ((d & ~0x7fL) != 0L) { out.writeByte(((d & 0x7f) | 0x80).toInt); d >>>= 7 }
+        out.writeByte(d.toInt)
+      }
+    } finally out.close()
+    rel
+  }
+
+  /** Read a deletion-vector sidecar back to its sorted position array. */
+  private[table] def readDv(absPath: String): Array[Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(absPath)))
+    try {
+      require(in.readInt() == DvMagic, s"not a graft deletion vector: $absPath")
+      val n = in.readLong().toInt
+      val out = new Array[Long](n)
+      var prev = 0L
+      var i = 0
+      while (i < n) {
+        var d = 0L; var shift = 0; var b = 0
+        do { b = in.readUnsignedByte(); d |= (b & 0x7fL) << shift; shift += 7 }
+        while ((b & 0x80) != 0)
+        prev += d
+        out(i) = prev
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
 
   /** Create a new table at `root` (must not already hold a log) with `df`
     * as version 1. */

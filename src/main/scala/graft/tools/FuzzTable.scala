@@ -109,19 +109,24 @@ object FuzzTable {
           shadow = shadow.filterNot(r => bm.contains(r._1)) ++ b
           "upsert"
         } else if (op < 50) { // delete: range (with/without prune hints) or modulus
+          // DV mode is fuzzed too: auto (threshold decides), off (always
+          // copy-on-write), force (always a vector when under the driver
+          // bound) — every interleaving of vector swaps with merges,
+          // restores, compaction, and vacuum goes through the shadow check
+          val dvMode = Seq("auto", "off", "force")(rng.nextInt(3))
           if (rng.nextBoolean() && nextId > 0) {
             val lo = rng.nextLong(nextId); val hi = math.min(nextId - 1, lo + rng.nextInt(200))
             val hints =
               if (rng.nextBoolean()) Seq(("id", BigDecimal(lo), BigDecimal(hi)))
               else Seq.empty
-            t.deleteWhere($"id" >= lo && $"id" <= hi, ranges = hints)
+            t.deleteWhere($"id" >= lo && $"id" <= hi, ranges = hints, dvMode = dvMode)
             shadow = shadow.filterNot(r => r._1 >= lo && r._1 <= hi)
-            "delete_range"
+            s"delete_range_$dvMode"
           } else {
             val m = 2 + rng.nextInt(9); val r0 = rng.nextInt(m)
-            t.deleteWhere($"id" % m === r0)
+            t.deleteWhere($"id" % m === r0, dvMode = dvMode)
             shadow = shadow.filterNot(r => r._1 % m == r0)
-            "delete_mod"
+            s"delete_mod_$dvMode"
           }
         } else if (op < 60) { // update: suffix-stamp s on an id range
           val lo = if (nextId == 0) 0L else rng.nextLong(nextId)

@@ -356,14 +356,17 @@ class DataSourceSpec extends SparkSpec {
       GraftTable.create(spark, s"$lake/db/dml_t", base)
       val t = GraftTable.forPath(spark, s"$lake/db/dml_t")
 
-      // DELETE: narrow id range — COW must carry the other range files
+      // DELETE: narrow id range, 5% of rows — since round 14 the auto
+      // decision picks MERGE-ON-READ: zero data files rewrite (ALL paths
+      // carry), the matched rows land in deletion-vector sidecars
       spark.sql("DELETE FROM graft_d.db.dml_t WHERE id >= 100 AND id < 150")
-      assert(t.latestVersion == 2 && t.commitAt(2).operation == "delete")
+      assert(t.latestVersion == 2 && t.commitAt(2).operation == "delete_dv")
       assert(t.read().count() == 950)
       assert(t.read().filter($"id".between(100, 149)).isEmpty)
-      val carriedDel = t.commitAt(1).files.map(_.path).toSet intersect
-        t.commitAt(2).files.map(_.path).toSet
-      assert(carriedDel.size >= 6, s"DELETE should prune files, carried=$carriedDel")
+      assert(t.commitAt(2).files.map(_.path).toSet ==
+        t.commitAt(1).files.map(_.path).toSet,
+        "a DV delete must rewrite zero data files")
+      assert(t.commitAt(2).files.map(_.dvRows).sum == 50L)
 
       // UPDATE: assigned value references the row; WHERE folds to a range
       spark.sql(
@@ -403,7 +406,7 @@ class DataSourceSpec extends SparkSpec {
       val filesBefore = t.commitAt(1).files.map(_.path).toSet
       spark.sql("ALTER TABLE graft_a.db.alt_t ADD COLUMNS (tag STRING, score DOUBLE)")
       // zero data IO: the evolved version lists the SAME files
-      assert(t.latestVersion == 2 && t.commitAt(2).operation == "alter_add_columns")
+      assert(t.latestVersion == 2 && t.commitAt(2).operation == "alter_table")
       assert(t.commitAt(2).files.map(_.path).toSet == filesBefore)
       // old rows read nulls in the new columns; new inserts fill them
       assert(spark.sql("SELECT count(*) FROM graft_a.db.alt_t WHERE tag IS NULL")
@@ -414,9 +417,16 @@ class DataSourceSpec extends SparkSpec {
       // time travel below the evolution serves the narrow schema
       assert(spark.sql("SELECT * FROM graft_a.db.alt_t VERSION AS OF 1")
         .columns.toSeq == Seq("id"))
-      // non-additive changes are refused
+      // round 14: DROP COLUMN is now metadata-only (column mapping) —
+      // zero data IO, and the dropped column vanishes from the schema
+      val filesBeforeDrop = t.commitAt(t.latestVersion).files.map(_.path).toSet
+      spark.sql("ALTER TABLE graft_a.db.alt_t DROP COLUMN tag")
+      val afterDrop = t.commitAt(t.latestVersion)
+      assert(afterDrop.files.map(_.path).toSet == filesBeforeDrop)
+      assert(!afterDrop.schema.fieldNames.contains("tag"))
+      // type changes remain refused
       intercept[Exception] {
-        spark.sql("ALTER TABLE graft_a.db.alt_t DROP COLUMN tag")
+        spark.sql("ALTER TABLE graft_a.db.alt_t ALTER COLUMN score TYPE STRING")
       }
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_a.db.alt_t")
@@ -511,6 +521,86 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("column mapping: RENAME/DROP COLUMN are metadata-only commits; " +
+      "time travel, CDF, pruning, and merges all resolve through the " +
+      "stable physical names") {
+    import spark.implicits._
+    val root = tmpRoot("colmap")
+    val lake = new java.io.File(root).getParentFile.getAbsolutePath
+    val name = new java.io.File(root).getName
+    val df = spark.range(1000).toDF("uid")
+      .withColumn("score", ($"uid" * 3).cast("long"))
+      .withColumn("note", concat(lit("n"), $"uid"))
+      .repartitionByRange(8, $"uid")
+    val t = GraftTable.create(spark, root, df)
+    val v1Files = t.commitAt(1).files.map(_.path).toSet
+    spark.conf.set("spark.sql.catalog.graft_cm", classOf[graft.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cm.root", lake)
+    try {
+      // RENAME: zero data IO — version 2 carries the SAME files
+      spark.sql(s"ALTER TABLE graft_cm.`$name` RENAME COLUMN uid TO user_id")
+      val c2 = t.commitAt(2)
+      assert(c2.files.map(_.path).toSet == v1Files, "rename must not rewrite data")
+      assert(c2.schema.fieldNames.toSeq == Seq("user_id", "score", "note"))
+      assert(c2.columnMapping == Map("user_id" -> "uid"))
+      // reads serve the new logical name; values are the old bytes
+      val post = spark.read.format("graft").load(root)
+      assert(post.schema.fieldNames.head == "user_id")
+      assert(post.agg(sum($"user_id")).as[Long].head() == (0L until 1000L).sum)
+      // time travel BELOW the rename serves the old name
+      assert(spark.read.format("graft").option("versionAsOf", 1).load(root)
+        .schema.fieldNames.head == "uid")
+      // pushdown pruning on the RENAMED column still hits the physical stats
+      val q = post.filter($"user_id" >= 100 && $"user_id" <= 220)
+      val scan = plannedScan(q)
+      assert(scan.prunedFiles.size < 8 && scan.prunedFiles.nonEmpty,
+        s"renamed-column predicate must still prune: ${scan.prunedFiles.size}/8")
+      assert(q.count() == 121)
+      // CDF ACROSS the rename commit: the evolution itself is change-free,
+      // and the O(churn) telescoped path survives the schema change
+      assert(t.changesBetween(1, 2).isEmpty,
+        "a rename commit must be change-free under CDF")
+      // appends + COW merge on the renamed key: stats translate, so the
+      // narrow merge still carries most files by identity
+      t.append(Seq((5000L, 1L, "x")).toDF("user_id", "score", "note"))
+      t.mergeUpsert(Seq((10L, 999L, "upd"), (5000L, 2L, "y"))
+        .toDF("user_id", "score", "note"), Seq("user_id"))
+      val v4 = t.commitAt(t.latestVersion)
+      val carried = v1Files.intersect(v4.files.map(_.path).toSet)
+      assert(carried.size >= 6,
+        s"COW on a renamed key must still prune; carried ${carried.size}/8")
+      assert(t.read().filter($"user_id" === 10L).select($"score")
+        .as[Long].head() == 999L)
+      // CDF across rename + append + merge in ONE evolved range
+      val chg = t.changesBetween(1, t.latestVersion)
+      assert(chg.filter($"_change_type" === "insert" && $"user_id" === 5000L)
+        .count() == 1)
+
+      // DROP: metadata-only; re-ADD of the same name must NOT resurrect
+      spark.sql(s"ALTER TABLE graft_cm.`$name` DROP COLUMN note")
+      val cDrop = t.commitAt(t.latestVersion)
+      assert(cDrop.files.map(_.path).toSet == v4.files.map(_.path).toSet)
+      assert(!cDrop.schema.fieldNames.contains("note"))
+      spark.sql(s"ALTER TABLE graft_cm.`$name` ADD COLUMNS (note STRING)")
+      val readd = spark.read.format("graft").load(root)
+      assert(readd.schema.fieldNames.contains("note"))
+      assert(readd.filter($"note".isNotNull).count() == 0,
+        "a re-added column must read as null, never the dropped bytes")
+      // and the fresh physical name proves it structurally
+      val cAdd = t.commitAt(t.latestVersion)
+      assert(cAdd.columnMapping("note") != "note")
+      // SQL writes against the evolved table land under physical names
+      spark.sql(s"INSERT INTO graft_cm.`$name` VALUES (7777, 1, 'fresh')")
+      val after = spark.read.format("graft").load(root)
+      assert(after.filter($"user_id" === 7777L).select($"note")
+        .as[String].head() == "fresh")
+      assert(after.filter($"note".isNotNull).count() == 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_cm")
+      spark.conf.unset("spark.sql.catalog.graft_cm.root")
+    }
+  }
+
   test("manifest statistics reach the optimizer: small graft dim " +
       "auto-broadcasts with NO hint; pruning shrinks the estimate") {
     import spark.implicits._
@@ -545,6 +635,59 @@ class DataSourceSpec extends SparkSpec {
     val phys = fact.join(d, "id").queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin"),
       s"expected unhinted BroadcastHashJoin over the graft dim, got:\n$phys")
+  }
+
+  test("TIMESTAMP AS OF: commit timestamps are monotone and resolve " +
+      "Delta-style (latest commit at or before t)") {
+    import spark.implicits._
+    val root = tmpRoot("tsasof")
+    val t = GraftTable.create(spark, root, spark.range(10).toDF("id"))
+    t.append(spark.range(10, 15).toDF("id"))
+    t.append(spark.range(15, 18).toDF("id"))
+    val ts = (1L to 3L).map(t.commitTimestamp)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit timestamps must be strictly monotone, got $ts")
+    // resolution: each version's own timestamp resolves to that version;
+    // a mid-gap instant resolves DOWN; far future resolves to latest
+    assert(t.versionAtTimestamp(ts(0)) == 1L)
+    assert(t.versionAtTimestamp(ts(1)) == 2L)
+    assert(t.versionAtTimestamp(ts(2) + 1000000L) == 3L)
+    intercept[IllegalArgumentException](t.versionAtTimestamp(ts(0) - 1))
+
+    // reader option: epoch millis and a rendered timestamp string
+    val v1 = spark.read.format("graft")
+      .option("timestampAsOf", ts(0).toString).load(root)
+    assert(v1.count() == 10)
+    val rendered = new java.sql.Timestamp(ts(1)).toString
+    val v2 = spark.read.format("graft")
+      .option("timestampAsOf", rendered).load(root)
+    assert(v2.count() == 15)
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", 1)
+        .option("timestampAsOf", ts(0).toString).load(root).count()
+    }
+
+    // SQL surface: TIMESTAMP AS OF through the catalog (micros → version)
+    val lake = new java.io.File(root).getParentFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_ts", classOf[graft.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ts.root", lake)
+    try {
+      val name = new java.io.File(root).getName
+      // session tz is UTC, so render the instant in UTC for the literal
+      val lit1 = java.time.Instant.ofEpochMilli(ts(0)).toString
+        .replace("T", " ").replace("Z", "")
+      val n1 = spark.sql(
+        s"SELECT count(*) FROM graft_ts.`$name` TIMESTAMP AS OF '$lit1'")
+        .as[Long].head()
+      assert(n1 == 10, s"SQL TIMESTAMP AS OF v1 instant returned $n1 rows")
+      val nLatest = spark.sql(
+        s"SELECT count(*) FROM graft_ts.`$name` TIMESTAMP AS OF '2099-01-01'")
+        .as[Long].head()
+      assert(nLatest == 18)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_ts")
+      spark.conf.unset("spark.sql.catalog.graft_ts.root")
+    }
   }
 
   test("timestamp predicates fold to epoch-micro ranges and prune") {

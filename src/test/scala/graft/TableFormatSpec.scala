@@ -1067,6 +1067,32 @@ class TableFormatSpec extends SparkSpec {
     }
   }
 
+  test("detail procedure: one-row snapshot summary off the latest manifest") {
+    import spark.implicits._
+    val root = tmpRoot("detail")
+    val t = GraftTable.create(spark, root,
+      spark.range(100).toDF("id").repartitionByRange(4, col("id")))
+    t.deleteWhere($"id" === 7L, dvMode = "force")
+    spark.conf.set("spark.sql.catalog.graft_dt", classOf[graft.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dt.root",
+      new java.io.File(root).getParentFile.getAbsolutePath)
+    try {
+      val name = new java.io.File(root).getName
+      val d = spark.sql(s"CALL graft_dt.system.detail(tbl => '$name')").collect()
+      assert(d.length == 1)
+      val r = d.head
+      assert(r.getLong(1) == 2L)                       // latest_version
+      assert(r.getTimestamp(2) != null)                // committed_at
+      assert(r.getInt(3) == 4 && r.getLong(4) > 0)     // files, bytes
+      assert(r.getLong(5) == 99L)                      // live_rows
+      assert(r.getInt(6) == 1 && r.getLong(7) == 1L)   // dv_files, dv_rows
+      assert(r.getInt(10) == 2)                        // retained_versions
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_dt")
+      spark.conf.unset("spark.sql.catalog.graft_dt.root")
+    }
+  }
+
   test("compact by bytes: target_bytes bins on the manifests' recorded sizes") {
     import spark.implicits._
     val t = rangedBase("cptb")

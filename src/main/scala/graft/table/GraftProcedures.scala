@@ -136,12 +136,21 @@ private[table] object GraftProcedures {
           // defaulted: the in-flight-writer horizon — schedulers omit it,
           // tests lower it explicitly
           ProcedureParameter.in("min_age_ms", LongType)
-            .defaultValue(GraftTable.DefaultVacuumMinAgeMs.toString).build()),
+            .defaultValue(GraftTable.DefaultVacuumMinAgeMs.toString).build(),
+          // dry_run => true: report how many files WOULD be reclaimed,
+          // delete nothing (Delta's VACUUM ... DRY RUN)
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
         opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
-          t.vacuum(in.getLong(1), in.getLong(2))
-          opVersion("vacuum", t.latestVersion)
+          if (in.getBoolean(3))
+            opVersion("vacuum_dry_run_would_delete",
+              t.vacuumPlan(in.getLong(1), in.getLong(2)).size.toLong)
+          else {
+            t.vacuum(in.getLong(1), in.getLong(2))
+            opVersion("vacuum", t.latestVersion)
+          }
         })
       case "history" => new GraftProcedure(root, "history",
         Seq(p("tbl", StringType)),

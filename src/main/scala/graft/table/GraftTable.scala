@@ -2049,6 +2049,46 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * files the writer's imminent commit will reference — a manifest
     * pointing at deleted data, i.e. silent data loss. Pass `0` only when
     * the caller can assert exclusive access (tests, offline maintenance). */
+  /** What [[vacuum]] WOULD delete, without deleting anything — the ops
+    * dry run every destructive retention command needs (Delta's
+    * `VACUUM ... DRY RUN`). Returns table-relative paths: the manifests
+    * and checkpoints below the retention boundary plus every
+    * unreferenced, age-eligible data/sidecar file. Pure read — no
+    * boundary checkpoint is materialized, no temp files land. */
+  def vacuumPlan(retainFrom: Long,
+                 minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Seq[String] = {
+    val latest = latestVersion
+    require(retainFrom <= latest,
+      s"vacuumPlan(retainFrom=$retainFrom) exceeds the latest version $latest of $root")
+    val vs = versions
+    val logDels = vs.filter(_ < retainFrom).flatMap { v =>
+      Seq(manifestPath(v)).filter(_.exists()) ++
+        Seq(ckptPath(v)).filter(_.exists())
+    }.map(f => new File(root).toPath.relativize(f.toPath).toString)
+    val retained = vs.filter(_ >= retainFrom)
+    val live = scala.collection.mutable.HashSet.empty[String]
+    def mark(f: ManifestFile): Unit = { live += f.path; f.dv.foreach(live += _) }
+    retained.headOption.foreach(v => commitAt(v).files.foreach(mark))
+    retained.drop(1).foreach { v =>
+      val r = readRaw(v)
+      r.full.getOrElse(r.add).foreach(mark)
+    }
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val dataRoot = new File(root, "data")
+    val horizon = System.currentTimeMillis() - minAgeMs
+    val dataDels = walk(dataRoot).flatMap { f =>
+      val rel = dataRoot.getParentFile.toPath.relativize(f.toPath).toString
+      val sweepable =
+        f.getName.endsWith(".parquet") || f.getName.endsWith(".dv")
+      if (sweepable && !live.contains(rel) && f.lastModified() <= horizon)
+        Some(rel)
+      else None
+    }
+    logDels ++ dataDels
+  }
+
   def vacuum(retainFrom: Long, minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Unit = {
     // Typo guard: a retainFrom above the latest version would find no
     // boundary, drop EVERY manifest, compute an empty live set, and

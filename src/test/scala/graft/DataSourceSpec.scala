@@ -462,6 +462,13 @@ class DataSourceSpec extends SparkSpec {
       assert(z.head.getString(0) == "zorder" && z.head.getLong(1) == 7L)
       assert(t.read().count() == 500)
 
+      // vacuum DRY RUN first: reports the reclaimable count, deletes nothing
+      val dr = spark.sql(
+        "CALL graft_pr.system.vacuum(tbl => 'db.m_t', retain_from => 7, " +
+          "min_age_ms => 0, dry_run => true)").collect()
+      assert(dr.head.getString(0) == "vacuum_dry_run_would_delete" &&
+        dr.head.getLong(1) > 0)
+      assert(t.versions.size > 1, "dry run must not drop manifests")
       // vacuum: drops pre-retention manifests + their exclusive files
       // (min_age_ms passed explicitly — test files are seconds old)
       spark.sql(

@@ -1067,6 +1067,26 @@ class TableFormatSpec extends SparkSpec {
     }
   }
 
+  test("vacuumPlan: dry run lists exactly what vacuum then deletes, " +
+      "touching nothing itself") {
+    import spark.implicits._
+    val root = tmpRoot("vplan")
+    val t = GraftTable.create(spark, root,
+      spark.range(100).toDF("id").repartitionByRange(4, col("id")))
+    t.deleteWhere($"id" < 50L) // COW: v1's files orphan below retention
+    t.compact(1000000L)
+    val plan = t.vacuumPlan(3, minAgeMs = 0)
+    assert(plan.nonEmpty, "pre-retention manifests + orphaned files expected")
+    // dry run is pure: every planned path still exists, snapshots intact
+    plan.foreach(p => assert(new java.io.File(root, p).exists(), s"dry run deleted $p"))
+    assert(t.read(1).count() == 100 && t.read().count() == 50)
+    // the real vacuum then deletes EXACTLY the planned set
+    t.vacuum(3, minAgeMs = 0)
+    plan.foreach(p => assert(!new java.io.File(root, p).exists(),
+      s"vacuum left a planned path $p"))
+    assert(t.read().count() == 50)
+  }
+
   test("detail procedure: one-row snapshot summary off the latest manifest") {
     import spark.implicits._
     val root = tmpRoot("detail")

@@ -82,6 +82,37 @@ object ProfCdf {
       |"telescoped_sec":$teleSec%.2f,"telescoped_rows":$teleRows,
       |"snapshot_diff_sec":$snapSec%.2f,"snapshot_diff_rows":$snapRows,
       |"rows_diverging":$diverge}""".stripMargin.replaceAll("\n", ""))
+
+    // ---- round-14: the SAME window now CROSSES SCHEMA EVOLUTION --------
+    // v3 = pure-metadata ADD COLUMNS (zero churn), v4 = a small append
+    // carrying the new column. changesBetween(1, 4) must still telescope
+    // (O(churn in the window): the merge's files + the appended files),
+    // rendered in v4's WIDE schema — before round 14 an evolved range
+    // bailed to the two-snapshot fallback, which could not even union the
+    // mismatched arities.
+    val c2 = t.commitAt(2)
+    t.commit(2, "alter_table", c2.files, c2.schema.add("tag", "string"))
+    t.append(batch.limit(1000).withColumn("tag", lit("evo")))
+    val t2 = System.nanoTime()
+    val teleEvo = t.changesBetween(1, 4)
+    val teleEvoRows = teleEvo.count()
+    val teleEvoSec = (System.nanoTime() - t2) / 1e9
+    // reference: snapshot EXCEPT-ALL pair, v1 widened by hand to v4's schema
+    val t3 = System.nanoTime()
+    val v1Wide = t.read(1).withColumn("tag", lit(null).cast("string"))
+    val snapEvo = t.read(4).exceptAll(v1Wide).withColumn("_change_type", lit("insert"))
+      .unionByName(v1Wide.exceptAll(t.read(4)).withColumn("_change_type", lit("delete")))
+    val snapEvoRows = snapEvo.count()
+    val snapEvoSec = (System.nanoTime() - t3) / 1e9
+    val divergeEvo = teleEvo.exceptAll(snapEvo).count() + snapEvo.exceptAll(teleEvo).count()
+    val v4 = t.commitAt(4)
+    val churnedEvo = v4.files.count(f => !v1Paths.contains(f.path)) +
+      v1.files.count(f => !v4.files.map(_.path).toSet.contains(f.path))
+    println(f"""{"probe":"cdf_evolution_crossing","sf_dir":"$sfDir",
+      |"files_churned_in_window":$churnedEvo,
+      |"telescoped_sec":$teleEvoSec%.2f,"telescoped_rows":$teleEvoRows,
+      |"snapshot_diff_sec":$snapEvoSec%.2f,"snapshot_diff_rows":$snapEvoRows,
+      |"rows_diverging":$divergeEvo}""".stripMargin.replaceAll("\n", ""))
     delete(new File(root))
     spark.stop()
   }

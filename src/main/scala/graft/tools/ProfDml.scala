@@ -72,6 +72,27 @@ object ProfDml {
     println(f"""{"probe":"dml_dv","rows":$nRows,"files":$nFiles,""" +
       f""""deleted":${nRows / 1000},"dv_bytes":$dvBytes,"cow_bytes":$cowBytes,""" +
       f""""bytes_ratio":$ratio%.1f,"dv_ms":$dvMs,"cow_ms":$cowMs}""")
+
+    // READ amplification of merge-on-read: scan the DV'd snapshot (every
+    // row pays the broadcast-map mask) vs the same content after
+    // compaction materializes the vectors away. Min-of-3 steady state.
+    val tr = freshTable("read")
+    tr.deleteWhere(cond, dvMode = "force")
+    def scanSec(): Double = {
+      (1 to 3).map { _ =>
+        val s0 = System.nanoTime()
+        tr.read().agg(sum($"v")).collect()
+        (System.nanoTime() - s0) / 1e9
+      }.min
+    }
+    tr.read().count() // warm
+    val dvScan = scanSec()
+    tr.compact(nRows / 8)
+    tr.read().count() // warm
+    val plainScan = scanSec()
+    println(f"""{"probe":"dml_dv_read","rows":$nRows,"files":$nFiles,""" +
+      f""""dv_masked_scan_sec":$dvScan%.3f,"post_compact_scan_sec":$plainScan%.3f,""" +
+      f""""read_amplification":${dvScan / math.max(1e-9, plainScan)}%.2f}""")
     spark.stop()
   }
 }

@@ -171,6 +171,18 @@ object PipelineQueries extends QueryModule {
       require(maxId == 0L ||
         Set("delete_dv", "delete_noop")(v4.operation),
         s"expected the deletion-vector path for the 1% delete, got ${v4.operation}")
+      // Version 5: a SMALL SCATTERED UPDATE (every 97th event, ≈1% of
+      // rows grazing every file — the classic backfill shape) — the auto
+      // decision picks MERGE-ON-READ UPDATE: superseded rows become
+      // deletion-vector swaps ON TOP of v4's existing vectors (position
+      // disjointness under composition) and only the post-image rows
+      // append; zero candidate files rewrite.
+      spark.sql(s"UPDATE graft_dml.`${d.getName}` SET value = value + 10 " +
+        "WHERE event_id % 97 = 0")
+      val v5 = tbl.commitAt(5L)
+      require(maxId == 0L ||
+        Set("update_dv", "update_noop")(v5.operation),
+        s"expected the merge-on-read path for the 1% update, got ${v5.operation}")
       tbl
     }
 
@@ -201,6 +213,64 @@ object PipelineQueries extends QueryModule {
     sqlDmlTable(spark, sfDir).read(4L).orderBy($"event_id")
   }
 
+  /** S21b — MERGE-ON-READ UPDATE (round-14 extension): the snapshot after
+    * the scattered 1% SQL UPDATE (version 5), served through BOTH layers
+    * of vectors (v4's delete + v5's update swaps) plus the appended
+    * post-image files. Correctness proves the whole DV-update round trip
+    * — matched-position harvest over already-vectored files, disjoint
+    * vector merge, post-image append — against an oracle that recomputes
+    * the three DML statements from raw events. */
+  private def updateWhereDv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sqlDmlTable(spark, sfDir).read(5L).orderBy($"event_id")
+  }
+
+  /** S21c — MERGE-ON-READ MERGE (Delta's DV-based MERGE): a key-unique
+    * batch touching ≈2.7% of a keep-latest table's keys — half updates
+    * (value bump on every 37th user), half inserts (the same rows under
+    * shifted fresh keys) — goes through SQL `MERGE INTO`. The auto
+    * decision vectors the superseded target rows and appends ONLY the
+    * batch: zero grazed files rewrite, commit IO O(batch), where the
+    * copy-on-write plan would rewrite every candidate file the scattered
+    * keys graze. The fixture asserts the `merge_dv` operation actually
+    * ran; the oracle recomputes keep-latest + CASE bump + shifted clones
+    * from raw events. */
+  private def upsertMergeDv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = builtTable(spark, sfDir, "md") { dir =>
+      val keys = Seq("user_id", "event_type")
+      val ordering = Seq($"ts".desc, $"event_id".desc)
+      val ev = Tables.events(spark, sfDir)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      // HASH layout, not range: the batch's keys graze EVERY file thinly
+      // (a handful of superseded rows each) — the scattered shape where
+      // vectoring beats rewriting at any scale factor; a range layout
+      // would concentrate a tiny fixture's one matching user into one
+      // file and trip the mostly-dead fallback
+      val base = KeepLatest.keepLatest(ev, keys, ordering).repartition(8)
+      val tbl = graft.table.GraftTable.create(spark, dir, base, "create_base")
+      val d = new java.io.File(dir)
+      spark.conf.set("spark.sql.catalog.graft_md", classOf[graft.table.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_md.root", d.getParentFile.getAbsolutePath)
+      val slice = KeepLatest.keepLatest(ev, keys, ordering)
+        .filter($"user_id" % 37 === 5)
+      slice.withColumn("value", $"value" + 1000d)
+        .unionByName(slice.select(($"user_id" + 10000000L).as("user_id"),
+          $"event_type", $"event_id", $"ts", ($"value" + 1000d).as("value")))
+        .createOrReplaceTempView("graft_merge_dv_batch")
+      spark.sql(
+        s"""MERGE INTO graft_md.`${d.getName}` AS t USING graft_merge_dv_batch AS s
+           |ON t.user_id = s.user_id AND t.event_type = s.event_type
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v2 = tbl.commitAt(2L)
+      require(slice.isEmpty || v2.operation == "merge_dv",
+        s"expected the merge-on-read MERGE path, got ${v2.operation}")
+      tbl
+    }
+    t.read().orderBy($"user_id", $"event_type", $"event_id")
+  }
+
   /** S18 — STRING-KEYED merge over the documents corpus (round-12 verdict
     * task 1's query-level witness): a doc-id-keyed table merges a batch
     * through [[graft.table.GraftTable.mergeUpsert]]; the manifests'
@@ -221,7 +291,10 @@ object PipelineQueries extends QueryModule {
       val tbl = graft.table.GraftTable.create(spark, dir, base, "create_docs")
       val batch = docs.filter($"doc_id" % 7 === 3).drop("doc_id")
         .withColumn("n_chars", $"n_chars" + 1000000L)
-      tbl.mergeUpsert(batch, Seq("sid"))
+      // dvMode off: this key WITNESSES the string-stat copy-on-write
+      // rewrite (S18) — the merge-on-read spelling has its own key,
+      // `upsert_merge_dv`
+      tbl.mergeUpsert(batch, Seq("sid"), dvMode = "off")
       tbl
     }
     t.read().orderBy($"sid")
@@ -589,6 +662,8 @@ object PipelineQueries extends QueryModule {
     "delete_where_sql"       -> deleteWhereSql,
     "delete_where_dv"        -> deleteWhereDv,
     "update_where_sql"       -> updateWhereSql,
+    "update_where_dv"        -> updateWhereDv,
+    "upsert_merge_dv"        -> upsertMergeDv,
     "upsert_scd2"            -> upsertScd2,
     "upsert_cdc_apply"       -> upsertCdcApply,
     "cdc_derive_changes"     -> cdcDeriveChanges,
@@ -748,6 +823,32 @@ object PipelineQueries extends QueryModule {
         |  AND event_id > (SELECT CAST(floor(max(event_id) / 100.0) AS BIGINT)
         |                  FROM events)
         |ORDER BY event_id""".stripMargin,
+    "update_where_dv" ->
+      """SELECT user_id, event_type, event_id, ts,
+        |       CASE WHEN event_id % 97 = 0 THEN v1 + 10 ELSE v1 END AS value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         CASE WHEN user_id < 50 THEN value + 1 ELSE value END AS v1
+        |  FROM events WHERE event_type <> 'error'
+        |    AND event_id > (SELECT CAST(floor(max(event_id) / 100.0) AS BIGINT)
+        |                    FROM events))
+        |ORDER BY event_id""".stripMargin,
+    "upsert_merge_dv" ->
+      """WITH kl AS (
+        |  SELECT user_id, event_type, event_id, ts, value FROM (
+        |    SELECT user_id, event_type, event_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT user_id, event_type, event_id, ts,
+        |       CASE WHEN user_id % 37 = 5 THEN value + 1000 ELSE value END AS value
+        |FROM kl
+        |UNION ALL
+        |SELECT user_id + 10000000 AS user_id, event_type, event_id, ts,
+        |       value + 1000 AS value
+        |FROM kl WHERE user_id % 37 = 5
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
     "filter_partition_prune" ->
       """SELECT event_id, user_id FROM events
         |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 3

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions.col
   * resolution rule (injected via [[graft.GraftExtensions]]) intercepts
   * the RESOLVED `MergeIntoTable` whose target is a graft DSv2 relation
   * and lowers it to [[GraftMergeCommand]], which executes the merge
-  * through the table format's own transactional, COPY-ON-WRITE path
-  * ([[GraftTable.mergeUpsert]]) — the same manifest-pruned plan the
-  * programmatic API takes, so a SQL merge on a 100-TB table rewrites
-  * O(batch) files, not the table.
+  * through the table format's own transactional path
+  * ([[GraftTable.mergeUpsert]]) — merge-on-read by default (scattered
+  * batches commit as deletion-vector swaps + the appended batch),
+  * copy-on-write for dense ones — the same manifest-pruned plan the
+  * programmatic API takes, so a SQL merge on a 100-TB table writes
+  * O(batch), never the table.
   *
   * Supported shape (the upsert the reference runs): an equality-
   * conjunction ON clause, exactly `WHEN MATCHED THEN UPDATE SET *` and
@@ -54,9 +56,10 @@ final class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   /** SQL `UPDATE t SET c = e WHERE cond` → [[GraftTable.updateWhere]]:
     * assigned values and the condition may reference any target column;
     * the WHERE clause additionally folds (via the connector-standard
-    * filter translation) to per-column ranges, so the rewrite is
-    * copy-on-write — candidate files off the manifest, everything else
-    * carried by reference. */
+    * filter translation) to per-column ranges for candidate selection
+    * off the manifest; a scattered update then commits merge-on-read
+    * (vector swaps + post-image appends), a dense one copy-on-write —
+    * everything unmatched carried by reference either way. */
   private def lowerUpdate(u: UpdateTable, rel: DataSourceV2Relation): LogicalPlan = {
     val tAttrs = AttributeSet(rel.output)
     val assigns = u.assignments.map {

@@ -1646,16 +1646,77 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * arbitrates — the batch wins unconditionally (the caller guarantees a
     * key-unique batch, MERGE's cardinality precondition; NULL keys never
     * match, so a null-keyed batch row inserts — exactly ANSI equality).
-    * Same COW candidate pruning, conflict rebase, and one keyed shuffle
-    * (a broadcastable anti-join of touched rows against the batch keys +
-    * union) — a SQL merge on a 100-TB table costs O(batch). */
-  def mergeUpsert(batch: DataFrame, keys: Seq[String]): Long =
+    *
+    * MERGE-ON-READ by default (Delta's DV-based MERGE): when the matched
+    * target rows are a small fraction of the candidate files' rows, their
+    * positions become deletion-vector swaps and the batch appends as new
+    * files ([[mergeViaDv]]) — the commit writes O(batch) + O(matched
+    * positions), rewriting ZERO grazed files. A dense merge falls back to
+    * the copy-on-write plan: same COW candidate pruning, conflict rebase,
+    * and one keyed shuffle (a broadcastable anti-join of touched rows
+    * against the batch keys + union) — either way a SQL merge on a
+    * 100-TB table costs O(batch), never O(table). */
+  def mergeUpsert(batch: DataFrame, keys: Seq[String],
+                  dvMode: String = "auto"): Long = {
+    require(Set("auto", "off", "force")(dvMode),
+      s"dvMode must be auto|off|force, got $dvMode")
+    if (dvMode != "off") {
+      var attempt = 0
+      var dv = true
+      while (dv) {
+        val parent = latestVersion
+        val c = commitAt(parent)
+        val (touched, _) = cowSplit(c, batch, keys)
+        try {
+          mergeViaDv(parent, c, batch, keys, touched, dvMode) match {
+            case Some(v) => return v
+            case None => dv = false // dense merge: copy-on-write wins
+          }
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 8) throw e
+        }
+      }
+    }
     mergeWithRetry("merge_upsert", batch, keys) { (c, touched) =>
       val b = batch.select(c.schema.fieldNames.map(col).toSeq: _*)
       readFiles(c.schema, touched, c.columnMapping)
         .join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(b)
     }
+  }
+
+  /** Merge-on-read MERGE: one distributed semi-join of the candidate
+    * files' rows (existing vectors applied) against the batch's distinct
+    * keys harvests the positions of every SUPERSEDED target row; those
+    * become deletion-vector swaps and the whole batch — replacements and
+    * inserts alike — appends as new files. NULL-keyed target rows never
+    * match the semi-join (they survive) and NULL-keyed batch rows append
+    * (they insert): ANSI equality falls out of the join semantics, not a
+    * special case. An empty matched set is still a valid merge — a pure
+    * insert, appended at zero swap cost. Returns None when
+    * [[dvSwapEntries]]' bounds pick copy-on-write (a batch replacing most
+    * of its candidates' rows should rewrite them, not vector them). */
+  private def mergeViaDv(parent: Long, c: TableCommit, batch: DataFrame,
+      keys: Seq[String], touched: Seq[ManifestFile],
+      dvMode: String): Option[Long] = {
+    val fp = col(GraftTable.DvFileCol)
+    val ri = col(GraftTable.DvRowCol)
+    val b = batch.select(c.schema.fieldNames.map(col).toSeq: _*)
+    val matched = applyDvIfAny(
+      readFilesRaw(c.schema, touched, withMeta = true, c.columnMapping), touched)
+      .join(b.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(fp, ri)
+    val nMatched = matched.count()
+    val swapped =
+      if (nMatched == 0) Map.empty[String, ManifestFile]
+      else dvSwapEntries(matched, touched, dvMode, nMatched)
+        .getOrElse(return None)
+    val newFiles = writeData(b, mapping = c.columnMapping)
+    Some(commit(parent, "merge_dv",
+      swapDvFiles(c.files, swapped) ++ newFiles, c.schema))
+  }
 
   /** Row-level DELETE (SQL `DELETE FROM t WHERE cond`, via
     * [[GraftSparkTable]]'s SupportsDelete): COPY-ON-WRITE like the merge
@@ -1732,8 +1793,6 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def deleteViaDv(parent: Long, c: TableCommit, cond: Column,
       touched: Seq[ManifestFile], carried: Seq[ManifestFile],
       dvMode: String): Option[Long] = {
-    val session = spark
-    import session.implicits._
     val fp = col(GraftTable.DvFileCol)
     val ri = col(GraftTable.DvRowCol)
     val matched = applyDvIfAny(
@@ -1743,6 +1802,30 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val nMatched = matched.count()
     if (nMatched == 0)
       return Some(commit(parent, "delete_noop", c.files, c.schema))
+    dvSwapEntries(matched, touched, dvMode, nMatched).map { updated =>
+      commit(parent, "delete_dv", swapDvFiles(c.files, updated), c.schema)
+    }
+  }
+
+  /** Shared merge-on-read position harvest behind DELETE/UPDATE/MERGE:
+    * aggregate the matched `(file, row-position)` pairs into per-file
+    * MERGED deletion-vector manifest entries. `matched` must carry only
+    * the DV metadata columns and must already have the candidates'
+    * existing vectors applied (so positions are fresh by construction and
+    * the per-file union is a sorted merge of disjoint sets).
+    *
+    * Returns None when the bounds say copy-on-write wins: matched rows
+    * exceed the absolute driver bound ([[GraftTable.DvMaxDeleteRows]] —
+    * positions transit the driver), or in auto mode exceed
+    * [[GraftTable.DvMaxDeleteFraction]] of the candidates' physical rows
+    * (mostly-dead files should rewrite, not defer the rewrite to every
+    * future scan). `force` skips the fraction test, never the bound. */
+  private def dvSwapEntries(matched: DataFrame, touched: Seq[ManifestFile],
+      dvMode: String, nMatched: Long): Option[Map[String, ManifestFile]] = {
+    val session = spark
+    import session.implicits._
+    val fp = col(GraftTable.DvFileCol)
+    val ri = col(GraftTable.DvRowCol)
     val physRows = touched.map(_.rows).sum.toDouble
     if (nMatched > GraftTable.DvMaxDeleteRows ||
         (dvMode == "auto" && nMatched > GraftTable.DvMaxDeleteFraction * physRows))
@@ -1753,7 +1836,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .map { case (p, rs) => p -> rs.toArray }.toMap
     // resolve absolute scan paths back to manifest entries (suffix match,
     // driver-side, O(matched files × candidates) over small lists)
-    val updated: Map[String, ManifestFile] = perFile.map { case (absPath, fresh) =>
+    Some(perFile.map { case (absPath, fresh) =>
       val entry = touched.find(f => absPath.endsWith(f.path)).getOrElse(
         throw new IllegalStateException(s"matched file $absPath not in candidate set"))
       val mergedIdx = entry.dv match {
@@ -1776,13 +1859,16 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       entry.path -> entry.copy(
         dv = Some(GraftTable.writeDv(root, mergedIdx)),
         dvRows = mergedIdx.length.toLong)
-    }
-    // swapped entries move to the tail so the delta-encoded replay
-    // (carry-forward ++ add) reproduces the committed order exactly
-    val files = c.files.filterNot(f => updated.contains(f.path)) ++
-      c.files.flatMap(f => updated.get(f.path))
-    Some(commit(parent, "delete_dv", files, c.schema))
+    })
   }
+
+  /** Splice DV-swapped entries into a commit's file list. Swapped entries
+    * move to the tail so the delta-encoded replay (carry-forward ++ add)
+    * reproduces the committed order exactly. */
+  private def swapDvFiles(files: Seq[ManifestFile],
+      updated: Map[String, ManifestFile]): Seq[ManifestFile] =
+    files.filterNot(f => updated.contains(f.path)) ++
+      files.flatMap(f => updated.get(f.path))
 
   /** [[applyDv]] when only SOME of the files carry vectors — the mixed
     * candidate set a second DELETE sees. */
@@ -1792,23 +1878,53 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   }
 
   /** Row-level UPDATE (SQL `UPDATE t SET c = e WHERE cond`, lowered by
-    * [[GraftMergeRule]]): same COW candidate selection as [[deleteWhere]];
+    * [[GraftMergeRule]]): same COW candidate selection as [[deleteWhere]],
+    * and the same auto merge-on-read decision — a SMALL scattered update
+    * (a backfill touching a sliver of every file) records deletion
+    * vectors over the superseded rows and appends ONLY the post-image
+    * rows ([[updateViaDv]] — Delta's DV-based UPDATE, commit IO
+    * O(updated rows)); a dense update falls back to copy-on-write:
     * touched files rewrite with each assigned column wrapped in
     * `CASE WHEN cond THEN new ELSE old` (NULL condition keeps the old
     * value — ANSI), cast back to the column's declared type so the table
     * schema never drifts. */
   def updateWhere(assignments: Seq[(String, Column)], cond: Option[Column],
                   ranges: Seq[(String, BigDecimal, BigDecimal)] = Seq.empty,
-                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty): Long = {
+                  strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
+                  dvMode: String = "auto"): Long = {
+    require(Set("auto", "off", "force")(dvMode),
+      s"dvMode must be auto|off|force, got $dvMode")
     var attempt = 0
     while (true) {
       val parent = latestVersion
       val c = commitAt(parent)
       val (touched, carried) =
         c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
-      val assignMap = assignments.toMap
-      val updated = readFiles(c.schema, touched, c.columnMapping)
-        .select(c.schema.fields.map { fld =>
+      try {
+        return {
+          if (dvMode != "off" && touched.nonEmpty)
+            updateViaDv(parent, c, assignments, cond, touched, dvMode).getOrElse(
+              updateViaCow(parent, c, assignments, cond, touched, carried))
+          else updateViaCow(parent, c, assignments, cond, touched, carried)
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Copy-on-write UPDATE: candidate files rewrite wholesale with the
+    * conditional assignments applied in place. The pre-DV behavior, and
+    * the fallback when the matched set is dense. */
+  private def updateViaCow(parent: Long, c: TableCommit,
+      assignments: Seq[(String, Column)], cond: Option[Column],
+      touched: Seq[ManifestFile], carried: Seq[ManifestFile]): Long = {
+    val assignMap = assignments.toMap
+    val updated = readFiles(c.schema, touched, c.columnMapping)
+      .select(c.schema.fields.map { fld =>
         assignMap.get(fld.name) match {
           case Some(e) =>
             val applied = cond match {
@@ -1819,15 +1935,49 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           case None => col(fld.name)
         }
       }.toSeq: _*)
-      val newFiles = writeData(updated, mapping = c.columnMapping)
-      try return commit(parent, "update", carried ++ newFiles, c.schema)
-      catch {
-        case e: ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > 8) throw e
-      }
+    val newFiles = writeData(updated, mapping = c.columnMapping)
+    commit(parent, "update", carried ++ newFiles, c.schema)
+  }
+
+  /** Merge-on-read UPDATE: one distributed pass over the candidate files
+    * (existing vectors applied first) finds the rows where `cond` is TRUE;
+    * their positions become deletion-vector swaps ([[dvSwapEntries]]) and
+    * their POST-IMAGE rows — the assignments applied unconditionally,
+    * every surviving row here matched — append as new files. Untouched
+    * candidates and carried files ride by reference, so a scattered
+    * backfill commits O(updated rows) bytes instead of rewriting every
+    * grazed file. Returns None when the bounds pick copy-on-write. */
+  private def updateViaDv(parent: Long, c: TableCommit,
+      assignments: Seq[(String, Column)], cond: Option[Column],
+      touched: Seq[ManifestFile], dvMode: String): Option[Long] = {
+    val fp = col(GraftTable.DvFileCol)
+    val ri = col(GraftTable.DvRowCol)
+    val raw = applyDvIfAny(
+      readFilesRaw(c.schema, touched, withMeta = true, c.columnMapping), touched)
+    val matched = cond match {
+      case Some(p) => raw.filter(coalesce(p, lit(false)))
+      case None => raw
     }
-    0L // unreachable
+    // persisted: the matched slice feeds BOTH the position harvest and the
+    // post-image write — O(matched rows), the same budget as the vectors
+    matched.persist()
+    try {
+      val nMatched = matched.count()
+      if (nMatched == 0)
+        return Some(commit(parent, "update_noop", c.files, c.schema))
+      val updated = dvSwapEntries(matched.select(fp, ri), touched, dvMode, nMatched)
+        .getOrElse(return None)
+      val assignMap = assignments.toMap
+      val post = matched.select(c.schema.fields.map { fld =>
+        assignMap.get(fld.name) match {
+          case Some(e) => e.cast(fld.dataType).as(fld.name)
+          case None => col(fld.name)
+        }
+      }.toSeq: _*)
+      val newFiles = writeData(post, mapping = c.columnMapping)
+      Some(commit(parent, "update_dv",
+        swapDvFiles(c.files, updated) ++ newFiles, c.schema))
+    } finally matched.unpersist()
   }
 
   /** Transactional CDC apply: merge an insert/update/delete change batch

@@ -61,7 +61,9 @@ object ExplainDump {
     // round-14 additions: timestamp time travel and the deletion-vector
     // masked snapshot read (the dump shows the DV filter over the scan)
     "scan_time_travel_ts", "delete_where_dv",
-    "delete_where_sql", "update_where_sql")
+    "delete_where_sql", "update_where_sql",
+    // round-14 continuation: the merge-on-read UPDATE/MERGE snapshots
+    "update_where_dv", "upsert_merge_dv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -128,17 +128,35 @@ object FuzzTable {
             shadow = shadow.filterNot(r => r._1 % m == r0)
             s"delete_mod_$dvMode"
           }
-        } else if (op < 60) { // update: suffix-stamp s on an id range
+        } else if (op < 57) { // update: suffix-stamp s on an id range
+          // dvMode fuzzed like delete: auto/off/force interleave vector
+          // swaps + post-image appends with every other mutation
+          val dvMode = Seq("auto", "off", "force")(rng.nextInt(3))
           val lo = if (nextId == 0) 0L else rng.nextLong(nextId)
           val hi = math.min(math.max(nextId, 1L) - 1, lo + rng.nextInt(300))
           val hints =
             if (rng.nextBoolean()) Seq(("id", BigDecimal(lo), BigDecimal(hi)))
             else Seq.empty
           t.updateWhere(Seq("s" -> concat($"s", lit("+u"))),
-            Some($"id" >= lo && $"id" <= hi), ranges = hints)
+            Some($"id" >= lo && $"id" <= hi), ranges = hints, dvMode = dvMode)
           shadow = shadow.map(r =>
             if (r._1 >= lo && r._1 <= hi) (r._1, r._2, r._3 + "+u") else r)
-          "update"
+          s"update_$dvMode"
+        } else if (op < 60) { // merge: batch-wins replace-by-key (SQL MERGE shape)
+          val dvMode = Seq("auto", "off", "force")(rng.nextInt(3))
+          val existing = shadow.map(_._1)
+          val overlap =
+            if (existing.isEmpty) Vector.empty
+            else rng.shuffle(existing).take(rng.nextInt(math.min(50, existing.size) + 1))
+          val fresh = (0 until rng.nextInt(15)).map { _ => val id = nextId; nextId += 1; id }
+          val ids = (overlap ++ fresh).distinct // MERGE cardinality: key-unique batch
+          val b = ids.map { id => seq += 1; (id, seq, s"s$id-m${seq % 5}") }.toVector
+          if (b.nonEmpty) {
+            t.mergeUpsert(df(b), Seq("id"), dvMode = dvMode)
+            val bm = b.map(r => r._1 -> r).toMap
+            shadow = shadow.filterNot(r => bm.contains(r._1)) ++ b
+          }
+          s"merge_$dvMode"
         } else if (op < 72) { // exactly-once: new batch, or a replay with forged data
           if (committedBatches.nonEmpty && rng.nextInt(10) < 3) {
             val (oldId, _) = committedBatches(rng.nextInt(committedBatches.size))

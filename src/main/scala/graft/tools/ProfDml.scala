@@ -73,6 +73,59 @@ object ProfDml {
       f""""deleted":${nRows / 1000},"dv_bytes":$dvBytes,"cow_bytes":$cowBytes,""" +
       f""""bytes_ratio":$ratio%.1f,"dv_ms":$dvMs,"cow_ms":$cowMs}""")
 
+    // merge-on-read UPDATE: same scattered 0.1%, SET v = v + 1 — the DV
+    // path writes the vectors PLUS only the post-image rows; the COW
+    // control rewrites every grazed file
+    def measureUpd(tag: String, dvMode: String): (Long, Long, String) = {
+      val t = freshTable(tag)
+      val before = dataBytes(t.root)
+      val t0 = System.nanoTime()
+      t.updateWhere(Seq("v" -> ($"v" + 1L)), Some(cond), dvMode = dvMode)
+      val ms = (System.nanoTime() - t0) / 1000000
+      val after = dataBytes(t.root)
+      val newBytes = after.collect {
+        case (p, sz) if !before.contains(p) => sz
+      }.sum
+      (newBytes, ms, t.commitAt(t.latestVersion).operation)
+    }
+    val (udvB, udvMs, udvOp) = measureUpd("udv", "force")
+    val (ucowB, ucowMs, ucowOp) = measureUpd("ucow", "off")
+    require(udvOp == "update_dv" && ucowOp == "update", s"unexpected ops: $udvOp/$ucowOp")
+    println(f"""{"probe":"dml_dv_update","rows":$nRows,"files":$nFiles,""" +
+      f""""updated":${nRows / 1000},"dv_bytes":$udvB,"cow_bytes":$ucowB,""" +
+      f""""bytes_ratio":${ucowB.toDouble / math.max(1L, udvB)}%.1f,""" +
+      f""""dv_ms":$udvMs,"cow_ms":$ucowMs}""")
+
+    // merge-on-read MERGE: a 0.1%-of-keys batch (plus 0.01% inserts) —
+    // the DV path appends the batch and vectors the superseded rows;
+    // the COW control rewrites every candidate file the keys graze
+    def mergeBatch = spark.range(nRows / 1000).toDF("k")
+      .select(($"k" * 1000).as("id"), lit(-1L).as("v"),
+        concat(lit("merged-"), $"k" * 1000).as("s"))
+      .unionByName(spark.range(nRows / 10000).toDF("k")
+        .select(($"k" + nRows + 1).as("id"), lit(-2L).as("v"),
+          concat(lit("fresh-"), $"k").as("s")))
+    def measureMerge(tag: String, dvMode: String): (Long, Long, String) = {
+      val t = freshTable(tag)
+      val before = dataBytes(t.root)
+      val t0 = System.nanoTime()
+      t.mergeUpsert(mergeBatch, Seq("id"), dvMode = dvMode)
+      val ms = (System.nanoTime() - t0) / 1000000
+      val after = dataBytes(t.root)
+      val newBytes = after.collect {
+        case (p, sz) if !before.contains(p) => sz
+      }.sum
+      (newBytes, ms, t.commitAt(t.latestVersion).operation)
+    }
+    val (mdvB, mdvMs, mdvOp) = measureMerge("mdv", "force")
+    val (mcowB, mcowMs, mcowOp) = measureMerge("mcow", "off")
+    require(mdvOp == "merge_dv" && mcowOp == "merge_upsert",
+      s"unexpected ops: $mdvOp/$mcowOp")
+    println(f"""{"probe":"dml_dv_merge","rows":$nRows,"files":$nFiles,""" +
+      f""""batch":${nRows / 1000 + nRows / 10000},"dv_bytes":$mdvB,"cow_bytes":$mcowB,""" +
+      f""""bytes_ratio":${mcowB.toDouble / math.max(1L, mdvB)}%.1f,""" +
+      f""""dv_ms":$mdvMs,"cow_ms":$mcowMs}""")
+
     // READ amplification of merge-on-read: scan the DV'd snapshot (every
     // row pays the broadcast-map mask) vs the same content after
     // compaction materializes the vectors away. Min-of-3 steady state.

@@ -18,7 +18,7 @@ class FuzzTableSpec extends SparkSpec {
   }
 
   test("seeded DML programs hold every shadow, time-travel, and CDF invariant") {
-    Seq(7L, 1300L).foreach { seed =>
+    Seq(7L, 13L).foreach { seed =>
       val o = FuzzTable.runProgram(spark, seed, nOps = 25, tmpRoot(s"s$seed"))
       assert(o.commits > 10, s"seed $seed: expected a real program, got ${o.commits} commits")
       assert(o.checks > 30, s"seed $seed: expected the full check battery, got ${o.checks}")

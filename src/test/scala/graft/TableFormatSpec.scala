@@ -1231,4 +1231,87 @@ class TableFormatSpec extends SparkSpec {
       GraftTable.forPath(spark, t.root).commitAt(3))
     assert(e.getMessage.contains("unsupported manifest format"))
   }
+
+  // ---- round-14 continuation: merge-on-read UPDATE / MERGE ----------------
+
+  test("merge-on-read UPDATE: superseded rows vector out, post-images " +
+      "append; time travel, CDF, a second stacked update, and compaction hold") {
+    import spark.implicits._
+    val t = rangedBase("morup")
+    val v1 = t.commitAt(1).files
+    // scattered ~1% update: auto must pick the DV path (9 of 1000 rows)
+    t.updateWhere(Seq("v" -> ($"v" + 1L)), Some($"id" % 111 === 7))
+    val v2 = t.commitAt(2)
+    assert(v2.operation == "update_dv", s"expected DV update, got ${v2.operation}")
+    // every base path carried (swaps keep their path); post-images append
+    assert(v1.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet))
+    val matchedIds = (0L until 1000L).filter(_ % 111 == 7)
+    assert(v2.files.map(_.dvRows).sum == matchedIds.size.toLong)
+    assert(v2.files.map(_.liveRows).sum == 1000L)
+    val got = t.read().filter($"id" % 111 === 7)
+      .select($"id", $"v").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == matchedIds)
+    assert(got.forall { case (id, v) => v == id * 10 + 1 },
+      "post-image rows must carry the assignment exactly once")
+    assert(t.read().count() == 1000)
+    // time travel: the pre-update snapshot never sees the vector
+    assert(t.read(1).filter($"v" =!= $"id" * 10).isEmpty)
+    // CDF: exactly a delete(pre-image) + insert(post-image) pair per row
+    val chg = t.changesBetween(1, 2)
+      .select($"id", $"v", $"_change_type").as[(Long, Long, String)].collect()
+    assert(chg.length == 2 * matchedIds.size)
+    assert(chg.collect { case (id, v, "delete") => (id, v) }.sortBy(_._1).toSeq
+      == matchedIds.map(id => (id, id * 10)))
+    assert(chg.collect { case (id, v, "insert") => (id, v) }.sortBy(_._1).toSeq
+      == matchedIds.map(id => (id, id * 10 + 1)))
+    // a SECOND update hitting rows whose live copies sit in the APPENDED
+    // post-image file: positions harvest there, vectors stack correctly
+    t.updateWhere(Seq("v" -> ($"v" + 1L)), Some($"id" % 222 === 7),
+      dvMode = "force")
+    assert(t.commitAt(3).operation == "update_dv")
+    assert(t.read().filter($"id" === 7L).select($"v").as[Long].head() == 72L)
+    assert(t.read().filter($"id" === 118L).select($"v").as[Long].head() == 1181L)
+    assert(t.read().count() == 1000)
+    // compaction materializes every vector away; values survive
+    t.compact(targetRows = 2000)
+    assert(t.commitAt(4).files.forall(_.dv.isEmpty))
+    assert(t.read().filter($"id" === 7L).select($"v").as[Long].head() == 72L)
+    assert(t.read().count() == 1000)
+  }
+
+  test("merge-on-read MERGE: batch wins via vector swaps + appended batch; " +
+      "NULL keys insert; a dense merge falls back to copy-on-write") {
+    import spark.implicits._
+    val t = rangedBase("mordv")
+    val v1 = t.commitAt(1).files
+    // small scattered batch: 5 replacements grazing 4 files + 2 inserts
+    t.mergeUpsert(Seq((3L, -1L), (250L, -2L), (900L, -3L), (77L, -4L),
+      (500L, -5L), (5000L, 1L), (6000L, 2L)).toDF("id", "v"), Seq("id"))
+    val v2 = t.commitAt(2)
+    assert(v2.operation == "merge_dv", s"expected DV merge, got ${v2.operation}")
+    assert(v1.map(_.path).toSet.subsetOf(v2.files.map(_.path).toSet),
+      "a merge-on-read MERGE must rewrite zero grazed files")
+    assert(v2.files.map(_.dvRows).sum == 5L)
+    assert(t.read().count() == 1002)
+    assert(t.read().filter($"id" === 3L).select($"v").as[Long].head() == -1L)
+    assert(t.read().filter($"id" === 5000L).count() == 1)
+    // NULL batch key inserts, NULL target rows survive (ANSI equality
+    // falls out of the semi-join — no special case to get wrong)
+    val s = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "long")
+    t.mergeUpsert(spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, 9L)), s), Seq("id"), dvMode = "force")
+    assert(t.commitAt(3).operation == "merge_dv")
+    assert(t.read().count() == 1003)
+    assert(t.read().filter($"id".isNull).count() == 1)
+    // dense merge (60% of keys): auto must fall back to the COW rewrite,
+    // which reads THROUGH the stacked vectors (no resurrection)
+    t.mergeUpsert(spark.range(0, 600).toDF("id").withColumn("v", lit(1L)),
+      Seq("id"))
+    assert(t.commitAt(4).operation == "merge_upsert",
+      s"expected COW fallback, got ${t.commitAt(4).operation}")
+    assert(t.read().count() == 1003)
+    assert(t.read().filter($"id" < 600 && $"v" =!= 1L).isEmpty)
+    assert(t.read().filter($"id" === 900L).select($"v").as[Long].head() == -3L)
+  }
 }

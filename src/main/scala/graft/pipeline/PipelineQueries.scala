@@ -393,6 +393,50 @@ object PipelineQueries extends QueryModule {
         $"_change_type")
   }
 
+  /** The v1→v2 keep-latest diff both CDF keys recompute: inserts = rows
+    * only in v2, deletes = rows only in v1 (Delta-CDF rendering). */
+  private val KeepLatestDiffOracle: String =
+    """WITH v1 AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, ts, value FROM (
+      |    SELECT user_id, event_type, event_id, ts, value,
+      |           row_number() OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+      |  WHERE rn = 1),
+      |v2 AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, ts, value FROM (
+      |    SELECT user_id, event_type, event_id, ts, value,
+      |           row_number() OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1)
+      |SELECT *, 'insert' AS _change_type FROM
+      |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      |UNION ALL
+      |SELECT *, 'delete' AS _change_type FROM
+      |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+      |ORDER BY user_id, event_type, event_id, ts, value, _change_type""".stripMargin
+
+  /** S14b — TIMESTAMP-KEYED change feed (round-14 continuation): the same
+    * v1→v2 diff as `scan_table_changes_diff`, but the window is given as
+    * INSTANTS through the DSv2 `changesFromTimestamp`/`changesToTimestamp`
+    * reader options — each bound resolved by the TIMESTAMP AS OF rule
+    * against the manifests' monotone commit timestamps. This is the
+    * reference's daily-rerun spelling ("what changed since yesterday's
+    * run", `upsert_athena_aggregates.py:24-26`) with exact snapshot
+    * semantics; the identical oracle proves the timestamp resolution
+    * lands on the identical version window. */
+  private def scanTableChangesTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = mergedEventsTable(spark, sfDir)
+    spark.read.format("graft")
+      .option("changesFromTimestamp", t.commitTimestamp(1L).toString)
+      .option("changesToTimestamp", t.commitTimestamp(2L).toString)
+      .load(t.root)
+      .orderBy($"user_id", $"event_type", $"event_id", $"ts", $"value",
+        $"_change_type")
+  }
+
   /** The zordered table behind `scan_file_skipping`: v1 = raw events,
     * v2 = Z-order rewrite on (user-scaled-to-8-bit, day) into 32
     * z-range files. Scaling user_id by its max keeps the Morton x
@@ -654,6 +698,7 @@ object PipelineQueries extends QueryModule {
     "scan_time_travel_ts"    -> scanTimeTravelTs,
     "scan_table_changes"     -> scanTableChanges,
     "scan_table_changes_diff" -> scanTableChangesDiff,
+    "scan_table_changes_ts"  -> scanTableChangesTs,
     "scan_file_skipping"     -> scanFileSkipping,
     "scan_partition_manifest" -> scanPartitionManifest,
     "upsert_keep_latest"     -> upsertKeepLatest,
@@ -765,27 +810,10 @@ object PipelineQueries extends QueryModule {
         |       'insert' AS _change_type
         |FROM events WHERE ts >= TIMESTAMP '2024-01-16'
         |ORDER BY user_id, event_type, event_id, ts, value, _change_type""".stripMargin,
-    "scan_table_changes_diff" ->
-      """WITH v1 AS MATERIALIZED (
-        |  SELECT user_id, event_type, event_id, ts, value FROM (
-        |    SELECT user_id, event_type, event_id, ts, value,
-        |           row_number() OVER (PARTITION BY user_id, event_type
-        |                              ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
-        |  WHERE rn = 1),
-        |v2 AS MATERIALIZED (
-        |  SELECT user_id, event_type, event_id, ts, value FROM (
-        |    SELECT user_id, event_type, event_id, ts, value,
-        |           row_number() OVER (PARTITION BY user_id, event_type
-        |                              ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events)
-        |  WHERE rn = 1)
-        |SELECT *, 'insert' AS _change_type FROM
-        |  (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
-        |UNION ALL
-        |SELECT *, 'delete' AS _change_type FROM
-        |  (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
-        |ORDER BY user_id, event_type, event_id, ts, value, _change_type""".stripMargin,
+    "scan_table_changes_diff" -> KeepLatestDiffOracle,
+    // the SAME recomputation: the timestamp spelling must resolve to the
+    // identical version window, so the identical oracle verifies it
+    "scan_table_changes_ts" -> KeepLatestDiffOracle,
     "upsert_keep_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

@@ -85,14 +85,30 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
         s"timestampAsOf: cannot parse '$s' (epoch millis, " +
           "'yyyy-MM-dd[ HH:mm:ss]', or ISO instant)"))
 
-  /** Change-feed bounds, when this read is a CDF read
-    * (`option("changesFrom", v1)[.option("changesTo", v2)]`). */
+  /** Change-feed bounds, when this read is a CDF read: version-keyed
+    * (`option("changesFrom", v1)[.option("changesTo", v2)]`) or
+    * timestamp-keyed (`changesFromTimestamp`/`changesToTimestamp`, each
+    * resolved by the TIMESTAMP AS OF rule — the "what changed since
+    * yesterday's run" spelling). Mixing the two keyings on one bound is
+    * an error, not a precedence guess. */
   private def changeRange(t: GraftTable,
-      options: CaseInsensitiveStringMap): Option[(Long, Long)] =
-    Option(options.get("changesFrom")).map { from =>
-      (from.toLong,
-        Option(options.get("changesTo")).map(_.toLong).getOrElse(t.latestVersion))
-    }
+      options: CaseInsensitiveStringMap): Option[(Long, Long)] = {
+    val fromV = Option(options.get("changesFrom"))
+    val fromTs = Option(options.get("changesFromTimestamp"))
+    require(fromV.isEmpty || fromTs.isEmpty,
+      "specify either changesFrom or changesFromTimestamp, not both")
+    val toV = Option(options.get("changesTo"))
+    val toTs = Option(options.get("changesToTimestamp"))
+    require(toV.isEmpty || toTs.isEmpty,
+      "specify either changesTo or changesToTimestamp, not both")
+    fromV.map(_.toLong)
+      .orElse(fromTs.map(s => t.versionAtTimestamp(parseTsMs(s))))
+      .map { from =>
+        (from, toV.map(_.toLong)
+          .orElse(toTs.map(s => t.versionAtTimestamp(parseTsMs(s))))
+          .getOrElse(t.latestVersion))
+      }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (t, v) = resolve(options)

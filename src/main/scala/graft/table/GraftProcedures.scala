@@ -132,7 +132,13 @@ private[table] object GraftProcedures {
             col(in.getUTF8String(2).toString), in.getInt(3), r, sr))
         })
       case "vacuum" => new GraftProcedure(root, "vacuum",
-        Seq(p("tbl", StringType), p("retain_from", LongType),
+        Seq(p("tbl", StringType),
+          // exactly ONE of retain_from (a version) or retain_ms (a
+          // retention duration, Delta's VACUUM ... RETAIN n HOURS —
+          // boundary = the snapshot active at now − retain_ms) must be
+          // given; -1 marks the other unset
+          ProcedureParameter.in("retain_from", LongType)
+            .defaultValue("-1").build(),
           // defaulted: the in-flight-writer horizon — schedulers omit it,
           // tests lower it explicitly
           ProcedureParameter.in("min_age_ms", LongType)
@@ -140,15 +146,23 @@ private[table] object GraftProcedures {
           // dry_run => true: report how many files WOULD be reclaimed,
           // delete nothing (Delta's VACUUM ... DRY RUN)
           ProcedureParameter.in("dry_run", BooleanType)
-            .defaultValue("false").build()),
+            .defaultValue("false").build(),
+          ProcedureParameter.in("retain_ms", LongType)
+            .defaultValue("-1").build()),
         opVersionSchema,
         (spark, in) => {
           val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          val rf = in.getLong(1)
+          val rm = in.getLong(4)
+          require((rf >= 0) != (rm >= 0),
+            "vacuum: specify exactly one of retain_from (a version) or " +
+              "retain_ms (a retention duration)")
+          val boundary = if (rf >= 0) rf else t.vacuumRetainBoundary(rm)
           if (in.getBoolean(3))
             opVersion("vacuum_dry_run_would_delete",
-              t.vacuumPlan(in.getLong(1), in.getLong(2)).size.toLong)
+              t.vacuumPlan(boundary, in.getLong(2)).size.toLong)
           else {
-            t.vacuum(in.getLong(1), in.getLong(2))
+            t.vacuum(boundary, in.getLong(2))
             opVersion("vacuum", t.latestVersion)
           }
         })

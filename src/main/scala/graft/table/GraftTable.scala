@@ -460,6 +460,44 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     vs(ans)
   }
 
+  /** Timestamp-bounded change feed: the diff between the snapshot active
+    * at `fromMs` and the snapshot active at `toMs`, each instant resolved
+    * by the TIMESTAMP AS OF rule ([[versionAtTimestamp]] — latest commit
+    * ≤ t). The natural spelling for the reference's date-driven cadence
+    * ("what changed since yesterday's run") — two binary searches over
+    * manifest headers, then the same telescoped O(churn) fold as the
+    * version-keyed form. */
+  def changesBetweenTimestamps(fromMs: Long, toMs: Long): DataFrame = {
+    require(fromMs <= toMs,
+      s"changesBetweenTimestamps($fromMs, $toMs): timestamps must ascend")
+    changesBetween(versionAtTimestamp(fromMs), versionAtTimestamp(toMs))
+  }
+
+  /** Retention-duration VACUUM (Delta's `VACUUM t RETAIN n HOURS`): keep
+    * every snapshot still reachable by time travel within the retention
+    * window — the boundary is the version active at (now − retention),
+    * resolved by the TIMESTAMP AS OF rule, so `timestampAsOf` reads stay
+    * serveable for the whole window — and reclaim everything below. A
+    * window reaching past the first retained commit clamps there (vacuum
+    * of a young table is a no-op, never an error). Returns the boundary
+    * version actually retained from. */
+  def vacuumRetain(retentionMs: Long,
+                   minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Long = {
+    require(retentionMs >= 0, s"vacuumRetain: negative retention $retentionMs")
+    val boundary = vacuumRetainBoundary(retentionMs)
+    vacuum(boundary, minAgeMs)
+    boundary
+  }
+
+  /** The boundary version [[vacuumRetain]] would keep — exposed so the
+    * dry-run procedure can plan the same cut it would make. */
+  def vacuumRetainBoundary(retentionMs: Long): Long = {
+    val vs = versions
+    require(vs.nonEmpty, s"no graft table log at $root")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    versionAtTimestamp(math.max(cutoff, commitTimestamp(vs.head)))
+  }
+
   /** Snapshot read of the latest version. */
   def read(): DataFrame = read(latestVersion)
 

@@ -170,6 +170,21 @@ class DataSourceSpec extends SparkSpec {
       .option("changesFrom", 2).option("changesTo", 3).load(root)
     assert(diff.filter($"_change_type" === "delete").count() == 12)
     assert(diff.filter($"_change_type" === "insert").count() == 1)
+    // timestamp-keyed bounds resolve through the TIMESTAMP AS OF rule to
+    // the IDENTICAL window (the "since yesterday's run" spelling)
+    val ts1 = t.commitTimestamp(2)
+    val ts2 = t.commitTimestamp(3)
+    val diffTs = spark.read.format("graft")
+      .option("changesFromTimestamp", ts1.toString)
+      .option("changesToTimestamp", ts2.toString).load(root)
+    assert(diffTs.filter($"_change_type" === "delete").count() == 12)
+    assert(diffTs.filter($"_change_type" === "insert").count() == 1)
+    assert(t.changesBetweenTimestamps(ts1, ts2).count() == 13)
+    // mixing version and timestamp keyings on one bound is an error
+    intercept[Exception] {
+      spark.read.format("graft").option("changesFrom", 1)
+        .option("changesFromTimestamp", ts1.toString).load(root).collect()
+    }
   }
 
   test("SQL catalog: CREATE / INSERT / SELECT / VERSION AS OF / DROP") {
@@ -476,6 +491,24 @@ class DataSourceSpec extends SparkSpec {
         .collect()
       assert(t.versions == Seq(7L))
       assert(t.read().count() == 500)
+
+      // retention-DURATION spelling (VACUUM ... RETAIN): a window past
+      // the first retained commit clamps there (no-op); zero retention
+      // keeps only the snapshot active now (= latest)
+      t.append(spark.range(900, 910).toDF("id").withColumn("dd", lit(0)))
+      spark.sql("CALL graft_pr.system.vacuum(tbl => 'db.m_t', " +
+        "retain_ms => 864000000000, min_age_ms => 0)").collect()
+      assert(t.versions == Seq(7L, 8L),
+        "a retention window past the first retained commit must no-op")
+      spark.sql("CALL graft_pr.system.vacuum(tbl => 'db.m_t', " +
+        "retain_ms => 0, min_age_ms => 0)").collect()
+      assert(t.versions == Seq(8L))
+      assert(t.read().count() == 510)
+      // exactly one of retain_from / retain_ms
+      intercept[Exception] {
+        spark.sql("CALL graft_pr.system.vacuum(tbl => 'db.m_t', " +
+          "retain_from => 8, retain_ms => 0)").collect()
+      }
 
       intercept[Exception] {
         spark.sql("CALL graft_pr.system.nonsense(tbl => 'db.m_t')").collect()

@@ -166,6 +166,26 @@ private[table] object GraftProcedures {
             opVersion("vacuum", t.latestVersion)
           }
         })
+      case "add_constraint" => new GraftProcedure(root, "add_constraint",
+        // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates the
+        // existing table once, then a metadata-only commit; every write
+        // path enforces it from then on (minWriterVersion 2 — see
+        // GraftTable.addConstraint)
+        Seq(p("tbl", StringType), p("name", StringType), p("expr", StringType)),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          opVersion("add_constraint", t.addConstraint(
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString))
+        })
+      case "drop_constraint" => new GraftProcedure(root, "drop_constraint",
+        Seq(p("tbl", StringType), p("name", StringType)),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          opVersion("drop_constraint",
+            t.dropConstraint(in.getUTF8String(1).toString))
+        })
       case "history" => new GraftProcedure(root, "history",
         Seq(p("tbl", StringType)),
         // Delta DESCRIBE HISTORY's audit columns, from manifests alone —
@@ -243,6 +263,7 @@ private[table] object GraftProcedures {
           s"(available: ${names.mkString(", ")})")
     }
 
-  val names: Seq[String] = Seq("compact", "zorder", "vacuum", "history",
+  val names: Seq[String] = Seq("add_constraint", "drop_constraint",
+    "compact", "zorder", "vacuum", "history",
     "restore", "checkpoint", "detail")
 }

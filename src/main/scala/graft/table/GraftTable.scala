@@ -140,7 +140,9 @@ final case class TableCommit(
     txns: Option[Map[String, Long]] = None,
     partitionCols: Seq[String] = Seq.empty,
     timestampMs: Long = -1L,
-    columnMapping: Map[String, String] = Map.empty) {
+    columnMapping: Map[String, String] = Map.empty,
+    constraints: Map[String, String] = Map.empty,
+    minWriterVersion: Int = 1) {
   /** PHYSICAL column name for a logical field — the name data files
     * store (Delta's column mapping): stable from the moment a column is
     * added, so RENAME is a metadata-only commit and files never rewrite.
@@ -158,7 +160,9 @@ private[table] final case class RawManifest(
     full: Option[Seq[ManifestFile]],
     add: Seq[ManifestFile], remove: Set[String],
     timestampMs: Long = -1L,
-    columnMapping: Map[String, String] = Map.empty)
+    columnMapping: Map[String, String] = Map.empty,
+    constraints: Map[String, String] = Map.empty,
+    minWriterVersion: Int = 1)
 
 /** Minimal engine-native versioned table format — snapshot isolation,
   * time travel, and optimistic concurrency over plain parquet, in the
@@ -365,7 +369,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         val m = scala.collection.mutable.Map.empty[String, String]
         cm.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asText())
         m.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      constraints = Option(n.get("constraints")).map { cn =>
+        val m = scala.collection.mutable.Map.empty[String, String]
+        cn.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asText())
+        m.toMap
+      }.getOrElse(Map.empty),
+      minWriterVersion =
+        Option(n.get("minWriterVersion")).map(_.asInt()).getOrElse(1))
   }
 
   /** Bounded LRU of reconstructed file lists — manifests are immutable,
@@ -427,7 +438,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val raw = readRaw(version)
     TableCommit(raw.version, raw.parent, raw.operation, raw.schema,
       filesAt(version, raw), raw.txn, raw.txns, raw.partitionCols,
-      raw.timestampMs, raw.columnMapping)
+      raw.timestampMs, raw.columnMapping, raw.constraints,
+      raw.minWriterVersion)
   }
 
   /** Wall-clock commit time of `version` (epoch millis) — monotone along
@@ -1236,7 +1248,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val (touched, carried) = cowSplit(c, batch, keys)
       val merged = merge(c, touched)
       val out = clusterForWrite(merged, cowPruneColumn(c, keys))
-      val newFiles = writeData(out, mapping = c.columnMapping)
+      val newFiles = writeData(enforceConstraints(out, c.constraints),
+        mapping = c.columnMapping)
       val touchedPaths = touched.map(_.path).toSet
       onBeforeMergeCommit()
       var base = parent
@@ -1287,10 +1300,22 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def commit(parent: Long, operation: String, files: Seq[ManifestFile],
              schema: StructType, txn: Option[(String, Long)] = None,
              partitionCols: Option[Seq[String]] = None,
-             columnMapping: Option[Map[String, String]] = None): Long = {
+             columnMapping: Option[Map[String, String]] = None,
+             constraints: Option[Map[String, String]] = None): Long = {
     logDir.mkdirs()
     val version = parent + 1
     val parentCommit = if (parent == 0) None else Some(commitAt(parent))
+    // WRITER protocol gate (the second half of Delta's reader/writer
+    // version split): a table whose features demand a newer WRITER than
+    // this code — e.g. CHECK constraints a pre-constraint writer would
+    // silently stop enforcing — refuses the commit loudly while reads
+    // keep working (reads are gated separately by formatVersion).
+    parentCommit.foreach { pc =>
+      require(pc.minWriterVersion <= GraftTable.MaxWriterVersion,
+        s"table $root requires writer version ${pc.minWriterVersion}; " +
+          s"this writer supports <= ${GraftTable.MaxWriterVersion} — " +
+          "upgrade the writer before mutating this table")
+    }
     val parentTxns: Map[String, Long] = parentCommit match {
       case None => Map.empty
       case Some(pc) => pc.txns.getOrElse {
@@ -1309,6 +1334,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // only an ALTER (rename/drop/add) ever overrides it
     val effMapping =
       columnMapping.getOrElse(parentCommit.map(_.columnMapping).getOrElse(Map.empty))
+    // CHECK constraints inherit the same way: only add/dropConstraint
+    // ever overrides the carried map
+    val effConstraints =
+      constraints.getOrElse(parentCommit.map(_.constraints).getOrElse(Map.empty))
     // NULLABILITY WIDENS, never narrows: the committed file list usually
     // carries files written under the PARENT schema, so a batch whose own
     // schema is narrower (e.g. a literal-valued column, nullable=false)
@@ -1361,6 +1390,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (effMapping.nonEmpty) {
       val cm = node.putObject("columnMapping")
       effMapping.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p): Unit }
+    }
+    if (effConstraints.nonEmpty) {
+      val cn = node.putObject("constraints")
+      effConstraints.toSeq.sortBy(_._1).foreach { case (n0, e) => cn.put(n0, e): Unit }
+      // enforcing writers required from here on (dropping the LAST
+      // constraint drops the requirement again — the field is derived
+      // from the features actually present, like formatVersion)
+      node.put("minWriterVersion", 2): Unit
     }
     // Delta-encode when it is both SMALLER than the full list and
     // replayable to the EXACT committed state (order included) — a
@@ -1466,11 +1503,103 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (v == 0) Map.empty else commitAt(v).columnMapping
   }
 
+  /** The constraint map writers must enforce (the latest commit's — a
+    * constraint added mid-race is picked up by the loser's retry; one
+    * added between our fetch and our commit is enforced from the NEXT
+    * write, Delta's own weak spot for racing ALTERs). */
+  private def currentConstraints: Map[String, String] = {
+    val v = latestVersion
+    if (v == 0) Map.empty else commitAt(v).constraints
+  }
+
+  /** Enforce the table's CHECK constraints on rows about to be written.
+    * ANSI CHECK semantics: a row PASSES when the expression is TRUE or
+    * NULL, fails only on FALSE (the mirror of WHERE). One combined
+    * short-circuiting job over the batch on the happy path; only an
+    * actual violation pays the per-constraint attribution pass. Returns
+    * `df` unchanged so call sites wrap inline. */
+  private def enforceConstraints(df: DataFrame,
+      cs: Map[String, String]): DataFrame = {
+    if (cs.isEmpty) return df
+    val violated = cs.values.toSeq
+      .map(s => coalesce(expr(s), lit(true)) === false).reduce(_ || _)
+    if (df.filter(violated).isEmpty) return df
+    val detail = cs.toSeq.sortBy(_._1).flatMap { case (n, s) =>
+      val bad = df.filter(coalesce(expr(s), lit(true)) === false).limit(3).collect()
+      if (bad.isEmpty) None
+      else Some(s"$n CHECK ($s): e.g. ${bad.mkString(", ")}")
+    }
+    throw new GraftTable.ConstraintViolationException(
+      s"write to $root rejected — CHECK constraint violation: " +
+        detail.mkString("; "))
+  }
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` (Delta table
+    * constraints): validates the EXISTING table once — a constraint that
+    * doesn't hold today must be fixed, not recorded — then commits the
+    * name→expression pair as table metadata, zero data IO beyond that
+    * one scan. Every subsequent write on every path (append, streaming
+    * sink, merge, update post-images, SQL DML) enforces it; the manifest
+    * raises `minWriterVersion` so a pre-constraint writer refuses to
+    * mutate the table instead of silently eroding the invariant. */
+  def addConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      require(!c.constraints.contains(name),
+        s"constraint $name already exists on $root (${c.constraints(name)})")
+      val e = expr(exprSql)
+      val probe = read(parent).select(e.as("__c"))
+      require(probe.schema.head.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"CHECK expression must be BOOLEAN, got " +
+          s"${probe.schema.head.dataType.simpleString}: $exprSql")
+      val bad = read(parent).filter(coalesce(e, lit(true)) === false)
+        .limit(3).collect()
+      if (bad.nonEmpty)
+        throw new GraftTable.ConstraintViolationException(
+          s"cannot add CHECK constraint $name ($exprSql) to $root — " +
+            s"existing rows violate it, e.g. ${bad.mkString(", ")}")
+      try return commit(parent, "add_constraint", c.files, c.schema,
+        constraints = Some(c.constraints + (name -> exprSql)))
+      catch {
+        case ex: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw ex
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Drop a CHECK constraint — metadata-only commit; dropping the last
+    * one lowers `minWriterVersion` back (derived, not sticky). */
+  def dropConstraint(name: String): Long = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      require(c.constraints.contains(name),
+        s"no constraint $name on $root (have: ${c.constraints.keys.toSeq.sorted.mkString(", ")})")
+      try return commit(parent, "drop_constraint", c.files, c.schema,
+        constraints = Some(c.constraints - name))
+      catch {
+        case ex: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw ex
+      }
+    }
+    0L // unreachable
+  }
+
   /** Append-only commit. Appends commute, so a lost race is resolved by
     * rebasing the same new files onto the new latest manifest and retrying
     * — no user data is re-read or re-written. */
   def append(df: DataFrame, operation: String = "append"): Long = {
-    val newFiles = writeData(df, mapping = currentMapping)
+    val newFiles = writeData(enforceConstraints(df, currentConstraints),
+      mapping = currentMapping)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -1500,7 +1629,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     require(partitionBy.nonEmpty, "appendPartitioned requires partition columns")
     require(partitionBy.forall(df.columns.contains),
       s"missing partition columns: ${partitionBy.filterNot(df.columns.contains)}")
-    val newFiles = writeData(df, partitionBy, currentMapping)
+    val newFiles = writeData(enforceConstraints(df, currentConstraints),
+      partitionBy, currentMapping)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -1555,7 +1685,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def idempotentAppend(df: DataFrame, appId: String, batchId: Long,
                        operation: String = "stream_append"): Long = {
     if (lastCommittedBatch(appId).exists(_ >= batchId)) return latestVersion
-    val newFiles = writeData(df, mapping = currentMapping)
+    val newFiles = writeData(enforceConstraints(df, currentConstraints),
+      mapping = currentMapping)
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -1619,7 +1750,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val files = written match {
         case Some((fs, s)) if s == merged => fs
         case _ =>
-          val fs = writeData(aligned, mapping = newMapping)
+          val fs = writeData(enforceConstraints(aligned, currentConstraints),
+            mapping = newMapping)
           written = Some((fs, merged)); fs
       }
       try return commit(parent, operation, base ++ files, merged,
@@ -1642,9 +1774,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * metadata carries forward either way). */
   def overwrite(df: DataFrame, parent: Long, operation: String,
                 partitionBy: Seq[String] = Seq.empty): Long = {
-    val m = if (parent == 0) Map.empty[String, String]
-            else commitAt(parent).columnMapping
-    commit(parent, operation, writeData(df, partitionBy, m), df.schema)
+    val (m, cs) = if (parent == 0) (Map.empty[String, String], Map.empty[String, String])
+            else { val c = commitAt(parent); (c.columnMapping, c.constraints) }
+    commit(parent, operation,
+      writeData(enforceConstraints(df, cs), partitionBy, m), df.schema)
   }
 
   /** Transactional keep-latest upsert (MERGE last-writer-wins): union the
@@ -1751,7 +1884,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       if (nMatched == 0) Map.empty[String, ManifestFile]
       else dvSwapEntries(matched, touched, dvMode, nMatched)
         .getOrElse(return None)
-    val newFiles = writeData(b, mapping = c.columnMapping)
+    val newFiles = writeData(enforceConstraints(b, c.constraints),
+      mapping = c.columnMapping)
     Some(commit(parent, "merge_dv",
       swapDvFiles(c.files, swapped) ++ newFiles, c.schema))
   }
@@ -1973,7 +2107,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           case None => col(fld.name)
         }
       }.toSeq: _*)
-    val newFiles = writeData(updated, mapping = c.columnMapping)
+    val newFiles = writeData(enforceConstraints(updated, c.constraints),
+      mapping = c.columnMapping)
     commit(parent, "update", carried ++ newFiles, c.schema)
   }
 
@@ -2012,7 +2147,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           case None => col(fld.name)
         }
       }.toSeq: _*)
-      val newFiles = writeData(post, mapping = c.columnMapping)
+      val newFiles = writeData(enforceConstraints(post, c.constraints),
+        mapping = c.columnMapping)
       Some(commit(parent, "update_dv",
         swapDvFiles(c.files, updated) ++ newFiles, c.schema))
     } finally matched.unpersist()
@@ -2343,6 +2479,18 @@ object GraftTable {
     * readers keep working until a table actually uses a newer feature —
     * and then fail loudly in [[GraftTable#readRaw]] instead of misparsing. */
   val MaxFormatVersion: Int = 3
+
+  /** Highest `minWriterVersion` this WRITER satisfies (the other half of
+    * Delta's protocol split): 1 = base format, 2 = CHECK constraints
+    * (a non-enforcing writer mutating a constrained table would silently
+    * erode the invariant — it must refuse instead). Readers ignore this
+    * field entirely; reads are gated by `formatVersion` alone. */
+  val MaxWriterVersion: Int = 2
+
+  /** A write (or ADD CONSTRAINT validation) found rows that violate a
+    * table CHECK constraint. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Sidecar-checkpoint cadence: every Nth commit publishes its full
     * file list as `v%020d.ckpt.json`, bounding every snapshot

@@ -196,8 +196,18 @@ object FuzzTable {
             shadow = snapshots(target)
             s"restore_v$target"
           } else "restore_skipped"
-        } else if (op < 96) { // checkpoint (pure metadata)
+        } else if (op < 94) { // checkpoint (pure metadata)
           t.checkpoint(); "checkpoint"
+        } else if (op < 96) { // CHECK-constraint toggle: an always-true
+          // invariant (v is the strictly-positive sequence) — exercises
+          // metadata carry-forward through the delta log, ADD-time table
+          // validation, and the enforcement pass on every later write,
+          // with the shadow unchanged by construction
+          if (t.commitAt(t.latestVersion).constraints.contains("fuzz_inv")) {
+            t.dropConstraint("fuzz_inv"); "drop_constraint"
+          } else {
+            t.addConstraint("fuzz_inv", "v >= 1"); "add_constraint"
+          }
         } else { // vacuum a short prefix (minAge 0: single-writer program)
           val latest = t.latestVersion
           val floor = math.max(vacuumFloor, latest - (1 + rng.nextInt(6)))

@@ -510,6 +510,20 @@ class DataSourceSpec extends SparkSpec {
           "retain_from => 8, retain_ms => 0)").collect()
       }
 
+      // CHECK constraints through CALL, enforced on the SQL INSERT path
+      spark.sql("CALL graft_pr.system.add_constraint(tbl => 'db.m_t', " +
+        "name => 'id_nonneg', expr => 'id >= 0')").collect()
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_pr.db.m_t VALUES (-5, 0)")
+      }
+      assert(t.read().count() == 510, "a rejected INSERT must commit nothing")
+      spark.sql("INSERT INTO graft_pr.db.m_t VALUES (5000, 0)")
+      assert(t.read().count() == 511)
+      spark.sql("CALL graft_pr.system.drop_constraint(tbl => 'db.m_t', " +
+        "name => 'id_nonneg')").collect()
+      spark.sql("INSERT INTO graft_pr.db.m_t VALUES (-5, 0)")
+      assert(t.read().count() == 512)
+
       intercept[Exception] {
         spark.sql("CALL graft_pr.system.nonsense(tbl => 'db.m_t')").collect()
       }

@@ -1232,6 +1232,105 @@ class TableFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported manifest format"))
   }
 
+  // ---- round-14 continuation: CHECK constraints ---------------------------
+
+  test("CHECK constraints: validated at ADD, enforced on every write path, " +
+      "ANSI NULL semantics, writer-version protocol") {
+    import spark.implicits._
+    val t = rangedBase("chk") // ids 0..999, v = id*10
+    // ADD validates EXISTING data — a constraint today's rows violate is
+    // refused with samples, and commits nothing
+    intercept[GraftTable.ConstraintViolationException] {
+      t.addConstraint("v_small", "v < 100")
+    }
+    assert(t.latestVersion == 1)
+    // non-boolean expressions are refused at ADD, not at first write
+    intercept[IllegalArgumentException] { t.addConstraint("bad", "v + 1") }
+    t.addConstraint("v_nonneg", "v >= 0")
+    t.addConstraint("id_notnull", "id IS NOT NULL")
+    val c = t.commitAt(t.latestVersion)
+    assert(c.constraints.keySet == Set("v_nonneg", "id_notnull"))
+    assert(c.minWriterVersion == 2, "constraints must demand enforcing writers")
+    // append: clean rows pass; a violating batch is rejected whole
+    t.append(Seq((2000L, 5L)).toDF("id", "v"))
+    intercept[GraftTable.ConstraintViolationException] {
+      t.append(Seq((2001L, 7L), (2002L, -1L)).toDF("id", "v"))
+    }
+    // ANSI CHECK: NULL v PASSES v >= 0 (only FALSE fails); NULL id fails
+    // its explicit IS NOT NULL spelling
+    val s = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "long")
+    t.append(spark.createDataFrame(
+      java.util.Arrays.asList(Row(3000L, null)), s))
+    intercept[GraftTable.ConstraintViolationException] {
+      t.append(spark.createDataFrame(
+        java.util.Arrays.asList(Row(null, 1L)), s))
+    }
+    // UPDATE post-images are checked on BOTH spellings
+    intercept[GraftTable.ConstraintViolationException] {
+      t.updateWhere(Seq("v" -> ($"v" - 100000L)), Some($"id" === 5L)) // DV path
+    }
+    intercept[GraftTable.ConstraintViolationException] {
+      t.updateWhere(Seq("v" -> ($"v" - 100000L)), Some($"id" === 5L),
+        dvMode = "off") // COW path
+    }
+    // MERGE batches are checked on both spellings
+    intercept[GraftTable.ConstraintViolationException] {
+      t.mergeUpsert(Seq((3L, -5L)).toDF("id", "v"), Seq("id"))
+    }
+    intercept[GraftTable.ConstraintViolationException] {
+      t.mergeUpsert(Seq((3L, -5L)).toDF("id", "v"), Seq("id"), dvMode = "off")
+    }
+    // rejected writes leave the snapshot untouched
+    assert(t.read().count() == 1002)
+    assert(t.read().filter($"v" < 0).isEmpty)
+    // clean mutations still flow
+    t.updateWhere(Seq("v" -> ($"v" + 1L)), Some($"id" === 5L))
+    t.mergeUpsert(Seq((4L, 0L)).toDF("id", "v"), Seq("id"))
+    assert(t.read().filter($"id" === 5L).select($"v").as[Long].head() == 51L)
+    // DROP is metadata-only; the writer requirement is derived, so
+    // dropping the last constraint lowers it back
+    t.dropConstraint("v_nonneg")
+    assert(t.commitAt(t.latestVersion).minWriterVersion == 2)
+    t.dropConstraint("id_notnull")
+    assert(t.commitAt(t.latestVersion).minWriterVersion == 1)
+    t.append(Seq((2002L, -1L)).toDF("id", "v")) // enforcement ended
+    assert(t.read().filter($"v" < 0).count() == 1)
+    // constraints survive the delta-encoded log on a COLD re-open
+    t.addConstraint("back", "v >= -1")
+    val cold = GraftTable.forPath(spark, t.root)
+    assert(cold.commitAt(cold.latestVersion).constraints == Map("back" -> "v >= -1"))
+    intercept[GraftTable.ConstraintViolationException] {
+      cold.append(Seq((2003L, -2L)).toDF("id", "v"))
+    }
+  }
+
+  test("writer-version protocol: a table demanding a newer writer refuses " +
+      "mutation but keeps serving reads") {
+    import spark.implicits._
+    val t = rangedBase("wv", n = 10)
+    // forge version 2 as a future-writer commit: identical content, but
+    // minWriterVersion above what this code satisfies
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1 = new java.io.File(s"${t.root}/_graft_log", f"v${1L}%020d.json")
+    val n = mapper.readTree(java.nio.file.Files.readAllBytes(v1.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("version", 2L)
+    n.put("parent", 1L)
+    n.put("minWriterVersion", 99)
+    java.nio.file.Files.write(
+      new java.io.File(s"${t.root}/_graft_log", f"v${2L}%020d.json").toPath,
+      mapper.writeValueAsBytes(n))
+    val t2 = GraftTable.forPath(spark, t.root)
+    // reads are gated by formatVersion alone — still fine
+    assert(t2.read().count() == 10)
+    // writes refuse loudly instead of silently ignoring the feature
+    val e = intercept[IllegalArgumentException] {
+      t2.append(Seq((100L, 1L)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("writer version"))
+  }
+
   // ---- round-14 continuation: merge-on-read UPDATE / MERGE ----------------
 
   test("merge-on-read UPDATE: superseded rows vector out, post-images " +

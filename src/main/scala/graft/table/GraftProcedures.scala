@@ -166,6 +166,19 @@ private[table] object GraftProcedures {
             opVersion("vacuum", t.latestVersion)
           }
         })
+      case "clone" => new GraftProcedure(root, "clone",
+        // SHALLOW CLONE: dest's v1 references src's files by absolute
+        // path — zero bytes copied (Delta CREATE TABLE ... SHALLOW CLONE)
+        Seq(p("tbl", StringType), p("dest", StringType),
+          ProcedureParameter.in("version", LongType).defaultValue("-1").build()),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          val dest = in.getUTF8String(1).toString.split('.')
+            .foldLeft(new java.io.File(root))((d, seg) => new java.io.File(d, seg))
+          t.cloneTo(dest.getAbsolutePath, in.getLong(2))
+          opVersion("clone", 1L)
+        })
       case "add_constraint" => new GraftProcedure(root, "add_constraint",
         // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates the
         // existing table once, then a metadata-only commit; every write
@@ -263,7 +276,7 @@ private[table] object GraftProcedures {
           s"(available: ${names.mkString(", ")})")
     }
 
-  val names: Seq[String] = Seq("add_constraint", "drop_constraint",
+  val names: Seq[String] = Seq("add_constraint", "drop_constraint", "clone",
     "compact", "zorder", "vacuum", "history",
     "restore", "checkpoint", "detail")
 }

@@ -562,16 +562,26 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val (parted, flat) = files.partition(_.partition.nonEmpty)
     val flatDf =
       if (flat.isEmpty) Seq.empty
-      else Seq(spark.read.schema(physSchema).parquet(flat.map(f => s"$root/${f.path}"): _*)
+      else Seq(spark.read.schema(physSchema).parquet(flat.map(f => absPath(f.path)): _*)
         .select(dataCols ++ metaCols: _*))
-    val partDfs = parted.groupBy(_.path.split('/').take(2).mkString("/")).toSeq
+    // batch prefix = the path above the Hive partition dirs (for the
+    // native "data/d-<uuid>/k=v/..." layout this is the write batch dir;
+    // a shallow-cloned ABSOLUTE path keeps its own source-side prefix)
+    def batchPrefix(f: ManifestFile): String =
+      f.path.split('/').dropRight(f.partition.size + 1).mkString("/")
+    val partDfs = parted.groupBy(batchPrefix).toSeq
       .sortBy(_._1).map { case (batch, fs) =>
-        spark.read.option("basePath", s"$root/$batch").schema(physSchema)
-          .parquet(fs.map(f => s"$root/${f.path}"): _*)
+        spark.read.option("basePath", absPath(batch)).schema(physSchema)
+          .parquet(fs.map(f => absPath(f.path)): _*)
           .select(dataCols ++ metaCols: _*)
       }
     (flatDf ++ partDfs).reduce(_.unionByName(_))
   }
+
+  /** Resolve a manifest-recorded path: table-relative for native files,
+    * ABSOLUTE for entries referenced across tables by a shallow clone. */
+  private def absPath(p: String): String =
+    if (new File(p).isAbsolute) p else s"$root/$p"
 
   /** Subtract each entry's deletion vector from a metadata-bearing read:
     * the vectors load once on the DRIVER (O(deleted rows) total — the
@@ -584,7 +594,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * filter on top, touching only DV'd files' branches of the plan. */
   private def applyDv(df: DataFrame, dvd: Seq[ManifestFile]): DataFrame = {
     val dvMap: Map[String, Array[Long]] =
-      dvd.map(f => f.path -> GraftTable.readDv(s"$root/${f.dv.get}")).toMap
+      dvd.map(f => f.path -> GraftTable.readDv(absPath(f.dv.get))).toMap
     val bc = spark.sparkContext.broadcast(dvMap)
     val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val keep = udf { (fp: String, ri: Long) =>
@@ -2008,15 +2018,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .map { case (p, rs) => p -> rs.toArray }.toMap
     // resolve absolute scan paths back to manifest entries (suffix match,
     // driver-side, O(matched files × candidates) over small lists)
-    Some(perFile.map { case (absPath, fresh) =>
-      val entry = touched.find(f => absPath.endsWith(f.path)).getOrElse(
-        throw new IllegalStateException(s"matched file $absPath not in candidate set"))
+    Some(perFile.map { case (scanPath, fresh) =>
+      val entry = touched.find(f => scanPath.endsWith(f.path)).getOrElse(
+        throw new IllegalStateException(s"matched file $scanPath not in candidate set"))
       val mergedIdx = entry.dv match {
         case None => fresh
         case Some(old) =>
           // disjoint by construction (existing vector was applied before
           // the predicate ran) — a two-pointer merge keeps them sorted
-          val a = GraftTable.readDv(s"$root/$old")
+          val a = GraftTable.readDv(absPath(old))
           val out = new Array[Long](a.length + fresh.length)
           var i = 0; var j = 0; var k = 0
           while (i < a.length && j < fresh.length) {
@@ -2345,6 +2355,40 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commit(latestVersion, s"restore_v$version", target.files, target.schema,
       partitionCols = Some(target.partitionCols),
       columnMapping = Some(target.columnMapping))
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): create a
+    * new table at `destRoot` whose first commit REFERENCES this table's
+    * data files (and deletion-vector sidecars) by ABSOLUTE path — zero
+    * bytes copied, one metadata commit, whatever the source size. The
+    * clone then evolves independently: its own commit log, its own
+    * mutations (COW rewrites and DV swaps land under the clone's `data/`,
+    * source bytes are never touched), its own retention — the standard
+    * zero-cost way to pin a 100-TB training corpus for an experiment and
+    * mutate the copy. Schema, partition columns, column mapping, and
+    * CHECK constraints all carry. `compact()` on the clone materializes
+    * it into a self-contained table (every reference rewritten local).
+    *
+    * Caveat (exactly Delta's): vacuuming the SOURCE can reclaim files a
+    * shallow clone still references — the clone's own vacuum only ever
+    * sweeps files under its own root, so it can never damage the source,
+    * but source retention must outlive the clone or the clone must
+    * compact first. */
+  def cloneTo(destRoot: String, version: Long = -1L): GraftTable = {
+    val v = if (version < 0) latestVersion else version
+    require(v > 0, s"no graft table log at $root")
+    val c = commitAt(v)
+    val srcRoot = new File(root).getAbsolutePath
+    def abs(p: String) = if (new File(p).isAbsolute) p else s"$srcRoot/$p"
+    val dest = new GraftTable(spark, destRoot)
+    require(dest.latestVersion == 0,
+      s"cloneTo: a graft table already exists at $destRoot")
+    val entries = c.files.map(f => f.copy(path = abs(f.path), dv = f.dv.map(abs)))
+    dest.commit(0, s"clone_v$v", entries, c.schema,
+      partitionCols = Some(c.partitionCols),
+      columnMapping = Some(c.columnMapping),
+      constraints = Some(c.constraints))
+    dest
   }
 
   /** Force-publish the latest version's sidecar checkpoint (idempotent) —

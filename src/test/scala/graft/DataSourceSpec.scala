@@ -524,6 +524,16 @@ class DataSourceSpec extends SparkSpec {
       spark.sql("INSERT INTO graft_pr.db.m_t VALUES (-5, 0)")
       assert(t.read().count() == 512)
 
+      // shallow clone through CALL: dest v1 references src files, zero
+      // bytes copied, reads agree
+      val cln = spark.sql(
+        "CALL graft_pr.system.clone(tbl => 'db.m_t', dest => 'db.m_t_clone')")
+        .collect()
+      assert(cln.head.getString(0) == "clone")
+      val tc = GraftTable.forPath(spark, s"$lake/db/m_t_clone")
+      assert(tc.read().count() == t.read().count())
+      assert(tc.commitAt(1).files.forall(f => new java.io.File(f.path).isAbsolute))
+
       intercept[Exception] {
         spark.sql("CALL graft_pr.system.nonsense(tbl => 'db.m_t')").collect()
       }

@@ -1232,6 +1232,68 @@ class TableFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported manifest format"))
   }
 
+  // ---- round-14 continuation: shallow clone -------------------------------
+
+  test("shallow clone: zero-copy reference, metadata carries, independent " +
+      "evolution, clone vacuum cannot touch the source, compact materializes") {
+    import spark.implicits._
+    val t = rangedBase("clsrc")
+    t.deleteWhere($"id" === 7L, dvMode = "force") // a DV'd source entry
+    t.addConstraint("nonneg", "v >= 0")
+    val dest = tmpRoot("cldst")
+    val cl = t.cloneTo(dest)
+    // ZERO data bytes under the clone — the commit is pure metadata
+    def localData(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root, "data")).filter(_.isFile)
+    }
+    assert(localData(dest).isEmpty)
+    assert(cl.read().count() == 999)
+    assert(cl.read().filter($"id" === 7L).isEmpty,
+      "the source's deletion vector must carry into the clone")
+    // constraints carry — the clone enforces the source's invariant
+    intercept[GraftTable.ConstraintViolationException] {
+      cl.append(Seq((5000L, -1L)).toDF("id", "v"))
+    }
+    // the clone evolves independently: a DV merge swaps a CLONED entry
+    // (vector lands locally, source bytes untouched)
+    cl.mergeUpsert(Seq((3L, 999L)).toDF("id", "v"), Seq("id"))
+    assert(cl.read().filter($"id" === 3L).select($"v").as[Long].head() == 999L)
+    assert(t.read().filter($"id" === 3L).select($"v").as[Long].head() == 30L,
+      "mutating the clone must never change the source")
+    assert(cl.read().count() == 999)
+    // the clone's vacuum sweeps only its own root — source stays whole
+    cl.vacuum(cl.latestVersion, minAgeMs = 0)
+    assert(t.read().count() == 999)
+    assert(cl.read().count() == 999)
+    // compact materializes the clone into a self-contained table
+    cl.compact(targetRows = 2000)
+    val mat = cl.commitAt(cl.latestVersion)
+    assert(mat.files.forall(f => !new java.io.File(f.path).isAbsolute),
+      "a compacted clone must hold only its own local files")
+    assert(mat.files.forall(_.dv.isEmpty))
+    assert(cl.read().count() == 999)
+    assert(cl.read().filter($"id" === 3L).select($"v").as[Long].head() == 999L)
+    // a second clone at an explicit earlier version pins that snapshot
+    val cl2 = t.cloneTo(tmpRoot("cldst2"), version = 1L)
+    assert(cl2.read().count() == 1000) // pre-delete snapshot
+  }
+
+  test("shallow clone of a partitioned table: layout and partition pruning survive") {
+    import spark.implicits._
+    val src = tmpRoot("clpsrc")
+    val df = spark.range(100).toDF("id")
+      .withColumn("g", ($"id" % 4).cast("int"))
+    val t = GraftTable.createPartitioned(spark, src, df, Seq("g"))
+    val cl = t.cloneTo(tmpRoot("clpdst"))
+    assert(cl.read().count() == 100)
+    assert(cl.read().filter($"g" === 2).count() == 25)
+    assert(cl.read().filter($"g" === 2 && $"id" % 4 =!= 2).isEmpty,
+      "partition values must reconstruct from the cloned absolute layout")
+  }
+
   // ---- round-14 continuation: CHECK constraints ---------------------------
 
   test("CHECK constraints: validated at ADD, enforced on every write path, " +

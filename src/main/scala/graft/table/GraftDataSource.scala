@@ -150,7 +150,14 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
         val s = t.commitAt(to).schema.add("_change_type", "string")
         return new GraftCdfTable(t, from, to, s)
       }
-      val s = if (schema == null || schema.isEmpty) t.commitAt(v).schema else schema
+      val cdfStream = Option(opts.get("readChangeFeed")).exists(_.toBoolean)
+      require(!cdfStream || !Option(opts.get("skipChangeCommits")).exists(_.toBoolean),
+        "readChangeFeed and skipChangeCommits are contradictory: the change " +
+          "feed EXISTS to deliver rewrites; skipChangeCommits exists to skip them")
+      val base = if (schema == null || schema.isEmpty) t.commitAt(v).schema else schema
+      // streaming change feed: the relation carries the tag column; the
+      // stream materializes it per-partition (never read from files)
+      val s = if (cdfStream) base.add("_change_type", "string") else base
       val declared = t.commitAt(v).partitionCols
       require(reqParts.isEmpty || reqParts == declared,
         s"table at $path is partitioned by $declared, write requested $reqParts")
@@ -214,7 +221,8 @@ private[table] final class GraftSparkTable(
     new GraftScanBuilder(t, v, tableSchema,
       Option(options.get("startingVersion")).getOrElse("0"),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      Option(options.get("readChangeFeed")).exists(_.toBoolean))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -307,7 +315,8 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
                                             tableSchema: StructType,
                                             startingVersion: String = "0",
                                             maxVersionsPerTrigger: Option[Long] = None,
-                                            skipChangeCommits: Boolean = false)
+                                            skipChangeCommits: Boolean = false,
+                                            readChangeFeed: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -333,7 +342,7 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
     new GraftV1Scan(t, version, required,
       GraftFilterRanges.toRanges(accepted.toSeq), startingVersion,
       maxVersionsPerTrigger, GraftFilterRanges.toStrRanges(accepted.toSeq),
-      skipChangeCommits)
+      skipChangeCommits, readChangeFeed)
 }
 
 /** Public (not `private[table]`) so plan-gating tests can collect the
@@ -344,7 +353,8 @@ final class GraftV1Scan(
     startingVersion: String = "0",
     maxVersionsPerTrigger: Option[Long] = None,
     val strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    readChangeFeed: Boolean = false)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -392,6 +402,10 @@ final class GraftV1Scan(
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
+    require(!readChangeFeed,
+      "readChangeFeed is a STREAMING option (spark.readStream) — for a " +
+        "batch change feed use option(\"changesFrom\", v) / " +
+        "option(\"changesFromTimestamp\", t)")
     val c = t.commitAt(version)
     val df = t.readFiles(c.schema, prunedFiles, c.columnMapping)
       .select(required.fieldNames.map(col).toSeq: _*)
@@ -403,7 +417,7 @@ final class GraftV1Scan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(t, required, startingVersion,
-      maxVersionsPerTrigger, skipChangeCommits)
+      maxVersionsPerTrigger, skipChangeCommits, readChangeFeed)
 }
 
 /** The V1 execution shim: Spark plans a RowDataSourceScanExec over this

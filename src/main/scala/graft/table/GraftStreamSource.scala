@@ -34,7 +34,9 @@ object GraftOffset {
   * partition-value columns are). */
 final case class GraftFilePartition(absPath: String, requiredJson: String,
                                     partition: Map[String, String],
-                                    dvAbsPath: Option[String] = None)
+                                    dvAbsPath: Option[String] = None,
+                                    changeType: Option[String] = None,
+                                    emitNewDvAbsPath: Option[String] = None)
     extends InputPartition
 
 /** STREAMING SOURCE over the versioned table (round-12 extension — the
@@ -77,7 +79,8 @@ final case class GraftFilePartition(absPath: String, requiredJson: String,
 final class GraftMicroBatchStream(t: GraftTable, required: StructType,
                                   startingVersion: String,
                                   maxVersionsPerTrigger: Option[Long] = None,
-                                  skipChangeCommits: Boolean = false)
+                                  skipChangeCommits: Boolean = false,
+                                  readChangeFeed: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -137,9 +140,73 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
 
   override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
 
+  /** Resolve a manifest path against the table root (ABSOLUTE entries —
+    * shallow-cloned references — pass through). */
+  private def abs(p: String): String =
+    if (new java.io.File(p).isAbsolute) p else s"${t.root}/$p"
+
+  /** STREAMING CHANGE FEED (`option("readChangeFeed", true)` — Delta's
+    * streaming CDF): a micro-batch (s, e] delivers the per-commit row
+    * changes, `_change_type`-tagged, instead of appended files only —
+    * processed VERSION BY VERSION off the manifests alone:
+    *
+    *  - an ADDED file's live rows (through its vector) are inserts;
+    *  - a REMOVED file's then-live rows (through its OLD vector) are
+    *    deletes — a COW merge/update therefore renders touched rows as
+    *    delete(pre-image) + insert(post-image) pairs, Delta's CDF shape;
+    *  - a DELETION-VECTOR SWAP (same path, entry changed) emits exactly
+    *    the NEWLY masked positions as deletes (new vector minus old);
+    *  - `compact`/`zorder` are content-preserving BY CONSTRUCTION in
+    *    this engine, so those commits emit NOTHING (the role Delta's
+    *    dataChange=false flag plays) — maintenance never floods the
+    *    feed; metadata-only commits have zero churn and emit nothing
+    *    naturally.
+    *
+    * Rewrites are the feed's PURPOSE here, so the rewrite guard and
+    * `skipChangeCommits` do not apply (combining them is refused at
+    * option parsing). */
+  private def planChangeFeed(s: Long, e: Long): Array[InputPartition] = {
+    val mapping = t.commitAt(e).columnMapping
+    // `_change_type` rides in the required schema (the reader
+    // materializes it from the partition's tag, never from the file);
+    // data fields map to their physical parquet names as usual
+    val physRequired =
+      if (mapping.isEmpty) required
+      else StructType(required.fields.map(f =>
+        f.copy(name = mapping.getOrElse(f.name, f.name))))
+    val json = physRequired.json
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var prevMap = filesAt(s).map(f => f.path -> f).toMap
+    ((s + 1) to e).foreach { v =>
+      val cur = t.commitAt(v)
+      val curMap = cur.files.map(f => f.path -> f).toMap
+      if (cur.operation != "compact" && cur.operation != "zorder") {
+        cur.files.filterNot(f => prevMap.contains(f.path)).foreach { f =>
+          parts += GraftFilePartition(abs(f.path), json, f.partition,
+            f.dv.map(abs), changeType = Some("insert"))
+        }
+        prevMap.values.filterNot(f => curMap.contains(f.path)).foreach { f =>
+          parts += GraftFilePartition(abs(f.path), json, f.partition,
+            f.dv.map(abs), changeType = Some("delete"))
+        }
+        prevMap.values.foreach { pf =>
+          curMap.get(pf.path).foreach { cf =>
+            if (cf != pf)
+              parts += GraftFilePartition(abs(pf.path), json, pf.partition,
+                pf.dv.map(abs), changeType = Some("delete"),
+                emitNewDvAbsPath = cf.dv.map(abs))
+          }
+        }
+      }
+      prevMap = curMap
+    }
+    parts.toArray
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].version
     val e = end.asInstanceOf[GraftOffset].version
+    if (readChangeFeed) return planChangeFeed(s, e)
     val fromFiles = filesAt(s)
     val toFiles = filesAt(e)
     val fromPaths = fromFiles.map(_.path).toSet
@@ -176,8 +243,8 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
       else org.apache.spark.sql.types.StructType(required.fields.map(f =>
         f.copy(name = mapping.getOrElse(f.name, f.name))))
     toFiles.filter(f => !fromPaths.contains(f.path))
-      .map(f => GraftFilePartition(s"${t.root}/${f.path}", physRequired.json,
-        f.partition, f.dv.map(d => s"${t.root}/$d")): InputPartition)
+      .map(f => GraftFilePartition(abs(f.path), physRequired.json,
+        f.partition, f.dv.map(abs)): InputPartition)
       .toArray
   }
 
@@ -213,14 +280,30 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
         fp.dvAbsPath.map(GraftTable.readDv).getOrElse(Array.emptyLongArray)
       private var dvCursor = 0
       private var rowIdx = -1L
+      // change-feed DV-swap partitions: emit ONLY the positions the NEW
+      // vector masks beyond the old one (the rows this commit deleted)
+      private val emitNew: Array[Long] =
+        fp.emitNewDvAbsPath.map(GraftTable.readDv).orNull
+      private var emitCursor = 0
 
       override def next(): Boolean = {
         while (true) {
           current = reader.read()
           if (current == null) return false
           rowIdx += 1
-          if (dvCursor < dv.length && dv(dvCursor) == rowIdx) dvCursor += 1
-          else return true
+          val inOld =
+            if (dvCursor < dv.length && dv(dvCursor) == rowIdx) {
+              dvCursor += 1; true
+            } else false
+          if (emitNew == null) {
+            if (!inOld) return true // normal mode: vector masks
+          } else {
+            // delta-emit mode: row qualifies iff newly masked
+            while (emitCursor < emitNew.length && emitNew(emitCursor) < rowIdx)
+              emitCursor += 1
+            val inNew = emitCursor < emitNew.length && emitNew(emitCursor) == rowIdx
+            if (inNew && !inOld) return true
+          }
         }
         false // unreachable
       }
@@ -229,7 +312,9 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
         val g = current
         val schema = g.getType
         val vals = required.fields.map { f =>
-          fp.partition.get(f.name) match {
+          if (fp.changeType.isDefined && f.name == "_change_type")
+            UTF8String.fromString(fp.changeType.get)
+          else fp.partition.get(f.name) match {
             case Some(v) => partitionValue(f, v)
             case None =>
               if (!schema.containsField(f.name)) null

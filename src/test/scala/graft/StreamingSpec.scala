@@ -537,6 +537,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() === 60)
   }
 
+  test("graft streaming CDF: readChangeFeed delivers per-commit row changes; " +
+      "maintenance emits nothing; rewrites become pre/post-image pairs") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val root = s"$dir/tbl"
+    val t = graft.table.GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))     // v1: insert 1,2
+    t.append(Seq((3L, "c")).toDF("id", "s"))          // v2: insert 3
+    t.deleteWhere(col("id") === 2L, dvMode = "force") // v3: DV swap → delete (2,b)
+    t.mergeUpsert(Seq((1L, "z"), (7L, "g")).toDF("id", "s"),
+      Seq("id"), dvMode = "force")                    // v4: swap-delta delete (1,a) + insert (1,z),(7,g)
+    t.compact(1000)                                   // v5: content-preserving → NOTHING
+    t.append(Seq((9L, "i")).toDF("id", "s"))          // v6: insert 9
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val want = Seq(
+      (1L, "a", "delete"), (1L, "a", "insert"), (1L, "z", "insert"),
+      (2L, "b", "delete"), (2L, "b", "insert"), (3L, "c", "insert"),
+      (7L, "g", "insert"), (9L, "i", "insert")).sorted
+    assert(got == want, s"change feed diverged: $got")
+    // folding the feed by key reproduces the live snapshot (CDF identity)
+    val m = scala.collection.mutable.Map.empty[(Long, String), Int].withDefaultValue(0)
+    got.foreach { case (id, s, ct) =>
+      m((id, s)) += (if (ct == "insert") 1 else -1)
+    }
+    val folded = m.collect { case (row, n) if n > 0 => row }.toSeq.sorted
+    assert(folded == t.read().as[(Long, String)].collect().sorted.toSeq)
+    // contradictory options refused
+    intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true").load(root)
+    }
+    // batch spelling refused with a pointer to changesFrom
+    intercept[Exception] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true").load(root).collect()
+    }
+  }
+
   test("graft streaming source: INT96 timestamps and doubles round-trip exactly") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_src96").toString

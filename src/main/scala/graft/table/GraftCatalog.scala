@@ -149,10 +149,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Partition columns can be neither renamed nor dropped (their values
     * are baked into directory layout and manifests); type changes are
     * refused — silently coercing types is how production tables rot. */
+  /** The SQL constraint surface (`ALTER TABLE ... ADD CONSTRAINT c
+    * CHECK (expr)` / `DROP CONSTRAINT c`) — Spark 4's DSv2 constraint
+    * API lowers them to these TableChanges; graft routes them onto
+    * [[GraftTable.addConstraint]]/[[GraftTable.dropConstraint]] (ADD-time
+    * table validation + metadata commit + every-write enforcement).
+    * Only CHECK is accepted, and only ENFORCED (the default): graft has
+    * no use for advisory constraints it would not enforce. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = dirFor(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
     val t = GraftTable.forPath(SparkSession.active, d.getAbsolutePath)
+    changes.toSeq match {
+      case Seq(ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(ck.enforced(),
+              "NOT ENFORCED CHECK constraints are not supported — " +
+                "graft enforces every constraint it records")
+            require(ck.predicateSql() != null && ck.predicateSql().nonEmpty,
+              s"CHECK constraint ${ck.name()} carries no SQL predicate")
+            t.addConstraint(ck.name(), ck.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got: ${other.toDDL}")
+        }
+        return loadTable(ident)
+      case Seq(dc: TableChange.DropConstraint) =>
+        val have = t.commitAt(t.latestVersion).constraints.contains(dc.name())
+        if (have) t.dropConstraint(dc.name())
+        else if (!dc.ifExists())
+          throw new IllegalArgumentException(
+            s"no constraint ${dc.name()} on ${ident.name()}")
+        return loadTable(ident)
+      case _ => // column changes fall through to the schema loop below
+    }
     var attempt = 0
     while (true) {
       val v = t.latestVersion

@@ -204,6 +204,19 @@ private[table] final class GraftSparkTable(
     case Some((_, v)) => s"graft.`$root` v$v"
     case None => s"graft.`$root` (new)"
   }
+  /** Report the table's CHECK constraints through DSv2 (DESCRIBE and the
+    * analyzer see them); enforcement itself lives in the write paths
+    * ([[GraftTable]]), which every spelling — V1 fallback included —
+    * routes through. */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    existing.map { case (t, v) =>
+      t.commitAt(v).constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+    }.getOrElse(Array.empty)
   override def schema(): StructType = tableSchema
   /** Declared Hive partition columns, reported as identity transforms —
     * `DESCRIBE`/catalog surfaces see them, and a catalog `INSERT INTO`

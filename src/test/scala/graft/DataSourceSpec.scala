@@ -510,6 +510,23 @@ class DataSourceSpec extends SparkSpec {
           "retain_from => 8, retain_ms => 0)").collect()
       }
 
+      // the ANSI spelling: ALTER TABLE ... ADD CONSTRAINT ... CHECK —
+      // Spark 4's DSv2 constraint API lowers onto the same machinery
+      spark.sql("ALTER TABLE graft_pr.db.m_t ADD CONSTRAINT dd_nonneg " +
+        "CHECK (dd >= 0)")
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_pr.db.m_t VALUES (900000, -3)")
+      }
+      // a constraint existing rows violate is refused at ADD
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_pr.db.m_t ADD CONSTRAINT impossible " +
+          "CHECK (id < 0)")
+      }
+      spark.sql("ALTER TABLE graft_pr.db.m_t DROP CONSTRAINT dd_nonneg")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_pr.db.m_t DROP CONSTRAINT dd_nonneg")
+      }
+
       // CHECK constraints through CALL, enforced on the SQL INSERT path
       spark.sql("CALL graft_pr.system.add_constraint(tbl => 'db.m_t', " +
         "name => 'id_nonneg', expr => 'id >= 0')").collect()

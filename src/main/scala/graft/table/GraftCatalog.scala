@@ -236,8 +236,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               .map(f => f.name -> f.name).toMap
           else mapping -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
+        case upd: TableChange.UpdateColumnType =>
+          // TYPE WIDENING (Delta type widening): metadata-only — old
+          // files upcast at scan time (the Spark 4 parquet reader's
+          // SPARK-40876 set, every conversion exact), new files write
+          // the wide type. Narrowing or cross-family changes would make
+          // existing bytes unreadable and are refused.
+          require(upd.fieldNames.length == 1,
+            s"nested type changes are not supported: ${upd.fieldNames.mkString(".")}")
+          val name = upd.fieldNames.head
+          val f = schema.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no such column $name"))
+          require(!c.partitionCols.contains(name),
+            s"cannot change the type of partition column $name")
+          require(f.dataType != upd.newDataType(),
+            s"column $name already has type ${f.dataType.simpleString}")
+          require(GraftTable.widensTo(f.dataType, upd.newDataType()),
+            s"only widening type changes are supported " +
+              s"(byte/short/int→long, int/float→double): " +
+              s"${f.dataType.simpleString} -> ${upd.newDataType().simpleString}")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.copy(dataType = upd.newDataType()) else x))
         case other => throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change (add/rename/drop columns only): $other")
+          s"unsupported ALTER TABLE change (add/rename/drop/widen columns only): $other")
       }
       try {
         t.commit(v, "alter_table", c.files, schema,

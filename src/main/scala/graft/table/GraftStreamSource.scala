@@ -354,9 +354,23 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
 
   private def primValue(dt: DataType, g: Group, i: Int, j: Int, name: String): Any =
     dt match {
-      case LongType => g.getLong(i, j)
+      case LongType =>
+        // TYPE WIDENING: a file written before an ALTER COLUMN TYPE
+        // stores the narrow physical type — upcast exactly like the
+        // batch reader does
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(i, j).toLong
+          case _ => g.getLong(i, j)
+        }
       case IntegerType => g.getInteger(i, j)
-      case DoubleType => g.getDouble(i, j)
+      case DoubleType =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(i, j).toDouble
+          case PrimitiveTypeName.FLOAT => g.getFloat(i, j).toDouble
+          case _ => g.getDouble(i, j)
+        }
       case FloatType => g.getFloat(i, j)
       case BooleanType => g.getBoolean(i, j)
       case StringType => UTF8String.fromBytes(g.getBinary(i, j).getBytes)

@@ -685,7 +685,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         val physTypes = s.fields.map(f =>
           (m.getOrElse(f.name, f.name), f.dataType)).toMap
         to.schema.fields.forall { tf =>
-          physTypes.get(to.phys(tf.name)).forall(_ == tf.dataType)
+          // equal or WIDENING (a range crossing an ALTER COLUMN TYPE
+          // commit telescopes — older files upcast under the final type)
+          physTypes.get(to.phys(tf.name))
+            .forall(pt => GraftTable.widensTo(pt, tf.dataType))
         }
       }
       val schemaOk = projectable(from.schema, from.columnMapping) &&
@@ -1362,6 +1365,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         pc.schema.find(_.name == f.name) match {
           case Some(pf) if pf.dataType == f.dataType =>
             f.copy(nullable = f.nullable || pf.nullable)
+          case Some(pf) if GraftTable.widensTo(f.dataType, pf.dataType) =>
+            // a batch narrower than the table's WIDENED type never
+            // narrows the declaration back — its files read under the
+            // wide type by the same upcast as every pre-widening file
+            pf.copy(nullable = f.nullable || pf.nullable)
           case _ => f
         }
       })
@@ -2523,6 +2531,26 @@ object GraftTable {
     * readers keep working until a table actually uses a newer feature —
     * and then fail loudly in [[GraftTable#readRaw]] instead of misparsing. */
   val MaxFormatVersion: Int = 3
+
+  /** May a parquet file written under `from` be read under `to` without
+    * rewriting? The Spark 4 vectorized reader's widening set
+    * (SPARK-40876) — the same ladder Delta type widening rides. Every
+    * conversion here is exact: integral widenings are embeddings, int32
+    * and float embed losslessly in double. */
+  def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DoubleType) => true
+    case (org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.DoubleType) => true
+    case (org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.DoubleType) => true
+    case (org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
 
   /** Highest `minWriterVersion` this WRITER satisfies (the other half of
     * Delta's protocol split): 1 = base format, 2 = CHECK constraints

@@ -187,6 +187,68 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("type widening: ALTER COLUMN TYPE is metadata-only; old files " +
+      "upcast, narrow appends never narrow back, non-widenings refused") {
+    import spark.implicits._
+    val lake = tmpRoot("twlake")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_tw", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tw.root", lake)
+    try {
+      spark.sql("CREATE NAMESPACE graft_tw.db")
+      spark.sql("CREATE TABLE graft_tw.db.w (id INT, v FLOAT)")
+      spark.sql("INSERT INTO graft_tw.db.w VALUES (1, CAST(1.5 AS FLOAT)), " +
+        "(2, CAST(2.5 AS FLOAT))")
+      val t = GraftTable.forPath(spark, s"$lake/db/w")
+      val filesBefore = t.commitAt(t.latestVersion).files.map(_.path)
+      spark.sql("ALTER TABLE graft_tw.db.w ALTER COLUMN id TYPE BIGINT")
+      spark.sql("ALTER TABLE graft_tw.db.w ALTER COLUMN v TYPE DOUBLE")
+      // zero data IO: both widenings carried every file by identity
+      assert(t.commitAt(t.latestVersion).files.map(_.path) == filesBefore)
+      // a value only the wide type can hold lands fine
+      spark.sql("INSERT INTO graft_tw.db.w VALUES (8000000000, 3.5)")
+      val got = spark.read.format("graft").load(s"$lake/db/w")
+      assert(got.schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(got.schema("v").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(got.count() == 3)
+      assert(got.filter($"id" === 8000000000L).count() == 1)
+      assert(got.filter($"id" === 1L).select($"v").as[Double].head() == 1.5)
+      // time travel below the widening serves that version's own NARROW schema
+      val old = spark.read.format("graft").option("versionAsOf", 2)
+        .load(s"$lake/db/w")
+      assert(old.schema("id").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(old.count() == 2)
+      // narrowing and cross-family changes are refused
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_tw.db.w ALTER COLUMN id TYPE INT")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft_tw.db.w ALTER COLUMN v TYPE STRING")
+      }
+      // CDF across the widening commits: zero churn, zero changes, and
+      // the feed renders in the final wide schema
+      val chg = spark.read.format("graft").option("changesFrom", 2)
+        .option("changesTo", 4).load(s"$lake/db/w")
+      assert(chg.isEmpty)
+      val chgAll = spark.read.format("graft").option("changesFrom", 2)
+        .load(s"$lake/db/w")
+      assert(chgAll.schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(chgAll.count() == 1) // just the post-widening insert
+      // a keyed merge on the widened column still prunes via the files'
+      // original int32 stats (kind "long" either width)
+      t.mergeUpsert(Seq((1L, 99.0)).toDF("id", "v"), Seq("id"), dvMode = "off")
+      assert(t.read().filter($"id" === 1L).select($"v").as[Double].head() == 99.0)
+      assert(t.read().count() == 3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_tw.db.w")
+      spark.conf.unset("spark.sql.catalog.graft_tw")
+    }
+  }
+
   test("SQL catalog: CREATE / INSERT / SELECT / VERSION AS OF / DROP") {
     import spark.implicits._
     val lake = tmpRoot("lake")

@@ -584,6 +584,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("graft streaming source: widened columns upcast in the Group reader") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    val root = s"$dir/tbl"
+    val t = graft.table.GraftTable.create(spark, root,
+      spark.range(3).selectExpr("cast(id as int) as id", "cast(id as float) as v"))
+    val c = t.commitAt(1)
+    // metadata-only widening commit (what ALTER COLUMN TYPE lowers to)
+    t.commit(1, "widen", c.files, new StructType()
+      .add("id", LongType).add("v", DoubleType))
+    t.append(Seq((8000000000L, 4.5)).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$dir/out").orderBy("id").collect().toSeq
+    val want = t.read().orderBy("id").collect().toSeq
+    assert(got == want,
+      s"widened stream must equal the batch read: $got vs $want")
+    assert(got.map(_.getLong(0)).contains(8000000000L))
+  }
+
   test("graft streaming source: INT96 timestamps and doubles round-trip exactly") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_src96").toString

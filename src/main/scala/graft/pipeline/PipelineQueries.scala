@@ -300,6 +300,39 @@ object PipelineQueries extends QueryModule {
     t.read().orderBy($"sid")
   }
 
+  /** S25 — BLOOM-INDEXED POINT LOOKUP (round-14 continuation): a
+    * hash-distributed string key defeats min/max skipping (every file's
+    * sid range spans the whole domain), so a point lookup would read the
+    * table; the per-file bloom sidecars built by `indexBloom` prune to
+    * the files that MIGHT hold the key — the fixture asserts a strict
+    * file subset survives, and the oracle proves the surviving read is
+    * still exactly right. The DSv2 scan folds the equality predicate
+    * into the same (lo == hi) range the stats path uses, so the bloom
+    * consult is one registry lookup per candidate. */
+  private def scanBloomSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = builtTable(spark, sfDir, "bl") { dir =>
+      val docs = Tables.table(spark, sfDir, "documents")
+        .select(format_string("doc-%08d", $"doc_id").as("sid"),
+          $"lang", $"source", $"n_chars")
+      val tbl = graft.table.GraftTable.create(spark, dir,
+        docs.repartition(8), "create_docs")
+      tbl.indexBloom("sid")
+      tbl
+    }
+    val maxId = Option(Tables.table(spark, sfDir, "documents")
+      .agg(max($"doc_id")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val key = f"doc-${maxId / 2}%08d"
+    val pruned = t.pruneFiles(t.latestVersion, Seq.empty,
+      Seq(("sid", Some(key), Some(key))))
+    val total = t.commitAt(t.latestVersion).files.size
+    require(maxId == 0L || pruned.size < total,
+      s"bloom index must skip files for a point lookup ($pruned of $total survive)")
+    spark.read.format("graft").load(t.root)
+      .filter($"sid" === key).orderBy($"sid")
+  }
+
   /** S13 — TIME TRAVEL over the versioned table: read version 1 (the
     * pre-merge base snapshot) and version 2 (post-merge) of the SAME table
     * in one query and report per-version aggregates. Version 1 must still
@@ -700,6 +733,7 @@ object PipelineQueries extends QueryModule {
     "scan_table_changes_diff" -> scanTableChangesDiff,
     "scan_table_changes_ts"  -> scanTableChangesTs,
     "scan_file_skipping"     -> scanFileSkipping,
+    "scan_bloom_skipping"    -> scanBloomSkipping,
     "scan_partition_manifest" -> scanPartitionManifest,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_merge_sql"       -> upsertMergeSql,
@@ -832,6 +866,11 @@ object PipelineQueries extends QueryModule {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "scan_bloom_skipping" ->
+      """SELECT printf('doc-%08d', doc_id) AS sid, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id = (SELECT max(doc_id) // 2 FROM documents)
+        |ORDER BY sid""".stripMargin,
     "upsert_string_key" ->
       """SELECT printf('doc-%08d', doc_id) AS sid, text, lang, source,
         |       CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000000

@@ -179,6 +179,18 @@ private[table] object GraftProcedures {
           t.cloneTo(dest.getAbsolutePath, in.getLong(2))
           opVersion("clone", 1L)
         })
+      case "index_bloom" => new GraftProcedure(root, "index_bloom",
+        // per-file bloom index for point-lookup skipping (Delta's bloom
+        // filter index role); incremental — re-run after appends
+        Seq(p("tbl", StringType), p("col", StringType),
+          ProcedureParameter.in("fpp", org.apache.spark.sql.types.DoubleType)
+            .defaultValue("0.01").build()),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          opVersion("index_bloom_files_indexed",
+            t.indexBloom(in.getUTF8String(1).toString, in.getDouble(2)))
+        })
       case "add_constraint" => new GraftProcedure(root, "add_constraint",
         // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates the
         // existing table once, then a metadata-only commit; every write
@@ -277,6 +289,6 @@ private[table] object GraftProcedures {
     }
 
   val names: Seq[String] = Seq("add_constraint", "drop_constraint", "clone",
-    "compact", "zorder", "vacuum", "history",
+    "index_bloom", "compact", "zorder", "vacuum", "history",
     "restore", "checkpoint", "detail")
 }

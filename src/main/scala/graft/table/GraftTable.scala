@@ -1010,7 +1010,173 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
                  ranges: Seq[(String, BigDecimal, BigDecimal)],
                  strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] = {
     val c = commitAt(version)
-    c.files.filter(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+    bloomPruneFiles(
+      c.files.filter(f => fileMayMatch(f, ranges, strRanges, c.columnMapping)),
+      ranges, strRanges, c.columnMapping)
+  }
+
+  // ==== bloom-filter file index (advisory point-lookup skipping) ==========
+  //
+  // A hash-distributed key column defeats min/max skipping: every file's
+  // range spans the whole domain, so a point lookup reads the table. The
+  // index records one bloom filter PER FILE as a sidecar under
+  // `_graft_index/` with a per-column registry JSON mapping file path →
+  // sidecar (the role Delta's bloom filter index files play). The layer
+  // is ADVISORY and sound by IMMUTABILITY: a file's bytes never change
+  // under its path, so a filter for a path can never go stale — a
+  // deletion-vector swap only REMOVES rows (the filter stays a sound
+  // superset), a rewrite creates NEW paths that simply have no filter
+  // until the next index run, and any file absent from the registry is
+  // kept. Only definite-absence skips; the row-level predicate always
+  // still runs.
+
+  private def indexDir = new File(root, "_graft_index")
+  private def bloomRegistryPath(physCol: String) =
+    new File(indexDir, s"bloom-$physCol.json")
+  @transient private lazy val bloomRegistryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, String])]()
+  @transient private lazy val bloomFilterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+
+  /** The path→sidecar registry for a column's bloom index (empty = no
+    * index). Cached by the registry file's (mtime, length) stamp. */
+  private def bloomRegistry(physCol: String): Map[String, String] = {
+    val f = bloomRegistryPath(physCol)
+    if (!f.exists()) return Map.empty
+    val stamp = s"${f.lastModified()}:${f.length()}"
+    val cached = bloomRegistryCache.get(physCol)
+    if (cached != null && cached._1 == stamp) return cached._2
+    val n = mapper.readTree(Files.readAllBytes(f.toPath))
+    val m = scala.collection.mutable.Map.empty[String, String]
+    Option(n.get("files")).foreach(_.fields().forEachRemaining(e =>
+      m(e.getKey) = e.getValue.asText()))
+    val parsed = m.toMap
+    bloomRegistryCache.put(physCol, (stamp, parsed))
+    parsed
+  }
+
+  private def writeBloomRegistry(physCol: String,
+      entries: Map[String, String]): Unit = {
+    indexDir.mkdirs()
+    val node = mapper.createObjectNode()
+    node.put("col", physCol)
+    val files = node.putObject("files")
+    entries.toSeq.sortBy(_._1).foreach { case (p, s) => files.put(p, s): Unit }
+    val tmp = new File(indexDir, s".bloom-${UUID.randomUUID()}.tmp")
+    try {
+      Files.write(tmp.toPath, mapper.writeValueAsBytes(node))
+      Files.move(tmp.toPath, bloomRegistryPath(physCol).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp.toPath): Unit
+  }
+
+  /** Build (or extend) the bloom file index for `colName`: one
+    * distributed scan of the UNINDEXED files — the shuffle carries
+    * per-file partial filters, never raw values ([[BloomLongAgg]]) — then
+    * sidecars land under `_graft_index/` and the registry updates
+    * atomically. Idempotent and incremental: re-running after appends
+    * indexes only the new files. Supports string and integral columns
+    * (the point-lookup shapes). Values are hashed through the sketch's
+    * own putLong/putString, deleted rows included (a sound superset —
+    * vectors only remove rows). Returns how many files were indexed.
+    *
+    * At 100 TB the build is one column scan of the unindexed tail; for
+    * tables with very many files, run per partition-scope batch — the
+    * registry merge is associative. */
+  def indexBloom(colName: String, fpp: Double = 0.01): Long = {
+    val session = spark
+    import session.implicits._
+    val c = commitAt(latestVersion)
+    val physCol = c.phys(colName)
+    val field = c.schema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no such column $colName"))
+    val isString = field.dataType == org.apache.spark.sql.types.StringType
+    val isIntegral = Set[DataType](org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)(field.dataType)
+    require(isString || isIntegral,
+      s"bloom index supports string/integral columns, got ${field.dataType.simpleString}")
+    val registry = bloomRegistry(physCol)
+    val todo = c.files.filterNot(f => registry.contains(f.path))
+    if (todo.isEmpty) return 0L
+    val expected = math.max(64L, todo.map(_.rows).max)
+    val src = readFilesRaw(StructType(Seq(field)), todo,
+        withMeta = true, c.columnMapping)
+      .select(col(GraftTable.DvFileCol).as("_f"), col(colName).as("_v"))
+      .filter(col("_v").isNotNull)
+    val perFile: Array[(String, Array[Byte])] =
+      if (isString)
+        src.as[(String, String)].groupByKey(_._1)
+          .agg(new BloomStringAgg(expected, fpp).toColumn).collect()
+      else
+        src.select(col("_f"), col("_v").cast("long")).as[(String, Long)]
+          .groupByKey(_._1)
+          .agg(new BloomLongAgg(expected, fpp).toColumn).collect()
+    indexDir.mkdirs()
+    val added = perFile.map { case (scanPath, bytes) =>
+      val entry = todo.find(f => scanPath.endsWith(f.path)).getOrElse(
+        throw new IllegalStateException(s"indexed file $scanPath not in todo set"))
+      val rel = s"_graft_index/bf-${UUID.randomUUID()}.bf"
+      Files.write(new File(root, rel).toPath, bytes)
+      entry.path -> rel
+    }.toMap
+    // files whose every row is NULL in the column produce no group — an
+    // EMPTY filter is exactly right (equality never matches NULL)
+    val nullOnly = todo.map(_.path).toSet -- added.keySet
+    val empties = nullOnly.map { p =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, fpp)
+      val o = new java.io.ByteArrayOutputStream()
+      bf.writeTo(o)
+      val rel = s"_graft_index/bf-${UUID.randomUUID()}.bf"
+      Files.write(new File(root, rel).toPath, o.toByteArray)
+      p -> rel
+    }.toMap
+    writeBloomRegistry(physCol, registry ++ added ++ empties)
+    (added.size + empties.size).toLong
+  }
+
+  private def loadBloom(rel: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomFilterCache.computeIfAbsent(rel, { r =>
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(new File(root, r)))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    })
+
+  /** Consult the bloom index for EQUALITY predicates (a range folded to
+    * lo == hi): drop files whose filter says the value is definitely
+    * absent. Missing registry, missing entry, unreadable sidecar, or a
+    * non-equality predicate all KEEP the file — advisory, never load-
+    * bearing. */
+  private def bloomPruneFiles(files: Seq[ManifestFile],
+      ranges: Seq[(String, BigDecimal, BigDecimal)],
+      strRanges: Seq[(String, Option[String], Option[String])],
+      mapping: Map[String, String]): Seq[ManifestFile] = {
+    if (files.isEmpty) return files
+    def phys(n: String) = mapping.getOrElse(n, n)
+    val eqLong = ranges.collect {
+      case (c0, lo, hi) if lo == hi && lo.isWhole &&
+        lo.isValidLong => (phys(c0), lo.toLongExact)
+    }
+    val eqStr = strRanges.collect {
+      case (c0, Some(l), Some(h)) if l == h => (phys(c0), l)
+    }
+    if (eqLong.isEmpty && eqStr.isEmpty) return files
+    val regs: Map[String, Map[String, String]] =
+      (eqLong.map(_._1) ++ eqStr.map(_._1)).distinct
+        .map(pc => pc -> bloomRegistry(pc)).toMap
+    if (regs.values.forall(_.isEmpty)) return files
+    def keep(f: ManifestFile, pc: String, test: org.apache.spark.util.sketch.BloomFilter => Boolean): Boolean =
+      regs(pc).get(f.path) match {
+        case None => true
+        case Some(rel) =>
+          try test(loadBloom(rel))
+          catch { case _: Exception => true } // unreadable sidecar: keep
+      }
+    files.filter { f =>
+      eqLong.forall { case (pc, v) => keep(f, pc, _.mightContainLong(v)) } &&
+        eqStr.forall { case (pc, v) => keep(f, pc, _.mightContainString(v)) }
+    }
   }
 
   /** The single-file pruning decision behind [[pruneFiles]] — also drives
@@ -1042,6 +1208,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         case None => f.stats.get(col).forall(_.overlapsStr(lo, hi))
       }
     }
+  }
+
+
+  /** DML candidate split: stats pruning plus the advisory bloom index —
+    * a point DELETE/UPDATE by a hash-distributed key touches the files
+    * that MIGHT hold it, not every file whose min/max range spans it. */
+  private def dmlSplit(c: TableCommit,
+      ranges: Seq[(String, BigDecimal, BigDecimal)],
+      strRanges: Seq[(String, Option[String], Option[String])])
+      : (Seq[ManifestFile], Seq[ManifestFile]) = {
+    val stats = c.files.filter(f =>
+      fileMayMatch(f, ranges, strRanges, c.columnMapping))
+    val touched = bloomPruneFiles(stats, ranges, strRanges, c.columnMapping)
+      .map(_.path).toSet
+    c.files.partition(f => touched.contains(f.path))
   }
 
   /** Copy-on-write file selection for the merge family: split `c`'s files
@@ -1928,8 +2109,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     while (true) {
       val parent = latestVersion
       val c = commitAt(parent)
-      val (touched, carried) =
-        c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+      val (touched, carried) = dmlSplit(c, ranges, strRanges)
       try {
         return {
           if (dvMode != "off" && touched.nonEmpty)
@@ -2088,8 +2268,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     while (true) {
       val parent = latestVersion
       val c = commitAt(parent)
-      val (touched, carried) =
-        c.files.partition(f => fileMayMatch(f, ranges, strRanges, c.columnMapping))
+      val (touched, carried) = dmlSplit(c, ranges, strRanges)
       try {
         return {
           if (dvMode != "off" && touched.nonEmpty)
@@ -2509,6 +2688,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         f.getName.endsWith(".parquet") || f.getName.endsWith(".dv")
       if (sweepable && !live.contains(rel) && f.lastModified() <= horizon)
         f.delete(): Unit
+    }
+    // Bloom-index hygiene: drop registry entries for files no retained
+    // version references (their data just got swept), then delete
+    // orphaned sidecars — both the dropped ones and any .bf a crashed
+    // index run leaked before its registry move (age-gated like data).
+    if (indexDir.isDirectory) {
+      val referenced = scala.collection.mutable.HashSet.empty[String]
+      Option(indexDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("bloom-") && f.getName.endsWith(".json"))
+        .foreach { reg =>
+          val physCol = reg.getName.stripPrefix("bloom-").stripSuffix(".json")
+          val entries = bloomRegistry(physCol)
+          val (kept, dropped) = entries.partition { case (p, _) => live.contains(p) }
+          if (dropped.nonEmpty) {
+            if (kept.isEmpty) Files.deleteIfExists(reg.toPath): Unit
+            else writeBloomRegistry(physCol, kept)
+          }
+          referenced ++= kept.values.map(r => new File(root, r).getName)
+        }
+      Option(indexDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.endsWith(".bf") && !referenced.contains(f.getName) &&
+            f.lastModified() <= horizon)
+          f.delete(): Unit
+      }
+      bloomFilterCache.clear()
     }
   }
 }

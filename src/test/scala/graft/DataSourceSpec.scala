@@ -603,6 +603,16 @@ class DataSourceSpec extends SparkSpec {
       spark.sql("INSERT INTO graft_pr.db.m_t VALUES (-5, 0)")
       assert(t.read().count() == 512)
 
+      // bloom index through CALL: counts the files indexed; the DSv2
+      // point lookup then prunes through the registry
+      val bi = spark.sql(
+        "CALL graft_pr.system.index_bloom(tbl => 'db.m_t', col => 'id')")
+        .collect()
+      assert(bi.head.getString(0) == "index_bloom_files_indexed" &&
+        bi.head.getLong(1) > 0)
+      assert(spark.read.format("graft").load(s"$lake/db/m_t")
+        .filter(col("id") === 250L).count() == 1)
+
       // shallow clone through CALL: dest v1 references src files, zero
       // bytes copied, reads agree
       val cln = spark.sql(

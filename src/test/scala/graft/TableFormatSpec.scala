@@ -1232,6 +1232,58 @@ class TableFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported manifest format"))
   }
 
+  // ---- round-14 continuation: bloom file index ----------------------------
+
+  test("bloom file index: point lookups skip hash-distributed files; " +
+      "advisory everywhere — DVs, rewrites, and vacuum stay sound") {
+    import spark.implicits._
+    val root = tmpRoot("bloom")
+    // hash layout: every file's id range spans the domain — min/max
+    // skipping prunes NOTHING for a point lookup
+    val t = GraftTable.create(spark, root,
+      spark.range(4000).toDF("id")
+        .withColumn("s", concat(lit("k-"), $"id"))
+        .repartition(8))
+    val eq = Seq(("id", BigDecimal(1234), BigDecimal(1234)))
+    assert(t.pruneFiles(1, eq).size == 8, "stats alone cannot discriminate")
+    assert(t.indexBloom("id") == 8)
+    assert(t.indexBloom("id") == 0, "re-index must be incremental (no-op)")
+    // the lookup now touches only files that might hold the key — with
+    // fpp 1% over 8 files, almost always exactly 1
+    val pruned = t.pruneFiles(1, eq)
+    assert(pruned.size < 8, s"bloom must skip files, got ${pruned.size}")
+    assert(t.read().filter($"id" === 1234L).count() == 1)
+    // an ABSENT key usually prunes everything; correctness regardless
+    assert(t.read().filter($"id" === 999999L).isEmpty)
+    // string index too
+    assert(t.indexBloom("s") == 8)
+    val sPruned = t.pruneFiles(1, Seq.empty,
+      Seq(("s", Some("k-77"), Some("k-77"))))
+    assert(sPruned.size < 8)
+    // a DV delete keeps the filter a sound SUPERSET: the file is still
+    // consulted, the row-level read returns nothing
+    t.deleteWhere($"id" === 1234L, dvMode = "force")
+    assert(t.read().filter($"id" === 1234L).isEmpty)
+    assert(spark.read.format("graft").load(root)
+      .filter($"id" === 1234L).isEmpty)
+    // DML candidate selection rides the index: a point DELETE by key
+    // touches only the bloom-surviving files (delete_noop or a 1-file op)
+    val vBefore = t.latestVersion
+    t.deleteWhere($"id" === 2345L)
+    val op = t.commitAt(vBefore + 1).operation
+    assert(op == "delete_dv" || op == "delete" || op == "delete_noop")
+    // a rewrite creates NEW paths with no filter — kept, never skipped
+    t.compact(targetRows = 10000)
+    assert(t.read().filter($"id" === 77L).count() == 1)
+    assert(t.pruneFiles(t.latestVersion, eq).nonEmpty)
+    // vacuum sweeps the dead paths' registry entries and sidecars
+    t.vacuum(t.latestVersion, minAgeMs = 0)
+    val bfs = Option(new java.io.File(root, "_graft_index").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".bf"))
+    assert(bfs.isEmpty, s"vacuum left orphaned bloom sidecars: ${bfs.toSeq}")
+    assert(t.read().count() == 3998) // 4000 - the two point deletes
+  }
+
   // ---- round-14 continuation: shallow clone -------------------------------
 
   test("shallow clone: zero-copy reference, metadata carries, independent " +

@@ -1442,8 +1442,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val (touched, carried) = cowSplit(c, batch, keys)
       val merged = merge(c, touched)
       val out = clusterForWrite(merged, cowPruneColumn(c, keys))
+      // a partitioned table keeps its Hive layout (and manifest
+      // partition values) through the rewrite, like compact does
       val newFiles = writeData(enforceConstraints(out, c.constraints),
-        mapping = c.columnMapping)
+        c.partitionCols, c.columnMapping)
       val touchedPaths = touched.map(_.path).toSet
       onBeforeMergeCommit()
       var base = parent
@@ -2084,7 +2086,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       else dvSwapEntries(matched, touched, dvMode, nMatched)
         .getOrElse(return None)
     val newFiles = writeData(enforceConstraints(b, c.constraints),
-      mapping = c.columnMapping)
+      c.partitionCols, c.columnMapping)
     Some(commit(parent, "merge_dv",
       swapDvFiles(c.files, swapped) ++ newFiles, c.schema))
   }
@@ -2135,7 +2137,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val kept = readFiles(c.schema, touched, c.columnMapping)
       .filter(!coalesce(cond, lit(false)))
     commit(parent, "delete",
-      carried ++ writeData(kept, mapping = c.columnMapping), c.schema)
+      carried ++ writeData(kept, c.partitionCols, c.columnMapping), c.schema)
   }
 
   /** Merge-on-read DELETE (Delta's deletion vectors): instead of
@@ -2305,7 +2307,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         }
       }.toSeq: _*)
     val newFiles = writeData(enforceConstraints(updated, c.constraints),
-      mapping = c.columnMapping)
+      c.partitionCols, c.columnMapping)
     commit(parent, "update", carried ++ newFiles, c.schema)
   }
 
@@ -2345,7 +2347,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         }
       }.toSeq: _*)
       val newFiles = writeData(enforceConstraints(post, c.constraints),
-        mapping = c.columnMapping)
+        c.partitionCols, c.columnMapping)
       Some(commit(parent, "update_dv",
         swapDvFiles(c.files, updated) ++ newFiles, c.schema))
     } finally matched.unpersist()

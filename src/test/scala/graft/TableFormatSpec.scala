@@ -1232,6 +1232,36 @@ class TableFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported manifest format"))
   }
 
+  // ---- round-14 continuation: partition layout through DML ----------------
+
+  test("merge/DELETE/UPDATE on a partitioned table keep the Hive layout " +
+      "and manifest partition values") {
+    import spark.implicits._
+    val root = tmpRoot("pdml")
+    val df = spark.range(400).toDF("id")
+      .withColumn("g", ($"id" % 4).cast("int"))
+      .withColumn("v", ($"id" * 10).cast("long"))
+    val t = GraftTable.createPartitioned(spark, root, df, Seq("g"))
+    def allPartitioned(): Boolean =
+      t.commitAt(t.latestVersion).files.forall(_.partition.contains("g"))
+    assert(allPartitioned())
+    t.upsertKeepLatest(Seq((7L, 3, 999L), (500L, 1, 1L)).toDF("id", "g", "v"),
+      Seq("id"), Seq($"v".desc))
+    assert(allPartitioned(), "a COW merge must keep the Hive layout")
+    t.deleteWhere($"id" === 8L, dvMode = "off")
+    assert(allPartitioned(), "a COW delete must keep the Hive layout")
+    t.updateWhere(Seq("v" -> ($"v" + 1L)), Some($"id" === 9L), dvMode = "off")
+    assert(allPartitioned(), "a COW update must keep the Hive layout")
+    // partition pruning still works end-to-end after the rewrites
+    val g2 = t.pruneFiles(t.latestVersion,
+      Seq(("g", BigDecimal(2), BigDecimal(2))))
+    assert(g2.nonEmpty && g2.forall(_.partition.get("g").contains("2")))
+    assert(t.read().filter($"g" === 2).count() == 100)
+    assert(t.read().count() == 400) // 400 - deleted 8 + inserted 500
+    assert(t.read().filter($"id" === 7L).select($"v").as[Long].head() == 999L)
+    assert(t.read().filter($"id" === 9L).select($"v").as[Long].head() == 91L)
+  }
+
   // ---- round-14 continuation: bloom file index ----------------------------
 
   test("bloom file index: point lookups skip hash-distributed files; " +

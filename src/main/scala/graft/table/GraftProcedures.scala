@@ -179,6 +179,17 @@ private[table] object GraftProcedures {
           t.cloneTo(dest.getAbsolutePath, in.getLong(2))
           opVersion("clone", 1L)
         })
+      case "set_partitioning" => new GraftProcedure(root, "set_partitioning",
+        // partition evolution (Iceberg's role): comma-separated columns,
+        // empty string = unpartitioned; future writes only, zero IO
+        Seq(p("tbl", StringType), p("cols", StringType)),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          opVersion("set_partitioning", t.setPartitioning(cols))
+        })
       case "index_bloom" => new GraftProcedure(root, "index_bloom",
         // per-file bloom index for point-lookup skipping (Delta's bloom
         // filter index role); incremental — re-run after appends
@@ -289,6 +300,6 @@ private[table] object GraftProcedures {
     }
 
   val names: Seq[String] = Seq("add_constraint", "drop_constraint", "clone",
-    "index_bloom", "compact", "zorder", "vacuum", "history",
+    "index_bloom", "set_partitioning", "compact", "zorder", "vacuum", "history",
     "restore", "checkpoint", "detail")
 }

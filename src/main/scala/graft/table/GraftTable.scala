@@ -2546,6 +2546,34 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       columnMapping = Some(target.columnMapping))
   }
 
+  /** PARTITION EVOLUTION (Iceberg's `ALTER TABLE ... WRITE ORDERED/
+    * PARTITIONED BY` role, which Hive-layout Delta lacks): change the
+    * DECLARED partition columns for FUTURE writes with one zero-IO
+    * metadata commit — no rewrite of history. Each manifest entry
+    * already carries its OWN partition values, so a mixed-era table
+    * prunes per file: old-era files fall back to their footer stats for
+    * the new key (sound — [[fileMayMatch]] treats a missing partition
+    * value as "consult stats"), new-era files prune on their directory
+    * values, and rewrites land under whatever layout is declared at
+    * rewrite time. Empty `cols` = back to unpartitioned. */
+  def setPartitioning(cols: Seq[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      cols.foreach(col0 => require(c.schema.fieldNames.contains(col0),
+        s"cannot partition by unknown column $col0"))
+      try return commit(parent, "set_partitioning", c.files, c.schema,
+        partitionCols = Some(cols))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    0L // unreachable
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): create a
     * new table at `destRoot` whose first commit REFERENCES this table's
     * data files (and deletion-vector sidecars) by ABSOLUTE path — zero

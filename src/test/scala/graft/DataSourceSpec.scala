@@ -187,6 +187,55 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("partition evolution: set_partitioning changes the layout for " +
+      "future writes only; mixed eras prune per file") {
+    import spark.implicits._
+    val lake = tmpRoot("pelake")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_pe", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pe.root", lake)
+    try {
+      spark.sql("CREATE NAMESPACE graft_pe.db")
+      spark.sql("CREATE TABLE graft_pe.db.e (id BIGINT, g INT)")
+      spark.sql("INSERT INTO graft_pe.db.e " +
+        "SELECT id, CAST(id % 4 AS INT) FROM range(100)")
+      val t = GraftTable.forPath(spark, s"$lake/db/e")
+      assert(t.commitAt(t.latestVersion).files.forall(_.partition.isEmpty))
+      // evolve: one zero-IO metadata commit; future writes adopt it
+      spark.sql("CALL graft_pe.system.set_partitioning(tbl => 'db.e', cols => 'g')")
+      spark.sql("INSERT INTO graft_pe.db.e " +
+        "SELECT id, CAST(id % 4 AS INT) FROM range(100, 200)")
+      val latest = t.commitAt(t.latestVersion)
+      assert(latest.partitionCols == Seq("g"))
+      val (newEra, oldEra) = latest.files.partition(_.partition.contains("g"))
+      assert(newEra.nonEmpty && oldEra.nonEmpty,
+        "old-era files must survive the evolution untouched")
+      // mixed-era pruning: every g=1 NEW-era file prunes by its directory
+      // value; old-era files consult their footer stats
+      val pruned = t.pruneFiles(t.latestVersion,
+        Seq(("g", BigDecimal(1), BigDecimal(1))))
+      assert(pruned.filter(_.partition.contains("g"))
+        .forall(_.partition.get("g").contains("1")))
+      assert(spark.sql("SELECT count(*) FROM graft_pe.db.e WHERE g = 1")
+        .as[Long].head() == 50L)
+      assert(spark.sql("SELECT count(*) FROM graft_pe.db.e").as[Long].head() == 200L)
+      // and back to unpartitioned — three eras coexist
+      spark.sql("CALL graft_pe.system.set_partitioning(tbl => 'db.e', cols => '')")
+      spark.sql("INSERT INTO graft_pe.db.e VALUES (500, 1)")
+      assert(t.commitAt(t.latestVersion).partitionCols.isEmpty)
+      assert(spark.sql("SELECT count(*) FROM graft_pe.db.e WHERE g = 1")
+        .as[Long].head() == 51L)
+      // unknown column refused
+      intercept[Exception] {
+        spark.sql("CALL graft_pe.system.set_partitioning(tbl => 'db.e', cols => 'nope')")
+          .collect()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pe.db.e")
+      spark.conf.unset("spark.sql.catalog.graft_pe")
+    }
+  }
+
   test("type widening: ALTER COLUMN TYPE is metadata-only; old files " +
       "upcast, narrow appends never narrow back, non-widenings refused") {
     import spark.implicits._

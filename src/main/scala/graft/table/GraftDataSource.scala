@@ -46,6 +46,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * predicate on a zordered dimension plans a 32-file scan out of a
   * 100k-file table before a single byte of data moves.
   */
+
+object GraftDataSource {
+  /** Timestamp-option parsing shared by every reader spelling
+    * (`timestampAsOf`, `changesFrom/ToTimestamp`, `startingTimestamp`):
+    * epoch millis, `yyyy-MM-dd[ HH:mm:ss[.f]]`, or an ISO-8601 instant —
+    * the spellings Delta's reader options take. */
+  private[table] def parseTsMs(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else scala.util.Try(java.sql.Timestamp.valueOf(s).getTime)
+      .orElse(scala.util.Try(java.sql.Date.valueOf(s).getTime))
+      .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestamp option: cannot parse '$s' (epoch millis, " +
+          "'yyyy-MM-dd[ HH:mm:ss]', or ISO instant)"))
+}
+
 final class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -74,16 +90,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     (t, v)
   }
 
-  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd[ HH:mm:ss[.f]]`,
-    * or an ISO-8601 instant — the spellings Delta's reader option takes. */
-  private def parseTsMs(s: String): Long =
-    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
-    else scala.util.Try(java.sql.Timestamp.valueOf(s).getTime)
-      .orElse(scala.util.Try(java.sql.Date.valueOf(s).getTime))
-      .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli))
-      .getOrElse(throw new IllegalArgumentException(
-        s"timestampAsOf: cannot parse '$s' (epoch millis, " +
-          "'yyyy-MM-dd[ HH:mm:ss]', or ISO instant)"))
+  private def parseTsMs(s: String): Long = GraftDataSource.parseTsMs(s)
 
   /** Change-feed bounds, when this read is a CDF read: version-keyed
     * (`option("changesFrom", v1)[.option("changesTo", v2)]`) or
@@ -231,8 +238,17 @@ private[table] final class GraftSparkTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (t, v) = existing.getOrElse(
       throw new IllegalArgumentException(s"no graft table log at $root"))
+    // streaming start: a VERSION, or an INSTANT resolved by the
+    // TIMESTAMP AS OF rule (Delta's startingTimestamp) — never both
+    val sv = Option(options.get("startingVersion"))
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "specify either startingVersion or startingTimestamp, not both")
+    val effStart = sv
+      .orElse(st.map(s => t.versionAtTimestamp(GraftDataSource.parseTsMs(s)).toString))
+      .getOrElse("0")
     new GraftScanBuilder(t, v, tableSchema,
-      Option(options.get("startingVersion")).getOrElse("0"),
+      effStart,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       Option(options.get("readChangeFeed")).exists(_.toBoolean))
@@ -343,7 +359,8 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter(f =>
       GraftFilterRanges.toRanges(Seq(f)).nonEmpty ||
-        GraftFilterRanges.toStrRanges(Seq(f)).nonEmpty)
+        GraftFilterRanges.toStrRanges(Seq(f)).nonEmpty ||
+        GraftFilterRanges.toNullPreds(Seq(f)).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -355,7 +372,8 @@ private[table] final class GraftScanBuilder(t: GraftTable, version: Long,
     new GraftV1Scan(t, version, required,
       GraftFilterRanges.toRanges(accepted.toSeq), startingVersion,
       maxVersionsPerTrigger, GraftFilterRanges.toStrRanges(accepted.toSeq),
-      skipChangeCommits, readChangeFeed)
+      skipChangeCommits, readChangeFeed,
+      GraftFilterRanges.toNullPreds(accepted.toSeq))
 }
 
 /** Public (not `private[table]`) so plan-gating tests can collect the
@@ -367,13 +385,14 @@ final class GraftV1Scan(
     maxVersionsPerTrigger: Option[Long] = None,
     val strRanges: Seq[(String, Option[String], Option[String])] = Seq.empty,
     skipChangeCommits: Boolean = false,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    val nullPreds: Seq[(String, Boolean)] = Seq.empty)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** The manifest-pruned file subset this scan will read — public so
     * PlanSpec can gate "strict subset" on the DSv2 path directly. */
-  val prunedFiles: Seq[ManifestFile] = t.pruneFiles(version, ranges, strRanges)
+  val prunedFiles: Seq[ManifestFile] = t.pruneFiles(version, ranges, strRanges, nullPreds)
   private val tableSchema: StructType = t.commitAt(version).schema
   private val totalFiles: Int = t.commitAt(version).files.size
 
@@ -452,6 +471,19 @@ private[table] final class GraftV1Relation(
   * optimization). Strict bounds fold to their inclusive superset —
   * min/max stats cannot distinguish open from closed endpoints anyway. */
 private[table] object GraftFilterRanges {
+
+  /** NULL-ness predicates, the third pruning channel: `IsNull(c)` can
+    * skip files whose manifests record ZERO nulls in `c`; `IsNotNull(c)`
+    * (which Spark pushes for nearly every referenced column) can skip
+    * files that are ALL null in `c`. Both decisions come straight from
+    * the per-file null counts the manifests already carry. */
+  def toNullPreds(filters: Seq[Filter]): Seq[(String, Boolean)] =
+    filters.flatMap {
+      case IsNull(c)    => Seq((c, true))
+      case IsNotNull(c) => Seq((c, false))
+      case _            => Seq.empty
+    }
+
 
   private val NegInf = BigDecimal("-1e40")
   private val PosInf = BigDecimal("1e40")

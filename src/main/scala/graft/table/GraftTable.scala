@@ -46,6 +46,7 @@ final case class ColStat(kind: String, min: String, max: String,
     * stats normalize by ×1000 before comparing; string stats can say
     * nothing sound about a numeric range, so they never prune. */
   def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean = kind match {
+    case "null-only" => false // every row NULL: no value range matches
     case "string" => true
     case "ts-millis" => !(asBig(max) * 1000 < lo || asBig(min) * 1000 > hi)
     case _ => !(asBig(max) < lo || asBig(min) > hi)
@@ -56,7 +57,8 @@ final case class ColStat(kind: String, min: String, max: String,
     * so a driver-side decision agrees with the executor-side residual
     * filter. Non-string stats never prune a string range. */
   def overlapsStr(lo: Option[String], hi: Option[String]): Boolean =
-    if (kind != "string") true
+    if (kind == "null-only") false // every row NULL: no string range matches
+    else if (kind != "string") true
     else lo.forall(l => ColStat.utf8Compare(max, l) >= 0) &&
       hi.forall(h => ColStat.utf8Compare(min, h) <= 0)
   /** Could any row of this file hold NULL in this column? */
@@ -924,7 +926,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           else None
         }
         val parsed: Option[ColStat] =
-          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          if (st == null || st.isEmpty) None
+          else if (!st.hasNonNullValue)
+            // an ALL-NULL row group has no min/max but a perfectly good
+            // null count — record the dedicated kind so IS NOT NULL (and
+            // every value predicate, which NULL never satisfies) can skip
+            // files that are entirely null in the column
+            (if (st.isNumNullsSet) Some(ColStat("null-only", "", "", st.getNumNulls))
+             else None)
           else c.getPrimitiveType.getPrimitiveTypeName match {
             case INT64 | INT32 if intKind.isEmpty => None
             case INT64 => Some(ColStat(intKind.get,
@@ -952,13 +961,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             acc.get(name) match {
               case None => acc(name) = s
               case Some(prev) =>
-                def lt(a: String, bb: String) =
-                  if (s.kind == "string") ColStat.utf8Compare(a, bb) < 0
-                  else BigDecimal(a) < BigDecimal(bb)
-                acc(name) = ColStat(s.kind,
-                  if (lt(s.min, prev.min)) s.min else prev.min,
-                  if (lt(prev.max, s.max)) s.max else prev.max,
-                  if (prev.nulls < 0 || s.nulls < 0) -1L else prev.nulls + s.nulls)
+                val nn = if (prev.nulls < 0 || s.nulls < 0) -1L
+                         else prev.nulls + s.nulls
+                if (s.kind == "null-only" || prev.kind == "null-only") {
+                  // an all-null group contributes only its null count;
+                  // the other side's bounds (if any) stay authoritative
+                  val keep = if (s.kind == "null-only") prev else s
+                  acc(name) =
+                    if (keep.kind == "null-only") ColStat("null-only", "", "", nn)
+                    else keep.copy(nulls = nn)
+                } else {
+                  def lt(a: String, bb: String) =
+                    if (s.kind == "string") ColStat.utf8Compare(a, bb) < 0
+                    else BigDecimal(a) < BigDecimal(bb)
+                  acc(name) = ColStat(s.kind,
+                    if (lt(s.min, prev.min)) s.min else prev.min,
+                    if (lt(prev.max, s.max)) s.max else prev.max, nn)
+                }
             }
           case _ =>
             bad += name
@@ -1008,12 +1027,46 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * but pruning must never depend on the residual's semantics). */
   def pruneFiles(version: Long,
                  ranges: Seq[(String, BigDecimal, BigDecimal)],
-                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] = {
+                 strRanges: Seq[(String, Option[String], Option[String])]): Seq[ManifestFile] =
+    pruneFiles(version, ranges, strRanges, Seq.empty)
+
+  /** [[pruneFiles]] with NULL-ness predicates alongside the ranges —
+    * `(column, wantNull)`: IS NULL skips files recording zero nulls,
+    * IS NOT NULL skips files that are all-null in the column (both
+    * straight off the manifests' per-file null counts; unknown counts
+    * keep the file). */
+  def pruneFiles(version: Long,
+                 ranges: Seq[(String, BigDecimal, BigDecimal)],
+                 strRanges: Seq[(String, Option[String], Option[String])],
+                 nullPreds: Seq[(String, Boolean)]): Seq[ManifestFile] = {
     val c = commitAt(version)
     bloomPruneFiles(
-      c.files.filter(f => fileMayMatch(f, ranges, strRanges, c.columnMapping)),
+      c.files.filter(f =>
+        fileMayMatch(f, ranges, strRanges, c.columnMapping) &&
+          fileMayMatchNulls(f, nullPreds, c.columnMapping)),
       ranges, strRanges, c.columnMapping)
   }
+
+  /** The per-file NULL-ness decision: a Hive null-partition directory is
+    * all-null in its partition column, any other partition value all
+    * non-null; data columns answer from the recorded null count. Missing
+    * information keeps the file, as everywhere in pruning. */
+  private def fileMayMatchNulls(f: ManifestFile,
+      nullPreds: Seq[(String, Boolean)],
+      mapping: Map[String, String]): Boolean =
+    nullPreds.forall { case (col0, wantNull) =>
+      val col = mapping.getOrElse(col0, col0)
+      f.partition.get(col) match {
+        case Some(GraftTable.HiveNullPartition) => wantNull
+        case Some(_) => !wantNull
+        case None => f.stats.get(col) match {
+          case Some(st) =>
+            if (wantNull) st.mayHaveNulls
+            else st.nulls < 0L || st.nulls < f.rows
+          case None => true
+        }
+      }
+    }
 
   // ==== bloom-filter file index (advisory point-lookup skipping) ==========
   //

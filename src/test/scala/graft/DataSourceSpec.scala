@@ -187,6 +187,31 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("null-count skipping: IS NULL skips zero-null files, IS NOT NULL " +
+      "skips all-null files; results unchanged") {
+    import spark.implicits._
+    val root = tmpRoot("nullskip")
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "long")
+    def df(rows: (java.lang.Long, java.lang.Long)*) =
+      spark.createDataFrame(java.util.Arrays.asList(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*), sch).coalesce(1)
+    val t = GraftTable.create(spark, root, df((1L, null), (2L, null)))
+    t.append(df((3L, 7L), (4L, 8L)))
+    t.append(df((5L, null), (6L, 9L)))
+    val v = t.latestVersion
+    assert(t.commitAt(v).files.size == 3)
+    // IS NULL consults the null counts: the no-null file drops
+    assert(t.pruneFiles(v, Seq.empty, Seq.empty, Seq(("v", true))).size == 2)
+    // IS NOT NULL drops the all-null file
+    assert(t.pruneFiles(v, Seq.empty, Seq.empty, Seq(("v", false))).size == 2)
+    // end-to-end through the DSv2 pushdown, results exact
+    val ds = spark.read.format("graft").load(root)
+    assert(ds.filter($"v".isNull).count() == 3)
+    assert(ds.filter($"v".isNotNull).count() == 3)
+    assert(ds.filter($"v".isNotNull && $"id" >= 5L).count() == 1)
+  }
+
   test("partition evolution: set_partitioning changes the layout for " +
       "future writes only; mixed eras prune per file") {
     import spark.implicits._

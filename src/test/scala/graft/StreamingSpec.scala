@@ -584,6 +584,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("graft streaming source: startingTimestamp resolves the start " +
+      "offset by the TIMESTAMP AS OF rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sts").toString
+    val root = s"$dir/tbl"
+    val t = graft.table.GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    // start AT v2's instant: the stream owes only what came after v2
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", t.commitTimestamp(2L).toString).load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/out").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(4L))
+    // mixing the two start keyings surfaces at stream planning
+    intercept[Exception] {
+      val bad = spark.readStream.format("graft")
+        .option("startingVersion", 1)
+        .option("startingTimestamp", "0").load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$dir/chk2").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+  }
+
   test("graft streaming source: widened columns upcast in the Group reader") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString

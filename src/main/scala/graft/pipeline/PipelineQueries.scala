@@ -320,14 +320,16 @@ object PipelineQueries extends QueryModule {
       tbl.indexBloom("sid")
       tbl
     }
-    val maxId = Option(Tables.table(spark, sfDir, "documents")
-      .agg(max($"doc_id")).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val key = f"doc-${maxId / 2}%08d"
+    // the MINIMUM id exists at every corpus (replicated/Zipf corpora
+    // leave gaps mid-range), so the point lookup always returns its row
+    val minId = Option(Tables.table(spark, sfDir, "documents")
+      .agg(min($"doc_id")).first().get(0))
+      .map(_.asInstanceOf[Long])
+    val key = f"doc-${minId.getOrElse(0L)}%08d"
     val pruned = t.pruneFiles(t.latestVersion, Seq.empty,
       Seq(("sid", Some(key), Some(key))))
     val total = t.commitAt(t.latestVersion).files.size
-    require(maxId == 0L || pruned.size < total,
+    require(minId.isEmpty || pruned.size < total,
       s"bloom index must skip files for a point lookup ($pruned of $total survive)")
     spark.read.format("graft").load(t.root)
       .filter($"sid" === key).orderBy($"sid")
@@ -869,7 +871,7 @@ object PipelineQueries extends QueryModule {
     "scan_bloom_skipping" ->
       """SELECT printf('doc-%08d', doc_id) AS sid, lang, source, n_chars
         |FROM documents
-        |WHERE doc_id = (SELECT max(doc_id) // 2 FROM documents)
+        |WHERE doc_id = (SELECT min(doc_id) FROM documents)
         |ORDER BY sid""".stripMargin,
     "upsert_string_key" ->
       """SELECT printf('doc-%08d', doc_id) AS sid, text, lang, source,

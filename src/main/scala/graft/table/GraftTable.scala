@@ -2724,7 +2724,32 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         Some(rel)
       else None
     }
-    logDels ++ dataDels
+    // bloom-index layer, mirroring vacuum's cleanup exactly: a registry
+    // that would lose its LAST live entry is deleted (rewritten ones
+    // survive and are not listed), and every sidecar no kept entry
+    // references goes, age-gated like data
+    val idxDels =
+      if (!indexDir.isDirectory) Seq.empty
+      else {
+        val referenced = scala.collection.mutable.HashSet.empty[String]
+        val regDels = Option(indexDir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.getName.startsWith("bloom-") && f.getName.endsWith(".json"))
+          .flatMap { reg =>
+            val physCol = reg.getName.stripPrefix("bloom-").stripSuffix(".json")
+            val (kept, dropped) = bloomRegistry(physCol)
+              .partition { case (p, _) => live.contains(p) }
+            referenced ++= kept.values.map(r => new File(root, r).getName)
+            if (dropped.nonEmpty && kept.isEmpty)
+              Some(new File(root).toPath.relativize(reg.toPath).toString)
+            else None
+          }
+        val bfDels = Option(indexDir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.getName.endsWith(".bf") && !referenced.contains(f.getName) &&
+            f.lastModified() <= horizon)
+          .map(f => new File(root).toPath.relativize(f.toPath).toString)
+        regDels ++ bfDels
+      }
+    logDels ++ dataDels ++ idxDels
   }
 
   def vacuum(retainFrom: Long, minAgeMs: Long = GraftTable.DefaultVacuumMinAgeMs): Unit = {

@@ -1073,17 +1073,29 @@ class TableFormatSpec extends SparkSpec {
     val root = tmpRoot("vplan")
     val t = GraftTable.create(spark, root,
       spark.range(100).toDF("id").repartitionByRange(4, col("id")))
+    t.indexBloom("id") // the index layer must honor the dry-run contract too
     t.deleteWhere($"id" < 50L) // COW: v1's files orphan below retention
     t.compact(1000000L)
     val plan = t.vacuumPlan(3, minAgeMs = 0)
     assert(plan.nonEmpty, "pre-retention manifests + orphaned files expected")
+    assert(plan.exists(_.endsWith(".bf")),
+      "the dead base files' bloom sidecars must be in the plan")
     // dry run is pure: every planned path still exists, snapshots intact
     plan.foreach(p => assert(new java.io.File(root, p).exists(), s"dry run deleted $p"))
     assert(t.read(1).count() == 100 && t.read().count() == 50)
-    // the real vacuum then deletes EXACTLY the planned set
+    // the real vacuum then deletes EXACTLY the planned set — both ways
+    def allFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .map(f => new java.io.File(root).toPath.relativize(f.toPath).toString).toSet
+    }
+    val before = allFiles()
     t.vacuum(3, minAgeMs = 0)
-    plan.foreach(p => assert(!new java.io.File(root, p).exists(),
-      s"vacuum left a planned path $p"))
+    val deleted = before -- allFiles()
+    assert(deleted == plan.toSet,
+      s"vacuum deleted ${deleted -- plan.toSet} beyond / ${plan.toSet -- deleted} short of the plan")
     assert(t.read().count() == 50)
   }
 

@@ -260,6 +260,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change (add/rename/drop/widen columns only): $other")
       }
+      // A stored CHECK constraint must still RESOLVE against the
+      // post-ALTER schema: a rename/drop of a referenced column would
+      // otherwise leave the constraint dangling — every later write fails
+      // analysis (table unwritable until DROP CONSTRAINT), or a column
+      // re-added under the old name silently rebinds it. Refuse instead,
+      // as Delta does (round-14 advice).
+      if (c.constraints.nonEmpty) {
+        val probe = t.spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        c.constraints.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+          val resolves = scala.util.Try(
+            probe.select(org.apache.spark.sql.functions.expr(sql))
+              .queryExecution.analyzed).isSuccess
+          if (!resolves) throw new IllegalArgumentException(
+            s"cannot ALTER TABLE ${ident.name()}: CHECK constraint $n " +
+              s"($sql) references an altered column — drop the constraint " +
+              s"first (ALTER TABLE ... DROP CONSTRAINT $n)")
+        }
+      }
       try {
         t.commit(v, "alter_table", c.files, schema,
           columnMapping = Some(mapping))

@@ -191,10 +191,26 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
         }
         prevMap.values.foreach { pf =>
           curMap.get(pf.path).foreach { cf =>
-            if (cf != pf)
-              parts += GraftFilePartition(abs(pf.path), json, pf.partition,
-                pf.dv.map(abs), changeType = Some("delete"),
-                emitNewDvAbsPath = cf.dv.map(abs))
+            // a deletion-vector CHANGE on a kept path. The vectors need
+            // NOT nest (a restore can shrink or drop one): rows masked by
+            // the new vector but not the old are this commit's deletes;
+            // rows masked by the old but not the new are RESURRECTED —
+            // they re-enter the table and must flow as inserts. Each
+            // direction is a delta-emit partition (reader emits rows in
+            // `emitNewDvAbsPath`'s vector and absent from `dvAbsPath`'s);
+            // a side whose source vector is absent has an empty delta and
+            // plans nothing — the reader never falls into the emit-all-
+            // live-rows mode for a swap (round-14 advice).
+            if (cf.dv != pf.dv) {
+              if (cf.dv.isDefined) // deletes: new minus old
+                parts += GraftFilePartition(abs(pf.path), json, pf.partition,
+                  pf.dv.map(abs), changeType = Some("delete"),
+                  emitNewDvAbsPath = cf.dv.map(abs))
+              if (pf.dv.isDefined) // resurrections: old minus new
+                parts += GraftFilePartition(abs(pf.path), json, pf.partition,
+                  cf.dv.map(abs), changeType = Some("insert"),
+                  emitNewDvAbsPath = pf.dv.map(abs))
+            }
           }
         }
       }

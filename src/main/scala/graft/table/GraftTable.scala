@@ -812,8 +812,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       if (mapping.isEmpty) df
       else df.select(df.columns.map(n => col(n).as(mapping.getOrElse(n, n))).toSeq: _*)
     val physPartitionBy = partitionBy.map(n => mapping.getOrElse(n, n))
-    if (physPartitionBy.isEmpty) out.write.parquet(dir)
-    else out.write.partitionBy(physPartitionBy: _*).parquet(dir)
+    try {
+      if (physPartitionBy.isEmpty) out.write.parquet(dir)
+      else out.write.partitionBy(physPartitionBy: _*).parquet(dir)
+    } catch {
+      // the write-pass CHECK guard raised from a task: surface it as the
+      // format's own exception (the aborted batch dir is an unreferenced
+      // orphan, swept by vacuum like any lost-race write)
+      case e: Throwable =>
+        GraftTable.findConstraintViolation(e).foreach { msg =>
+          throw new GraftTable.ConstraintViolationException(
+            s"write to $root rejected — $msg")
+        }
+        throw e
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
@@ -1766,26 +1778,46 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (v == 0) Map.empty else commitAt(v).constraints
   }
 
-  /** Enforce the table's CHECK constraints on rows about to be written.
-    * ANSI CHECK semantics: a row PASSES when the expression is TRUE or
-    * NULL, fails only on FALSE (the mirror of WHERE). One combined
-    * short-circuiting job over the batch on the happy path; only an
-    * actual violation pays the per-constraint attribution pass. Returns
-    * `df` unchanged so call sites wrap inline. */
+  /** Enforce the table's CHECK constraints INSIDE the write pass (Delta's
+    * `CheckDeltaInvariant` shape, round-14 advice): the returned frame
+    * carries a row-level guard — TRUE or NULL passes (ANSI CHECK, the
+    * mirror of WHERE), FALSE raises from the task that would have written
+    * the row. One evaluation, on the exact rows being written: a
+    * nondeterministic input (rand(), current_timestamp, an unstable
+    * LIMIT) can no longer pass a separate validation job and then commit
+    * different rows, and constrained writes stop paying a second pass
+    * over the batch. The raise surfaces through [[writeData]] as
+    * [[GraftTable.ConstraintViolationException]] with the violating row
+    * rendered as JSON. */
   private def enforceConstraints(df: DataFrame,
       cs: Map[String, String]): DataFrame = {
     if (cs.isEmpty) return df
-    val violated = cs.values.toSeq
-      .map(s => coalesce(expr(s), lit(true)) === false).reduce(_ || _)
-    if (df.filter(violated).isEmpty) return df
-    val detail = cs.toSeq.sortBy(_._1).flatMap { case (n, s) =>
+    val guard = cs.toSeq.sortBy(_._1).map { case (n, s) =>
+      when(coalesce(expr(s), lit(true)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"${GraftTable.ConstraintSentinel}: $n CHECK ($s) on row "),
+          to_json(struct(df.columns.map(col).toSeq: _*)))).cast("boolean"))
+    }.reduce(_ && _)
+    df.filter(guard)
+  }
+
+  /** Post-hoc validation of ALREADY-WRITTEN files against constraints
+    * that appeared AFTER the files were validated (a lost commit race to
+    * a concurrent ADD CONSTRAINT, round-14 advice): the retry loops call
+    * this before rebasing so `addConstraint`'s "all existing data
+    * validated" invariant survives the race. Rare path — one scan of the
+    * just-written batch, never the table. */
+  private def revalidateFiles(files: Seq[ManifestFile], schema: StructType,
+      added: Map[String, String], mapping: Map[String, String]): Unit = {
+    if (added.isEmpty || files.isEmpty) return
+    val df = readFiles(schema, files, mapping)
+    added.toSeq.sortBy(_._1).foreach { case (n, s) =>
       val bad = df.filter(coalesce(expr(s), lit(true)) === false).limit(3).collect()
-      if (bad.isEmpty) None
-      else Some(s"$n CHECK ($s): e.g. ${bad.mkString(", ")}")
+      if (bad.nonEmpty)
+        throw new GraftTable.ConstraintViolationException(
+          s"write to $root rejected — CHECK constraint $n ($s) was added " +
+            s"concurrently and the batch violates it, e.g. ${bad.mkString(", ")}")
     }
-    throw new GraftTable.ConstraintViolationException(
-      s"write to $root rejected — CHECK constraint violation: " +
-        detail.mkString("; "))
   }
 
   /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` (Delta table
@@ -1852,12 +1884,25 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * rebasing the same new files onto the new latest manifest and retrying
     * — no user data is re-read or re-written. */
   def append(df: DataFrame, operation: String = "append"): Long = {
-    val newFiles = writeData(enforceConstraints(df, currentConstraints),
-      mapping = currentMapping)
+    var csUsed = currentConstraints
+    val mapUsed = currentMapping
+    val newFiles = writeData(enforceConstraints(df, csUsed), mapping = mapUsed)
     var attempt = 0
     while (true) {
       val parent = latestVersion
       val base = if (parent == 0) Seq.empty else commitAt(parent).files
+      // a constraint added since the files were validated (lost race to a
+      // concurrent ADD CONSTRAINT, or the fetch/commit window itself):
+      // re-validate the written files against the NEW constraints before
+      // committing them — addConstraint's "all data validated" invariant
+      // must survive the rebase (round-14 advice)
+      val nowCs = if (parent == 0) Map.empty[String, String]
+                  else commitAt(parent).constraints
+      if (nowCs != csUsed) {
+        revalidateFiles(newFiles, df.schema,
+          nowCs.filterNot { case (k, v) => csUsed.get(k).contains(v) }, mapUsed)
+        csUsed = nowCs
+      }
       try return commit(parent, operation, base ++ newFiles, df.schema)
       catch {
         case e: ConcurrentCommitException =>
@@ -1883,12 +1928,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     require(partitionBy.nonEmpty, "appendPartitioned requires partition columns")
     require(partitionBy.forall(df.columns.contains),
       s"missing partition columns: ${partitionBy.filterNot(df.columns.contains)}")
-    val newFiles = writeData(enforceConstraints(df, currentConstraints),
-      partitionBy, currentMapping)
+    var csUsed = currentConstraints
+    val mapUsed = currentMapping
+    val newFiles = writeData(enforceConstraints(df, csUsed), partitionBy, mapUsed)
     var attempt = 0
     while (true) {
       val parent = latestVersion
       val base = if (parent == 0) Seq.empty else commitAt(parent).files
+      val nowCs = if (parent == 0) Map.empty[String, String]
+                  else commitAt(parent).constraints
+      if (nowCs != csUsed) { // see append: constraint added since validation
+        revalidateFiles(newFiles, df.schema,
+          nowCs.filterNot { case (k, v) => csUsed.get(k).contains(v) }, mapUsed)
+        csUsed = nowCs
+      }
       try return commit(parent, operation, base ++ newFiles, df.schema,
         partitionCols = Some(partitionBy))
       catch {
@@ -1939,13 +1992,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def idempotentAppend(df: DataFrame, appId: String, batchId: Long,
                        operation: String = "stream_append"): Long = {
     if (lastCommittedBatch(appId).exists(_ >= batchId)) return latestVersion
-    val newFiles = writeData(enforceConstraints(df, currentConstraints),
-      mapping = currentMapping)
+    var csUsed = currentConstraints
+    val mapUsed = currentMapping
+    val newFiles = writeData(enforceConstraints(df, csUsed), mapping = mapUsed)
     var attempt = 0
     while (true) {
       val parent = latestVersion
       if (lastCommittedBatch(appId).exists(_ >= batchId)) return parent
       val base = if (parent == 0) Seq.empty else commitAt(parent).files
+      val nowCs = if (parent == 0) Map.empty[String, String]
+                  else commitAt(parent).constraints
+      if (nowCs != csUsed) { // see append: constraint added since validation
+        revalidateFiles(newFiles, df.schema,
+          nowCs.filterNot { case (k, v) => csUsed.get(k).contains(v) }, mapUsed)
+        csUsed = nowCs
+      }
       try return commit(parent, operation, base ++ newFiles, df.schema,
         txn = Some((appId, batchId)))
       catch {
@@ -1970,6 +2031,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def appendEvolve(df: DataFrame, operation: String = "append_evolve"): Long = {
     var attempt = 0
     var written: Option[(Seq[ManifestFile], StructType)] = None
+    var csUsed: Map[String, String] = Map.empty
+    var mapUsed: Map[String, String] = Map.empty
     while (true) {
       val parent = latestVersion
       val base = if (parent == 0) Seq.empty else commitAt(parent).files
@@ -2001,10 +2064,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val newMapping = baseMapping ++ addedMapping
       // write once; a lost race rebases the same files (schema re-merged
       // against the new parent — unions are associative, so this is safe)
+      val nowCs = if (parent == 0) Map.empty[String, String]
+                  else commitAt(parent).constraints
       val files = written match {
-        case Some((fs, s)) if s == merged => fs
+        case Some((fs, s)) if s == merged =>
+          if (nowCs != csUsed) { // see append: constraint added since validation
+            revalidateFiles(fs, merged,
+              nowCs.filterNot { case (k, v) => csUsed.get(k).contains(v) }, mapUsed)
+            csUsed = nowCs
+          }
+          fs
         case _ =>
-          val fs = writeData(enforceConstraints(aligned, currentConstraints),
+          csUsed = nowCs
+          mapUsed = newMapping
+          val fs = writeData(enforceConstraints(aligned, csUsed),
             mapping = newMapping)
           written = Some((fs, merged)); fs
       }
@@ -2875,6 +2948,30 @@ object GraftTable {
     * table CHECK constraint. */
   final class ConstraintViolationException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Marker the write-pass constraint guard embeds in its raised message
+    * so [[findConstraintViolation]] can recognize a constraint failure
+    * inside an aborted write job's cause chain. */
+  private[table] val ConstraintSentinel: String =
+    "CHECK constraint violation"
+
+  /** Walk an aborted write's cause chain for the constraint guard's
+    * raise; returns the per-row message when the failure IS a constraint
+    * violation (vs any other task failure). */
+  private[table] def findConstraintViolation(e: Throwable): Option[String] = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 32) {
+      val m = cur.getMessage
+      if (m != null && m.contains(ConstraintSentinel)) {
+        val i = m.indexOf(ConstraintSentinel)
+        return Some(m.substring(i))
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    None
+  }
 
   /** Sidecar-checkpoint cadence: every Nth commit publishes its full
     * file list as `v%020d.ckpt.json`, bounding every snapshot

@@ -323,6 +323,53 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE refuses RENAME/DROP of a column a CHECK constraint " +
+      "references (the constraint would dangle); unrelated alters pass") {
+    val lake = tmpRoot("cgrd")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_cg", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cg.root", lake)
+    try {
+      spark.sql("CREATE NAMESPACE graft_cg.db")
+      spark.sql("CREATE TABLE graft_cg.db.g (id BIGINT, v BIGINT, note STRING)")
+      spark.sql("INSERT INTO graft_cg.db.g VALUES (1, 10, 'x')")
+      val t = GraftTable.forPath(spark, s"$lake/db/g")
+      t.addConstraint("v_nonneg", "v >= 0")
+      // rename/drop of the referenced column: refused, table unchanged
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cg.db.g RENAME COLUMN v TO w")
+      }
+      assert(e1.getMessage.contains("v_nonneg"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_cg.db.g DROP COLUMN v")
+      }
+      assert(e2.getMessage.contains("v_nonneg"), e2.getMessage)
+      assert(t.commitAt(t.latestVersion).schema.fieldNames.toSeq ==
+        Seq("id", "v", "note"))
+      // an UNRELATED column still renames/drops freely, and every
+      // subsequent write still analyzes + enforces
+      spark.sql("ALTER TABLE graft_cg.db.g RENAME COLUMN note TO remark")
+      spark.sql("ALTER TABLE graft_cg.db.g DROP COLUMN remark")
+      spark.sql("INSERT INTO graft_cg.db.g VALUES (2, 20)")
+      // (the reported DSv2 constraints let Spark itself enforce on SQL
+      // inserts — CHECK_CONSTRAINT_VIOLATION; the table-format guard
+      // backs every non-SQL path)
+      val e3 = intercept[Exception] {
+        spark.sql("INSERT INTO graft_cg.db.g VALUES (3, -1)")
+      }
+      assert(e3.getMessage.contains("v_nonneg"), e3.getMessage)
+      // after DROP CONSTRAINT the rename is legal
+      t.dropConstraint("v_nonneg")
+      spark.sql("ALTER TABLE graft_cg.db.g RENAME COLUMN v TO w")
+      assert(spark.sql("SELECT sum(w) FROM graft_cg.db.g")
+        .collect().head.getLong(0) == 30L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cg.db.g")
+      spark.conf.unset("spark.sql.catalog.graft_cg")
+      spark.conf.unset("spark.sql.catalog.graft_cg.root")
+    }
+  }
+
   test("SQL catalog: CREATE / INSERT / SELECT / VERSION AS OF / DROP") {
     import spark.implicits._
     val lake = tmpRoot("lake")

@@ -1390,6 +1390,34 @@ class TableFormatSpec extends SparkSpec {
 
   // ---- round-14 continuation: CHECK constraints ---------------------------
 
+  test("CHECK constraints enforce INSIDE the write pass: a nondeterministic " +
+      "batch can never commit rows the validation did not see") {
+    import spark.implicits._
+    val t = rangedBase("chknd", n = 10)
+    t.addConstraint("v_nonneg", "v >= 0")
+    // rand()-derived batch whose rows flip validity per EVALUATION: the
+    // old validate-then-rewrite shape could pass the validation job and
+    // then write a recomputed batch containing violations. Write-pass
+    // enforcement evaluates the guard on the exact rows being written,
+    // so across many trials the invariant must hold unconditionally:
+    // either the append throws, or every committed row satisfies the
+    // constraint — never a committed violation.
+    (1 to 8).foreach { trial =>
+      val nd = spark.range(200).toDF("id")
+        .select($"id" + 10000L * trial as "id",
+          (org.apache.spark.sql.functions.rand() * 4000 - 2000)
+            .cast("long").as("v"))
+      try { t.append(nd); () }
+      catch { case _: GraftTable.ConstraintViolationException => () }
+      assert(t.read().filter($"v" < 0).isEmpty,
+        s"trial $trial committed rows that violate the CHECK constraint")
+    }
+    // deterministic control: a clean nondeterministic-shaped batch commits
+    t.append(spark.range(5).toDF("id").select($"id" + 90000L as "id",
+      (org.apache.spark.sql.functions.rand() * 100).cast("long").as("v")))
+    assert(t.read().filter($"id" >= 90000L).count() == 5)
+  }
+
   test("CHECK constraints: validated at ADD, enforced on every write path, " +
       "ANSI NULL semantics, writer-version protocol") {
     import spark.implicits._

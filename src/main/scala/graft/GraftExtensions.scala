@@ -25,6 +25,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewrite)
+    // Rebuild eligible graft DSv2 reads as native file-source relations
+    // (GraftFileIndex) so dynamic partition pruning, runtime bloom
+    // filters and parquet pushdown all reach graft tables; runs in the
+    // operator-optimization batch — before PartitionPruning and
+    // InjectRuntimeFilter, which then see a plain HadoopFsRelation.
+    e.injectOptimizerRule(session => new graft.table.GraftNativeScanRule(session))
     // Re-expose a V1-fallback scan's SupportsReportStatistics through the
     // post-pushdown wrapper (graft.plans.ScanStatsRule) so graft dims
     // auto-broadcast. The swap must run AFTER V2ScanRelationPushDown, and

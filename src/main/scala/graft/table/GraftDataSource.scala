@@ -190,6 +190,11 @@ private[table] final class GraftSparkTable(
     * `MERGE INTO` on this relation back to the table-format API. */
   private[table] def rootPath: String = root
 
+  /** The resolved (table, version) behind this relation — exposed so
+    * [[GraftNativeScanRule]] can rebuild the snapshot as a native
+    * file-source relation. */
+  private[table] def resolved: Option[(GraftTable, Long)] = existing
+
   /** SQL `DELETE FROM graft.db.t WHERE cond` — Spark's SupportsDelete
     * path: accept iff every conjunct rebuilds faithfully as a Column
     * (refusal surfaces Spark's loud unsupported-DELETE error), then run

@@ -22,17 +22,26 @@ class DataSourceSpec extends SparkSpec {
     d.getAbsolutePath
   }
 
-  /** The GraftV1Scan the optimizer actually planned for `df`. */
+  /** The GraftV1Scan the optimizer plans for `df` on the DSv2 FALLBACK
+    * path — the path deletion-vectored / column-mapped snapshots always
+    * take, so its pushdown machinery stays gated here even though
+    * eligible reads now rewrite to the native file scan
+    * ([[graft.table.GraftNativeScanRule]], gated separately). The scan
+    * collects from a FRESH optimization with the rewrite disabled. */
   private def plannedScan(df: DataFrame): GraftV1Scan = {
-    val scans = df.queryExecution.optimizedPlan.collect {
-      case r: DataSourceV2ScanRelation => r.scan match {
-        // after pushdown Spark wraps the V1 fallback scan
-        case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
-        case s => s
+    df.sparkSession.conf.set("spark.graft.nativeFileScan", "false")
+    try {
+      val scans = df.filter(org.apache.spark.sql.functions.lit(true))
+        .queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan match {
+          // after pushdown Spark wraps the V1 fallback scan
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
+          case s => s
+        }
       }
-    }
-    assert(scans.size == 1, s"expected one graft scan, got $scans")
-    scans.head.asInstanceOf[GraftV1Scan]
+      assert(scans.size == 1, s"expected one graft scan, got $scans")
+      scans.head.asInstanceOf[GraftV1Scan]
+    } finally df.sparkSession.conf.unset("spark.graft.nativeFileScan")
   }
 
   test("format(graft): latest read and versionAsOf time travel") {

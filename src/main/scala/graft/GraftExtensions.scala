@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator-optimization batch — before PartitionPruning and
     // InjectRuntimeFilter, which then see a plain HadoopFsRelation.
     e.injectOptimizerRule(session => new graft.table.GraftNativeScanRule(session))
+    // Global COUNT(*) over a graft table answers exactly from the
+    // manifest's (liveRows) sums — zero data IO (Delta/Iceberg's
+    // metadata-only aggregate).
+    e.injectOptimizerRule(_ => graft.table.GraftMetadataCountRule)
     // Re-expose a V1-fallback scan's SupportsReportStatistics through the
     // post-pushdown wrapper (graft.plans.ScanStatsRule) so graft dims
     // auto-broadcast. The swap must run AFTER V2ScanRelationPushDown, and

@@ -145,6 +145,10 @@ final class GraftFileIndex(spark: SparkSession, t: GraftTable, version: Long)
     commit.files.map(f => if (f.bytes >= 0) f.bytes else f.rows * fullWidth).sum
   }
 
+  /** Exact live rows of the snapshot, straight off the manifest — the
+    * value a full scan would count ([[GraftMetadataCountRule]]). */
+  private[table] def snapshotLiveRows: Long = commit.files.map(_.liveRows).sum
+
   override def toString: String =
     s"GraftFileIndex(${t.root} v$version files=${commit.files.size})"
 }

@@ -1390,6 +1390,56 @@ class TableFormatSpec extends SparkSpec {
 
   // ---- round-14 continuation: CHECK constraints ---------------------------
 
+  test("metadata-only COUNT(*) stays exact across DV deletes, appends and " +
+      "time travel — and never fires on filtered/grouped/count(col) shapes") {
+    import spark.implicits._
+    val t = rangedBase("mdc") // 1000 rows / 8 files
+    def countOf(df: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      val c = df.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      val metaOnly = c.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      (c.as[Long].head(), metaOnly)
+    }
+    val q = spark.read.format("graft").load(t.root)
+    assert(countOf(q) == (1000L, true))
+    // DV delete: liveRows subtracts the vector's cardinality exactly
+    t.deleteWhere($"id" < 100L, dvMode = "force")
+    val q2 = spark.read.format("graft").load(t.root)
+    assert(countOf(q2) == (900L, true), "DV'd snapshot must stay metadata-only")
+    t.append(Seq((5000L, 1L)).toDF("id", "v"))
+    assert(countOf(spark.read.format("graft").load(t.root)) == (901L, true))
+    // time travel counts ITS OWN version's manifest
+    assert(countOf(spark.read.format("graft").option("versionAsOf", 1)
+      .load(t.root)) == (1000L, true))
+    // shapes that must SCAN: filtered, grouped, and count(col)
+    val filtered = spark.read.format("graft").load(t.root).filter($"v" > 0L)
+    assert(countOf(filtered) == (901L, false), "a filtered count must scan")
+    val grouped = spark.read.format("graft").load(t.root)
+      .groupBy($"v" % 2).count()
+    assert(!grouped.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    // count(col) on a NON-NULLABLE column: Catalyst itself rewrites it to
+    // count(*), so the metadata answer is legitimate — just check the value
+    val countCol = spark.read.format("graft").load(t.root)
+      .agg(org.apache.spark.sql.functions.count($"v").as("n"))
+    assert(countCol.as[Long].head() == 901L)
+    // count(col) on a NULLABLE column is null-sensitive: must scan, and
+    // must count only the non-null rows
+    val s = new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false).add("w", "long", nullable = true)
+    val tn = GraftTable.create(spark, tmpRoot("mdcn"), spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 10L), Row(2L, null), Row(3L, 30L)), s))
+    val qn = spark.read.format("graft").load(tn.root)
+    val countNullable = qn.agg(
+      org.apache.spark.sql.functions.count($"w").as("n"))
+    assert(!countNullable.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "count(nullable col) is null-sensitive and must scan")
+    assert(countNullable.as[Long].head() == 2L)
+    assert(countOf(qn) == (3L, true))
+  }
+
   test("CHECK constraints enforce INSIDE the write pass: a nondeterministic " +
       "batch can never commit rows the validation did not see") {
     import spark.implicits._

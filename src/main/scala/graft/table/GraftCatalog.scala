@@ -113,15 +113,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    // `PARTITIONED BY (identity cols)` → Hive directory partitions whose
-    // per-file values land in the manifest; every later INSERT routes
-    // through the partitioned writer automatically (the loaded table
-    // reports the columns). Non-identity transforms are refused.
+    // `PARTITIONED BY (cols | days(col) | bucket(n, col))` → Hive
+    // directory partitions whose per-file values land in the manifest
+    // (transforms = HIDDEN partitioning, the writer derives the value);
+    // every later INSERT routes through the partitioned writer
+    // automatically (the loaded table reports the specs).
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      case t if t.name == "days" && t.references.length == 1 =>
+        s"days(${t.references.head.fieldNames.mkString(".")})"
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count: $t"))
+        s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
-        s"graft tables support only identity (Hive directory) partitioning, got $other")
+        s"graft tables support identity, days(col) and bucket(n, col) " +
+          s"partitioning, got $other")
     }
     val d = dirFor(ident)
     if (isTable(d)) throw new TableAlreadyExistsException(ident)
@@ -217,8 +228,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           val to = ren.newName
           require(schema.fieldNames.contains(from), s"no such column $from")
           require(!schema.fieldNames.contains(to), s"column $to already exists")
-          require(!c.partitionCols.contains(from),
-            s"cannot rename partition column $from")
+          require(!GraftTable.PartTransform.parseAll(c.partitionCols)
+            .exists(_.source == from),
+            s"cannot rename partition (source) column $from")
           val physName = mapping.getOrElse(from, from)
           mapping = mapping - from + (to -> physName)
           schema = StructType(schema.fields.map(f =>
@@ -228,8 +240,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"nested drops are not supported: ${del.fieldNames.mkString(".")}")
           val name = del.fieldNames.head
           require(schema.fieldNames.contains(name), s"no such column $name")
-          require(!c.partitionCols.contains(name),
-            s"cannot drop partition column $name")
+          require(!GraftTable.PartTransform.parseAll(c.partitionCols)
+            .exists(_.source == name),
+            s"cannot drop partition (source) column $name")
           require(schema.fields.length > 1, "cannot drop the last column")
           if (mapping.isEmpty)
             mapping = schema.fields.filterNot(_.name == name)
@@ -247,8 +260,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           val name = upd.fieldNames.head
           val f = schema.find(_.name == name).getOrElse(
             throw new IllegalArgumentException(s"no such column $name"))
-          require(!c.partitionCols.contains(name),
-            s"cannot change the type of partition column $name")
+          require(!GraftTable.PartTransform.parseAll(c.partitionCols)
+            .exists(_.source == name),
+            s"cannot change the type of partition (source) column $name")
           require(f.dataType != upd.newDataType(),
             s"column $name already has type ${f.dataType.simpleString}")
           require(GraftTable.widensTo(f.dataType, upd.newDataType()),

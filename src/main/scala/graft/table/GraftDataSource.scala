@@ -124,18 +124,29 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     else base
   }
 
-  /** The identity partition columns named by `partitioning` transforms
-    * and/or the `partitionBy` write option (comma-separated) — the two
-    * spellings a DSv2 writer's partitioning arrives through. Non-identity
-    * transforms (bucket/truncate/…) are refused loudly: the table format
-    * stores Hive directory partitions only. */
+  /** The partition SPECS named by `partitioning` transforms and/or the
+    * `partitionBy` write option (comma-separated) — the two spellings a
+    * DSv2 writer's partitioning arrives through. Identity columns pass
+    * as names; `days(col)` / `bucket(n, col)` pass as transform specs
+    * (hidden partitioning — [[GraftTable.PartTransform]]); anything else
+    * is refused loudly. */
   private def partitionColsOf(partitioning: Array[Transform],
                               opts: CaseInsensitiveStringMap): Seq[String] = {
     val fromTransforms = partitioning.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      case t if t.name == "days" && t.references.length == 1 =>
+        s"days(${t.references.head.fieldNames.mkString(".")})"
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count: $t"))
+        s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
       case other => throw new IllegalArgumentException(
-        s"graft tables support only identity (Hive directory) partitioning, got $other")
+        s"graft tables support identity, days(col) and bucket(n, col) " +
+          s"partitioning, got $other")
     }
     val fromOption = Option(opts.get("partitionBy")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -230,12 +241,17 @@ private[table] final class GraftSparkTable(
       }.toArray
     }.getOrElse(Array.empty)
   override def schema(): StructType = tableSchema
-  /** Declared Hive partition columns, reported as identity transforms —
-    * `DESCRIBE`/catalog surfaces see them, and a catalog `INSERT INTO`
-    * routes through the partitioned writer. */
-  override def partitioning(): Array[Transform] =
-    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+  /** Declared partition specs, reported as DSv2 transforms (identity /
+    * days / bucket) — `DESCRIBE`/catalog surfaces see them, and a
+    * catalog `INSERT INTO` routes through the partitioned writer. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    GraftTable.PartTransform.parseAll(partCols).map {
+      case t: GraftTable.IdentityTransform => Expressions.identity(t.source)
+      case d: GraftTable.DaysTransform => Expressions.days(d.source)
+      case b: GraftTable.BucketTransform => Expressions.bucket(b.n, b.source)
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

@@ -42,15 +42,34 @@ final class GraftFileIndex(spark: SparkSession, t: GraftTable, version: Long)
     extends FileIndex {
 
   private val commit: TableCommit = t.commitAt(version)
-  private val partCols: Seq[String] = commit.partitionCols
+  private val transforms: Seq[GraftTable.PartTransform] =
+    GraftTable.PartTransform.parseAll(commit.partitionCols)
 
+  /** Identity columns come from the table schema; HIDDEN transform
+    * columns (days/bucket) get their derived types — they exist in the
+    * relation only so partition values flow, and the conversion rule's
+    * Project drops them from the visible output. */
   override val partitionSchema: StructType =
-    StructType(partCols.map(n => commit.schema(commit.schema.fieldIndex(n))))
+    StructType(transforms.map {
+      case t: GraftTable.IdentityTransform =>
+        commit.schema(commit.schema.fieldIndex(t.source))
+      case d: GraftTable.DaysTransform =>
+        org.apache.spark.sql.types.StructField(d.name,
+          org.apache.spark.sql.types.DateType)
+      case b: GraftTable.BucketTransform =>
+        org.apache.spark.sql.types.StructField(b.name,
+          org.apache.spark.sql.types.IntegerType)
+    })
 
-  /** Table schema MINUS partition columns — partition values live in the
-    * manifest (and directory names), never in the data pages. */
-  val dataSchema: StructType =
-    StructType(commit.schema.filterNot(f => partCols.contains(f.name)))
+  /** Table schema MINUS identity partition columns — identity values
+    * live in the manifest (and directory names), never in the data
+    * pages; a TRANSFORM's source column stays in the pages. */
+  val dataSchema: StructType = {
+    val identity = transforms.collect {
+      case t: GraftTable.IdentityTransform => t.source
+    }.toSet
+    StructType(commit.schema.filterNot(f => identity.contains(f.name)))
+  }
 
   override def rootPaths: Seq[Path] = Seq(new Path(t.root))
 
@@ -82,7 +101,7 @@ final class GraftFileIndex(spark: SparkSession, t: GraftTable, version: Long)
     * The rule checks this BEFORE converting; failure keeps the scan on
     * the DSv2 path, which handles both per file. */
   private[table] def nativeReadable: Boolean = {
-    val declared = partCols.toSet
+    val declared = transforms.map(_.name).toSet
     commit.files.forall(f =>
       f.partition.keySet == declared &&
         partitionSchema.fields.forall { c =>

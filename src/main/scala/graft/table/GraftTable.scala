@@ -808,10 +808,24 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // column-mapped tables write under PHYSICAL names (stable across
     // renames), so every data file of the table agrees regardless of
     // which logical schema was current when it landed
-    val out =
+    val out0 =
       if (mapping.isEmpty) df
       else df.select(df.columns.map(n => col(n).as(mapping.getOrElse(n, n))).toSeq: _*)
-    val physPartitionBy = partitionBy.map(n => mapping.getOrElse(n, n))
+    // Partition TRANSFORMS (hidden partitioning): derive each non-identity
+    // spec's value as a transient column — `partitionBy` strips it from
+    // the data pages, so it exists only as the `k=v` directory (and the
+    // manifest partition entry parsed from it below); the SOURCE column
+    // stays in the pages. Identity columns keep the classic Hive behavior.
+    val transforms = GraftTable.PartTransform.parseAll(partitionBy)
+    val hidden = transforms.filterNot(_.isInstanceOf[GraftTable.IdentityTransform])
+    hidden.foreach(t => require(!df.columns.contains(t.name),
+      s"hidden partition name ${t.name} collides with a data column"))
+    val out = hidden.foldLeft(out0)((d, t) =>
+      d.withColumn(t.name, t.derive(col(mapping.getOrElse(t.source, t.source)))))
+    val physPartitionBy = transforms.map {
+      case GraftTable.IdentityTransform(s) => mapping.getOrElse(s, s)
+      case t => t.name
+    }
     try {
       if (physPartitionBy.isEmpty) out.write.parquet(dir)
       else out.write.partitionBy(physPartitionBy: _*).parquet(dir)
@@ -1052,12 +1066,89 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
                  strRanges: Seq[(String, Option[String], Option[String])],
                  nullPreds: Seq[(String, Boolean)]): Seq[ManifestFile] = {
     val c = commitAt(version)
+    val transforms = GraftTable.PartTransform.parseAll(c.partitionCols)
+      .filterNot(_.isInstanceOf[GraftTable.IdentityTransform])
     bloomPruneFiles(
       c.files.filter(f =>
         fileMayMatch(f, ranges, strRanges, c.columnMapping) &&
-          fileMayMatchNulls(f, nullPreds, c.columnMapping)),
+          fileMayMatchNulls(f, nullPreds, c.columnMapping) &&
+          transformMayMatch(f, ranges, strRanges, transforms, c.schema)),
       ranges, strRanges, c.columnMapping)
   }
+
+  /** HIDDEN-PARTITION pruning: invert each transform against the file's
+    * recorded partition value and test the RAW-source predicate against
+    * it — `days`: the day's [start, end) window in the predicate's own
+    * stat domain (epoch days for DATE sources, epoch micros for
+    * TIMESTAMP_NTZ); `bucket`: a POINT predicate's value hashes to
+    * exactly one bucket, so every other bucket's files skip — the
+    * sidecar-free form of the bloom index's job. Unknown shapes,
+    * unparseable values, the Hive null marker, and LTZ timestamps (whose
+    * day boundary is session-zone-dependent) all conservatively keep the
+    * file; the row-level predicate always still runs. */
+  private def transformMayMatch(f: ManifestFile,
+      ranges: Seq[(String, BigDecimal, BigDecimal)],
+      strRanges: Seq[(String, Option[String], Option[String])],
+      transforms: Seq[GraftTable.PartTransform],
+      schema: StructType): Boolean =
+    transforms.forall {
+      case d: GraftTable.DaysTransform =>
+        val dt = schema.find(_.name == d.source).map(_.dataType)
+        ranges.filter(_._1 == d.source).forall { case (_, lo, hi) =>
+          f.partition.get(d.name) match {
+            case Some(GraftTable.HiveNullPartition) => true
+            case Some(v) =>
+              scala.util.Try(java.time.LocalDate.parse(v)).toOption.forall { ld =>
+                dt match {
+                  case Some(org.apache.spark.sql.types.DateType) =>
+                    val day = BigDecimal(ld.toEpochDay)
+                    hi >= day && lo <= day
+                  case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+                    val start = BigDecimal(ld.toEpochDay) * 86400000000L
+                    hi >= start && lo < start + 86400000000L
+                  case _ => true // LTZ or unknown: zone-dependent, keep
+                }
+              }
+            case None => true // pre-evolution file: stats already decided
+          }
+        }
+      case b: GraftTable.BucketTransform =>
+        val dt = schema.find(_.name == b.source).map(_.dataType)
+        // point shapes only: a numeric range folded to lo==hi, or an
+        // exact string equality
+        val points: Seq[Option[Int]] =
+          ranges.collect { case (c0, lo, hi) if c0 == b.source && lo == hi =>
+            dt.flatMap {
+              case org.apache.spark.sql.types.LongType =>
+                scala.util.Try(lo.toLongExact).toOption
+                  .flatMap(x => GraftTable.PartTransform.bucketOf(x,
+                    org.apache.spark.sql.types.LongType, b.n))
+              case org.apache.spark.sql.types.IntegerType =>
+                scala.util.Try(lo.toIntExact).toOption
+                  .flatMap(x => GraftTable.PartTransform.bucketOf(x,
+                    org.apache.spark.sql.types.IntegerType, b.n))
+              case _ => None
+            }
+          } ++
+          strRanges.collect {
+            case (c0, Some(l), Some(h)) if c0 == b.source && l == h &&
+                dt.contains(org.apache.spark.sql.types.StringType) =>
+              GraftTable.PartTransform.bucketOf(
+                org.apache.spark.unsafe.types.UTF8String.fromString(l),
+                org.apache.spark.sql.types.StringType, b.n)
+          }
+        points.forall {
+          case Some(expected) =>
+            f.partition.get(b.name) match {
+              case Some(GraftTable.HiveNullPartition) => true
+              case Some(v) =>
+                scala.util.Try(v.toInt).toOption.forall(_ == expected)
+              case None => true
+            }
+          case None => true // unhashable rendering: keep
+        }
+      case _ => true
+    }
 
   /** The per-file NULL-ness decision: a Hive null-partition directory is
     * all-null in its partition column, any other partition value all
@@ -1283,8 +1374,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       ranges: Seq[(String, BigDecimal, BigDecimal)],
       strRanges: Seq[(String, Option[String], Option[String])])
       : (Seq[ManifestFile], Seq[ManifestFile]) = {
+    val transforms = GraftTable.PartTransform.parseAll(c.partitionCols)
+      .filterNot(_.isInstanceOf[GraftTable.IdentityTransform])
     val stats = c.files.filter(f =>
-      fileMayMatch(f, ranges, strRanges, c.columnMapping))
+      fileMayMatch(f, ranges, strRanges, c.columnMapping) &&
+        transformMayMatch(f, ranges, strRanges, transforms, c.schema))
     val touched = bloomPruneFiles(stats, ranges, strRanges, c.columnMapping)
       .map(_.path).toSet
     c.files.partition(f => touched.contains(f.path))
@@ -1926,8 +2020,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def appendPartitioned(df: DataFrame, partitionBy: Seq[String],
                         operation: String = "append_partitioned"): Long = {
     require(partitionBy.nonEmpty, "appendPartitioned requires partition columns")
-    require(partitionBy.forall(df.columns.contains),
-      s"missing partition columns: ${partitionBy.filterNot(df.columns.contains)}")
+    // each spec's SOURCE column must exist (a transform derives its own value)
+    val srcs = GraftTable.PartTransform.parseAll(partitionBy).map(_.source)
+    require(srcs.forall(df.columns.contains),
+      s"missing partition source columns: ${srcs.filterNot(df.columns.contains)}")
     var csUsed = currentConstraints
     val mapUsed = currentMapping
     val newFiles = writeData(enforceConstraints(df, csUsed), partitionBy, mapUsed)
@@ -2687,8 +2783,24 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     while (true) {
       val parent = latestVersion
       val c = commitAt(parent)
-      cols.foreach(col0 => require(c.schema.fieldNames.contains(col0),
-        s"cannot partition by unknown column $col0"))
+      GraftTable.PartTransform.parseAll(cols).foreach { t =>
+        val f = c.schema.find(_.name == t.source).getOrElse(throw
+          new IllegalArgumentException(s"cannot partition by unknown column ${t.source}"))
+        t match {
+          case _: GraftTable.DaysTransform =>
+            require(f.dataType == org.apache.spark.sql.types.DateType ||
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+              f.dataType == org.apache.spark.sql.types.TimestampType,
+              s"days(${t.source}) needs a date/timestamp column, " +
+                s"got ${f.dataType.simpleString}")
+          case _: GraftTable.BucketTransform =>
+            require(Seq("bigint", "int", "string")
+              .contains(f.dataType.simpleString),
+              s"bucket(n, ${t.source}) needs an integral or string column, " +
+                s"got ${f.dataType.simpleString}")
+          case _ => ()
+        }
+      }
       try return commit(parent, "set_partitioning", c.files, c.schema,
         partitionCols = Some(cols))
       catch {
@@ -2909,6 +3021,75 @@ object GraftTable {
     * can reason about. */
   val HiveNullPartition: String = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Iceberg-style PARTITION TRANSFORM (hidden partitioning, round-15
+    * verdict task 3): the manifest's `partitionCols` may carry
+    * `days(col)` / `bucket(n, col)` specs alongside plain identity
+    * column names. The WRITER derives the partition value from the
+    * source column (the user never materializes a `yyyy/mm/dd` — what
+    * the reference hand-derives at `glue/job_wiki_curate.py:38-40`);
+    * data files keep the SOURCE column in their pages, the derived
+    * value exists only as the `k=v` directory / manifest partition
+    * entry; the READER prunes raw-source predicates by inverting the
+    * transform against the recorded value ([[GraftTable.pruneFiles]]).
+    */
+  sealed trait PartTransform {
+    /** The spec string as stored in the manifest. */
+    def spec: String
+    /** Source (logical) column the value derives from. */
+    def source: String
+    /** Partition-directory key the derived value lands under. */
+    def name: String
+    /** Writer-side derivation. */
+    def derive(c: Column): Column
+  }
+  final case class IdentityTransform(source: String) extends PartTransform {
+    def spec: String = source
+    def name: String = source
+    def derive(c: Column): Column = c
+  }
+  /** Day granularity: `to_date(col)` — UTC-faithful for DATE and
+    * TIMESTAMP_NTZ sources (the engine's timestamp domain). */
+  final case class DaysTransform(source: String) extends PartTransform {
+    def spec: String = s"days($source)"
+    def name: String = s"${source}_day"
+    def derive(c: Column): Column = org.apache.spark.sql.functions.to_date(c)
+  }
+  /** Hash bucketing: `pmod(hash(col), n)` (Spark's Murmur3, seed 42) —
+    * the layout that makes POINT lookups on a hash-distributed key prune
+    * to 1/n of the files with zero sidecars. */
+  final case class BucketTransform(n: Int, source: String) extends PartTransform {
+    def spec: String = s"bucket($n,$source)"
+    def name: String = s"${source}_bucket"
+    def derive(c: Column): Column = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(c), org.apache.spark.sql.functions.lit(n))
+  }
+  object PartTransform {
+    private val DaysRe = """days\(\s*([\w]+)\s*\)""".r
+    private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([\w]+)\s*\)""".r
+    def parse(spec: String): PartTransform = spec.trim match {
+      case DaysRe(c) => DaysTransform(c)
+      case BucketRe(n, c) =>
+        require(n.toInt > 0, s"bucket count must be positive: $spec")
+        BucketTransform(n.toInt, c)
+      case s if s.nonEmpty && !s.contains("(") => IdentityTransform(s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform '$other' — " +
+          "supported: <col>, days(<col>), bucket(<n>, <col>)")
+    }
+    def parseAll(specs: Seq[String]): Seq[PartTransform] = specs.map(parse)
+
+    /** The bucket a point value lands in — must agree BIT-FOR-BIT with
+      * the writer's `pmod(hash(col), n)`, so it evaluates the same
+      * Murmur3Hash expression on a literal of the COLUMN's type.
+      * None = value not renderable in the type (no pruning). */
+    def bucketOf(value: Any, dt: DataType, n: Int): Option[Int] = scala.util.Try {
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(lit), 42)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }.toOption
+  }
+
   /** Highest manifest `formatVersion` this reader understands (Delta's
     * protocol-action role): 1 = full-list manifests, 2 = delta-encoded
     * add/remove churn, 3 = entries may carry deletion vectors. Writers
@@ -3086,9 +3267,10 @@ object GraftTable {
                   partitionCols: Seq[String] = Seq.empty): GraftTable = {
     val t = new GraftTable(spark, root)
     require(t.latestVersion == 0, s"table already exists at $root")
-    require(partitionCols.forall(schema.fieldNames.contains),
-      s"partition columns missing from schema: " +
-        s"${partitionCols.filterNot(schema.fieldNames.contains)}")
+    val pSrcs = GraftTable.PartTransform.parseAll(partitionCols).map(_.source)
+    require(pSrcs.forall(schema.fieldNames.contains),
+      s"partition source columns missing from schema: " +
+        s"${pSrcs.filterNot(schema.fieldNames.contains)}")
     t.commit(0L, operation, Seq.empty, schema,
       partitionCols = Some(partitionCols))
     t

@@ -332,6 +332,77 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("hidden partitioning: days(ts)/bucket(n,id) derive at write, prune " +
+      "raw-source predicates per file, and expose no partition columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, _}
+    // --- days(ts): 10 days of NTZ events, written via the transform ----
+    val root = tmpRoot("hpdays")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("ts", expr(
+        "timestamp_ntz '2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 10 AS INT),0,0,0)"))
+      .withColumn("v", $"id" * 2)
+    val t = GraftTable.createPartitioned(spark, root, df, Seq("days(ts)"))
+    val c = t.commitAt(t.latestVersion)
+    assert(c.partitionCols == Seq("days(ts)"))
+    // manifest entries carry the DERIVED day; schema stays the user's
+    assert(c.files.forall(_.partition.keySet == Set("ts_day")))
+    assert(c.schema.fieldNames.toSeq == Seq("id", "ts", "v"))
+    // reads expose NO partition column, and values round-trip exactly
+    val q = spark.read.format("graft").load(root)
+    assert(q.columns.toSeq == Seq("id", "ts", "v"))
+    assert(q.count() == 1000)
+    // a RAW ts predicate prunes to the single day's file(s) — manifest-level
+    val dayLo = java.time.LocalDate.parse("2024-03-04").toEpochDay * 86400000000L
+    val pruned = t.pruneFiles(t.latestVersion,
+      Seq(("ts", BigDecimal(dayLo), BigDecimal(dayLo + 86400000000L - 1))))
+    assert(pruned.nonEmpty && pruned.forall(_.partition("ts_day") == "2024-03-04"),
+      s"day-window predicate must prune to one hidden day: ${pruned.map(_.partition)}")
+    assert(pruned.size < c.files.size)
+    // end-to-end results match the unpartitioned computation
+    val got = q.filter($"ts" >= lit("2024-03-04").cast("timestamp_ntz") &&
+        $"ts" < lit("2024-03-05").cast("timestamp_ntz"))
+      .agg(fcount(lit(1))).as[Long].head()
+    assert(got == 100L)
+
+    // --- bucket(8, id): point lookups prune to one bucket --------------
+    val root2 = tmpRoot("hpbucket")
+    val df2 = spark.range(2000).toDF("id").withColumn("v", $"id" * 3)
+    val t2 = GraftTable.createPartitioned(spark, root2, df2, Seq("bucket(8,id)"))
+    val c2 = t2.commitAt(t2.latestVersion)
+    assert(c2.files.map(_.partition("id_bucket")).distinct.size == 8)
+    val hit = t2.pruneFiles(t2.latestVersion,
+      Seq(("id", BigDecimal(777), BigDecimal(777))))
+    val allBuckets = c2.files.map(_.partition("id_bucket")).distinct
+    assert(hit.map(_.partition("id_bucket")).distinct.size == 1,
+      s"a point lookup must resolve to ONE bucket of $allBuckets")
+    // ... and the bucket actually CONTAINS the row
+    val q2 = spark.read.format("graft").load(root2)
+    assert(q2.filter($"id" === 777L).select($"v").as[Long].head() == 2331L)
+    // a non-point (range) predicate never collapses to one bucket — the
+    // transform inversion only fires on point shapes (footer stats may
+    // still prune independently, which is why several buckets survive)
+    assert(t2.pruneFiles(t2.latestVersion,
+      Seq(("id", BigDecimal(0), BigDecimal(10)))).map(_.partition("id_bucket"))
+      .distinct.size > 1)
+    // DML candidate selection rides the same inversion: a point DELETE
+    // (ranges folded, as the SQL DELETE path folds them) rewrites only
+    // the key's bucket
+    val before = c2.files.map(_.path).toSet
+    t2.deleteWhere($"id" === 777L,
+      Seq(("id", BigDecimal(777), BigDecimal(777))), dvMode = "off")
+    val after = t2.commitAt(t2.latestVersion).files.map(_.path).toSet
+    assert((before -- after).size <= (before.size / 8) + 1,
+      s"point DELETE must touch ~one bucket, rewrote ${(before -- after).size}")
+    assert(q2.count() == 2000 - 1 ||
+      spark.read.format("graft").load(root2).count() == 1999)
+
+    // misdeclared transforms are refused at declaration time
+    intercept[IllegalArgumentException] { t2.setPartitioning(Seq("bucket(0,id)")) }
+    intercept[IllegalArgumentException] { t2.setPartitioning(Seq("days(v)")) }
+    intercept[IllegalArgumentException] { t2.setPartitioning(Seq("truncate(4,id)")) }
+  }
+
   test("ALTER TABLE refuses RENAME/DROP of a column a CHECK constraint " +
       "references (the constraint would dangle); unrelated alters pass") {
     val lake = tmpRoot("cgrd")

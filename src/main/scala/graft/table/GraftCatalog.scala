@@ -206,6 +206,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val c = t.commitAt(v)
       var schema = c.schema
       var mapping = c.columnMapping
+      var constraints = c.constraints
       changes.foreach {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
@@ -249,6 +250,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               .map(f => f.name -> f.name).toMap
           else mapping -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
+        case un: TableChange.UpdateColumnNullability =>
+          // `ALTER COLUMN c SET NOT NULL` (round-15 verdict task 4,
+          // Delta's column invariants): validates the EXISTING table
+          // once — a column that is null today must be fixed, not
+          // declared — then flips the schema flag; every write path
+          // enforces it from then on (the NOT NULL set rides the CHECK
+          // machinery). `DROP NOT NULL` is metadata-only.
+          require(un.fieldNames.length == 1,
+            s"nested nullability changes are not supported: ${un.fieldNames.mkString(".")}")
+          val name = un.fieldNames.head
+          require(schema.fieldNames.contains(name), s"no such column $name")
+          if (!un.nullable) {
+            val bad = t.read(v)
+              .filter(org.apache.spark.sql.functions.col(name).isNull)
+              .limit(3).collect()
+            if (bad.nonEmpty)
+              throw new GraftTable.ConstraintViolationException(
+                s"cannot SET NOT NULL on ${ident.name()}.$name — existing " +
+                  s"rows are null, e.g. ${bad.mkString(", ")}")
+          }
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.copy(nullable = un.nullable) else x))
+          // keep the paired enforcement constraint in lockstep
+          constraints =
+            if (!un.nullable) constraints +
+              (GraftTable.notNullConstraintName(name) -> s"`$name` IS NOT NULL")
+            else constraints - GraftTable.notNullConstraintName(name)
         case upd: TableChange.UpdateColumnType =>
           // TYPE WIDENING (Delta type widening): metadata-only — old
           // files upcast at scan time (the Spark 4 parquet reader's
@@ -272,7 +300,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = StructType(schema.fields.map(x =>
             if (x.name == name) x.copy(dataType = upd.newDataType()) else x))
         case other => throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change (add/rename/drop/widen columns only): $other")
+          s"unsupported ALTER TABLE change (add/rename/drop/widen/nullability columns only): $other")
       }
       // A stored CHECK constraint must still RESOLVE against the
       // post-ALTER schema: a rename/drop of a referenced column would
@@ -280,10 +308,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // analysis (table unwritable until DROP CONSTRAINT), or a column
       // re-added under the old name silently rebinds it. Refuse instead,
       // as Delta does (round-14 advice).
-      if (c.constraints.nonEmpty) {
+      if (constraints.nonEmpty) {
         val probe = t.spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        c.constraints.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+        constraints.toSeq.sortBy(_._1).foreach { case (n, sql) =>
           val resolves = scala.util.Try(
             probe.select(org.apache.spark.sql.functions.expr(sql))
               .queryExecution.analyzed).isSuccess
@@ -295,7 +323,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       try {
         t.commit(v, "alter_table", c.files, schema,
-          columnMapping = Some(mapping))
+          columnMapping = Some(mapping),
+          constraints = Some(constraints),
+          // alter starts FROM the parent schema, so any narrowing here is
+          // a deliberate, validated change (UpdateColumnNullability)
+          narrowNullability = true)
         return loadTable(ident)
       } catch {
         case e: ConcurrentCommitException =>

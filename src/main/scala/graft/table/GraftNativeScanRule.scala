@@ -51,11 +51,16 @@ final class GraftNativeScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def eligible(tbl: GraftSparkTable,
                        opts: org.apache.spark.sql.util.CaseInsensitiveStringMap): Boolean =
     tbl.resolved.exists { case (t, v) =>
-      val c = t.commitAt(v)
+      // the per-snapshot part is O(files) and the rule runs on every
+      // fixed-point pass — cache by (root, version): a committed version
+      // is immutable, so the answer never changes
       !opts.containsKey("readChangeFeed") &&
-        c.columnMapping.forall { case (k, p) => k == p } &&
-        c.files.forall(_.dv.isEmpty) &&
-        new GraftFileIndex(SparkSession.active, t, v).nativeReadable
+        GraftNativeScanRule.eligibilityCache.computeIfAbsent((t.root, v), { _ =>
+          val c = t.commitAt(v)
+          c.columnMapping.forall { case (k, p) => k == p } &&
+            c.files.forall(_.dv.isEmpty) &&
+            new GraftFileIndex(SparkSession.active, t, v).nativeReadable
+        })
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -79,4 +84,11 @@ final class GraftNativeScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
   }
+}
+
+object GraftNativeScanRule {
+  /** (table root, version) → native-readable; bounded by live snapshots
+    * touched in this JVM (entries are tiny; versions are immutable). */
+  private val eligibilityCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
 }

@@ -190,6 +190,22 @@ private[table] object GraftProcedures {
             .map(_.trim).filter(_.nonEmpty).toSeq
           opVersion("set_partitioning", t.setPartitioning(cols))
         })
+      case "set_not_null" => new GraftProcedure(root, "set_not_null",
+        // NOT NULL column constraint: value=true validates existing data
+        // then flips the flag (the SQL analyzer refuses v2 SET NOT NULL,
+        // so the tightening direction lives here); value=false relaxes
+        Seq(p("tbl", StringType), p("col", StringType),
+          ProcedureParameter.in("value", org.apache.spark.sql.types.BooleanType)
+            .defaultValue("true").build()),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          // an omitted value arrives as a NULL slot, not the declared
+          // default — read it defensively (tighten is the natural default)
+          val value = if (in.isNullAt(2)) true else in.getBoolean(2)
+          opVersion("set_not_null",
+            t.setNotNull(in.getUTF8String(1).toString, value))
+        })
       case "index_bloom" => new GraftProcedure(root, "index_bloom",
         // per-file bloom index for point-lookup skipping (Delta's bloom
         // filter index role); incremental — re-run after appends
@@ -299,7 +315,7 @@ private[table] object GraftProcedures {
           s"(available: ${names.mkString(", ")})")
     }
 
-  val names: Seq[String] = Seq("add_constraint", "drop_constraint", "clone",
+  val names: Seq[String] = Seq("add_constraint", "drop_constraint", "clone", "set_not_null",
     "index_bloom", "set_partitioning", "compact", "zorder", "vacuum", "history",
     "restore", "checkpoint", "detail")
 }

@@ -265,14 +265,175 @@ final class GraftMicroBatchStream(t: GraftTable, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftGroupReaderFactory
+    // operational escape hatch: spark.graft.stream.vectorizedReader=false
+    // pins the row-based Group reader (also the automatic per-file
+    // fallback for shapes the vectorized path cannot serve)
+    new GraftStreamReaderFactory(
+      org.apache.spark.sql.SparkSession.active.sessionState.conf
+        .getConfString("spark.graft.stream.vectorizedReader", "true").toBoolean)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Executor-side reader: parquet Group records → InternalRow of the
-  * required projection. Primitive columns (long, int, double, float,
+/** Executor-side reader factory (round-15 verdict task 5): the VECTORIZED
+  * parquet reader first — Spark's own `VectorizedParquetRecordReader`,
+  * the decoder the batch path uses, driven per file with the projection
+  * clipped to the file's schema; rows come off the columnar batch, so a
+  * wide-column backlog replay decodes at batch-scan speed instead of the
+  * Group API's per-field materialization. Partition values, the CDF tag
+  * column, deletion-vector masking and delta-emit all behave exactly as
+  * the row-based reader. Any file/shape the vectorized path cannot serve
+  * (it throws at INITIALIZATION, never mid-stream: position bookkeeping
+  * starts after init succeeds) falls back to [[GraftGroupReaderFactory]]
+  * — correctness is never gated on the fast path. */
+final class GraftStreamReaderFactory(vectorized: Boolean = true)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftFilePartition]
+    if (!vectorized) return new GraftGroupReaderFactory().createReader(p)
+    try new GraftVectorizedFileReader(fp)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        new GraftGroupReaderFactory().createReader(p)
+    }
+  }
+}
+
+/** One file through Spark's vectorized parquet decoder, surfaced as the
+  * required projection's InternalRows. The projection is clipped to the
+  * columns the FILE stores (schema evolution: missing columns are null;
+  * partition/tag columns are injected as constants); numeric widening
+  * (int→long, int/float→double — ALTER COLUMN TYPE) adapts per column at
+  * setup. Rebase modes are CORRECTED: every graft data file is written by
+  * this engine on Spark 4, proleptic calendar. */
+private[table] final class GraftVectorizedFileReader(fp: GraftFilePartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val required = DataType.fromJson(fp.requiredJson).asInstanceOf[StructType]
+
+  // file schema from the footer: the projection must name only columns
+  // the file stores, in FILE order (the reader selects in file order)
+  private val fileFieldsInOrder: Seq[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(fp.absPath), new Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val md = r.getFooter.getFileMetaData.getSchema
+      (0 until md.getFieldCount).map(i => md.getFieldName(i))
+    } finally r.close()
+  }
+  private val wanted: Set[String] = required.fields.map(_.name).toSet --
+    fp.partition.keySet - "_change_type"
+  private val cols: Seq[String] = fileFieldsInOrder.filter(wanted.contains)
+  require(cols.nonEmpty, "no file-stored columns requested — use the row reader")
+
+  private val reader = new VectorizedParquetRecordReader(
+    java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(fp.absPath, scala.jdk.CollectionConverters.SeqHasAsJava(cols).asJava)
+  reader.initBatch(new StructType(), InternalRow.empty)
+
+  // batch column types, positionally aligned with `cols`
+  private val batchTypes: Seq[DataType] = {
+    val cb = reader.resultBatch()
+    (0 until cb.numCols()).map(i => cb.column(i).dataType())
+  }
+  require(batchTypes.length == cols.length,
+    s"projection mismatch: ${cols.length} columns requested, ${batchTypes.length} decoded")
+
+  /** Per-required-field extractor over the (reused) batch row. */
+  private val extractors: Array[InternalRow => Any] =
+    required.fields.map { f =>
+      if (fp.changeType.isDefined && f.name == "_change_type") {
+        val tag = UTF8String.fromString(fp.changeType.get)
+        (_: InternalRow) => tag
+      } else fp.partition.get(f.name) match {
+        case Some(v) =>
+          val const = GraftGroupReaderFactory.partitionValue(f, v)
+          (_: InternalRow) => const
+        case None =>
+          val i = cols.indexOf(f.name)
+          if (i < 0) (_: InternalRow) => null
+          else {
+            val bt = batchTypes(i)
+            (f.dataType, bt) match {
+              case (a, b) if a == b => a match {
+                case LongType => r => if (r.isNullAt(i)) null else r.getLong(i)
+                case IntegerType => r => if (r.isNullAt(i)) null else r.getInt(i)
+                case DoubleType => r => if (r.isNullAt(i)) null else r.getDouble(i)
+                case FloatType => r => if (r.isNullAt(i)) null else r.getFloat(i)
+                case BooleanType => r => if (r.isNullAt(i)) null else r.getBoolean(i)
+                case StringType =>
+                  r => if (r.isNullAt(i)) null else r.getUTF8String(i).clone()
+                case DateType => r => if (r.isNullAt(i)) null else r.getInt(i)
+                case ArrayType(_, _) =>
+                  r => if (r.isNullAt(i)) null else r.getArray(i).copy()
+                case other => throw new UnsupportedOperationException(
+                  s"graft vectorized stream reader: column type $other for ${f.name}")
+              }
+              // TIMESTAMP flavors both surface as INT64 micros
+              case (TimestampType | TimestampNTZType,
+                    TimestampType | TimestampNTZType) =>
+                r => if (r.isNullAt(i)) null else r.getLong(i)
+              // type widening (ALTER COLUMN TYPE): old narrow files
+              case (LongType, IntegerType) =>
+                r => if (r.isNullAt(i)) null else r.getInt(i).toLong
+              case (DoubleType, IntegerType) =>
+                r => if (r.isNullAt(i)) null else r.getInt(i).toDouble
+              case (DoubleType, FloatType) =>
+                r => if (r.isNullAt(i)) null else r.getFloat(i).toDouble
+              case (a, b) => throw new UnsupportedOperationException(
+                s"graft vectorized stream reader: cannot serve ${f.name}: " +
+                  s"$b as $a")
+            }
+          }
+      }
+    }
+
+  // deletion-vector masking / delta-emit — same contract as the row reader
+  private val dv: Array[Long] =
+    fp.dvAbsPath.map(GraftTable.readDv).getOrElse(Array.emptyLongArray)
+  private var dvCursor = 0
+  private var rowIdx = -1L
+  private val emitNew: Array[Long] =
+    fp.emitNewDvAbsPath.map(GraftTable.readDv).orNull
+  private var emitCursor = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (!reader.nextKeyValue()) return false
+      current = reader.getCurrentValue.asInstanceOf[InternalRow]
+      rowIdx += 1
+      val inOld =
+        if (dvCursor < dv.length && dv(dvCursor) == rowIdx) {
+          dvCursor += 1; true
+        } else false
+      if (emitNew == null) {
+        if (!inOld) return true
+      } else {
+        while (emitCursor < emitNew.length && emitNew(emitCursor) < rowIdx)
+          emitCursor += 1
+        val inNew = emitCursor < emitNew.length && emitNew(emitCursor) == rowIdx
+        if (inNew && !inOld) return true
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = {
+    val r = current
+    InternalRow.fromSeq(extractors.toIndexedSeq.map(_(r)))
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+/** Executor-side ROW-BASED reader (the fallback path): parquet Group
+  * records → InternalRow of the required projection. Primitive columns
+  * (long, int, double, float,
   * boolean, string, timestamp[_ntz] as INT64 micros or INT96, date) plus
   * ARRAYS of those primitives (Spark's 3-level parquet list layout — the
   * embeddings table's `array<float>` streams) — the shapes the table
@@ -412,8 +573,14 @@ final class GraftGroupReaderFactory extends PartitionReaderFactory {
     }
 
   private def partitionValue(f: StructField, v: String): Any =
-    // Hive's null-partition directory marker — the batch path reconstructs
-    // it as NULL, so the stream must too (it previously threw on v.toLong)
+    GraftGroupReaderFactory.partitionValue(f, v)
+}
+
+object GraftGroupReaderFactory {
+  /** Hive partition value string → catalyst value of the field's type.
+    * The null-partition directory marker reconstructs as NULL, matching
+    * the batch path. Shared by the vectorized and Group readers. */
+  private[table] def partitionValue(f: StructField, v: String): Any =
     if (v == GraftTable.HiveNullPartition) null
     else f.dataType match {
       case LongType => v.toLong

@@ -1656,7 +1656,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
              schema: StructType, txn: Option[(String, Long)] = None,
              partitionCols: Option[Seq[String]] = None,
              columnMapping: Option[Map[String, String]] = None,
-             constraints: Option[Map[String, String]] = None): Long = {
+             constraints: Option[Map[String, String]] = None,
+             narrowNullability: Boolean = false): Long = {
     logDir.mkdirs()
     val version = parent + 1
     val parentCommit = if (parent == 0) None else Some(commitAt(parent))
@@ -1702,16 +1703,30 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // surfacing as 0 through the streaming source). nullable=true is
     // always a sound claim; the widening is a no-op for rewrites that
     // pass the parent schema through.
+    // fields under a DECLARED NOT NULL (paired nn_<col> constraint):
+    // every committed row was validated or guard-checked, so the flag
+    // survives any batch frame's own nullability — the one exception to
+    // the widening rule below
+    val declaredNotNull: Set[String] = effConstraints.keySet
+      .filter(_.startsWith("nn_")).map(_.stripPrefix("nn_"))
     val effSchema = parentCommit match {
+      // a VALIDATED nullability tightening (setNotNull / the catalog's
+      // UpdateColumnNullability, both of which scan for nulls first) is
+      // the one legitimate narrowing — it opts out of the widening guard
+      case Some(_) if narrowNullability => schema
       case Some(pc) => StructType(schema.fields.map { f =>
         pc.schema.find(_.name == f.name) match {
-          case Some(pf) if pf.dataType == f.dataType =>
-            f.copy(nullable = f.nullable || pf.nullable)
-          case Some(pf) if GraftTable.widensTo(f.dataType, pf.dataType) =>
+          case Some(pf) =>
             // a batch narrower than the table's WIDENED type never
             // narrows the declaration back — its files read under the
             // wide type by the same upcast as every pre-widening file
-            pf.copy(nullable = f.nullable || pf.nullable)
+            val typed =
+              if (pf.dataType == f.dataType) f
+              else if (GraftTable.widensTo(f.dataType, pf.dataType)) pf
+              else f
+            typed.copy(nullable =
+              if (declaredNotNull.contains(f.name)) false
+              else f.nullable || pf.nullable)
           case _ => f
         }
       })
@@ -1872,6 +1887,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (v == 0) Map.empty else commitAt(v).constraints
   }
 
+
   /** Enforce the table's CHECK constraints INSIDE the write pass (Delta's
     * `CheckDeltaInvariant` shape, round-14 advice): the returned frame
     * carries a row-level guard — TRUE or NULL passes (ANSI CHECK, the
@@ -1957,6 +1973,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   /** Drop a CHECK constraint — metadata-only commit; dropping the last
     * one lowers `minWriterVersion` back (derived, not sticky). */
   def dropConstraint(name: String): Long = {
+    require(!name.startsWith("nn_") ||
+        !commitAt(latestVersion).schema.fieldNames.contains(name.stripPrefix("nn_")) ||
+        commitAt(latestVersion).schema.find(_.name == name.stripPrefix("nn_")).forall(_.nullable),
+      s"$name pairs with a declared NOT NULL — use setNotNull('" +
+        name.stripPrefix("nn_") + "', notNull = false) / CALL set_not_null")
     var attempt = 0
     while (true) {
       val parent = latestVersion
@@ -2197,8 +2218,9 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * metadata carries forward either way). */
   def overwrite(df: DataFrame, parent: Long, operation: String,
                 partitionBy: Seq[String] = Seq.empty): Long = {
-    val (m, cs) = if (parent == 0) (Map.empty[String, String], Map.empty[String, String])
-            else { val c = commitAt(parent); (c.columnMapping, c.constraints) }
+    val (m, cs) = if (parent == 0)
+        (Map.empty[String, String], Map.empty[String, String])
+      else { val c = commitAt(parent); (c.columnMapping, c.constraints) }
     commit(parent, operation,
       writeData(enforceConstraints(df, cs), partitionBy, m), df.schema)
   }
@@ -2812,6 +2834,54 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     0L // unreachable
   }
 
+  /** NOT NULL column constraint (round-15 verdict task 4, Delta's column
+    * invariants): `notNull=true` validates the EXISTING table once — a
+    * column that is null today must be fixed, not declared — then flips
+    * the schema's nullable flag in one zero-IO metadata commit; every
+    * write path enforces it from then on (the flag rides the CHECK
+    * machinery: write-pass guard, racing-ALTER revalidation).
+    * `notNull=false` relaxes, metadata-only. Spark's SQL analyzer
+    * refuses `ALTER COLUMN ... SET NOT NULL` on v2 tables outright
+    * (it cannot validate data), so the SQL spelling is
+    * `CALL <cat>.system.set_not_null(tbl, col[, value])`; `DROP NOT
+    * NULL` works through plain ALTER TABLE. */
+  def setNotNull(colName: String, notNull: Boolean = true): Long = {
+    var attempt = 0
+    while (true) {
+      val parent = latestVersion
+      val c = commitAt(parent)
+      require(c.schema.fieldNames.contains(colName),
+        s"no such column $colName on $root")
+      if (notNull) {
+        val bad = read(parent).filter(col(colName).isNull).limit(3).collect()
+        if (bad.isEmpty) () // clean — declare
+        else throw new GraftTable.ConstraintViolationException(
+          s"cannot SET NOT NULL on $root.$colName — existing rows are " +
+            s"null, e.g. ${bad.mkString(", ")}")
+      }
+      // the DECLARED flag flips in the schema AND materializes as a
+      // stored paired constraint — enforcement (write-pass guard,
+      // racing-ALTER revalidation, writer-version protocol) rides the
+      // CHECK machinery; an INCIDENTAL nullable=false from a creating
+      // batch's frame is NOT enforced (NULL-key merges against such
+      // tables are long-standing ANSI semantics here)
+      val schema2 = StructType(c.schema.fields.map(x =>
+        if (x.name == colName) x.copy(nullable = !notNull) else x))
+      val cs2 =
+        if (notNull) c.constraints +
+          (GraftTable.notNullConstraintName(colName) -> s"`$colName` IS NOT NULL")
+        else c.constraints - GraftTable.notNullConstraintName(colName)
+      try return commit(parent, "set_nullability", c.files, schema2,
+        constraints = Some(cs2), narrowNullability = true)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    0L // unreachable
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): create a
     * new table at `destRoot` whose first commit REFERENCES this table's
     * data files (and deletion-vector sidecars) by ABSOLUTE path — zero
@@ -3020,6 +3090,9 @@ object GraftTable {
     * directory holds NULL in the partition column, which no range bound
     * can reason about. */
   val HiveNullPartition: String = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Name of the paired CHECK constraint a declared NOT NULL stores. */
+  private[table] def notNullConstraintName(col: String): String = s"nn_$col"
 
   /** Iceberg-style PARTITION TRANSFORM (hidden partitioning, round-15
     * verdict task 3): the manifest's `partitionCols` may carry

@@ -135,8 +135,9 @@ object StreamBench {
     }
     // graft streaming SOURCE throughput: stream a versioned table out by
     // version-offsets (8 appended versions = 8 micro-batches) through the
-    // Group-API row reader — the honest cost of the self-contained
-    // source, to compare against the vectorized batch scan.
+    // VECTORIZED per-file reader (round-15; Group-API fallback for shapes
+    // it cannot serve). The `batch_scan` probe below reads the SAME table
+    // through the batch path — backlog-replay parity is the ratio.
     if (probes.contains("table_source")) {
       val root = s"$work/srctbl"
       val parts = spark.read.parquet(stageDir)
@@ -144,16 +145,35 @@ object StreamBench {
         parts.where("spark_partition_id() % 8 = 0"))
       (1 until 8).foreach(i =>
         t.append(parts.where(s"spark_partition_id() % 8 = $i")))
-      val t0 = System.nanoTime()
-      val q = spark.readStream.format("graft").load(root)
-        .writeStream.format("noop")
-        .option("checkpointLocation", s"$work/ckpt_src")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"table_source","rows":$nRows,"sec":$sec%.2f,""" +
-        f""""rows_per_sec":${(nRows / sec).toLong},""" +
-        f""""batches":${q.recentProgress.length},"versions":${t.versions.length}}""")
+      def drain(tag: String, vectorized: Boolean): Unit = {
+        spark.conf.set("spark.graft.stream.vectorizedReader",
+          vectorized.toString)
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft").load(root)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$work/ckpt_src_$tag")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"table_source_$tag","rows":$nRows,"sec":$sec%.2f,""" +
+          f""""rows_per_sec":${(nRows / sec).toLong},""" +
+          f""""batches":${q.recentProgress.length},"versions":${t.versions.length}}""")
+      }
+      drain("vectorized", vectorized = true)
+      drain("rowbased", vectorized = false)
+      spark.conf.unset("spark.graft.stream.vectorizedReader")
+      // batch-path control over the SAME table: the parity denominator —
+      // decodes every column (sum/min force the reads) without per-row
+      // string building, min-of-3 against co-tenant noise
+      val bSec = (1 to 3).map { _ =>
+        val b0 = System.nanoTime()
+        spark.read.format("graft").load(root)
+          .agg(sum(col("user_id")), sum(col("value")), min(col("ts")))
+          .collect()
+        (System.nanoTime() - b0) / 1e9
+      }.min
+      println(f"""{"probe":"batch_scan_control","rows":$nRows,"sec":$bSec%.2f,""" +
+        f""""rows_per_sec":${(nRows / bSec).toLong}}""")
     }
     spark.stop()
   }

@@ -1390,6 +1390,62 @@ class TableFormatSpec extends SparkSpec {
 
   // ---- round-14 continuation: CHECK constraints ---------------------------
 
+  test("NOT NULL column constraints: SET NOT NULL validates existing data, " +
+      "every write path enforces, batch nullability never erodes the flag") {
+    import spark.implicits._
+    val lake = tmpRoot("nnlake")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_nn", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_nn.root", lake)
+    try {
+      spark.sql("CREATE TABLE graft_nn.db.n (id BIGINT, v BIGINT, w STRING)")
+      spark.sql("INSERT INTO graft_nn.db.n VALUES (1, 10, 'a'), (2, NULL, 'b')")
+      val t = GraftTable.forPath(spark, s"$lake/db/n")
+      // SET NOT NULL on a column with existing nulls: refused with
+      // samples (via the procedure — Spark's analyzer refuses the v2
+      // ALTER COLUMN SET NOT NULL spelling outright)
+      intercept[GraftTable.ConstraintViolationException] {
+        spark.sql("CALL graft_nn.system.set_not_null(tbl => 'db.n', col => 'v')")
+      }
+      // clean column: accepted, metadata-only, reported through the schema
+      val filesBefore = t.commitAt(t.latestVersion).files.map(_.path)
+      spark.sql("CALL graft_nn.system.set_not_null(tbl => 'db.n', col => 'id')")
+      assert(t.commitAt(t.latestVersion).files.map(_.path) == filesBefore)
+      assert(!t.commitAt(t.latestVersion).schema("id").nullable)
+      assert(!spark.read.format("graft").load(s"$lake/db/n").schema("id").nullable)
+      // programmatic append of a null id: rejected whole, snapshot untouched
+      val s = new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("v", "long").add("w", "string")
+      intercept[GraftTable.ConstraintViolationException] {
+        t.append(spark.createDataFrame(
+          java.util.Arrays.asList(Row(null, 5L, "x")), s))
+      }
+      assert(t.read().count() == 2)
+      // merge/update post-images are checked too
+      intercept[GraftTable.ConstraintViolationException] {
+        t.updateWhere(Seq("id" -> org.apache.spark.sql.functions.lit(null)
+          .cast("long")), Some($"id" === 1L), dvMode = "off")
+      }
+      // a clean batch read back from parquet (all-nullable flags) commits
+      // fine AND the table keeps its declared NOT NULL
+      val tmp = tmpRoot("nnbatch")
+      Seq((7L, 70L, "g")).toDF("id", "v", "w").write.parquet(tmp)
+      t.append(spark.read.parquet(tmp)) // parquet schema: everything nullable
+      assert(!t.commitAt(t.latestVersion).schema("id").nullable,
+        "one nullable batch must not erase the declared NOT NULL")
+      assert(t.read().count() == 3)
+      // DROP NOT NULL re-allows nulls
+      spark.sql("ALTER TABLE graft_nn.db.n ALTER COLUMN id DROP NOT NULL")
+      t.append(spark.createDataFrame(
+        java.util.Arrays.asList(Row(null, 5L, "x")), s))
+      assert(t.read().filter($"id".isNull).count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_nn.db.n")
+      spark.conf.unset("spark.sql.catalog.graft_nn")
+      spark.conf.unset("spark.sql.catalog.graft_nn.root")
+    }
+  }
+
   test("metadata-only COUNT(*) stays exact across DV deletes, appends and " +
       "time travel — and never fires on filtered/grouped/count(col) shapes") {
     import spark.implicits._

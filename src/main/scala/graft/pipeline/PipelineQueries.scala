@@ -709,6 +709,19 @@ object PipelineQueries extends QueryModule {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** S28b — metadata-only MIN/MAX: the bounds fold from the manifest's
+    * per-file exact stats (integral column) and identity partition
+    * values (the dd calendar column) — LocalRelation plan, zero files
+    * read, alongside the count. */
+  private def scanMetadataMinmax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = partitionedEventsTable(spark, sfDir)
+    spark.read.format("graft").load(t.root)
+      .agg(min($"event_id").as("min_eid"), max($"event_id").as("max_eid"),
+        min($"dd").as("min_dd"), max($"dd").as("max_dd"),
+        count(lit(1)).as("n_rows"))
+  }
+
   private val curatedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Curate `events` into a yyyy/mm/dd-partitioned parquet layout once per
@@ -787,6 +800,7 @@ object PipelineQueries extends QueryModule {
     "scan_partition_manifest" -> scanPartitionManifest,
     "scan_runtime_prune"     -> scanRuntimePrune,
     "scan_metadata_count"    -> scanMetadataCount,
+    "scan_metadata_minmax"   -> scanMetadataMinmax,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_merge_sql"       -> upsertMergeSql,
     "upsert_string_key"      -> upsertStringKey,
@@ -978,6 +992,12 @@ object PipelineQueries extends QueryModule {
         |ORDER BY event_id""".stripMargin,
     "scan_metadata_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events",
+    "scan_metadata_minmax" ->
+      """SELECT CAST(min(event_id) AS BIGINT) AS min_eid,
+        |       CAST(max(event_id) AS BIGINT) AS max_eid,
+        |       CAST(min(day(ts)) AS INT) AS min_dd,
+        |       CAST(max(day(ts)) AS INT) AS max_dd,
+        |       CAST(count(*) AS BIGINT) AS n_rows FROM events""".stripMargin,
     "scan_runtime_prune" ->
       """WITH daily AS (
         |  SELECT day(ts) AS hd, count(*) AS n FROM events

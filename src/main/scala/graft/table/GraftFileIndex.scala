@@ -168,6 +168,9 @@ final class GraftFileIndex(spark: SparkSession, t: GraftTable, version: Long)
     * value a full scan would count ([[GraftMetadataCountRule]]). */
   private[table] def snapshotLiveRows: Long = commit.files.map(_.liveRows).sum
 
+  /** The snapshot itself, for metadata-only aggregate folding. */
+  private[table] def snapshotCommit: TableCommit = commit
+
   override def toString: String =
     s"GraftFileIndex(${t.root} v$version files=${commit.files.size})"
 }

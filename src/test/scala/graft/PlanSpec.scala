@@ -288,6 +288,42 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == viaScan)
   }
 
+  test("scan_metadata_minmax: MIN/MAX fold from manifest stats + identity " +
+      "partition values — LocalRelation plan, DV snapshots fall back") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val df = SparkEntry.queries("scan_metadata_minmax")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected a metadata-only LocalRelation plan, got:\n$opt")
+    // value-equivalent to the real scan, column by column
+    val viaScan = {
+      spark.conf.set("spark.graft.metadataCount", "false")
+      try SparkEntry.queries("scan_metadata_minmax")(spark, sf).collect().head
+      finally spark.conf.unset("spark.graft.metadataCount")
+    }
+    assert(df.collect().head.toSeq == viaScan.toSeq,
+      s"metadata fold ${df.collect().head} != scan $viaScan")
+    // a deletion-vectored snapshot disables the MIN/MAX fold (the masked
+    // row could be the extremum) but never the answer: same values, real
+    // scan. COUNT(*) alone still folds — dvRows is manifest-carried.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmx").toString
+    val t = graft.table.GraftTable.create(spark, s"$dir/tbl",
+      spark.range(0, 100).toDF("id"))
+    t.deleteWhere(col("id") === 99, dvMode = "force")
+    val read = spark.read.format("graft").load(t.root)
+    val mm = read.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    assert(!mm.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "min/max over a DV'd snapshot must scan, not trust file bounds")
+    assert(mm.collect().head.toSeq == Seq(0L, 98L))
+    val cnt = read.agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "COUNT(*) stays metadata-only across deletion vectors")
+    assert(cnt.collect().head.getLong(0) == 99L)
+  }
+
   test("join_runtime_bloom injects a runtime bloom filter below the fact shuffle") {
     // completes the runtime-filtering story next to filter_dynamic_prune:
     // with the feature armed, Catalyst must build a bloom filter over the

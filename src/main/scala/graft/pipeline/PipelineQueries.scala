@@ -722,6 +722,20 @@ object PipelineQueries extends QueryModule {
         count(lit(1)).as("n_rows"))
   }
 
+  /** S28c — metadata-only GROUP BY partition columns: per-day counts and
+    * event-id bounds fold from the manifest's file list grouped by its
+    * recorded partition values — Spark's OptimizeMetadataOnlyQuery shape
+    * served off the manifest, zero files read. */
+  private def scanMetadataGroupby(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = partitionedEventsTable(spark, sfDir)
+    spark.read.format("graft").load(t.root)
+      .groupBy($"yyyy", $"mm", $"dd")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"event_id").as("min_eid"), max($"event_id").as("max_eid"))
+      .orderBy($"yyyy", $"mm", $"dd")
+  }
+
   private val curatedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Curate `events` into a yyyy/mm/dd-partitioned parquet layout once per
@@ -801,6 +815,7 @@ object PipelineQueries extends QueryModule {
     "scan_runtime_prune"     -> scanRuntimePrune,
     "scan_metadata_count"    -> scanMetadataCount,
     "scan_metadata_minmax"   -> scanMetadataMinmax,
+    "scan_metadata_groupby"  -> scanMetadataGroupby,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_merge_sql"       -> upsertMergeSql,
     "upsert_string_key"      -> upsertStringKey,
@@ -998,6 +1013,12 @@ object PipelineQueries extends QueryModule {
         |       CAST(min(day(ts)) AS INT) AS min_dd,
         |       CAST(max(day(ts)) AS INT) AS max_dd,
         |       CAST(count(*) AS BIGINT) AS n_rows FROM events""".stripMargin,
+    "scan_metadata_groupby" ->
+      """SELECT CAST(year(ts) AS INT) AS yyyy, CAST(month(ts) AS INT) AS mm,
+        |       CAST(day(ts) AS INT) AS dd, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(event_id) AS BIGINT) AS min_eid,
+        |       CAST(max(event_id) AS BIGINT) AS max_eid
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "scan_runtime_prune" ->
       """WITH daily AS (
         |  SELECT day(ts) AS hd, count(*) AS n FROM events

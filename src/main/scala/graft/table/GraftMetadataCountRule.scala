@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,9 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * constant-time answer off one manifest JSON and a full table scan for
   * the most-typed queries in existence.
   *
-  * Fires only on the provably-exact shape: a GLOBAL aggregate (no
-  * grouping) whose every output is
+  * The same fold answers aggregates GROUPED BY identity partition
+  * columns — Spark's own `OptimizeMetadataOnlyQuery` shape for catalog
+  * tables, served here off the manifest: `GROUP BY dd` (or
+  * `SELECT DISTINCT dd`) groups the FILE LIST by its recorded partition
+  * values, sums `liveRows` per group, and — crucially — DROPS groups
+  * whose live count is zero (an all-deleted partition produces no row
+  * from a real scan). Mixed-era files missing a grouped value, or a
+  * recorded value that does not cast cleanly to the column type, revert
+  * the whole aggregate to the scan (the V1 path keeps such files
+  * conservatively; a silent NULL group here would diverge from it).
   *
+  * Fires only on the provably-exact shape: every output is
+  *
+  *  - a bare grouping column (identity partition only — a hidden
+  *    transform's source column takes MANY values per file); or
   *  - `count(*)`/`count(1)` — never `count(col)` (null-sensitive; except
   *    where Catalyst itself rewrites it for non-nullable columns), never
   *    DISTINCT, never FILTER — exact even across deletion vectors
@@ -37,11 +49,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The plan sits directly on the graft relation through row-preserving
   * Projects only (no Filter in between: a filtered aggregate must scan).
-  * The rewrite is value-equivalent to execution, so it is safe anywhere
-  * the shape appears, subqueries included. Matches BOTH renderings of a
-  * graft read: the DSv2 relation and the converted native file-source
-  * relation ([[GraftNativeScanRule]] — rule order between the two is
-  * free).
+  * Column identity is tracked by exprId THROUGH the projects down to the
+  * relation's own output — a projection that renames or computes a
+  * column (`select($"value".as("event_id"))`) can never alias a
+  * manifest stat onto the wrong data. The rewrite is value-equivalent to
+  * execution, so it is safe anywhere the shape appears, subqueries
+  * included. Matches BOTH renderings of a graft read: the DSv2 relation
+  * and the converted native file-source relation
+  * ([[GraftNativeScanRule]] — rule order between the two is free).
   */
 object GraftMetadataCountRule extends Rule[LogicalPlan] {
 
@@ -49,24 +64,42 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
     org.apache.spark.sql.SparkSession.active.sessionState.conf
       .getConfString("spark.graft.metadataCount", "true").toBoolean
 
-  /** The snapshot behind `plan`, when it IS a plain graft read (through
-    * row-preserving Projects). */
-  private def snapshotOf(plan: LogicalPlan): Option[TableCommit] = plan match {
-    case Project(_, child) => snapshotOf(child) // projects keep cardinality
-    case r: DataSourceV2Relation => r.table match {
-      case t: GraftSparkTable if !r.options.containsKey("readChangeFeed") &&
-          !r.options.containsKey("changesFrom") &&
-          !r.options.containsKey("changesFromTimestamp") =>
-        t.resolved.map { case (gt, v) => gt.commitAt(v) }
+  /** The snapshot behind `plan` when it IS a plain graft read through
+    * row-preserving Projects, plus the exprId→relation-column map for
+    * every aggregate-child attribute that is a PASS-THROUGH of a
+    * relation output (renamed or not). Computed projections stay out of
+    * the map — they invalidate bounds/grouping on themselves but never
+    * the row count. */
+  private def snapshotOf(plan: LogicalPlan): Option[(TableCommit, Map[ExprId, String])] =
+    plan match {
+      case Project(projList, child) => // projects keep cardinality
+        snapshotOf(child).map { case (c, m) =>
+          val passed = projList.flatMap {
+            case a: AttributeReference => m.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(a: AttributeReference, _) =>
+              m.get(a.exprId).map(al.exprId -> _)
+            case _ => None
+          }.toMap
+          (c, passed)
+        }
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSparkTable if !r.options.containsKey("readChangeFeed") &&
+            !r.options.containsKey("changesFrom") &&
+            !r.options.containsKey("changesFromTimestamp") =>
+          t.resolved.map { case (gt, v) =>
+            (gt.commitAt(v), r.output.map(a => a.exprId -> a.name).toMap)
+          }
+        case _ => None
+      }
+      case LogicalRelation(HadoopFsRelation(idx: GraftFileIndex, _, _, _, _, _), out, _, _, _) =>
+        Some((idx.snapshotCommit, out.map(a => a.exprId -> a.name).toMap))
       case _ => None
     }
-    case LogicalRelation(HadoopFsRelation(idx: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-      Some(idx.snapshotCommit)
-    case _ => None
-  }
 
   private sealed trait MetaAgg
   private case object CountStar extends MetaAgg
+  /** `groupIdx` >= 0: this output IS the grouping column at that index. */
+  private final case class GroupKey(groupIdx: Int) extends MetaAgg
   private final case class Bound(col: String, dt: DataType, wantMin: Boolean)
       extends MetaAgg
 
@@ -78,15 +111,20 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def classify(e: NamedExpression): Option[MetaAgg] = e match {
+  private def classify(e: NamedExpression, groups: Seq[AttributeReference],
+                       rel: Map[ExprId, String]): Option[MetaAgg] = e match {
+    case a: AttributeReference if groups.exists(_.exprId == a.exprId) =>
+      Some(GroupKey(groups.indexWhere(_.exprId == a.exprId)))
+    case Alias(a: AttributeReference, _) if groups.exists(_.exprId == a.exprId) =>
+      Some(GroupKey(groups.indexWhere(_.exprId == a.exprId)))
     case Alias(AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _), _)
         if v != null => Some(CountStar)
     case Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
         if exactBoundType(a.dataType) =>
-      Some(Bound(a.name, a.dataType, wantMin = true))
+      rel.get(a.exprId).map(Bound(_, a.dataType, wantMin = true))
     case Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
         if exactBoundType(a.dataType) =>
-      Some(Bound(a.name, a.dataType, wantMin = false))
+      rel.get(a.exprId).map(Bound(_, a.dataType, wantMin = false))
     case _ => None
   }
 
@@ -108,21 +146,30 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
       }
     }.toOption
 
-  /** MIN/MAX of `colName` straight off the manifest: outer None = cannot
-    * answer exactly (fall back to the scan); Some(None) = SQL NULL (zero
-    * live non-null rows). */
-  private def metaBound(c: TableCommit, b: Bound): Option[Option[Any]] = {
-    if (c.files.exists(_.dv.isDefined)) return None // masked row may be extremum
+  /** Cast one recorded partition string to the column type via the
+    * engine's Cast; the Hive null marker is a true NULL. Returns
+    * Some(value-or-null) on a clean cast, None when the recorded value
+    * does not parse (fall back to the scan, which keeps it). */
+  private def castPart(v: String, dt: DataType): Option[Any] =
+    if (v == GraftTable.HiveNullPartition) Some(null)
+    else {
+      val cast = Cast(Literal(UTF8String.fromString(v), StringType), dt,
+        Some(org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.sessionLocalTimeZone)).eval(InternalRow.empty)
+      if (cast == null) None else Some(cast)
+    }
+
+  /** MIN/MAX of `b.col` over `files`: outer None = cannot answer exactly
+    * (fall back to the scan); Some(None) = SQL NULL (zero live non-null
+    * rows). Caller has already excluded deletion-vectored snapshots. */
+  private def metaBound(c: TableCommit, files: Seq[ManifestFile],
+                        b: Bound): Option[Option[Any]] = {
     val phys = c.phys(b.col)
-    val identityPartCol = c.partitionCols.contains(b.col)
-    val perFile: Seq[Option[Option[Any]]] = c.files.map { f =>
+    val identityPartCol = identityPartitionCols(c).contains(b.col)
+    val perFile: Seq[Option[Option[Any]]] = files.map { f =>
       if (identityPartCol) f.partition.get(phys) match {
         case Some(GraftTable.HiveNullPartition) => Some(None) // all-null file
-        case Some(v) =>
-          val cast = Cast(Literal(UTF8String.fromString(v), StringType), b.dt,
-            Some(org.apache.spark.sql.SparkSession.active
-              .sessionState.conf.sessionLocalTimeZone)).eval(InternalRow.empty)
-          if (cast == null) None else Some(Some(cast))
+        case Some(v) => castPart(v, b.dt).map(x => Some(x))
         case None => None // mixed-era file: fall back
       }
       else f.stats.get(phys) match {
@@ -147,24 +194,87 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
     Some(Some(if (b.wantMin) vals.min(ord) else vals.max(ord)))
   }
 
+  /** The snapshot's IDENTITY partition columns — a `days(ts)` /
+    * `bucket(n, id)` spec's SOURCE column is NOT one (a file holds many
+    * source values; only the DERIVED value is constant per file). */
+  private def identityPartitionCols(c: TableCommit): Set[String] =
+    GraftTable.PartTransform.parseAll(c.partitionCols).collect {
+      case t: GraftTable.IdentityTransform => t.source
+    }.toSet
+
+  /** One fold for both shapes. Global (no grouping): exactly one output
+    * row, even over an empty table. Grouped: one row per partition-value
+    * tuple with a NONZERO live count — zero-live groups vanish, like the
+    * scan's. Returns None to keep the original aggregate. */
+  private def fold(c: TableCommit, groups: Seq[AttributeReference],
+                   rel: Map[ExprId, String],
+                   metas: Seq[MetaAgg]): Option[Seq[InternalRow]] = {
+    val hasDv = c.files.exists(_.dv.isDefined)
+    if (hasDv && metas.exists(_.isInstanceOf[Bound]))
+      return None // the DV-masked row could be the extremum
+    if (groups.isEmpty) {
+      val rows = c.files.map(_.liveRows).sum
+      val resolved = metas.map {
+        case CountStar => Some(Some(rows))
+        case b: Bound => metaBound(c, c.files, b)
+        case GroupKey(_) => None // unreachable: no grouping columns exist
+      }
+      if (resolved.exists(_.isEmpty)) None
+      else Some(Seq(InternalRow.fromSeq(resolved.map(_.get.orNull))))
+    } else {
+      val identity = identityPartitionCols(c)
+      // every grouping column must be an identity partition column the
+      // relation itself outputs
+      val groupCols = groups.map(g => rel.get(g.exprId).filter(identity))
+      if (groupCols.exists(_.isEmpty)) return None
+      val keys = groupCols.map(_.get).map(c.phys)
+      // every file must record a CLEANLY-CAST value for every grouped
+      // column (mixed partition eras or unparseable values: scan)
+      val decoded: Seq[Option[(Seq[Any], ManifestFile)]] = c.files.map { f =>
+        val tuple = keys.zip(groups).map { case (k, g) =>
+          f.partition.get(k).flatMap(castPart(_, g.dataType))
+        }
+        if (tuple.exists(_.isEmpty)) None
+        else Some((tuple.map(_.get), f))
+      }
+      if (decoded.exists(_.isEmpty)) return None
+      val byGroup = decoded.flatten.groupBy(_._1)
+      // inner Some(None): a group a real scan would not emit (zero live)
+      val perGroup: Seq[Option[Option[InternalRow]]] =
+        byGroup.toSeq.map { case (tuple, fs) =>
+          val files = fs.map(_._2)
+          val live = files.map(_.liveRows).sum
+          if (live == 0L) Some(None) // an all-deleted partition yields no row
+          else {
+            val resolved = metas.map {
+              case GroupKey(i) => Some(Some(tuple(i)))
+              case CountStar => Some(Some(live))
+              case b: Bound => metaBound(c, files, b)
+            }
+            if (resolved.exists(_.isEmpty)) None
+            else Some(Some(InternalRow.fromSeq(resolved.map(_.get.orNull))))
+          }
+        }
+      if (perGroup.exists(_.isEmpty)) None
+      else Some(perGroup.flatten.flatten)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&
-          exprs.forall(e => classify(e).isDefined) =>
+      case agg @ Aggregate(groups, exprs, child, _) if exprs.nonEmpty &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
         snapshotOf(child) match {
-          case Some(c) =>
-            val rows = c.files.map(_.liveRows).sum
-            // every output must resolve exactly, or the whole aggregate scans
-            val resolved: Seq[Option[Option[Any]]] =
-              exprs.map(e => classify(e).get match {
-                case CountStar => Some(Some(rows))
-                case b: Bound => metaBound(c, b)
-              })
-            if (resolved.forall(_.isDefined))
-              LocalRelation(agg.output.map(_.toAttribute),
-                Seq(InternalRow.fromSeq(resolved.map(_.get.orNull))))
-            else agg
+          case Some((c, rel)) =>
+            val groupAttrs = groups.map(_.asInstanceOf[AttributeReference])
+            val metas = exprs.map(e => classify(e, groupAttrs, rel))
+            if (metas.exists(_.isEmpty)) agg
+            else fold(c, groupAttrs, rel, metas.map(_.get)) match {
+              case Some(rows) =>
+                LocalRelation(agg.output.map(_.toAttribute), rows)
+              case None => agg
+            }
           case None => agg
         }
     }

@@ -324,6 +324,54 @@ class PlanSpec extends SparkSpec {
     assert(cnt.collect().head.getLong(0) == 99L)
   }
 
+  test("scan_metadata_groupby: GROUP BY partition columns folds from the " +
+      "manifest — LocalRelation plan, zero-live groups dropped, renames safe") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val df = SparkEntry.queries("scan_metadata_groupby")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected a metadata-only LocalRelation plan, got:\n$opt")
+    val viaScan = {
+      spark.conf.set("spark.graft.metadataCount", "false")
+      try SparkEntry.queries("scan_metadata_groupby")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.graft.metadataCount")
+    }
+    assert(df.collect().map(_.toSeq).toSeq == viaScan)
+
+    // column identity is tracked by exprId through projections: renaming
+    // another column onto a stats-covered name must NEVER alias the
+    // manifest bounds onto the wrong data (the fold still fires, off the
+    // RESOLVED column's stats)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mgb").toString
+    import spark.implicits._
+    val t = graft.table.GraftTable.create(spark, s"$dir/tbl",
+      (0L until 100L).map(i => (i, i * 1000L)).toDF("a", "b"))
+    val read = spark.read.format("graft").load(t.root)
+    val renamed = read.select($"b".as("a"))
+      .agg(min($"a").as("lo"), max($"a").as("hi"))
+    assert(renamed.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "a pass-through rename still folds — off the resolved column")
+    assert(renamed.collect().head.toSeq == Seq(0L, 99000L),
+      "bounds must come from b (the renamed source), never from a")
+
+    // an all-deleted partition yields no group row, exactly like the scan
+    val pdir = java.nio.file.Files.createTempDirectory("graft_mgb2").toString
+    val pt = graft.table.GraftTable.createPartitioned(spark, s"$pdir/tbl",
+      (0L until 40L).map(i => (i, (i % 4).toInt)).toDF("id", "p"), Seq("p"))
+    pt.deleteWhere(col("p") === 2, dvMode = "force")
+    val grouped = spark.read.format("graft").load(pt.root)
+      .groupBy($"p").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "grouped counts keep folding across deletion vectors")
+    assert(grouped.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      == Set((0, 10L), (1, 10L), (3, 10L)),
+      "the fully-deleted p=2 group must vanish from the fold")
+  }
+
   test("join_runtime_bloom injects a runtime bloom filter below the fact shuffle") {
     // completes the runtime-filtering story next to filter_dynamic_prune:
     // with the feature armed, Catalyst must build a bloom filter over the

@@ -736,6 +736,47 @@ object PipelineQueries extends QueryModule {
       .orderBy($"yyyy", $"mm", $"dd")
   }
 
+  /** S31 — the materialized-aggregate fixture: a per-type rollup over a
+    * graft copy of events, INCREMENTALLY maintained across a slice delete
+    * and a cross-group merge by consuming the change feed
+    * ([[graft.table.MaterializedAgg]]) — refresh cost O(rows changed) +
+    * O(groups), never O(table). The builder runs the whole lifecycle
+    * once: init refresh at v1, DELETE dd=3, MERGE the dd=5 slice into a
+    * 'promoted' type (CDF delete+insert pairs move counts across
+    * groups), incremental refresh. */
+  private def mvRollupTable(spark: SparkSession, sfDir: String): graft.table.GraftTable =
+    builtTable(spark, sfDir, "mv") { dir =>
+      import spark.implicits._
+      val cur = Curate.curateTs(Tables.events(spark, sfDir))
+        .select($"event_id", $"user_id", $"event_type", $"value", $"dd")
+      val src = graft.table.GraftTable.create(spark, s"$dir/src", cur)
+      graft.table.MaterializedAgg.refresh(spark, src, s"$dir/mv",
+        Seq("event_type"), Seq("event_id"))
+      src.deleteWhere($"dd" === 3)
+      // pin the batch to the pre-merge snapshot: a self-referential merge
+      // must read immutable files, not "latest"
+      val promo = spark.read.format("graft")
+        .option("versionAsOf", src.latestVersion).load(src.root)
+        .filter($"dd" === 5)
+        .withColumn("event_type", lit("promoted"))
+      src.mergeUpsert(promo, Seq("event_id"))
+      graft.table.MaterializedAgg.refresh(spark, src, s"$dir/mv",
+        Seq("event_type"), Seq("event_id"))
+      graft.table.GraftTable.forPath(spark, s"$dir/mv")
+    }
+
+  /** S31 — read the incrementally-maintained rollup; the oracle
+    * RECOMPUTES the same aggregate from raw events with the DML replayed
+    * as predicates, so any drift in the delta math fails the hash. */
+  private def mvIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mv = mvRollupTable(spark, sfDir)
+    graft.table.MaterializedAgg.readView(spark, mv.root,
+      Seq("event_type"), Seq("event_id"))
+      .select($"event_type", $"cnt", $"sum_event_id")
+      .orderBy($"event_type")
+  }
+
   private val curatedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Curate `events` into a yyyy/mm/dd-partitioned parquet layout once per
@@ -816,6 +857,7 @@ object PipelineQueries extends QueryModule {
     "scan_metadata_count"    -> scanMetadataCount,
     "scan_metadata_minmax"   -> scanMetadataMinmax,
     "scan_metadata_groupby"  -> scanMetadataGroupby,
+    "mv_incremental_agg"     -> mvIncrementalAgg,
     "upsert_keep_latest"     -> upsertKeepLatest,
     "upsert_merge_sql"       -> upsertMergeSql,
     "upsert_string_key"      -> upsertStringKey,
@@ -1019,6 +1061,13 @@ object PipelineQueries extends QueryModule {
         |       CAST(min(event_id) AS BIGINT) AS min_eid,
         |       CAST(max(event_id) AS BIGINT) AS max_eid
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "mv_incremental_agg" ->
+      """SELECT CASE WHEN day(ts) = 5 THEN 'promoted' ELSE event_type END AS event_type,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM events
+        |WHERE day(ts) <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_runtime_prune" ->
       """WITH daily AS (
         |  SELECT day(ts) AS hd, count(*) AS n FROM events

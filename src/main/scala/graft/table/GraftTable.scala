@@ -2217,12 +2217,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * replace (empty = flat files; the table's declared partitionCols
     * metadata carries forward either way). */
   def overwrite(df: DataFrame, parent: Long, operation: String,
-                partitionBy: Seq[String] = Seq.empty): Long = {
+                partitionBy: Seq[String] = Seq.empty,
+                txn: Option[(String, Long)] = None): Long = {
     val (m, cs) = if (parent == 0)
         (Map.empty[String, String], Map.empty[String, String])
       else { val c = commitAt(parent); (c.columnMapping, c.constraints) }
     commit(parent, operation,
-      writeData(enforceConstraints(df, cs), partitionBy, m), df.schema)
+      writeData(enforceConstraints(df, cs), partitionBy, m), df.schema,
+      txn = txn)
   }
 
   /** Transactional keep-latest upsert (MERGE last-writer-wins): union the
@@ -3355,4 +3357,9 @@ object GraftTable {
     require(t.latestVersion > 0, s"no graft table log at $root")
     t
   }
+
+  /** Handle for a root that may not exist yet (create-or-open writers —
+    * e.g. [[MaterializedAgg]]'s first refresh creates the target). */
+  private[table] def handleFor(spark: SparkSession, root: String): GraftTable =
+    new GraftTable(spark, root)
 }

@@ -89,20 +89,27 @@ object MaterializedAgg {
       case Some(fromV) =>
         val changes = source.changesBetween(fromV, srcV)
         val mvParent = mv.latestVersion
-        if (changes.isEmpty) {
-          // change-free range (compaction / z-order / clone churn): advance
-          // the reflected stamp in a ZERO-IO metadata commit so later
-          // refreshes never re-telescope this slice of the feed
-          val c = mv.commitAt(mvParent)
-          mv.commit(mvParent, "mv_noop", c.files, c.schema,
-            txn = Some((id, srcV)))
-        } else {
-          val current = spark.read.format("graft")
-            .option("versionAsOf", mvParent).load(mvRoot)
-          val next = applyDeltas(current, changes, groupCols, sums)
-          mv.overwrite(next, mvParent, operation = "mv_refresh",
-            txn = Some((id, srcV)))
-        }
+        // ONE pass over the feed: the signed aggregate collapses the
+        // churn to O(touched groups) rows, pinned so the emptiness probe
+        // and the join never re-read the (potentially large) CDF slice
+        val deltas = deltasOf(changes, groupCols, sums)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (deltas.isEmpty) {
+            // change-free range (compaction / z-order / clone churn):
+            // advance the reflected stamp in a ZERO-IO metadata commit so
+            // later refreshes never re-telescope this slice of the feed
+            val c = mv.commitAt(mvParent)
+            mv.commit(mvParent, "mv_noop", c.files, c.schema,
+              txn = Some((id, srcV)))
+          } else {
+            val current = spark.read.format("graft")
+              .option("versionAsOf", mvParent).load(mvRoot)
+            val next = applyDeltas(current, deltas, groupCols, sums)
+            mv.overwrite(next, mvParent, operation = "mv_refresh",
+              txn = Some((id, srcV)))
+          }
+        } finally deltas.unpersist()
         srcV
     }
   }
@@ -143,11 +150,10 @@ object MaterializedAgg {
   private def sumType(df: DataFrame, c: String): DataType =
     df.select(sum(col(c)).as("s")).schema.head.dataType
 
-  /** Current MV state + a CDF slice → next MV state. One signed
-    * aggregate over the changes, one null-safe full outer join on the
-    * group key, zero-count groups dropped. */
-  private def applyDeltas(current: DataFrame, changes: DataFrame,
-                          groupCols: Seq[String], sums: Seq[String]): DataFrame = {
+  /** One signed aggregate over a CDF slice: +1 for 'insert', −1 for
+    * 'delete', per group — the O(touched groups) delta frame. */
+  private def deltasOf(changes: DataFrame, groupCols: Seq[String],
+                       sums: Seq[String]): DataFrame = {
     val sgn = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val dAggs: Seq[Column] = Seq(sum(sgn).as("d_cnt")) ++ sums.flatMap { c =>
       val t = sumType(changes, c)
@@ -156,8 +162,13 @@ object MaterializedAgg {
         sum(when(col(c).isNotNull, sgn).otherwise(lit(0L)))
           .as(s"d_${cntNn(c)}"))
     }
-    val deltas = changes.groupBy(groupCols.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*)
+    changes.groupBy(groupCols.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+  }
+
+  /** Current MV state + the delta frame → next MV state: one null-safe
+    * full outer join on the group key, zero-count groups dropped. */
+  private def applyDeltas(current: DataFrame, deltas: DataFrame,
+                          groupCols: Seq[String], sums: Seq[String]): DataFrame = {
     val o = current.alias("o")
     val d = deltas.alias("d")
     // NULL-SAFE group equality: a NULL group key is a real group
@@ -166,7 +177,7 @@ object MaterializedAgg {
     val cnt = (coalesce(col("o.cnt"), lit(0L)) +
       coalesce(col("d.d_cnt"), lit(0L))).as("cnt")
     val sumCols = sums.flatMap { c =>
-      val t = sumType(changes, c)
+      val t = deltas.schema(s"d_${cntSum(c)}").dataType
       Seq((coalesce(col(s"o.${cntSum(c)}"), lit(0L).cast(t)) +
             coalesce(col(s"d.d_${cntSum(c)}"), lit(0L).cast(t))).as(cntSum(c)),
         (coalesce(col(s"o.${cntNn(c)}"), lit(0L)) +

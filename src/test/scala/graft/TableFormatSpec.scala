@@ -104,6 +104,29 @@ class TableFormatSpec extends SparkSpec {
       .collect().toSet == chg)
   }
 
+  test("changesBetween DV-swap fast path: position-diff rows only, restore " +
+      "shrink resurrects as inserts, spanning a cancelled swap is change-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = GraftTable.create(spark, tmpRoot("cdfswap"),
+      (1L to 6L).map(i => (i, i * 10L)).toDF("k", "v"))
+    t.deleteWhere(col("k").isin(2L, 3L), dvMode = "force") // v2: DV on the kept path
+    t.restoreTo(1L)                                        // v3: DV dropped → resurrect
+    def chg(a: Long, b: Long) = t.changesBetween(a, b)
+      .select($"k", $"v", $"_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    // the swap's row-level contribution is exactly the position diff
+    assert(chg(1, 2) == Set((2L, 20L, "delete"), (3L, 30L, "delete")))
+    // restore = the inverse swap: the masked positions come BACK as inserts
+    assert(chg(2, 3) == Set((2L, 20L, "insert"), (3L, 30L, "insert")))
+    // spanning delete+restore telescopes the two vectors away: no changes
+    assert(chg(1, 3).isEmpty)
+    // and a second DV stacked on the restored path diffs against None
+    t.deleteWhere(col("k") === 5L, dvMode = "force")       // v4
+    assert(chg(3, 4) == Set((5L, 50L, "delete")))
+    assert(chg(1, 4) == Set((5L, 50L, "delete")))
+  }
+
   test("appendEvolve: additive schema evolution, old files read as null, versions keep their schema") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpRoot("evo"),

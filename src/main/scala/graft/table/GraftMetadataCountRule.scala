@@ -35,10 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - a bare grouping column (identity partition only — a hidden
   *    transform's source column takes MANY values per file); or
-  *  - `count(*)`/`count(1)` — never `count(col)` (null-sensitive; except
-  *    where Catalyst itself rewrites it for non-nullable columns), never
-  *    DISTINCT, never FILTER — exact even across deletion vectors
-  *    (that is what the manifest-carried `dvRows` is for); or
+  *  - `count(*)`/`count(1)` — never DISTINCT, never FILTER — exact even
+  *    across deletion vectors (that is what the manifest-carried
+  *    `dvRows` is for); or
+  *  - `count(col)` — null-sensitive, folded as Σ (rows − nulls) off the
+  *    manifest's exact per-column null counts (or whole files for
+  *    identity partition values); a deletion vector, a pre-upgrade
+  *    entry (`nulls == -1`), or a stats-less column reverts to the
+  *    scan; or
   *  - `min(col)`/`max(col)` where EVERY file covers `col` with an exact
   *    stat kind — integral ("long"), date, or epoch timestamps — or is
   *    provably all-null in it, or carries it as an identity partition
@@ -100,6 +104,9 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
   private case object CountStar extends MetaAgg
   /** `groupIdx` >= 0: this output IS the grouping column at that index. */
   private final case class GroupKey(groupIdx: Int) extends MetaAgg
+  /** `count(col)` — null-sensitive, foldable because every manifest entry
+    * records the file's exact per-column null count. */
+  private final case class CountCol(col: String) extends MetaAgg
   private final case class Bound(col: String, dt: DataType, wantMin: Boolean)
       extends MetaAgg
 
@@ -119,6 +126,8 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
       Some(GroupKey(groups.indexWhere(_.exprId == a.exprId)))
     case Alias(AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _), _)
         if v != null => Some(CountStar)
+    case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _) =>
+      rel.get(a.exprId).map(CountCol)
     case Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
         if exactBoundType(a.dataType) =>
       rel.get(a.exprId).map(Bound(_, a.dataType, wantMin = true))
@@ -194,6 +203,33 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
     Some(Some(if (b.wantMin) vals.min(ord) else vals.max(ord)))
   }
 
+  /** `count(col)` over `files`: Σ (rows − nulls) off the manifest's
+    * per-column null counts. None = cannot answer exactly — a deletion
+    * vector (the masked rows' nullity is unrecorded), a pre-upgrade
+    * entry (`nulls == -1`), or a column with no stats entry all revert
+    * to the scan. Identity partition values count whole files (the
+    * value is constant per file; the Hive null marker contributes 0). */
+  private def metaCountCol(c: TableCommit, files: Seq[ManifestFile],
+                           colName: String): Option[Long] = {
+    if (files.exists(_.dv.isDefined)) return None
+    val phys = c.phys(colName)
+    val identityPartCol = identityPartitionCols(c).contains(colName)
+    val perFile: Seq[Option[Long]] = files.map { f =>
+      if (identityPartCol) f.partition.get(phys) match {
+        case Some(GraftTable.HiveNullPartition) => Some(0L)
+        case Some(_) => Some(f.rows)
+        case None => None // mixed-era file: fall back
+      }
+      else f.stats.get(phys) match {
+        case Some(st) if st.kind == "null-only" => Some(0L)
+        case Some(st) if st.nulls >= 0L => Some(f.rows - st.nulls)
+        case _ if f.rows == 0 => Some(0L)
+        case _ => None // nulls unrecorded: scan
+      }
+    }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+  }
+
   /** The snapshot's IDENTITY partition columns — a `days(ts)` /
     * `bucket(n, id)` spec's SOURCE column is NOT one (a file holds many
     * source values; only the DERIVED value is constant per file). */
@@ -216,6 +252,7 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
       val rows = c.files.map(_.liveRows).sum
       val resolved = metas.map {
         case CountStar => Some(Some(rows))
+        case CountCol(n) => metaCountCol(c, c.files, n).map(v => Some(v))
         case b: Bound => metaBound(c, c.files, b)
         case GroupKey(_) => None // unreachable: no grouping columns exist
       }
@@ -249,6 +286,7 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
             val resolved = metas.map {
               case GroupKey(i) => Some(Some(tuple(i)))
               case CountStar => Some(Some(live))
+              case CountCol(n) => metaCountCol(c, files, n).map(v => Some(v))
               case b: Bound => metaBound(c, files, b)
             }
             if (resolved.exists(_.isEmpty)) None

@@ -1470,7 +1470,7 @@ class TableFormatSpec extends SparkSpec {
   }
 
   test("metadata-only COUNT(*) stays exact across DV deletes, appends and " +
-      "time travel — and never fires on filtered/grouped/count(col) shapes") {
+      "time travel; count(col) folds off null counts; filtered shapes scan") {
     import spark.implicits._
     val t = rangedBase("mdc") // 1000 rows / 8 files
     def countOf(df: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
@@ -1503,20 +1503,32 @@ class TableFormatSpec extends SparkSpec {
     val countCol = spark.read.format("graft").load(t.root)
       .agg(org.apache.spark.sql.functions.count($"v").as("n"))
     assert(countCol.as[Long].head() == 901L)
-    // count(col) on a NULLABLE column is null-sensitive: must scan, and
-    // must count only the non-null rows
+    // count(col) on a NULLABLE column is null-sensitive — and STILL
+    // metadata-only: every manifest entry records the file's exact
+    // per-column null count, so Σ (rows − nulls) is the scan's answer
     val s = new org.apache.spark.sql.types.StructType()
       .add("id", "long", nullable = false).add("w", "long", nullable = true)
     val tn = GraftTable.create(spark, tmpRoot("mdcn"), spark.createDataFrame(
       java.util.Arrays.asList(Row(1L, 10L), Row(2L, null), Row(3L, 30L)), s))
     val qn = spark.read.format("graft").load(tn.root)
-    val countNullable = qn.agg(
-      org.apache.spark.sql.functions.count($"w").as("n"))
-    assert(!countNullable.queryExecution.optimizedPlan.collectLeaves().forall(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
-      "count(nullable col) is null-sensitive and must scan")
-    assert(countNullable.as[Long].head() == 2L)
-    assert(countOf(qn) == (3L, true))
+    def countW(df: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      val c = df.agg(org.apache.spark.sql.functions.count($"w").as("n"))
+      (c.as[Long].head(),
+        c.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    }
+    assert(countW(qn) == (2L, true),
+      "count(nullable col) folds from the manifest's null counts")
+    tn.append(spark.createDataFrame(
+      java.util.Arrays.asList(Row(4L, null), Row(5L, 50L)), s))
+    assert(countW(spark.read.format("graft").load(tn.root)) == (3L, true))
+    // a DV leaves the masked rows' nullity unrecorded: count(col) must
+    // scan (and stay right); count(*) keeps folding off dvRows
+    tn.deleteWhere($"id" === 5L, dvMode = "force")
+    val qdv = spark.read.format("graft").load(tn.root)
+    assert(countW(qdv) == (2L, false),
+      "count(col) over a DV'd snapshot must scan")
+    assert(countOf(qdv) == (4L, true))
   }
 
   test("CHECK constraints enforce INSIDE the write pass: a nondeterministic " +

@@ -179,6 +179,24 @@ private[table] object GraftProcedures {
           t.cloneTo(dest.getAbsolutePath, in.getLong(2))
           opVersion("clone", 1L)
         })
+      case "mv_refresh" => new GraftProcedure(root, "mv_refresh",
+        // incremental materialized aggregate ([[MaterializedAgg]]):
+        // creates dest on first call, then refreshes it from tbl's
+        // change feed — O(rows changed) + O(groups), never O(table)
+        Seq(p("tbl", StringType), p("dest", StringType),
+          p("group_cols", StringType),
+          ProcedureParameter.in("sum_cols", StringType).defaultValue("''").build()),
+        opVersionSchema,
+        (spark, in) => {
+          val t = tableFor(spark, root, in.getUTF8String(0).toString)
+          val dest = in.getUTF8String(1).toString.split('.')
+            .foldLeft(new java.io.File(root))((d, seg) => new java.io.File(d, seg))
+          def cols(i: Int): Seq[String] = in.getUTF8String(i).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val v = MaterializedAgg.refresh(spark, t, dest.getAbsolutePath,
+            cols(2), cols(3))
+          opVersion("mv_refresh", v)
+        })
       case "set_partitioning" => new GraftProcedure(root, "set_partitioning",
         // partition evolution (Iceberg's role): comma-separated columns,
         // empty string = unpartitioned; future writes only, zero IO
@@ -316,6 +334,6 @@ private[table] object GraftProcedures {
     }
 
   val names: Seq[String] = Seq("add_constraint", "drop_constraint", "clone", "set_not_null",
-    "index_bloom", "set_partitioning", "compact", "zorder", "vacuum", "history",
-    "restore", "checkpoint", "detail")
+    "index_bloom", "set_partitioning", "mv_refresh", "compact", "zorder", "vacuum",
+    "history", "restore", "checkpoint", "detail")
 }

@@ -713,6 +713,40 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("CALL mv_refresh: creates and incrementally maintains an aggregate " +
+      "table from pure SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lake = tmpRoot("mvproc")
+    new java.io.File(lake).mkdirs()
+    spark.conf.set("spark.sql.catalog.graft_mvp", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mvp.root", lake)
+    try {
+      val t = GraftTable.create(spark, s"$lake/db/src",
+        spark.range(100).toDF("id")
+          .withColumn("g", ($"id" % 4).cast("long"))
+          .withColumn("v", ($"id" * 2).cast("long")))
+      val r1 = spark.sql("CALL graft_mvp.system.mv_refresh(tbl => 'db.src', " +
+        "dest => 'db.rollup', group_cols => 'g', sum_cols => 'v')").collect()
+      assert(r1.head.getString(0) == "mv_refresh" && r1.head.getLong(1) == 1L)
+      t.deleteWhere(col("g") === 2L)
+      val r2 = spark.sql("CALL graft_mvp.system.mv_refresh(tbl => 'db.src', " +
+        "dest => 'db.rollup', group_cols => 'g', sum_cols => 'v')").collect()
+      assert(r2.head.getLong(1) == 2L)
+      val got = graft.table.MaterializedAgg.readView(spark, s"$lake/db/rollup",
+        Seq("g"), Seq("v")).select($"g", $"cnt", $"sum_v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = t.read().groupBy($"g")
+        .agg(org.apache.spark.sql.functions.count($"id").as("cnt"),
+          org.apache.spark.sql.functions.sum($"v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"SQL-maintained rollup diverged: $got vs $want")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_mvp")
+      spark.conf.unset("spark.sql.catalog.graft_mvp.root")
+    }
+  }
+
   test("CALL procedures: compact / zorder / vacuum run as pure SQL") {
     import spark.implicits._
     val lake = tmpRoot("proc")

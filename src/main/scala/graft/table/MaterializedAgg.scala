@@ -114,6 +114,31 @@ object MaterializedAgg {
     }
   }
 
+  /** CONTINUOUS maintenance: a streaming query that re-refreshes the MV
+    * whenever the source commits. The version-offset stream is used as a
+    * commit SIGNAL — each trigger calls [[refresh]], which reads the
+    * change feed from the version the MV last reflected (its own atomic
+    * stamp), so restarts, replayed micro-batches, and triggers that
+    * coalesce several commits are all absorbed by the same idempotency
+    * that protects the batch path: a duplicate trigger sees
+    * `reflected >= latest` and does nothing. Exactly-once falls out of
+    * the TARGET's transactionality, not the checkpoint's.
+    * `skipChangeCommits` keeps the SIGNAL stream itself legal across
+    * DELETE/MERGE/compaction rewrites — the batch contents are ignored;
+    * the refresh reads the real change feed. */
+  def continuousRefresh(spark: SparkSession, source: GraftTable,
+                        mvRoot: String, groupCols: Seq[String],
+                        sums: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(source.root)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, source, mvRoot, groupCols, sums): Unit
+      }
+      .start()
+
   /** The MV contents with SQL read-back semantics: `cnt`, and per summed
     * column `sum_<c>` masked to NULL when the group holds no non-null
     * value, plus `avg_<c>` derived from the same state. */

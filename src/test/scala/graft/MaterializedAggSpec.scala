@@ -109,6 +109,35 @@ class MaterializedAggSpec extends SparkSpec {
     assert(viewMap() == Map("a" -> (2L, None)))
   }
 
+  test("continuous refresh: the streaming wrapper keeps the MV equal to a " +
+      "recompute across appends and deletes, and absorbs a restart") {
+    import spark.implicits._
+    val dir = tmp("stream")
+    val src = GraftTable.create(spark, s"$dir/src",
+      (0L until 30L).map(i => (i, s"g${i % 3}", i)).toDF("id", "g", "v"))
+    val mvRoot = s"$dir/mv"
+    def drive(): Unit = {
+      val q = MaterializedAgg.continuousRefresh(spark, src, mvRoot,
+        Seq("g"), Seq("v"), s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drive()
+    assert(sorted(viewOf(mvRoot)) ==
+      sorted(recompute(src).select(col("g"), col("cnt"),
+        col("sum_v"), col("avg_v"))))
+    // churn while the stream is DOWN, then a restarted stream catches up
+    src.append(Seq((100L, "g9", 5L)).toDF("id", "g", "v"))
+    src.deleteWhere(col("g") === "g1")
+    drive()
+    assert(sorted(viewOf(mvRoot)) ==
+      sorted(recompute(src).select(col("g"), col("cnt"),
+        col("sum_v"), col("avg_v"))))
+    val mv = GraftTable.forPath(spark, mvRoot)
+    val ops = (1L to mv.latestVersion).map(v => mv.commitAt(v).operation)
+    assert(ops.head == "mv_init" && ops.tail.forall(
+      o => o == "mv_refresh" || o == "mv_noop"), s"unexpected MV ops: $ops")
+  }
+
   test("a target built under a different aggregate spec is refused") {
     import spark.implicits._
     val dir = tmp("spec")

@@ -39,6 +39,14 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * role). */
 final case class ColStat(kind: String, min: String, max: String,
                          nulls: Long = -1L) {
+  // bounds parse ONCE per entry, not once per pruning probe: a 300k-file
+  // manifest sees every stat's min/max compared on every planned query,
+  // and BigDecimal(String) per probe was the dominant pruning cost
+  // (ProfManifest). @transient: recomputed after deserialization.
+  @transient private lazy val minBig: BigDecimal =
+    if (kind == "string" || kind == "null-only") null else BigDecimal(min)
+  @transient private lazy val maxBig: BigDecimal =
+    if (kind == "string" || kind == "null-only") null else BigDecimal(max)
   private def asBig(s: String): BigDecimal = BigDecimal(s)
   /** Could any row of this file fall in the NUMERIC range [lo, hi]?
     * `lo`/`hi` arrive in the PREDICATE domain ([[GraftFilterRanges]]:
@@ -48,8 +56,8 @@ final case class ColStat(kind: String, min: String, max: String,
   def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean = kind match {
     case "null-only" => false // every row NULL: no value range matches
     case "string" => true
-    case "ts-millis" => !(asBig(max) * 1000 < lo || asBig(min) * 1000 > hi)
-    case _ => !(asBig(max) < lo || asBig(min) > hi)
+    case "ts-millis" => !(maxBig * 1000 < lo || minBig * 1000 > hi)
+    case _ => !(maxBig < lo || minBig > hi)
   }
   /** Could any row of this file fall in the STRING range? `None` bound =
     * unbounded. Comparison is UTF-8 byte order — the order parquet's
@@ -435,13 +443,36 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }))
 
   /** Parse the manifest of `version`, reconstructing the full file list
-    * from the delta chain when the manifest records only churn. */
+    * from the delta chain when the manifest records only churn.
+    *
+    * Resolved snapshots cache JVM-WIDE keyed (root, version): committed
+    * manifests are immutable, and the optimizer resolves the same
+    * snapshot many times per query (rule batches iterate to fixed
+    * point), so re-parsing a multi-MB manifest per resolution made the
+    * DRIVER the bottleneck at a 100-TB file count (ProfManifest: ~1 s
+    * per parse at 300k entries, ×19 for one COUNT(*)). The cache entry
+    * is guarded by the manifest file's identity (size, mtime, inode):
+    * a root that is deleted and re-created — same path, same version —
+    * can never serve the old table's snapshot. */
   def commitAt(version: Long): TableCommit = {
+    val mp = manifestPath(version)
+    val guard = GraftTable.manifestIdentity(mp)
+    val key = (root, version)
+    GraftTable.commitCache.synchronized {
+      Option(GraftTable.commitCache.get(key))
+    } match {
+      case Some((g, c)) if g == guard && guard != null => return c
+      case _ =>
+    }
     val raw = readRaw(version)
-    TableCommit(raw.version, raw.parent, raw.operation, raw.schema,
+    val c = TableCommit(raw.version, raw.parent, raw.operation, raw.schema,
       filesAt(version, raw), raw.txn, raw.txns, raw.partitionCols,
       raw.timestampMs, raw.columnMapping, raw.constraints,
       raw.minWriterVersion)
+    if (guard != null) GraftTable.commitCache.synchronized {
+      GraftTable.commitCache.put(key, (guard, c)); ()
+    }
+    c
   }
 
   /** Wall-clock commit time of `version` (epoch millis) — monotone along
@@ -3150,6 +3181,27 @@ object GraftTable {
   /** Default vacuum in-flight-writer horizon: no single write job should
     * take a day; anything unreferenced AND older is safe to sweep. */
   val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
+
+  /** JVM-wide LRU of RESOLVED snapshots (see [[GraftTable.commitAt]]).
+    * Small on purpose: one entry can hold a whole manifest's file list;
+    * 16 live tables × their hot version is what a driver process needs. */
+  private val commitCache =
+    new java.util.LinkedHashMap[(String, Long), (String, TableCommit)](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (String, TableCommit)]): Boolean =
+        size() > 16
+    }
+
+  /** Identity triple of a manifest file rendered as a string — size,
+    * mtime, and the filesystem's file key (inode): equal iff it is the
+    * SAME written file. Null when unreadable (missing file: no caching,
+    * the parse path raises its own error). */
+  private def manifestIdentity(f: java.io.File): String =
+    try {
+      val a = java.nio.file.Files.readAttributes(
+        f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.size}|${a.lastModifiedTime.toMillis}|${a.fileKey}"
+    } catch { case _: java.io.IOException => null }
 
   /** Hive's rendered partition value for NULL — a file under this
     * directory holds NULL in the partition column, which no range bound

@@ -87,6 +87,17 @@ object FuzzTable {
       require(got == want,
         s"[seed=$seed op=$tag] live snapshot diverged: got ${got.size} rows, " +
           s"want ${want.size}; first diff=${got.zipAll(want, null, null).find(p => p._1 != p._2)}")
+      // metadata-only aggregate cross-check: COUNT(*) and count(col)
+      // through the DSv2 read fold off the manifest (GraftExtensions is
+      // registered) — the shadow is the oracle, across every DV/COW/
+      // restore/vacuum history the program generates
+      val metaCnt = spark.read.format("graft").load(root)
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.count($"v").as("nv"))
+        .as[(Long, Long)].head()
+      require(metaCnt == ((want.size.toLong, want.size.toLong)),
+        s"[seed=$seed op=$tag] metadata count diverged: $metaCnt vs ${want.size}")
       checks += 1
     }
 
@@ -269,6 +280,7 @@ object FuzzTable {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -629,18 +629,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val dvMap: Map[String, Array[Long]] =
       dvd.map(f => f.path -> GraftTable.readDv(absPath(f.dv.get))).toMap
     val bc = spark.sparkContext.broadcast(dvMap)
-    val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-    val keep = udf { (fp: String, ri: Long) =>
-      var arr = cache.get(fp)
-      if (arr == null) {
-        arr = bc.value.collectFirst {
-          case (rel, a) if fp.endsWith(rel) => a
-        }.getOrElse(Array.emptyLongArray)
-        cache.put(fp, arr)
-      }
-      java.util.Arrays.binarySearch(arr, ri) < 0
-    }
-    df.filter(keep(col(GraftTable.DvFileCol), col(GraftTable.DvRowCol)))
+    val resolver = new DvPathResolver[Array[Long]](bc, Array.emptyLongArray)
+    import org.apache.spark.sql.GraftSqlBridge
+    df.filter(GraftSqlBridge.column(DvKeepExpr(
+      GraftSqlBridge.expression(col(GraftTable.DvFileCol)),
+      GraftSqlBridge.expression(col(GraftTable.DvRowCol)), resolver)))
   }
 
   /** Time-travel read: the table exactly as of `version`. Data files are
@@ -844,19 +837,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       if (posMap.isEmpty) None else {
         val entries = posMap.keysIterator.map(p => plusByPath(p).copy(dv = None)).toSeq
         val bc = spark.sparkContext.broadcast(posMap)
-        val cache = new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Long])]()
-        val weight = udf { (fp: String, ri: Long) =>
-          var pair = cache.get(fp)
-          if (pair == null) {
-            pair = bc.value.collectFirst {
-              case (rel, v) if fp.endsWith(rel) => v
-            }.getOrElse((Array.emptyLongArray, Array.emptyLongArray))
-            cache.put(fp, pair)
-          }
-          if (java.util.Arrays.binarySearch(pair._1, ri) >= 0) 1L
-          else if (java.util.Arrays.binarySearch(pair._2, ri) >= 0) -1L
-          else 0L
-        }
+        val resolver = new DvPathResolver[(Array[Long], Array[Long])](
+          bc, (Array.emptyLongArray, Array.emptyLongArray))
+        import org.apache.spark.sql.GraftSqlBridge
+        def weight(fp: Column, ri: Column): Column =
+          GraftSqlBridge.column(DvSwapWeightExpr(
+            GraftSqlBridge.expression(fp), GraftSqlBridge.expression(ri),
+            resolver))
         // coarse NATIVE pre-filter: no changed position lies outside the
         // global [lo, hi] span, so the (boxed) per-row weight UDF only
         // sees the span's rows — for the common clustered churn this cuts

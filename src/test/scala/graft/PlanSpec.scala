@@ -372,6 +372,33 @@ class PlanSpec extends SparkSpec {
       "the fully-deleted p=2 group must vanish from the fold")
   }
 
+  test("deletion-vector mask is a codegen'd predicate, not a boxed UDF") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvcg").toString
+    val t = graft.table.GraftTable.create(spark, s"$dir/tbl",
+      spark.range(0, 1000).toDF("id"))
+    t.deleteWhere(col("id") % 10 === 0, dvMode = "force")
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // codegen bug => throw
+    try {
+      // the DSv2 read serves the masked rows end-to-end (codegen armed)
+      assert(spark.read.format("graft").load(t.root).count() == 900L)
+      // the mask itself lives in the V1 relation's INTERNAL scan plan —
+      // assert on the table's own read, where that plan is visible
+      val inner = t.read()
+      assert(inner.count() == 900L)
+      val plan = inner.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter dv_keep"), s"expected the native mask:\n$plan")
+      assert(!plan.contains("UDF"), s"boxed UDF back on the DV path:\n$plan")
+      // '*(N)' = the filter sits INSIDE a whole-stage codegen stage
+      assert(plan.linesIterator.exists(l =>
+        l.contains("Filter dv_keep") && l.contains("*(")), plan)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("join_runtime_bloom injects a runtime bloom filter below the fact shuffle") {
     // completes the runtime-filtering story next to filter_dynamic_prune:
     // with the feature armed, Catalyst must build a bloom filter over the

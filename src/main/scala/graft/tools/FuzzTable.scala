@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.table.GraftTable
+import graft.table.{GraftTable, MaterializedAgg}
 
 /** Transactional DML-program fuzzer for the versioned table format
   * (round-13): the SQL fuzzer (`tools/Fuzz`) differentials QUERY
@@ -98,6 +98,39 @@ object FuzzTable {
         .as[(Long, Long)].head()
       require(metaCnt == ((want.size.toLong, want.size.toLong)),
         s"[seed=$seed op=$tag] metadata count diverged: $metaCnt vs ${want.size}")
+      checks += 1
+    }
+
+    // a materialized per-`s` rollup maintained ALONGSIDE the program from
+    // the change feed — every 5th commit (and at the end) it refreshes
+    // incrementally and must equal the shadow's own aggregate. Vacuum can
+    // reclaim manifests the pending CDF range needs (the documented
+    // retention caveat): the recovery path — drop the MV, full re-init —
+    // is exercised whenever the program's vacuum outruns the refresh.
+    val mvRoot = s"${root}_mv"
+    var mvOps = 0
+    def verifyMv(tag: String): Unit = {
+      def rmMv(): Unit = {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(mvRoot))
+      }
+      try MaterializedAgg.refresh(spark, t, mvRoot, Seq("s"), Seq("v"))
+      catch { case _: Exception => rmMv()
+        MaterializedAgg.refresh(spark, t, mvRoot, Seq("s"), Seq("v")): Unit
+      }
+      val got = MaterializedAgg.readView(spark, mvRoot, Seq("s"), Seq("v"))
+        .select($"s", $"cnt", $"sum_v").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = shadow.groupBy(_._3).map { case (s, rows) =>
+        s -> ((rows.size.toLong, rows.map(_._2).sum))
+      }
+      require(got == want,
+        s"[seed=$seed op=$tag] MV diverged from shadow aggregate: " +
+          s"${got.size} vs ${want.size} groups; " +
+          s"first diff=${(got.toSet diff want.toSet).take(2)}")
       checks += 1
     }
 
@@ -229,7 +262,10 @@ object FuzzTable {
         }
       snapshots(t.latestVersion) = shadow
       verifyLive(tag)
+      mvOps += 1
+      if (mvOps % 5 == 0) verifyMv(tag)
     }
+    verifyMv("final")
 
     // time travel across the whole retained, delta-encoded history
     t.versions.foreach { v =>

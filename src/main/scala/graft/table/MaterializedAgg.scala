@@ -202,9 +202,13 @@ object MaterializedAgg {
     val cnt = (coalesce(col("o.cnt"), lit(0L)) +
       coalesce(col("d.d_cnt"), lit(0L))).as("cnt")
     val sumCols = sums.flatMap { c =>
-      val t = deltas.schema(s"d_${cntSum(c)}").dataType
+      // the STORED type is the truth: decimal arithmetic widens precision
+      // (delta multiply, running add), and an uncast result would drift
+      // the MV's schema a little further on every refresh
+      val t = current.schema(cntSum(c)).dataType
       Seq((coalesce(col(s"o.${cntSum(c)}"), lit(0L).cast(t)) +
-            coalesce(col(s"d.d_${cntSum(c)}"), lit(0L).cast(t))).as(cntSum(c)),
+            coalesce(col(s"d.d_${cntSum(c)}").cast(t), lit(0L).cast(t)))
+          .cast(t).as(cntSum(c)),
         (coalesce(col(s"o.${cntNn(c)}"), lit(0L)) +
           coalesce(col(s"d.d_${cntNn(c)}"), lit(0L))).as(cntNn(c)))
     }

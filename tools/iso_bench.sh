@@ -13,7 +13,9 @@ filter_partition_prune join_inner join_star join_range join_asof \
 win_rank_topn win_session topk_orderby_limit dedup_minhash dedup_text_hash \
 sim_topk_cosine sim_threshold_join text_top_terms upsert_keep_latest \
 delete_where_dv update_where_dv upsert_merge_dv scan_table_changes_ts \
-scan_bloom_skipping"
+scan_bloom_skipping scan_metadata_count scan_metadata_minmax \
+scan_metadata_groupby mv_incremental_agg scan_table_changes \
+scan_table_changes_diff"
 LOG=$(mktemp /tmp/iso_bench.XXXXXX.log)
 sbt -batch "runMain graft.tools.IsoBench $SF $KEYS" 2>&1 | tee "$LOG" \
   | grep -E "min=" || true

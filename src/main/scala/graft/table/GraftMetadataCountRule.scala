@@ -46,10 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `min(col)`/`max(col)` where EVERY file covers `col` with an exact
   *    stat kind — integral ("long"), date, or epoch timestamps — or is
   *    provably all-null in it, or carries it as an identity partition
-  *    value. Strings are excluded (max stats are truncated-incremented
-  *    bounds, not witnesses) and so are float/double (parquet stats
-  *    ignore NaN, which Spark's MAX must rank highest); any deletion
-  *    vector disables min/max (the masked row could be the extremum).
+  *    value. String FILE STATS are excluded (max stats are
+  *    truncated-incremented bounds, not witnesses) but string IDENTITY
+  *    PARTITION VALUES fold (the exact value itself, compared in UTF-8
+  *    binary order — Spark's own string order); float/double are
+  *    excluded (parquet stats ignore NaN, which Spark's MAX must rank
+  *    highest); any deletion vector disables min/max (the masked row
+  *    could be the extremum).
   *
   * The plan sits directly on the graft relation through row-preserving
   * Projects only (no Filter in between: a filtered aggregate must scan).
@@ -129,10 +132,10 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
     case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _) =>
       rel.get(a.exprId).map(CountCol)
     case Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), _)
-        if exactBoundType(a.dataType) =>
+        if exactBoundType(a.dataType) || a.dataType == StringType =>
       rel.get(a.exprId).map(Bound(_, a.dataType, wantMin = true))
     case Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), _)
-        if exactBoundType(a.dataType) =>
+        if exactBoundType(a.dataType) || a.dataType == StringType =>
       rel.get(a.exprId).map(Bound(_, a.dataType, wantMin = false))
     case _ => None
   }
@@ -175,6 +178,10 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
                         b: Bound): Option[Option[Any]] = {
     val phys = c.phys(b.col)
     val identityPartCol = identityPartitionCols(c).contains(b.col)
+    // string FILE STATS are truncated-incremented bounds, never
+    // witnesses — but a string IDENTITY PARTITION VALUE is the exact
+    // (URL-decoded) value itself, so only the partition path may fold
+    if (b.dt == StringType && !identityPartCol) return None
     val perFile: Seq[Option[Option[Any]]] = files.map { f =>
       if (identityPartCol) f.partition.get(phys) match {
         case Some(GraftTable.HiveNullPartition) => Some(None) // all-null file
@@ -199,6 +206,9 @@ object GraftMetadataCountRule extends Rule[LogicalPlan] {
       case IntegerType | DateType => Ordering.Int.on[Any](_.asInstanceOf[Int])
       case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
       case ByteType => Ordering.Byte.on[Any](_.asInstanceOf[Byte])
+      case StringType => // UTF8 binary order — Spark's own string order
+        Ordering.fromLessThan[Any]((x, y) =>
+          x.asInstanceOf[UTF8String].compareTo(y.asInstanceOf[UTF8String]) < 0)
     })
     Some(Some(if (b.wantMin) vals.min(ord) else vals.max(ord)))
   }

@@ -322,6 +322,26 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
       "COUNT(*) stays metadata-only across deletion vectors")
     assert(cnt.collect().head.getLong(0) == 99L)
+
+    // a STRING identity partition value is the exact value (URL-decoded),
+    // so min/max over the partition column folds; a string DATA column
+    // never does (file stats are truncated bounds, not witnesses)
+    import spark.implicits._
+    val sdir = java.nio.file.Files.createTempDirectory("graft_mmxs").toString
+    val st = graft.table.GraftTable.createPartitioned(spark, s"$sdir/tbl",
+      Seq((1L, "beta", "x1"), (2L, "alpha", "x2"), (3L, "gamma", "x0"))
+        .toDF("id", "p", "s"), Seq("p"))
+    val sread = spark.read.format("graft").load(st.root)
+    val pmm = sread.agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+    assert(pmm.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "string partition min/max folds off the recorded values")
+    assert(pmm.collect().head.toSeq == Seq("alpha", "gamma"))
+    val smm = sread.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    assert(!smm.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "string DATA-column min/max must scan (truncated stat bounds)")
+    assert(smm.collect().head.toSeq == Seq("x0", "x2"))
   }
 
   test("scan_metadata_groupby: GROUP BY partition columns folds from the " +

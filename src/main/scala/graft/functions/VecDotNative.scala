@@ -193,8 +193,99 @@ case class VecSignBandsExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance as a single fused primitive loop — the escalation
+  * of the `aggregate(zip_with(a,c,(x,y)->(x-y)*(x-y)), 0d, +)` higher-order
+  * form used by the k-means / PQ assignment passes. The HOF form is
+  * CodegenFallback: Catalyst interprets the lambda PER ELEMENT and
+  * materializes the squared-difference array per (vector, centroid) pair —
+  * on the N×k assignment joins that is the dominant per-row cost (the same
+  * measurement that motivated [[VecDotExpr]], SURVEY.md §4 "start built-in,
+  * measure, escalate").
+  *
+  * Numerics: identical left-to-right double accumulation of the identical
+  * per-element terms — d = (double)a[i] − (double)c[i]; s += d·d — so every
+  * value is bit-for-bit the HOF form's value and oracle-checked results
+  * cannot change. Float elements widen exactly (float→double is lossless),
+  * matching the explicit `cast("double")` the HOF call sites did.
+  *
+  * Accepts array<float> or array<double> on either side (the k-means call
+  * compares a float corpus column against double recentered centroids; the
+  * PQ calls are double/double). Assumes non-null elements (embedding
+  * columns); null arrays propagate null via `BinaryExpression`.
+  */
+case class VecL2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq_native expects (array<float|double>, array<float|double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_l2sq_native"
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      def get(arr: String, idx: String, float: Boolean): String =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${get(a, i, isFloat(left.dataType))} -
+         |    ${get(b, i, isFloat(right.dataType))};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-world + SQL-world entry points for the native vector ops. */
 object VecDotNative {
+
+  def vec_l2sq_native(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecL2SqExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def vec_dot_native(a: Column, b: Column): Column =
     GraftSqlBridge.column(

@@ -44,14 +44,16 @@ object Clustering extends QueryModule {
 
   private val K = 5
 
-  /** Squared L2 in portable form: per-element doubles, left-to-right fold. */
+  /** Squared L2 in portable form: per-element doubles, left-to-right fold.
+    * Runs as the fused native loop ([[graft.functions.VecL2SqExpr]]) — the
+    * previous `aggregate(zip_with(...))` higher-order form was
+    * CodegenFallback (interpreted per element, one squared-diff array
+    * allocated per (vector, centroid) pair) on the N×k assignment joins.
+    * Identical left-to-right double accumulation of identical terms
+    * (float→double widening is exact), so d2 values are bit-identical and
+    * every oracle-checked trajectory is unchanged. */
   private def dist2(a: Column, c: Column): Column =
-    aggregate(
-      zip_with(a, c, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (s, v) => s + v)
+    graft.functions.VecDotNative.vec_l2sq_native(a, c)
 
   /** One Lloyd assignment: per-vector argmin over broadcast centroids. */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame = {

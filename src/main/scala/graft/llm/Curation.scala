@@ -592,10 +592,12 @@ object Curation extends QueryModule {
     *
     * Scale shape (100 TB): gram explosion is a pure map (zip_with over the
     * token array — no per-doc window, no shuffle); bucket stats partial-
-    * aggregate to ≤8192 rows/partition; the scored pass broadcast-joins the
-    * 8192-row dimension, and the per-doc sum combines map-side (grams of a
-    * doc are co-located by construction), so one row per doc crosses the
-    * wire. Two passes over the gram stream, zero wide shuffles of it. */
+    * aggregate to ≤8192 rows/partition and the corpus totals FOLD from the
+    * bucket stats (no gram pass of their own); the scored pass broadcast-
+    * joins the 8192-row dimension, and the per-doc sum combines map-side
+    * (grams of a doc are co-located by construction), so one row per doc
+    * crosses the wire. Two passes over the gram stream, zero wide
+    * shuffles of it. */
   private def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val B = DsirBuckets
@@ -609,12 +611,21 @@ object Curation extends QueryModule {
     val grams = uni.unionByName(bi)
       .withColumn("b",
         conv(substring(md5($"g"), 1, 8), 16, 10).cast("long") % B)
+    // TWO passes over the gram stream instead of three (guide §2.3): the
+    // corpus totals fold from the ≤8192-row bucket stats (r = Σ ct_r,
+    // t = Σ ct_t — the same integers the dropped third gram pass
+    // counted), so only the bucket stats and the scored pass touch the
+    // gram stream. Both remaining passes partial-aggregate map-side
+    // straight to bounded frames (≤8192 buckets; one row per doc) — a
+    // (doc, bucket) pre-aggregation was tried and REJECTED: per-doc
+    // buckets are nearly unique, so the cell frame is gram-sized and its
+    // exchange costs more than the saved map pass (IsoBench 1.70→1.90).
     val stats = grams.groupBy($"b").agg(
       count(lit(1)).as("ct_r"),
       count(when($"lang" === "en", 1)).as("ct_t"))
-    val tot = grams.agg(
-      count(lit(1)).as("r"),
-      count(when($"lang" === "en", 1)).as("t"))
+    val tot = stats.agg(
+      sum($"ct_r").as("r"),
+      sum($"ct_t").as("t"))
     val dim = stats.crossJoin(broadcast(tot))
       .select($"b", floor(log(
           ($"ct_t" + 1.0) * ($"r" + B) / (($"ct_r" + 1.0) * ($"t" + B)))

@@ -577,20 +577,30 @@ object Dedup extends QueryModule {
     val (memberMap, candRep, grams) = minhashRepParts(spark, sfDir)
     // per-DOC hashed shingle sets on the sample: each doc carries its
     // exact-dup representative's set (identical text ⇒ identical set)
-    val docSets = memberMap
+    // two consumers (both sides of the truth pair join) — compute the
+    // sample's set-attach join once
+    val docSets = graft.rel.Materialize.once(memberMap
       .filter($"doc_id" < 300)
       .join(grams.select($"doc_id".as("rep"), $"hs"), Seq("rep"))
-      .select($"doc_id", $"hs")
-    val truth = docSets.repartition($"doc_id")
+      .select($"doc_id", $"hs"))
+    // Both pair sets have TWO consumers (their own count + the
+    // intersection), and each subtree is the expensive part of the query
+    // — the quadratic exact-Jaccard scorer and the full banded candidate
+    // expansion. Materialize each once (guide §2.4) instead of
+    // re-executing the pair joins per consumer (the formatted plan held
+    // 20 duplicated SortMergeJoins before; the sample-bounded frames are
+    // tiny).
+    val truth = graft.rel.Materialize.once(docSets.repartition($"doc_id")
       .select($"doc_id".as("a_id"), $"hs".as("sa"))
       .join(broadcast(docSets.select($"doc_id".as("b_id"), $"hs".as("sb"))),
         $"a_id" < $"b_id")
       .filter(size(array_intersect($"sa", $"sb")) >=
         lit(0.7) * size(array_union($"sa", $"sb")))
-      .select($"a_id", $"b_id")
-    val cands = minhashCandidatePairsFrom(spark, memberMap, candRep, grams)
-      .filter($"a_id" < 300 && $"b_id" < 300)
-      .select($"a_id", $"b_id")
+      .select($"a_id", $"b_id"))
+    val cands = graft.rel.Materialize.once(
+      minhashCandidatePairsFrom(spark, memberMap, candRep, grams)
+        .filter($"a_id" < 300 && $"b_id" < 300)
+        .select($"a_id", $"b_id"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cands.agg(count(lit(1)).as("n_candidates"))
     val nHits = cands.join(truth, Seq("a_id", "b_id"), "left_semi")

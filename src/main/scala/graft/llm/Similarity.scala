@@ -574,11 +574,14 @@ object Similarity extends QueryModule {
   private val PqK = 4        // centroids per subspace codebook
 
   /** Portable squared L2 over double arrays: left-to-right fold, matching
-    * DuckDB's `list_sum(list_transform(...))` accumulation order. */
+    * DuckDB's `list_sum(list_transform(...))` accumulation order. Runs as
+    * the fused native loop ([[graft.functions.VecL2SqExpr]]) — the
+    * previous `aggregate(zip_with(...))` higher-order form was
+    * CodegenFallback (interpreted per element, one squared-diff array
+    * allocated per pair) on the N×k assignment joins; identical
+    * left-to-right double arithmetic, bit-identical results. */
   private def pqDist2(a: Column, c: Column): Column =
-    aggregate(
-      zip_with(a, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, v) => s + v)
+    graft.functions.VecDotNative.vec_l2sq_native(a, c)
 
   /** North-star ANN, PRODUCT-QUANTIZATION flavor (Jégou et al. 2011) —
     * the fourth rung of the ANN ladder after brute force
@@ -647,10 +650,16 @@ object Similarity extends QueryModule {
   private def pqArtifacts(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    val subs = pqSubs(Tables.embeddings(spark, sfDir))
+    // subs feeds FOUR subplans (seeding, both assignment passes, the query
+    // row) and c1 feeds two (encoding, the ADC table) — materialize each
+    // once so the slice-decompose scan and the whole train pass don't
+    // re-execute per consumer (guide §2.4: multi-consumer subtrees compute
+    // once; same contract as the LSH banded-signature pin).
+    val subs = graft.rel.Materialize.once(
+      pqSubs(Tables.embeddings(spark, sfDir)))
     val c0 = subs.filter($"vec_id" < PqK)
       .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
-    val c1 = pqRecenter(pqAssign(subs, c0))
+    val c1 = graft.rel.Materialize.once(pqRecenter(pqAssign(subs, c0)))
     val codes = pqAssign(subs, c1).select($"vec_id", $"sub", $"cid")
     val q = subs.filter($"vec_id" === 0).select($"sub", $"v".as("qv"))
     val dtab = c1.join(q, Seq("sub"))
@@ -677,7 +686,10 @@ object Similarity extends QueryModule {
     * MSE is one double division. */
   private def embedPqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val subs = pqSubs(Tables.embeddings(spark, sfDir))
+    // three consumers of the decomposed corpus (seeding + two assignment
+    // passes) — materialize once, as in [[pqArtifacts]]
+    val subs = graft.rel.Materialize.once(
+      pqSubs(Tables.embeddings(spark, sfDir)))
     val c0 = subs.filter($"vec_id" < PqK)
       .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
     val c1 = pqRecenter(pqAssign(subs, c0))

@@ -296,11 +296,17 @@ object Graph extends QueryModule {
       .select($"e.src".as("src"), $"e.dst".as("dst")))
     var dists = Seq((BfsSource, 0L)).toDF("node", "dist")
     for (_ <- 1 to BfsRounds) {
-      dists = dists.union(
+      // Re-root each round's (node, dist) frame ([[Materialize.pin]]):
+      // the round references its input TWICE (the union branch + the
+      // expansion join), so an un-pinned chain embeds round r−1's plan 2×
+      // — 2^rounds plan copies AND 2^rounds runtime recomputes of every
+      // small join/agg (nothing cached the frame). Pinned, each round
+      // computes once and re-analyzes a leaf; rows are identical.
+      dists = Materialize.pin(dists.union(
           dists.withColumnRenamed("node", "src")
             .join(edges, Seq("src"))
             .select($"dst".as("node"), ($"dist" + 1).as("dist")))
-        .groupBy($"node").agg(min($"dist").as("dist"))
+        .groupBy($"node").agg(min($"dist").as("dist")))._1
     }
     dists.select(
         when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long")))
@@ -467,21 +473,38 @@ object Graph extends QueryModule {
 
   /** The peel loop on a symmetric (src, dst) edge list — package-visible
     * so tests can drive crafted graphs through the cascade. Returns the
-    * surviving (node, core_deg) frame. */
+    * surviving (node, core_deg) frame.
+    *
+    * Each round's survivor list is re-rooted with [[Materialize.pin]]
+    * (LogicalRDD leaf), NOT plan-level persist: a round references its
+    * input THREE times (the degree pass plus both endpoint semi-joins),
+    * so an un-re-rooted plan embeds round r−1's tree 3× and the logical
+    * plan grows 3^rounds — at 4 rounds the formatted plan was ~2000 lines
+    * and Catalyst re-analyzed all 81 copies per action (the same
+    * geometric-reference trap the connected-components loop documents).
+    * Pinned, every round re-analyzes a leaf: plan depth is linear and the
+    * executed work is identical (the persist already deduped it). */
   private[graft] def kcoreOf(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     import sym.sparkSession.implicits._
-    var edges = Materialize.once(sym)
-    for (_ <- 1 to rounds) {
-      val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k)
-        .select($"src".as("node"))
-      edges = Materialize.once(
-        edges
-          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .select($"src", $"dst"))
-    }
+    var edges = Materialize.pin(sym)._1
+    for (_ <- 1 to rounds)
+      edges = Materialize.pin(kcoreRound(edges, k))._1
     edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** One un-pinned peel round (degree pass + both endpoint semi-joins) —
+    * the plan [[kcoreOf]] pins per round; split out so PlanSpec can assert
+    * the semi-join shape on the round plan itself (the pinned leaves hide
+    * it from the final frame's explain). */
+  private[graft] def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= k)
+      .select($"src".as("node"))
+    edges
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select($"src", $"dst")
   }
 
   /** Newman modularity Q of the NATION partition over the customer–

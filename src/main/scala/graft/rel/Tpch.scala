@@ -498,20 +498,33 @@ object Tpch extends QueryModule {
     * would re-shuffle lineitem; this shuffles it once). */
   private def q21(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Materialized once: both the waiting-order filter and the
-    // late-supplier projection consume this joined relation.
-    val lo = Tables.lineitem(spark, sfDir)
+    // Reduce to one row per (order, supplier) FIRST and share that frame:
+    // the previous form ran two exact count(DISTINCT)s over the joined
+    // fact (Catalyst plans an Expand — every row duplicated once per
+    // distinct aggregate, 2× the shuffle) plus a separate distinct() for
+    // the late-supplier projection (a third shuffle of the fact). Here
+    // max(late) per (order, supplier) is ONE partial-aggregated pass;
+    // n_supp = count of pairs, n_late = count of late pairs (no distincts
+    // left, so no Expand), and the late projection is a filter of the
+    // same cached frame. Partition by o_orderkey before the pair agg so
+    // the pair frame, the per-order rollup AND the final join all reuse
+    // one exchange (guide §2.4: two operations keyed the same way share
+    // one exchange; orders have ≤7 lines, so no skew).
+    val perSupp = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F"),
         $"l_orderkey" === $"o_orderkey")
       .select($"o_orderkey", $"l_suppkey",
         ($"l_shipdate" > date_add($"o_orderdate", 60).cast("timestamp")).as("late"))
+      .repartition($"o_orderkey")
+      .groupBy($"o_orderkey", $"l_suppkey")
+      .agg(max($"late").as("late"))
       .transform(Materialize.once)
-    val waiting = lo.groupBy($"o_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(when($"late", $"l_suppkey")).as("n_late"))
+    val waiting = perSupp.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        count(when($"late", 1)).as("n_late"))
       .filter($"n_supp" >= 2 && $"n_late" === 1)
       .select($"o_orderkey")
-    lo.filter($"late").select($"o_orderkey", $"l_suppkey").distinct()
+    perSupp.filter($"late").select($"o_orderkey", $"l_suppkey")
       .join(waiting, Seq("o_orderkey"))
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("numwait"))

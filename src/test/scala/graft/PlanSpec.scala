@@ -615,9 +615,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graph_kcore peels with semi joins, never a cartesian") {
+    // The rounds are pinned (re-rooted on LogicalRDD leaves — the
+    // 3-references-per-round plan would otherwise grow 3^rounds), so the
+    // semi-join shape is asserted on the ROUND plan; the final frame must
+    // stay cartesian-free.
+    import org.apache.spark.sql.functions._
+    val sym = spark.range(40).selectExpr("id % 8 as src", "(id + 1) % 8 as dst")
+    val round = graft.rel.Graph.kcoreRound(sym.toDF(), 2)
+      .queryExecution.executedPlan.toString
+    assert(round.contains("LeftSemi"),
+      s"alive-set membership must be a semi join: $round")
+    assert(!round.contains("CartesianProduct"), round)
     val plan = executed("graph_kcore")
-    assert(plan.contains("LeftSemi"),
-      s"alive-set membership must be a semi join: $plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

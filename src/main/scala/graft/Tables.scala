@@ -52,4 +52,26 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // Spread variants for MAP-HEAVY consumers ([[graft.rel.Spread.narrow]]):
+  // identical rows, but a degenerate-narrow scan (the fixtures are one
+  // parquet row group — an atomic split, so every fused map expression
+  // otherwise serializes on one core) is hash-spread on the row key across
+  // the session's cores first. A no-op whenever the scan already splits
+  // (production layouts; the gate compares splits to cores), so callers
+  // pay the extra exchange exactly when it buys map parallelism. Use the
+  // plain accessors when the first downstream op is already an exchange or
+  // the query is scan-metadata-bound (counts, pushdown probes).
+  private def spreadOn(df: DataFrame, key: String): DataFrame =
+    graft.rel.Spread.narrow(df, org.apache.spark.sql.functions.col(key))
+  def ordersSpread(s: SparkSession, d: String): DataFrame =
+    spreadOn(orders(s, d), "o_orderkey")
+  def lineitemSpread(s: SparkSession, d: String): DataFrame =
+    spreadOn(lineitem(s, d), "l_orderkey")
+  def eventsSpread(s: SparkSession, d: String): DataFrame =
+    spreadOn(events(s, d), "event_id")
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spreadOn(documents(s, d), "doc_id")
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    spreadOn(embeddings(s, d), "vec_id")
 }

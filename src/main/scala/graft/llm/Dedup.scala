@@ -76,7 +76,7 @@ object Dedup extends QueryModule {
       transform(sequence(lit(0), floor((length($"text") - w) / s).cast("int")),
         k => substring($"text", k * s + 1, lit(w))))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, sfDir)
+    Tables.documentsSpread(spark, sfDir)
       .select($"doc_id", explode(wins).as("sub"))
       .groupBy($"sub")
       .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
@@ -199,7 +199,7 @@ object Dedup extends QueryModule {
     // min-over-group as a window on the hash partition: ONE shuffle for
     // the whole member→rep map (groupBy+join back would shuffle twice).
     val memberMap = graft.rel.PinnedInputs.pinned(spark, sfDir, "mh_member") {
-      Tables.documents(spark, sfDir)
+      Tables.documentsSpread(spark, sfDir)
         .filter($"text".isNotNull)
         .select($"doc_id", md5($"text").as("th"))
         .select($"doc_id",
@@ -208,7 +208,7 @@ object Dedup extends QueryModule {
             .as("rep"))
     }
     val perDocM = graft.rel.PinnedInputs.pinned(spark, sfDir, "mh_sigs") {
-      val repDocs = Tables.documents(spark, sfDir)
+      val repDocs = Tables.documentsSpread(spark, sfDir)
         .join(memberMap.filter($"doc_id" === $"rep").select($"doc_id"), Seq("doc_id"))
       val k = NumBands * RowsPerBand
       val sigAggs = (0 until k).map(j =>
@@ -385,7 +385,7 @@ object Dedup extends QueryModule {
     * (blocked near-dup join). */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tokens = Tables.documents(spark, sfDir)
+    val tokens = Tables.documentsSpread(spark, sfDir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
       .withColumn("h", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until 32).map(i =>
@@ -438,7 +438,7 @@ object Dedup extends QueryModule {
     * still one row of ints per doc at any scale. */
   private def simhashWideSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tokens = Tables.documents(spark, sfDir)
+    val tokens = Tables.documentsSpread(spark, sfDir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
       .withColumn("h1", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(md5($"w"), 17, 15), 16, 10).cast("long"))

@@ -225,7 +225,7 @@ object Multimodal extends QueryModule {
         s"shiftleft(CAST(($cnt div 2) % 2 AS BIGINT), ${2 * k + 1})")
     }.mkString("(", " + ", ")")
     val codes = graft.rel.Materialize.once(
-      Tables.documents(spark, sfDir)
+      Tables.documentsSpread(spark, sfDir)
         .select($"doc_id", expr(codeExpr).as("code")))
     // EXACT-FIRST collapse (the minhash-family stage order, SCALE.md):
     // byte-identical payloads share a code, and a duplicate-heavy corpus

@@ -44,7 +44,7 @@ object DataQuality extends QueryModule {
     * lexicographic). One row per column, fixed schema across types. */
   private def dqProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, sfDir)
+    val e = Tables.eventsSpread(spark, sfDir)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
     // Unpivot FIRST (the dq_uniqueness trick): six count(DISTINCT col) in
     // one aggregate make Catalyst Expand-duplicate every event row once
@@ -89,7 +89,7 @@ object DataQuality extends QueryModule {
     * vs the exact twin is asserted in ApproxContractSpec. */
   private def dqProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, sfDir)
+    val e = Tables.eventsSpread(spark, sfDir)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
     def nulls(c: String) = sum(col(c).isNull.cast("long"))
     val agg = e.agg(
@@ -126,7 +126,7 @@ object DataQuality extends QueryModule {
   private def dqConstraints(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def viol(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
-    val agg = Tables.events(spark, sfDir).agg(
+    val agg = Tables.eventsSpread(spark, sfDir).agg(
       viol($"value".isNull || $"value" < 0 || $"value" > 1000).as("r_range"),
       viol($"value" > 300).as("r_cap"),
       viol($"event_type".isNull ||
@@ -175,7 +175,7 @@ object DataQuality extends QueryModule {
     * 1e-6 rounding (the agg_stats convention). */
   private def dqDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, sfDir)
+    val e = Tables.eventsSpread(spark, sfDir)
       .filter($"value".isNotNull)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
     val mid = e.agg((floor((min($"ts_us") + max($"ts_us")) / 2))
@@ -228,7 +228,7 @@ object DataQuality extends QueryModule {
     * engines), so double/timestamp formatting differences are immaterial. */
   private def dqUniqueness(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val stacked = Tables.orders(spark, sfDir).select(expr(
+    val stacked = Tables.ordersSpread(spark, sfDir).select(expr(
       s"stack(${UniqCols.length}, " +
         UniqCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
         ") AS (col, v)"))

@@ -84,7 +84,7 @@ object Clustering extends QueryModule {
     * query and [[semanticDedup]]. Columns: vec_id, cid, d2, emb. */
   private def assignments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsSpread(spark, sfDir).select($"vec_id", $"embedding")
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     val c0 = e.filter($"vec_id" < K)
       .select($"vec_id".as("cid"),
         transform($"embedding", x => x.cast("double")).as("cvec"))
@@ -261,7 +261,7 @@ object Clustering extends QueryModule {
     * use the SAME learned direction (the KmeansCtes convention). */
   private def pcaParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val e = Tables.embeddingsSpread(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
     // Per-dim micro-rounded mean AND the corpus count in ONE pass — each
     // row contributes exactly one value per pos, so count(per-pos) = N;
     // no separate count() action/scan. Materialized (1 row) because both
@@ -391,7 +391,7 @@ object Clustering extends QueryModule {
     * cells are cross-engine identical before the 64-term cosine sums. */
   private def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.embeddingsSpread(spark, sfDir)
+    val cells = Tables.embeddings(spark, sfDir)
       .select($"label", ($"vec_id" % 2).as("half"),
         posexplode($"embedding").as(Seq("dim", "x")))
       .groupBy($"label", $"half", $"dim")

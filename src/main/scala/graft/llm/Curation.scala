@@ -345,7 +345,7 @@ object Curation extends QueryModule {
   private def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cap = 2048L
-    val docs = Tables.documentsSpread(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .select($"doc_id",
         size(filter(split(trim($"text"), " "), t => t =!= ""))
           .cast("long").as("n_tok"))
@@ -376,7 +376,7 @@ object Curation extends QueryModule {
   private def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val budget = 10000L
-    val docs = Tables.documentsSpread(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"n_chars",
         size(filter(split(trim($"text"), " "), t => t =!= ""))
           .cast("long").as("n_tok"))
@@ -505,7 +505,7 @@ object Curation extends QueryModule {
     * `.repartition(col("shard")).write` — shard-local files, one pass. */
   private def shardBalance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documentsSpread(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir)
       .select($"doc_id",
         size(expr("filter(split(trim(text), ' '), x -> x <> '')"))
           .cast("long").as("n_tokens"))

@@ -99,7 +99,7 @@ object Similarity extends QueryModule {
   private def embedTruncateRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val gt = topkCosine(spark, sfDir, 10).select($"vec_id")
-    val tr = Tables.embeddingsSpread(spark, sfDir)
+    val tr = Tables.embeddings(spark, sfDir)
       .crossJoin(broadcast(queryVec(spark, sfDir)))
       .withColumn("cos_sim", pround(
         vec_cosine_native(slice($"embedding", 1, 32), slice($"qv", 1, 32)), 6))
@@ -130,7 +130,7 @@ object Similarity extends QueryModule {
     * the scored corpus. */
   private def sampleHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsSpread(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
     val q = e.orderBy($"vec_id").limit(3)
       .select($"vec_id".as("q_id"), $"label".as("q_label"), $"embedding".as("qv"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
@@ -163,7 +163,7 @@ object Similarity extends QueryModule {
     import spark.implicits._
     val k = 5
     val e = graft.rel.Materialize.once(
-      Tables.embeddingsSpread(spark, sfDir).select($"vec_id", $"embedding"))
+      Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding"))
     val seed = e.orderBy($"vec_id").limit(1)
     var mind = graft.rel.Materialize.once(
       e.crossJoin(broadcast(seed.select($"embedding".as("sv"))))
@@ -203,7 +203,7 @@ object Similarity extends QueryModule {
     import spark.implicits._
     val k = 5
     val cand = graft.rel.Materialize.once(
-      Tables.embeddingsSpread(spark, sfDir)
+      Tables.embeddings(spark, sfDir)
         .crossJoin(broadcast(queryVec(spark, sfDir)))
         .withColumn("rel", pround(vec_cosine_native($"embedding", $"qv"), 6))
         .select($"vec_id", $"embedding", $"rel")
@@ -282,7 +282,7 @@ object Similarity extends QueryModule {
     * against the brute-force baseline. */
   private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsSpread(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
       .withColumn("sig", signature($"embedding"))
     val q = e.orderBy($"vec_id").limit(1)
       .select($"embedding".as("qv"), $"sig".as("qsig"))
@@ -395,7 +395,7 @@ object Similarity extends QueryModule {
       planes: Seq[Seq[Float]], bands: Int, rows: Int,
       input: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val e = input.getOrElse(Tables.embeddingsSpread(spark, sfDir))
+    val e = input.getOrElse(Tables.embeddings(spark, sfDir))
       .withColumn("nrm", vec_norm_native($"embedding"))
     // Materialize the banded signatures ONCE before the self-join: both
     // join inputs (and the SMJ sort on each) otherwise re-derive the
@@ -443,7 +443,7 @@ object Similarity extends QueryModule {
     // norms precompute per ROW before the N×16 cross join (the prenorm
     // pattern): inside the join the guarded cosine would redo both
     // dot(v,v) dots per pair — 16× redundant on the vector side
-    val e = Tables.embeddingsSpread(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
       .withColumn("nrm", vec_norm_native($"embedding"))
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cnrm"))
@@ -511,7 +511,7 @@ object Similarity extends QueryModule {
     * nothing. */
   private def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsSpread(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
     val scales = e
       .select(posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"pos")
@@ -656,7 +656,7 @@ object Similarity extends QueryModule {
     // re-execute per consumer (guide §2.4: multi-consumer subtrees compute
     // once; same contract as the LSH banded-signature pin).
     val subs = graft.rel.Materialize.once(
-      pqSubs(Tables.embeddingsSpread(spark, sfDir)))
+      pqSubs(Tables.embeddings(spark, sfDir)))
     val c0 = subs.filter($"vec_id" < PqK)
       .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
     val c1 = graft.rel.Materialize.once(pqRecenter(pqAssign(subs, c0)))
@@ -689,7 +689,7 @@ object Similarity extends QueryModule {
     // three consumers of the decomposed corpus (seeding + two assignment
     // passes) — materialize once, as in [[pqArtifacts]]
     val subs = graft.rel.Materialize.once(
-      pqSubs(Tables.embeddingsSpread(spark, sfDir)))
+      pqSubs(Tables.embeddings(spark, sfDir)))
     val c0 = subs.filter($"vec_id" < PqK)
       .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
     val c1 = pqRecenter(pqAssign(subs, c0))
@@ -734,7 +734,7 @@ object Similarity extends QueryModule {
     * whole trajectory hash-exact. */
   private def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddingsSpread(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
       .withColumn("nrm", vec_norm_native($"embedding"))
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("ccell"), $"embedding".as("cv"), $"nrm".as("cnrm"))

@@ -28,7 +28,7 @@ object Text extends QueryModule {
   private def topTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"lang").orderBy($"n".desc, $"word".asc)
-    Tables.documentsSpread(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select($"lang", explode(split(trim($"text"), " ")).as("word"))
       .filter($"word" =!= "")
       .groupBy($"lang", $"word")
@@ -67,7 +67,7 @@ object Text extends QueryModule {
   private def topTermsApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val MgCounters = 256
-    val words = Tables.documentsSpread(spark, sfDir)
+    val words = Tables.documents(spark, sfDir)
       .select($"lang", explode(split(trim($"text"), " ")).as("word"))
       .filter($"word" =!= "")
     val candidates = words.as[(String, String)].mapPartitions { it =>
@@ -107,7 +107,7 @@ object Text extends QueryModule {
     * classic two-aggregation formulation, no per-document re-scan. */
   private def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documentsSpread(spark, sfDir).filter($"doc_id" < 100)
+    val docs = Tables.documents(spark, sfDir).filter($"doc_id" < 100)
     val terms = docs
       .select($"doc_id", explode(split(trim($"text"), " ")).as("word"))
       .filter($"word" =!= "")
@@ -209,7 +209,7 @@ object Text extends QueryModule {
   /** L5b — per-language corpus stats. */
   private def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documentsSpread(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -278,7 +278,7 @@ object Text extends QueryModule {
     import spark.implicits._
     val words = filter(split(trim($"text"), " "), w => w =!= "")
     val toks = Materialize.once(
-      Tables.documentsSpread(spark, sfDir)
+      Tables.documents(spark, sfDir)
         .withColumn("ws", words)
         // empty/whitespace-only docs: arrays_zip([], [null]) would emit a
         // (null,null) row, adding a phantom null-key unigram and inflating
@@ -318,7 +318,7 @@ object Text extends QueryModule {
     import spark.implicits._
     // ScalableRank's two-phase rank consumes the frame twice — pin the
     // vocabulary-bounded (word, count) cells so the token scan runs ONCE
-    val counts = graft.rel.Materialize.once(Tables.documentsSpread(spark, sfDir)
+    val counts = graft.rel.Materialize.once(Tables.documents(spark, sfDir)
       .select(explode(filter(split(trim($"text"), " "), w => w =!= "")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c")))
     graft.rel.ScalableRank
@@ -422,7 +422,7 @@ object Text extends QueryModule {
     * [[Dedup]]). */
   private def levenshteinScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documentsSpread(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .filter($"doc_id" < 60)
       .select($"doc_id", substring($"text", 1, 120).as("t"))
     val a = docs.select($"doc_id".as("a_id"), $"t".as("ta"))
@@ -442,7 +442,7 @@ object Text extends QueryModule {
     * total rides along as a single-row cross join (no driver collect). */
   private def unigramNll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tokens = Tables.documentsSpread(spark, sfDir)
+    val tokens = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
     val freq = tokens.groupBy($"w").agg(count(lit(1)).as("c"))
     val tot = tokens.agg(count(lit(1)).as("tot"))
@@ -469,7 +469,7 @@ object Text extends QueryModule {
     * boundaries, engine-portable. */
   private def perplexityBucket(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tokens = Tables.documentsSpread(spark, sfDir)
+    val tokens = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
     val freq = tokens.groupBy($"w").agg(count(lit(1)).as("c"))
     val tot = tokens.agg(count(lit(1)).as("tot"))
@@ -558,7 +558,7 @@ object Text extends QueryModule {
     import spark.implicits._
     val n = 5
     val toks = filter(split(trim($"text"), " "), t => t =!= "")
-    val withGrams = Tables.documentsSpread(spark, sfDir)
+    val withGrams = Tables.documents(spark, sfDir)
       .withColumn("w", toks)
       .withColumn("g",
         when(size($"w") >= n,
@@ -610,7 +610,7 @@ object Text extends QueryModule {
   private def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val k = SegWords
-    val d = Tables.documentsSpread(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
       .select($"doc_id", split($"text", " ").as("w"))
     val segs = d.select($"doc_id", posexplode(expr(
       s"""transform(sequence(0, cast(ceil(size(w) / $k.0) as int) - 1),

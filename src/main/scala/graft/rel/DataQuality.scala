@@ -44,7 +44,7 @@ object DataQuality extends QueryModule {
     * lexicographic). One row per column, fixed schema across types. */
   private def dqProfile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.eventsSpread(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
     // Unpivot FIRST (the dq_uniqueness trick): six count(DISTINCT col) in
     // one aggregate make Catalyst Expand-duplicate every event row once
@@ -89,7 +89,7 @@ object DataQuality extends QueryModule {
     * vs the exact twin is asserted in ApproxContractSpec. */
   private def dqProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.eventsSpread(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
     def nulls(c: String) = sum(col(c).isNull.cast("long"))
     val agg = e.agg(
@@ -175,7 +175,7 @@ object DataQuality extends QueryModule {
     * 1e-6 rounding (the agg_stats convention). */
   private def dqDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.eventsSpread(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
       .filter($"value".isNotNull)
       .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
     val mid = e.agg((floor((min($"ts_us") + max($"ts_us")) / 2))

@@ -337,7 +337,7 @@ object ScalarFns extends QueryModule {
     // total is an order-independent integer sum — the double form's
     // accumulation noise crossed the 0.01 rounding quantum at the 100×
     // replica volume (60M rows; same class as aggMulti / tpch q9)
-    Tables.lineitem(spark, sfDir)
+    Tables.lineitemSpread(spark, sfDir)
       .select(expr(
         "inline(array(" +
           "struct('gross' AS kind," +

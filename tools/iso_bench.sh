@@ -15,7 +15,11 @@ sim_topk_cosine sim_threshold_join text_top_terms upsert_keep_latest \
 delete_where_dv update_where_dv upsert_merge_dv scan_table_changes_ts \
 scan_bloom_skipping scan_metadata_count scan_metadata_minmax \
 scan_metadata_groupby mv_incremental_agg scan_table_changes \
-scan_table_changes_diff"
+scan_table_changes_diff \
+graph_kcore graph_bfs_distance dedup_lsh_candidate_eval curation_dsir \
+tpch_q21 dedup_simhash_wide multimodal_phash_dedup sim_ann_pq \
+sim_ann_ivf_pq dq_constraints dedup_substring text_bm25 ts_mad_outlier \
+gen_inline embed_kmeans dedup_semantic"
 LOG=$(mktemp /tmp/iso_bench.XXXXXX.log)
 sbt -batch "runMain graft.tools.IsoBench $SF $KEYS" 2>&1 | tee "$LOG" \
   | grep -E "min=" || true

@@ -442,9 +442,12 @@ object Similarity extends QueryModule {
     import spark.implicits._
     // norms precompute per ROW before the N×16 cross join (the prenorm
     // pattern): inside the join the guarded cosine would redo both
-    // dot(v,v) dots per pair — 16× redundant on the vector side
-    val e = Tables.embeddings(spark, sfDir)
-      .withColumn("nrm", vec_norm_native($"embedding"))
+    // dot(v,v) dots per pair — 16× redundant on the vector side.
+    // Materialized once: the centroid seed (limit 16) and the assignment
+    // cross join both consume this frame, and without the pin each
+    // consumer recomputes every norm (guide §2.4).
+    val e = graft.rel.Materialize.once(Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", vec_norm_native($"embedding")))
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cnrm"))
     e.crossJoin(broadcast(centroids))
@@ -734,6 +737,10 @@ object Similarity extends QueryModule {
     * whole trajectory hash-exact. */
   private def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // NOT materialized (measured: pinning this frame regressed the query
+    // 1.28→1.48 iso — the cache round-trip of the full-width corpus costs
+    // more than recomputing the cheap norms for the 16-row seed/qcell
+    // consumers; the expensive PQ side has its own pins in pqArtifacts)
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("nrm", vec_norm_native($"embedding"))
     val centroids = e.orderBy($"vec_id").limit(16)

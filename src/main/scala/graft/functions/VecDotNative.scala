@@ -242,7 +242,14 @@ case class VecL2SqExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left.dataType)
     val rf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    // Dimension mismatches FAIL LOUDLY (round-15 advice; same contract as
+    // [[VecSignBandsExpr]]): silently truncating to min(len) would score
+    // a wrong distance instead of surfacing the geometry bug. Equal-length
+    // inputs — every call site — are bit-for-bit the HOF form's value.
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"vec_l2sq_native: array lengths differ " +
+        s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -264,7 +271,11 @@ case class VecL2SqExpr(left: Expression, right: Expression)
       def get(arr: String, idx: String, float: Boolean): String =
         if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("vec_l2sq_native: array lengths "
+         |    + "differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = ${get(a, i, isFloat(left.dataType))} -

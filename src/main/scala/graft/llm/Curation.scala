@@ -623,9 +623,12 @@ object Curation extends QueryModule {
     val stats = grams.groupBy($"b").agg(
       count(lit(1)).as("ct_r"),
       count(when($"lang" === "en", 1)).as("ct_t"))
+    // coalesce(…, 0): on an EMPTY gram stream sum() is NULL where the old
+    // third gram pass counted 0 — a NULL r/t would NULL-poison the log()
+    // scores (round-15 advice; degenerate input only, fixtures non-empty).
     val tot = stats.agg(
-      sum($"ct_r").as("r"),
-      sum($"ct_t").as("t"))
+      coalesce(sum($"ct_r"), lit(0L)).as("r"),
+      coalesce(sum($"ct_t"), lit(0L)).as("t"))
     val dim = stats.crossJoin(broadcast(tot))
       .select($"b", floor(log(
           ($"ct_t" + 1.0) * ($"r" + B) / (($"ct_r" + 1.0) * ($"t" + B)))

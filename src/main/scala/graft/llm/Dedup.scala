@@ -715,10 +715,16 @@ object Dedup extends QueryModule {
       val sym = e.select($"a".as("u"), $"b".as("v"))
         .union(e.select($"b".as("u"), $"a".as("v")))
       val m = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      // NO intermediate distinct (round-16, guide §2.4): each round ends in
+      // smallStar's distinct, and smallStar's min-aggregation is duplicate-
+      // insensitive, so the round's edge SET is identical — the distinct
+      // here only paid one extra full exchange per round (its input is
+      // already ≤|E| rows: one surviving orientation per input edge, dups
+      // only across hooked neighbors sharing (v, m)).
       sym.join(m, Seq("u"))
         .filter($"v" > $"u")
         .select($"v".as("a"), $"m".as("b"))   // v > u ≥ m: already canonical
-        .filter($"a" =!= $"b").distinct()
+        .filter($"a" =!= $"b")
     }
     def smallStar(e: DataFrame): DataFrame = {
       // canonical edges grouped by the big endpoint; m = min(Γ⁻(a)).

@@ -194,11 +194,17 @@ object Similarity extends QueryModule {
     *
     * Scale shape (100 TB): the corpus appears only in the candidate
     * top-20 (broadcast query + linear scan + TakeOrderedAndProject —
-    * [[topkCosine]]'s story); every MMR round then runs on the pinned
-    * ≤20-row pool with a broadcast newest selection — re-rank cost is
-    * O(k·pool), independent of corpus size. Relevance enters the MMR
-    * objective pre-rounded (1e-6), so the cross-engine argmax compares
-    * identical doubles. */
+    * [[topkCosine]]'s story); the greedy k-round selection then FOLDS
+    * into one pass over the pool's precomputed pairwise cosines (≤190
+    * pairs — bounded by the pool, independent of corpus size): the
+    * unrolled per-round variant ran k driver-sequenced broadcast+limit(1)
+    * jobs over a ≤20-row frame, pure job-scheduling cost (guide §1.2;
+    * round-15 verdict item #1). Relevance enters the MMR objective
+    * pre-rounded (1e-6) and every pairwise cosine comes from the same
+    * [[vec_cosine_native]] expression the round loop evaluated, so the
+    * folded argmax compares bit-identical doubles and replays the
+    * identical trajectory (ties by vec_id, Spark's NaN/−0.0 total order).
+    */
   private def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val k = 5
@@ -209,28 +215,80 @@ object Similarity extends QueryModule {
         .select($"vec_id", $"embedding", $"rel")
         .orderBy($"rel".desc, $"vec_id".asc)
         .limit(20))
-    val first = cand.orderBy($"rel".desc, $"vec_id".asc).limit(1)
-    var out = first.select(lit(1L).as("sel_round"), $"vec_id",
-      pround($"rel", 6).as("mmr"))
-    var st = cand
-      .crossJoin(broadcast(first.select($"embedding".as("sv"), $"vec_id".as("sid"))))
-      .filter($"vec_id" =!= $"sid")
-      .select($"vec_id", $"embedding", $"rel",
-        vec_cosine_native($"embedding", $"sv").as("ms"))
-    for (r <- 2 to k) {
-      val scored = st.withColumn("mmr_raw",
-        lit(0.7) * $"rel" - lit(0.3) * $"ms")
-      val nxt = scored.orderBy($"mmr_raw".desc, $"vec_id".asc).limit(1)
-      out = out.unionByName(nxt.select(lit(r.toLong).as("sel_round"),
-        $"vec_id", pround($"mmr_raw", 6).as("mmr")))
-      if (r < k) st = st
-        .crossJoin(broadcast(nxt.select($"embedding".as("sv"), $"vec_id".as("sid"))))
-        .filter($"vec_id" =!= $"sid")
-        .select($"vec_id", $"embedding", $"rel",
-          greatest($"ms", vec_cosine_native($"embedding", $"sv")).as("ms"))
-    }
-    out.orderBy($"sel_round")
+    // Unordered pairwise cosines over the pinned pool (cos is bitwise
+    // symmetric: per-element products commute and the accumulation order
+    // is the dimension index either way), one row per a_id < b_id pair.
+    val pairs = cand.as("x").join(cand.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        vec_cosine_native(col("x.embedding"), col("y.embedding")).as("sim"))
+    // (id, value) tuples packed as double arrays (a typed UDF cannot take
+    // Row args; vec_ids are < 2^53 so the double round-trip is exact)
+    val packed = cand.select($"vec_id", $"rel")
+      .agg(collect_list(array($"vec_id".cast("double"), $"rel")).as("cs"))
+      .crossJoin(pairs.agg(collect_list(array($"a_id".cast("double"),
+        $"b_id".cast("double"), $"sim")).as("ps")))
+    packed
+      .select(explode(mmrGreedyUdf($"cs", $"ps", lit(k))).as("s"))
+      .select($"s.sel_round".as("sel_round"), $"s.vec_id".as("vec_id"),
+        $"s.mmr".as("mmr"))
+      .orderBy($"sel_round")
   }
+
+  /** One greedy MMR selection over a single aggregated row of the bounded
+    * candidate pool (≤20 rows, ≤190 pairs) — NOT corpus data; the corpus
+    * path stays the codegen'd top-20 heap above. Replays the exact
+    * trajectory of the unrolled round loop: round 1 = max rel, rounds
+    * 2..k = max(0.7·rel − 0.3·max-sim-to-selected), all ties to the
+    * smallest vec_id, argmax comparisons in Spark's double total order
+    * (NaN greatest, −0.0 = 0.0), outputs rounded by the portable
+    * floor(x·1e6 + 0.5)/1e6 — term-for-term the expressions the loop
+    * evaluated, so results are bit-identical. */
+  private case class MmrPick(sel_round: Long, vec_id: Long, mmr: Double)
+  private lazy val mmrGreedyUdf =
+    udf((cs: Seq[Seq[Double]], ps: Seq[Seq[Double]], k: Int) => {
+      // portable round, the Column pround's scalar twin (floor → BIGINT)
+      def r6(x: Double): Double =
+        if (math.abs(x) < Double.PositiveInfinity)
+          math.floor(x * 1e6 + 0.5).toLong / 1e6
+        else x
+      // Spark sort semantics: NaN greatest, −0.0 normalized to 0.0
+      def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+      def pick(cands: Iterator[(Long, Double)]): (Long, Double) =
+        cands.reduceLeft { (p, q) =>
+          val c = java.lang.Double.compare(norm(p._2), norm(q._2))
+          if (c > 0) p else if (c < 0) q else if (p._1 <= q._1) p else q
+        }
+      val rel = cs.map(a => a(0).toLong -> a(1)).toMap
+      val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      ps.foreach { a =>
+        val x = a(0).toLong; val y = a(1).toLong; val s = a(2)
+        sim((x, y)) = s; sim((y, x)) = s
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      var remaining = rel.keySet
+      if (remaining.nonEmpty) {
+        val (first, frel) = pick(remaining.iterator.map(id => (id, rel(id))))
+        out += MmrPick(1L, first, r6(frel))
+        remaining -= first
+        val ms = scala.collection.mutable.HashMap.empty[Long, Double]
+        remaining.foreach(id => ms(id) = sim((id, first)))
+        var r = 2
+        while (r <= k && remaining.nonEmpty) {
+          val (bid, braw) = pick(remaining.iterator.map(id =>
+            (id, 0.7 * rel(id) - 0.3 * ms(id))))
+          out += MmrPick(r.toLong, bid, r6(braw))
+          remaining -= bid
+          if (r < k) remaining.foreach { id =>
+            // greatest(ms, cos): compare in the same total order
+            val s2 = sim((id, bid))
+            if (java.lang.Double.compare(s2, ms(id)) > 0) ms(id) = s2
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    })
 
   /** L4 — pairwise similarity join above a threshold, label-blocked:
     * quadratic WITHIN a block, so it's the exact scorer for bounded blocks.
@@ -652,6 +710,17 @@ object Similarity extends QueryModule {
     * [[simAnnPq]] (flat PQ) and [[simAnnIvfPq]] (IVF-pruned PQ). */
   private def pqArtifacts(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
+    val (subs, c1, dtab) = pqCore(spark, sfDir)
+    (pqAssign(subs, c1).select(col("vec_id"), col("sub"), col("cid")), dtab)
+  }
+
+  /** The shared PQ trajectory WITHOUT the corpus encode: the decomposed
+    * subvectors, the trained codebook and the query ADC table — so
+    * [[simAnnIvfPq]] can encode only its IVF-pruned candidates (guide
+    * §2.3: don't compute codes the semi-join immediately drops) while
+    * [[simAnnPq]] encodes everything. */
+  private def pqCore(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     // subs feeds FOUR subplans (seeding, both assignment passes, the query
     // row) and c1 feeds two (encoding, the ADC table) — materialize each
@@ -663,12 +732,11 @@ object Similarity extends QueryModule {
     val c0 = subs.filter($"vec_id" < PqK)
       .select($"sub", $"vec_id".as("cid"), $"v".as("cvec"))
     val c1 = graft.rel.Materialize.once(pqRecenter(pqAssign(subs, c0)))
-    val codes = pqAssign(subs, c1).select($"vec_id", $"sub", $"cid")
     val q = subs.filter($"vec_id" === 0).select($"sub", $"v".as("qv"))
     val dtab = c1.join(q, Seq("sub"))
       .select($"sub", $"cid",
         floor(pqDist2($"qv", $"cvec") * 1e9 + 0.5).cast("long").as("nano"))
-    (codes, dtab)
+    (subs, c1, dtab)
   }
 
   /** PQ quantization-DISTORTION evaluation: per subspace, the mean
@@ -758,8 +826,18 @@ object Similarity extends QueryModule {
       .select($"ccell")
     val cand = coarse.join(broadcast(qcells), Seq("ccell"))
       .select($"vec_id")
-    val (codes, dtab) = pqArtifacts(spark, sfDir)
-    codes.join(broadcast(cand), Seq("vec_id"), "left_semi")
+    // Encode ONLY the probed cells' vectors (guide §2.3 — the previous
+    // form PQ-encoded the whole corpus and then semi-joined the codes
+    // away: (1 − nprobe/nCells) of the encode argmin work was computed
+    // and dropped). The semi-join moves BELOW the encode; per-(vec, sub)
+    // codes are row-local (broadcast codebook, argmin within the row's
+    // own 4 centroid candidates), so surviving vectors' codes are
+    // identical and the oracle trajectory is unchanged.
+    val (subs, c1, dtab) = pqCore(spark, sfDir)
+    val codes = pqAssign(
+        subs.join(broadcast(cand), Seq("vec_id"), "left_semi"), c1)
+      .select($"vec_id", $"sub", $"cid")
+    codes
       .join(broadcast(dtab), Seq("sub", "cid"))
       .groupBy($"vec_id")
       .agg(sum($"nano").as("adc_d2_nano"))

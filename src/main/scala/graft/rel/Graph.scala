@@ -81,17 +81,25 @@ object Graph extends QueryModule {
         .withColumn("deg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy($"src")))
     }
-    // The one scalar: |V|. A single count over the pinned edge list —
-    // not a per-round driver action.
-    val n = edges.select($"src").distinct().count()
+    // The one scalar: |V| — attached as a 1-row BROADCAST subtree instead
+    // of a driver-side count() action (guide §1.2/§5 "the driver should do
+    // almost no data work"): the count was a full sequential job (edge
+    // build + distinct + agg) the driver had to finish before the rank
+    // chain could even be submitted; as a broadcast it rides inside the
+    // one action. The long count divides identically (same IEEE double
+    // ops), and `nn` is constant per group so first(nn) is deterministic.
+    val nrow = edges.select($"src").distinct()
+      .agg(count(lit(1)).as("nn"))
     var ranks = edges.select($"src".as("node")).distinct()
-      .withColumn("r", lit(1.0) / n)
+      .crossJoin(broadcast(nrow))
+      .select($"node", (lit(1.0) / $"nn").as("r"), $"nn")
     for (_ <- 1 to Rounds) {
       ranks = edges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy($"dst".as("node"))
-        .agg((lit((1 - Damping)) / n +
-          lit(Damping) * sum($"r" / $"deg")).as("r"))
+        .agg((lit((1 - Damping)) / first($"nn") +
+          lit(Damping) * sum($"r" / $"deg")).as("r"),
+          first($"nn").as("nn"))
     }
     ranks.select(
         when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long")))
@@ -245,6 +253,15 @@ object Graph extends QueryModule {
             (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
       .select(col("e1.a").as("p"), col("e1.b").as("wb"), col("e2.b").as("wc"))
       .join(oriented, $"wb" === $"a" && $"wc" === $"b")
+    // `tris` has two consumers (per-node counts + the total) and is
+    // deliberately NOT pinned: both consumers are 1-row/|V|-row aggregates
+    // attached by broadcast, and Spark builds independent broadcast
+    // subtrees CONCURRENTLY — a pin (tried round 16, with the total
+    // derived as Σt/3 from the pinned per-node counts) serialized the two
+    // wedge passes behind one cache fill and measured consistently slower
+    // in 4/4 interleaved A/B pairs (1.26-1.45 → 1.45-1.76 iso). On a
+    // cluster the two passes share executors either way; locally the
+    // overlap wins.
     val triPerNode = tris
       .select(explode(array($"p", $"wb", $"wc")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("t"))
@@ -295,6 +312,7 @@ object Graph extends QueryModule {
         struct($"b".as("src"), $"a".as("dst")))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst")))
     var dists = Seq((BfsSource, 0L)).toDF("node", "dist")
+    var handle: org.apache.spark.rdd.RDD[_] = null
     for (_ <- 1 to BfsRounds) {
       // Re-root each round's (node, dist) frame ([[Materialize.pin]]):
       // the round references its input TWICE (the union branch + the
@@ -302,11 +320,17 @@ object Graph extends QueryModule {
       // — 2^rounds plan copies AND 2^rounds runtime recomputes of every
       // small join/agg (nothing cached the frame). Pinned, each round
       // computes once and re-analyzes a leaf; rows are identical.
-      dists = Materialize.pin(dists.union(
+      // Pin-handle contract (round-15 advice): materialize eagerly and
+      // release round r−1's blocks — only the last round stays pinned.
+      val (next, nextHandle) = Materialize.pin(dists.union(
           dists.withColumnRenamed("node", "src")
             .join(edges, Seq("src"))
             .select($"dst".as("node"), ($"dist" + 1).as("dist")))
-        .groupBy($"node").agg(min($"dist").as("dist")))._1
+        .groupBy($"node").agg(min($"dist").as("dist")))
+      nextHandle.count()
+      if (handle != null) handle.unpersist(blocking = false)
+      dists = next
+      handle = nextHandle
     }
     dists.select(
         when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long")))
@@ -486,9 +510,21 @@ object Graph extends QueryModule {
     * executed work is identical (the persist already deduped it). */
   private[graft] def kcoreOf(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     import sym.sparkSession.implicits._
-    var edges = Materialize.pin(sym)._1
-    for (_ <- 1 to rounds)
-      edges = Materialize.pin(kcoreRound(edges, k))._1
+    // Pin-handle contract ([[Materialize.pin]]; round-15 advice): each
+    // round materializes eagerly, then round r−1's persisted RDD is
+    // RELEASED — a discarded handle kept every round's full edge list
+    // pinned for the life of the query (rounds × |E| dead blocks at
+    // 100 TB). The eager count is the same work the final action would
+    // have pipelined; only the last round's (still-needed) pin survives
+    // until the caller's between-query cleanup.
+    var (edges, handle) = Materialize.pin(sym)
+    for (_ <- 1 to rounds) {
+      val (next, nextHandle) = Materialize.pin(kcoreRound(edges, k))
+      nextHandle.count() // materialize round r before releasing r−1
+      handle.unpersist(blocking = false)
+      edges = next
+      handle = nextHandle
+    }
     edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
   }
 

@@ -88,6 +88,23 @@ class GraphSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("k-core loop releases each round's pin (Materialize.pin handle contract)") {
+    // Round-15 advice: a discarded pin handle kept every round's full edge
+    // list persisted for the life of the query. The loop must hold at most
+    // the CURRENT round's pin once its successor is materialized — after
+    // the 4-round peel only the final round's RDD may remain pinned.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = g.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    val out = Graph.kcoreOf(sym, 2, 4)
+    out.collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected at most the final round's pin to survive, found ${leaked.size}")
+    spark.sparkContext.getPersistentRDDs
+      .filterKeys(leaked.contains).values.foreach(_.unpersist(blocking = false))
+  }
+
   test("graph_kcore on the fixture converges: every survivor has core degree >= k") {
     val rows = SparkEntry.queries("graph_kcore")(spark, sf).collect()
     assert(rows.nonEmpty)

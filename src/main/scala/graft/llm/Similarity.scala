@@ -501,11 +501,13 @@ object Similarity extends QueryModule {
     // norms precompute per ROW before the N×16 cross join (the prenorm
     // pattern): inside the join the guarded cosine would redo both
     // dot(v,v) dots per pair — 16× redundant on the vector side.
-    // Materialized once: the centroid seed (limit 16) and the assignment
-    // cross join both consume this frame, and without the pin each
-    // consumer recomputes every norm (guide §2.4).
-    val e = graft.rel.Materialize.once(Tables.embeddings(spark, sfDir)
-      .withColumn("nrm", vec_norm_native($"embedding")))
+    // NOT materialized (round-16 adjudication of the round-15 pin: the
+    // r15 driver had the pinned form 0.232→0.306 s and a fresh 3×
+    // interleaved A/B measured the pin at best a wash — the full-width
+    // cache round-trip costs what the 16-row seed consumer's recompute
+    // saves; same verdict as simAnnIvfPq's rejected pin).
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", vec_norm_native($"embedding"))
     val centroids = e.orderBy($"vec_id").limit(16)
       .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cnrm"))
     e.crossJoin(broadcast(centroids))

@@ -181,7 +181,7 @@ object TimeSeries extends QueryModule {
     * reduced frame broadcast back; the flag itself is row-local. */
   private def tsMadOutlier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.eventsSpread(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
     // median/MAD over the FINITE domain (the [[tsZscoreOutlier]]
     // convention): engines order NaN/Inf differently inside quantiles,
     // and a robust estimator poisoned by the values it exists to resist

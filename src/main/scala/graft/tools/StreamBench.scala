@@ -159,8 +159,13 @@ object StreamBench {
           f""""rows_per_sec":${(nRows / sec).toLong},""" +
           f""""batches":${q.recentProgress.length},"versions":${t.versions.length}}""")
       }
+      // untimed warm drain: the FIRST streaming query in a session absorbs
+      // one-time planner/codegen/offset-log init, which biased whichever
+      // tagged drain ran first (Bench.scala's warmup lesson applied here)
+      drain("warmup_untimed", vectorized = true)
       drain("vectorized", vectorized = true)
       drain("rowbased", vectorized = false)
+      drain("vectorized2", vectorized = true)
       spark.conf.unset("spark.graft.stream.vectorizedReader")
       // batch-path control over the SAME table: the parity denominator —
       // decodes every column (sum/min force the reads) without per-row

@@ -429,6 +429,46 @@ class StreamingSpec extends SparkSpec {
       s"expected the rewrite guard, got: ${err.getMessage}")
   }
 
+  test("graft streaming source: columnar hand-off serves every column shape " +
+      "bit-identically to the batch read, and only DV-free batches are eligible") {
+    // round-16: clean append batches flow as ColumnarBatches (zero per-row
+    // materialization); the INT96 timestamp and the float array are the
+    // shapes that silently knocked the old reader back to the Group path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_colsrc").toString
+    val root = s"$dir/tbl"
+    val rows = (1L to 5000L).map(i =>
+      (i, s"s$i", i * 1.5, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${i % 60}"),
+        Seq(i.toFloat, (i + 1).toFloat)))
+    val df = rows.toDF("id", "s", "d", "ts", "vec")
+    val t = graft.table.GraftTable.create(spark, root, df.limit(2500))
+    t.append(df.filter($"id" > 2500))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy("id").collect().toSeq
+    val batch = spark.read.format("graft").load(root)
+      .select("id", "s", "d", "ts", "vec")
+      .orderBy("id").collect().toSeq
+    assert(streamed.size === 5000)
+    assert(streamed === batch,
+      "columnar-streamed rows must equal the batch read exactly")
+    // eligibility gates on the partition flag the planner stamps
+    val fac = new graft.table.GraftStreamReaderFactory(vectorized = true)
+    val clean = graft.table.GraftFilePartition("/x", "{}", Map.empty,
+      columnarEligible = true)
+    val dvd = graft.table.GraftFilePartition("/x", "{}", Map.empty,
+      dvAbsPath = Some("/dv"), columnarEligible = false)
+    assert(fac.supportColumnarReads(clean))
+    assert(!fac.supportColumnarReads(dvd),
+      "deletion-vector partitions must stay on the row path")
+    assert(!new graft.table.GraftStreamReaderFactory(vectorized = false)
+      .supportColumnarReads(clean),
+      "the vectorizedReader=false escape hatch must disable columnar too")
+  }
+
   test("graft streaming source: skipChangeCommits survives a mid-stream " +
       "rewrite and a DV delete, delivering exactly the appended rows") {
     import org.apache.spark.sql.functions.col

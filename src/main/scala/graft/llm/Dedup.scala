@@ -207,7 +207,11 @@ object Dedup extends QueryModule {
             org.apache.spark.sql.expressions.Window.partitionBy($"th"))
             .as("rep"))
     }
-    val perDocM = graft.rel.PinnedInputs.pinned(spark, sfDir, "mh_sigs") {
+    // pinNoStats: the per-doc hash-SET column makes this frame's true size
+    // array-dominated — preserved stats under-counted it and flipped every
+    // consumer join to a broadcast of the signature table (measured 10-20%
+    // slower; wrong at corpus scale regardless)
+    val perDocM = graft.rel.PinnedInputs.pinnedNoStats(spark, sfDir, "mh_sigs") {
       val repDocs = Tables.documentsSpread(spark, sfDir)
         .join(memberMap.filter($"doc_id" === $"rep").select($"doc_id"), Seq("doc_id"))
       val k = NumBands * RowsPerBand

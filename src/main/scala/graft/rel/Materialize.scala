@@ -65,12 +65,33 @@ object Materialize {
     * Returns (re-rooted frame, persisted handle) — unpersist the handle
     * once the round's successor is materialized. */
   def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-    val spark = df.sparkSession
     val internal = df.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    (org.apache.spark.sql.GraftInternalAccess.fromInternal(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      internal, df.schema), internal)
+    // Re-root PRESERVING the origin plan's partitioning/ordering/stats
+    // (round-16; the checkpoint-style LogicalRDD): a pin that ends
+    // hash-partitioned on its consumers' join/group key no longer forces
+    // every consumer to re-exchange (and re-sort) it, and join strategy
+    // stays stats-driven instead of defaulting every pinned side to
+    // sort-merge — scale-adaptive in both directions (the same stats that
+    // broadcast a small fixture frame pick SMJ at 100 TB). The map-side
+    // row copy keeps rows in their partitions, so the declared
+    // partitioning/ordering remain true of the cached RDD.
+    (org.apache.spark.sql.GraftInternalAccess
+      .fromInternalPreserving(internal, df), internal)
+  }
+
+  /** [[pin]] that preserves partitioning/ordering but NOT statistics —
+    * for pinned frames whose true size the estimator badly under-counts
+    * (array payloads from collect_set/collect_list): preserved stats made
+    * every consumer auto-broadcast the minhash signature table (6-14 joins
+    * flipped to BHJ) and measured 10-20% SLOWER — the conservative
+    * stats-less default keeps those joins sort-merge, which is also the
+    * only correct call once the arrays are corpus-sized. */
+  def pinNoStats(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val internal = df.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (org.apache.spark.sql.GraftInternalAccess
+      .fromInternalPreservingLayout(internal, df), internal)
   }
 
   /** [[once]], populated eagerly — for call sites that need the

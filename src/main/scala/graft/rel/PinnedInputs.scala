@@ -54,6 +54,13 @@ object PinnedInputs {
             (build: => DataFrame): DataFrame =
     get(spark, sfDir, key)(build)
 
+  /** [[pinned]] via [[Materialize.pinNoStats]] — for frames whose array
+    * payloads defeat the size estimator (see pinNoStats's contract). */
+  def pinnedNoStats(spark: SparkSession, sfDir: String, key: String)
+                   (build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, key),
+      Materialize.pinNoStats(build))._1
+
   private def get(spark: SparkSession, sfDir: String, key: String)
                  (build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, key), Materialize.pin(build))._1

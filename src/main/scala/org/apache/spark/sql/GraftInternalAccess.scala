@@ -17,6 +17,38 @@ object GraftInternalAccess {
       rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema)
 
+  /** Re-root on a cached InternalRow RDD PRESERVING the origin plan's
+    * output partitioning, ordering, statistics and constraints — the same
+    * `LogicalRDD.fromDataset` path `Dataset.checkpoint` uses (private[sql]
+    * in sql/core execution/ExistingRDD.scala). Unlike the bare
+    * [[fromInternal]] leaf (UnknownPartitioning, default stats), consumers
+    * of the pinned frame keep exchange reuse (a pin partitioned on its
+    * join key is not re-shuffled) and stats-driven join planning. */
+  def fromInternalPreserving(rdd: RDD[InternalRow], origin: DataFrame)
+      : DataFrame = {
+    val ds = origin.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        rdd, ds, isStreaming = false))
+  }
+
+  /** [[fromInternalPreserving]] minus the origin STATISTICS: partitioning
+    * and ordering carry over (exchange/sort reuse), but the leaf keeps the
+    * conservative default sizeInBytes so no consumer auto-broadcasts it.
+    * For pinned frames whose true size the estimator badly under-counts
+    * (collect_set array payloads), a stats-driven broadcast is wrong at
+    * every scale. */
+  def fromInternalPreservingLayout(rdd: RDD[InternalRow], origin: DataFrame)
+      : DataFrame = {
+    val ds = origin.asInstanceOf[classic.Dataset[_]]
+    val lr = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      rdd, ds, isStreaming = false)
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD(
+        lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+        lr.isStreaming)(ds.sparkSession, None, None))
+  }
+
   /** Bridge to `Dataset.ofRows` (private[sql], sql/core classic/Dataset
     * .scala) — turns a hand-built logical plan (e.g. `graft.plans.AsOfJoin`)
     * back into a public `DataFrame`, running it through the session's full

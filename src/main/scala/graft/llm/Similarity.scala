@@ -222,12 +222,19 @@ object Similarity extends QueryModule {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
         vec_cosine_native(col("x.embedding"), col("y.embedding")).as("sim"))
-    // (id, value) tuples packed as double arrays (a typed UDF cannot take
-    // Row args; vec_ids are < 2^53 so the double round-trip is exact)
+    // (id, tag, value) tuples packed as double arrays (a typed UDF cannot
+    // take Row args; vec_ids are < 2^53 so the double round-trip is
+    // exact). tag 0 marks a NULL value (all-null embeddings yield null
+    // cosines — EmptyInputSpec's null-propagation surface): the UDF's
+    // array elements must be non-null, so null rides out-of-band.
     val packed = cand.select($"vec_id", $"rel")
-      .agg(collect_list(array($"vec_id".cast("double"), $"rel")).as("cs"))
+      .agg(collect_list(array($"vec_id".cast("double"),
+        when($"rel".isNull, 0.0).otherwise(1.0),
+        coalesce($"rel", lit(0.0)))).as("cs"))
       .crossJoin(pairs.agg(collect_list(array($"a_id".cast("double"),
-        $"b_id".cast("double"), $"sim")).as("ps")))
+        $"b_id".cast("double"),
+        when($"sim".isNull, 0.0).otherwise(1.0),
+        coalesce($"sim", lit(0.0)))).as("ps")))
     packed
       .select(explode(mmrGreedyUdf($"cs", $"ps", lit(k))).as("s"))
       .select($"s.sel_round".as("sel_round"), $"s.vec_id".as("vec_id"),
@@ -244,7 +251,7 @@ object Similarity extends QueryModule {
     * (NaN greatest, −0.0 = 0.0), outputs rounded by the portable
     * floor(x·1e6 + 0.5)/1e6 — term-for-term the expressions the loop
     * evaluated, so results are bit-identical. */
-  private case class MmrPick(sel_round: Long, vec_id: Long, mmr: Double)
+  private case class MmrPick(sel_round: Long, vec_id: Long, mmr: Option[Double])
   private lazy val mmrGreedyUdf =
     udf((cs: Seq[Seq[Double]], ps: Seq[Seq[Double]], k: Int) => {
       // portable round, the Column pround's scalar twin (floor → BIGINT)
@@ -252,37 +259,57 @@ object Similarity extends QueryModule {
         if (math.abs(x) < Double.PositiveInfinity)
           math.floor(x * 1e6 + 0.5).toLong / 1e6
         else x
-      // Spark sort semantics: NaN greatest, −0.0 normalized to 0.0
+      // Spark sort semantics: NaN greatest, −0.0 normalized to 0.0;
+      // values are Option[Double] (None = SQL NULL, sorted LAST in the
+      // loop's `orderBy(x.desc)` — desc is NULLS LAST by default).
       def norm(x: Double): Double = if (x == 0.0) 0.0 else x
-      def pick(cands: Iterator[(Long, Double)]): (Long, Double) =
+      def pick(cands: Iterator[(Long, Option[Double])]): (Long, Option[Double]) =
         cands.reduceLeft { (p, q) =>
-          val c = java.lang.Double.compare(norm(p._2), norm(q._2))
-          if (c > 0) p else if (c < 0) q else if (p._1 <= q._1) p else q
+          (p._2, q._2) match {
+            case (Some(pv), Some(qv)) =>
+              val c = java.lang.Double.compare(norm(pv), norm(qv))
+              if (c > 0) p else if (c < 0) q
+              else if (p._1 <= q._1) p else q
+            case (Some(_), None) => p
+            case (None, Some(_)) => q
+            case (None, None) => if (p._1 <= q._1) p else q
+          }
         }
-      val rel = cs.map(a => a(0).toLong -> a(1)).toMap
-      val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      def unpack(tag: Double, v: Double): Option[Double] =
+        if (tag == 0.0) None else Some(v)
+      val rel = cs.map(a => a(0).toLong -> unpack(a(1), a(2))).toMap
+      val sim = new scala.collection.mutable.HashMap[(Long, Long), Option[Double]]
       ps.foreach { a =>
-        val x = a(0).toLong; val y = a(1).toLong; val s = a(2)
+        val x = a(0).toLong; val y = a(1).toLong; val s = unpack(a(2), a(3))
         sim((x, y)) = s; sim((y, x)) = s
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
       var remaining = rel.keySet
       if (remaining.nonEmpty) {
         val (first, frel) = pick(remaining.iterator.map(id => (id, rel(id))))
-        out += MmrPick(1L, first, r6(frel))
+        out += MmrPick(1L, first, frel.map(r6))
         remaining -= first
-        val ms = scala.collection.mutable.HashMap.empty[Long, Double]
+        val ms = scala.collection.mutable.HashMap.empty[Long, Option[Double]]
         remaining.foreach(id => ms(id) = sim((id, first)))
         var r = 2
         while (r <= k && remaining.nonEmpty) {
-          val (bid, braw) = pick(remaining.iterator.map(id =>
-            (id, 0.7 * rel(id) - 0.3 * ms(id))))
-          out += MmrPick(r.toLong, bid, r6(braw))
+          // 0.7·rel − 0.3·ms with SQL null propagation (null if either null)
+          def raw(id: Long): Option[Double] = for {
+            rv <- rel(id); mv <- ms(id)
+          } yield 0.7 * rv - 0.3 * mv
+          val (bid, braw) = pick(remaining.iterator.map(id => (id, raw(id))))
+          out += MmrPick(r.toLong, bid, braw.map(r6))
           remaining -= bid
           if (r < k) remaining.foreach { id =>
-            // greatest(ms, cos): compare in the same total order
+            // greatest(ms, cos) — SQL greatest SKIPS nulls (null only if
+            // both are null), comparisons in the same total order
             val s2 = sim((id, bid))
-            if (java.lang.Double.compare(s2, ms(id)) > 0) ms(id) = s2
+            ms(id) = (ms(id), s2) match {
+              case (Some(a), Some(b)) =>
+                if (java.lang.Double.compare(b, a) > 0) Some(b) else Some(a)
+              case (a, None) => a
+              case (None, b) => b
+            }
           }
           r += 1
         }

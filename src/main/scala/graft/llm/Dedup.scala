@@ -198,7 +198,7 @@ object Dedup extends QueryModule {
     //
     // min-over-group as a window on the hash partition: ONE shuffle for
     // the whole member→rep map (groupBy+join back would shuffle twice).
-    val memberMap = graft.rel.PinnedInputs.pinned(spark, sfDir, "mh_member") {
+    val memberMap = graft.rel.PinnedInputs.pinnedNoStats(spark, sfDir, "mh_member") {
       Tables.documentsSpread(spark, sfDir)
         .filter($"text".isNotNull)
         .select($"doc_id", md5($"text").as("th"))
